@@ -1,0 +1,81 @@
+"""Cross-engine-stable hashing and shingling.
+
+Spark's native ``hash``/``xxhash64`` are not reproducible in other
+engines, so differential testing (and any cross-system dedup contract)
+needs a hash both Spark and DuckDB compute bit-identically. We use the
+top 60 bits of MD5 interpreted as a non-negative int64:
+
+    Spark :  conv(substring(md5(s), 1, 15), 16, 10)  cast long
+    DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT
+
+15 hex digits = 60 bits < 2^63, so the cast never overflows and the
+value is always >= 0. MD5 here is a content fingerprint, not security.
+
+All functions return Column expressions evaluated JVM-side (codegen);
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Matching DuckDB SQL fragment templates (format with the column expr):
+DUCKDB_STABLE_HASH64 = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+DUCKDB_WORDS = "string_split_regex(trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g')), ' ')"
+
+
+def stable_hash64(col: Column | str) -> Column:
+    """60-bit non-negative int64 content hash, identical in DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def words(col: Column | str) -> Column:
+    """Lowercased whitespace-tokenized word array.
+
+    Normalizes runs of whitespace and trims so Spark's ``split`` and
+    DuckDB's ``string_split_regex`` produce identical arrays (no empty
+    leading/trailing tokens).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined), order-preserving.
+
+    Built from the words array with ``transform`` + ``slice`` — pure
+    Catalyst, no Python. Documents shorter than k words yield a single
+    shingle of all their words (never an empty array for non-empty text),
+    matching the DuckDB oracle construction in plans/oracles.
+    """
+    w = words(col)
+    n_shingles = F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_shingles),
+        lambda i: F.array_join(F.slice(w, i, k), " "),
+    )
+
+
+def minhash_signature(col: Column | str, num_hashes: int, k: int = 3) -> Column:
+    """Array of ``num_hashes`` min-hash values over the k-shingle set.
+
+    Permutation i is simulated as stable_hash64(i || '|' || shingle);
+    signature[i] = min over shingles. All JVM-side: transform over a
+    literal index sequence with a nested array_min/transform.
+    """
+    sh = word_shingles(col, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(i.cast("string"), F.lit("|"), s)), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    )

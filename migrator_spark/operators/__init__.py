@@ -1,0 +1,12 @@
+"""Operator library: pure ``DataFrame -> DataFrame`` functions.
+
+extract    incremental scans E1-E4 (sequential / timestamp / coalesce /
+           queue-drain + point-lookup join) — SURVEY.md §2.1
+load       merge semantics L1-L3 (append / last-write-wins upsert /
+           delete anti-join) — SURVEY.md §2.9
+dedup      exact + MinHash-LSH + SimHash + n-gram Jaccard + embedding
+           near-dup (training-data pipeline surface)
+similarity brute-force & LSH-bucketed cosine top-k ANN
+textops    language-id, quality scoring, token counting, fingerprinting
+multimodal binary-column plumbing with stubbed decoders
+"""

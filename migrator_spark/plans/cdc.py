@@ -1,0 +1,350 @@
+"""CDC/extractor/loader operator queries + DuckDB oracles.
+
+Each function here is a ``queries()`` entry (driver contract): it wires
+the pure operators in ``migrator_spark.operators`` to the driver's
+synthetic tables per the FIXTURES.md §4 mapping — ``orders`` plays the
+sequential-PK entity table, ``events`` plays both the timestamped entity
+table and the ``MigratorRecordQueue`` CDC queue, ``customer`` plays the
+replication target.
+
+The synthetic CDC batch (``cdc_batch``/CDC_CTE) maps events to queue
+records: key = user_id*11 (so some keys fall outside customer's key
+range at every SF — exercising both MATCHED and NOT-MATCHED merge arms),
+method = REMOVE for 'error' events else REPLACE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from migrator_spark.operators import extract as ex
+from migrator_spark.operators import load as ld
+from migrator_spark.tables import load_table
+
+# ---------------------------------------------------------------- E1
+
+SEQ_POS = 500
+SEQ_BATCH = 1000
+
+
+def e1_seq_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 sequential extractor batch (extractor_sequential.go:17-130)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return ex.sequential_scan(orders, "o_orderkey", SEQ_POS, SEQ_BATCH)
+
+
+E1_ORACLE = f"""
+SELECT *, 'INSERT' AS _method
+FROM orders WHERE o_orderkey > {SEQ_POS}
+ORDER BY o_orderkey LIMIT {SEQ_BATCH}
+"""
+
+# ---------------------------------------------------------------- E2
+
+TS_POS = "2024-01-10 00:00:00"
+TS_UPPER = "2024-01-20 00:00:00"
+TS_BATCH = 500
+
+
+def e2_ts_scan_onlypast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 timestamp extractor with OnlyPast bound (extractor_timestamp.go:15-129).
+
+    Upper bound pinned to a literal for reproducibility (the reference
+    uses NOW(); semantics identical).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return ex.timestamp_scan(
+        events,
+        "ts",
+        TS_POS,
+        TS_BATCH,
+        only_past=True,
+        upper_bound=TS_UPPER,
+        tiebreak_col="event_id",
+    )
+
+
+E2_ORACLE = f"""
+SELECT *, 'REPLACE' AS _method
+FROM events
+WHERE ts > TIMESTAMP '{TS_POS}' AND ts <= TIMESTAMP '{TS_UPPER}'
+ORDER BY ts, event_id LIMIT {TS_BATCH}
+"""
+
+# ---------------------------------------------------------------- E3
+
+E3_POS = "2024-01-15 00:00:00"
+
+
+def e3_coalesce_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 coalesce-fallback extractor (extractor_timestamp_fallback.go:16-127).
+
+    The synthetic tables have no second nullable timestamp, so one is
+    derived: ts_a = ts NULLed for 'click' events, ts_b = ts - 1 day.
+    Fixes the reference's offset bug (SURVEY.md E3 ⚠) by scanning on the
+    coalesced expression itself.
+    """
+    events = load_table(spark, sf_dir, "events")
+    src = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.lit(None).cast("timestamp"))
+        .otherwise(F.col("ts"))
+        .alias("ts_a"),
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("ts_b"),
+    )
+    return ex.coalesce_scan(src, ["ts_a", "ts_b"], E3_POS, TS_BATCH, tiebreak_col="event_id")
+
+
+E3_ORACLE = f"""
+WITH src AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_type = 'click' THEN NULL ELSE ts END AS ts_a,
+         ts - INTERVAL 1 DAY AS ts_b
+  FROM events
+)
+SELECT *, 'REPLACE' AS _method
+FROM src
+WHERE coalesce(ts_a, ts_b) > TIMESTAMP '{E3_POS}'
+ORDER BY coalesce(ts_a, ts_b), event_id LIMIT {TS_BATCH}
+"""
+
+# ---------------------------------------------------------------- E4
+
+QUEUE_BATCH = 1000
+
+
+def e4_queue_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 queue drain: oldest-first FIFO (extractor_queue.go:35-36)."""
+    events = load_table(spark, sf_dir, "events")
+    return ex.queue_drain(events, ts_col="ts", batch_size=QUEUE_BATCH, tiebreak_col="event_id")
+
+
+E4_DRAIN_ORACLE = f"SELECT * FROM events ORDER BY ts, event_id LIMIT {QUEUE_BATCH}"
+
+
+def e4_point_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 point lookups as ONE broadcast equi-join (extractor_queue.go:74-93).
+
+    The reference issues one SELECT per drained key; this is the
+    idiomatic Spark replacement: broadcast the (deduplicated) key set,
+    hash-join the source — zero shuffle of the big side.
+    """
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    drained = ex.queue_drain(events, ts_col="ts", batch_size=QUEUE_BATCH, tiebreak_col="event_id")
+    return ex.point_lookup_join(customer, drained, on={"c_custkey": "user_id"})
+
+
+E4_LOOKUP_ORACLE = f"""
+SELECT c.*, 'REPLACE' AS _method
+FROM customer c
+WHERE c_custkey IN (
+  SELECT DISTINCT user_id
+  FROM (SELECT * FROM events ORDER BY ts, event_id LIMIT {QUEUE_BATCH})
+)
+"""
+
+
+def p6_composite_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 composite-key point lookup (extractor_queue.go:75-90) as a
+    multi-column broadcast equi-join on (l_orderkey, l_linenumber)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.filter(F.col("l_partkey") % 50 == 0).select("l_orderkey", "l_linenumber")
+    return ex.point_lookup_join(li, keys, on=["l_orderkey", "l_linenumber"])
+
+
+P6_ORACLE = """
+SELECT l.*, 'REPLACE' AS _method
+FROM lineitem l
+WHERE EXISTS (
+  SELECT 1 FROM lineitem k
+  WHERE k.l_partkey % 50 = 0
+    AND k.l_orderkey = l.l_orderkey AND k.l_linenumber = l.l_linenumber
+)
+"""
+
+# ---------------------------------------------------------------- A (offset/agg)
+
+
+def a1_max_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4: advanced tracking offset over an E1 batch
+    (extractor_sequential.go:86-111)."""
+    batch = e1_seq_scan(spark, sf_dir)
+    return ex.next_offset(batch, "o_orderkey")
+
+
+A1_ORACLE = f"""
+SELECT max(o_orderkey) AS max_pos, min(o_orderkey) AS min_pos, count(*) AS cnt
+FROM (SELECT * FROM orders WHERE o_orderkey > {SEQ_POS} ORDER BY o_orderkey LIMIT {SEQ_BATCH})
+"""
+
+
+def a2_ts_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: advanced timestamp offset over an E2 batch
+    (extractor_timestamp.go:87, util.go:36-41)."""
+    batch = e2_ts_scan_onlypast(spark, sf_dir)
+    return batch.agg(F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("cnt"))
+
+
+A2_ORACLE = f"""
+SELECT max(ts) AS max_ts, count(*) AS cnt
+FROM (SELECT * FROM events
+      WHERE ts > TIMESTAMP '{TS_POS}' AND ts <= TIMESTAMP '{TS_UPPER}'
+      ORDER BY ts, event_id LIMIT {TS_BATCH})
+"""
+
+# ------------------------------------------------------- CDC batch fixture
+
+CDC_CTE = """
+cdc AS (
+  SELECT user_id * 11 AS key, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'REMOVE' ELSE 'REPLACE' END AS _method
+  FROM events
+)
+"""
+
+
+def cdc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic CDC queue batch per FIXTURES.md §4 (events ->
+    MigratorRecordQueue): key, ts, event_id, value, _method."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        (F.col("user_id") * 11).alias("key"),
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit(ex.M_REMOVE))
+        .otherwise(F.lit(ex.M_REPLACE))
+        .alias(ex.METHOD_COL),
+    )
+
+
+def a5_group_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-method row grouping (loader_default.go:20-26)."""
+    return cdc_batch(spark, sf_dir).groupBy(ex.METHOD_COL).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+A5_ORACLE = f"WITH {CDC_CTE} SELECT _method, count(*) AS cnt FROM cdc GROUP BY _method"
+
+# ---------------------------------------------------------------- S
+
+
+def s1_queue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2: deterministic top-k oldest queue entries; Spark compiles
+    orderBy+limit to TakeOrderedAndProject (per-partition top-k, k-row
+    merge — no full sort shuffle)."""
+    events = load_table(spark, sf_dir, "events")
+    return ex.queue_drain(events, ts_col="ts", batch_size=100, tiebreak_col="event_id")
+
+
+S1_ORACLE = "SELECT * FROM events ORDER BY ts, event_id LIMIT 100"
+
+# ---------------------------------------------------------------- W / L
+
+
+def w1_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: last-write-wins dedup window (SURVEY.md §2.5)."""
+    return ld.latest_by_key(cdc_batch(spark, sf_dir), ["key"], "ts", "event_id")
+
+
+W1_ORACLE = f"""
+WITH {CDC_CTE}
+SELECT * FROM cdc
+QUALIFY row_number() OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+# customer-shaped CDC rows: matched keys keep their dims, unmatched get
+# deterministic synthetics (exercises MERGE's NOT MATCHED INSERT arm).
+SHAPED_CTE = """
+shaped AS (
+  SELECT l.key AS c_custkey,
+         coalesce(c.c_name, 'new-' || l.key) AS c_name,
+         coalesce(c.c_nationkey, CAST(l.key % 25 AS INTEGER)) AS c_nationkey,
+         l.value AS c_acctbal,
+         coalesce(c.c_mktsegment, 'CDC') AS c_mktsegment,
+         l._method, l.ts, l.event_id
+  FROM cdc l LEFT JOIN customer c ON c.c_custkey = l.key
+)
+"""
+
+
+def _shaped_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = cdc_batch(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    j = cdc.join(customer, cdc.key == customer.c_custkey, "left")
+    return j.select(
+        F.col("key").alias("c_custkey"),
+        F.coalesce(F.col("c_name"), F.concat(F.lit("new-"), F.col("key").cast("string"))).alias("c_name"),
+        F.coalesce(F.col("c_nationkey"), (F.col("key") % 25).cast("int")).alias("c_nationkey"),
+        F.col("value").alias("c_acctbal"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("CDC")).alias("c_mktsegment"),
+        ex.METHOD_COL,
+        "ts",
+        "event_id",
+    )
+
+
+def l2_upsert_lastwins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 REPLACE-by-PK upsert with in-batch last-write-wins
+    (batched_queries.go:21-23 + SURVEY.md §7.3/§7.4)."""
+    customer = load_table(spark, sf_dir, "customer")
+    batch = _shaped_batch(spark, sf_dir).filter(F.col(ex.METHOD_COL) != ex.M_REMOVE)
+    final = ld.latest_by_key(batch, ["c_custkey"], "ts", "event_id").select(*customer.columns)
+    return ld.upsert(customer, final, ["c_custkey"])
+
+
+L2_ORACLE = f"""
+WITH {CDC_CTE}, {SHAPED_CTE},
+final AS (
+  SELECT * FROM shaped WHERE _method <> 'REMOVE'
+  QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM final)
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM final
+"""
+
+
+def l3_remove_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 DELETE-by-PK as a broadcast anti-join (batched_queries.go:28-74)."""
+    customer = load_table(spark, sf_dir, "customer")
+    removes = (
+        cdc_batch(spark, sf_dir)
+        .filter(F.col(ex.METHOD_COL) == ex.M_REMOVE)
+        .select(F.col("key").alias("c_custkey"))
+    )
+    return ld.delete_antijoin(customer, removes, ["c_custkey"])
+
+
+L3_ORACLE = f"""
+WITH {CDC_CTE}
+SELECT c.* FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM cdc WHERE cdc._method = 'REMOVE' AND cdc.key = c.c_custkey)
+"""
+
+
+def l0_apply_cdc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L0 full merge: mixed INSERT/REPLACE/REMOVE applied in per-key
+    event-time order — the FINAL event per key wins (loader_default.go:9-72
+    + queue replay semantics, SURVEY.md §7.3)."""
+    customer = load_table(spark, sf_dir, "customer")
+    batch = _shaped_batch(spark, sf_dir)
+    return ld.apply_cdc_batch(customer, batch, ["c_custkey"], "ts", "event_id")
+
+
+L0_ORACLE = f"""
+WITH {CDC_CTE}, {SHAPED_CTE},
+final AS (
+  SELECT * FROM shaped
+  QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM final)
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM final
+WHERE _method <> 'REMOVE'
+"""

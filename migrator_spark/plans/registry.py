@@ -1,0 +1,58 @@
+"""Central query registry: name -> (spark callable, DuckDB oracle SQL).
+
+This is the single source of truth consumed by ``__spark_entry__.py``
+(driver contract) and the pytest differential harness. Oracle of None
+means the op is not SQL-expressible (driver records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from migrator_spark.plans import cdc, tpch
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None
+    note: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    # --- headline analytics (bench.py) ---
+    "q1_pricing_summary": QuerySpec(tpch.q1_pricing_summary, tpch.Q1_ORACLE),
+    "q3_shipping_priority": QuerySpec(tpch.q3_shipping_priority, tpch.Q3_ORACLE),
+    "q5_nation_revenue": QuerySpec(tpch.q5_nation_revenue, tpch.Q5_ORACLE),
+    # --- extractors E1-E4 (SURVEY.md §2.1) ---
+    "e1_seq_scan": QuerySpec(cdc.e1_seq_scan, cdc.E1_ORACLE),
+    "e2_ts_scan_onlypast": QuerySpec(cdc.e2_ts_scan_onlypast, cdc.E2_ORACLE),
+    "e3_coalesce_scan": QuerySpec(cdc.e3_coalesce_scan, cdc.E3_ORACLE),
+    "e4_queue_drain": QuerySpec(cdc.e4_queue_drain, cdc.E4_DRAIN_ORACLE),
+    "e4_point_lookup_join": QuerySpec(cdc.e4_point_lookup_join, cdc.E4_LOOKUP_ORACLE),
+    "p6_composite_lookup": QuerySpec(cdc.p6_composite_lookup, cdc.P6_ORACLE),
+    # --- aggregates / offsets (§2.4) ---
+    "a1_max_offset": QuerySpec(cdc.a1_max_offset, cdc.A1_ORACLE),
+    "a2_ts_offset": QuerySpec(cdc.a2_ts_offset, cdc.A2_ORACLE),
+    "a5_group_by_method": QuerySpec(cdc.a5_group_by_method, cdc.A5_ORACLE),
+    # --- sorts / windows (§2.5-2.6) ---
+    "s1_queue_topk": QuerySpec(cdc.s1_queue_topk, cdc.S1_ORACLE),
+    "w1_latest_by_key": QuerySpec(cdc.w1_latest_by_key, cdc.W1_ORACLE),
+    # --- loaders L0/L2/L3 (§2.9) ---
+    "l2_upsert_lastwins": QuerySpec(cdc.l2_upsert_lastwins, cdc.L2_ORACLE),
+    "l3_remove_antijoin": QuerySpec(cdc.l3_remove_antijoin, cdc.L3_ORACLE),
+    "l0_apply_cdc_batch": QuerySpec(cdc.l0_apply_cdc_batch, cdc.L0_ORACLE),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

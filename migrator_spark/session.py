@@ -1,0 +1,48 @@
+"""SparkSession factory.
+
+Local testing runs ``local[N]`` single-JVM, but every conf here is chosen
+for the real target: a multi-executor cluster scanning ~100 TB. AQE is on
+so shuffle partitioning, skew joins and broadcast decisions re-plan at
+runtime; Arrow is on so any unavoidable Python stage is batch-vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "migrator_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or all cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # Runtime re-planning: coalesce small shuffles, split skewed
+        # partitions, convert sort-merge to broadcast when a side turns
+        # out small. At 100 TB these are the difference between a plan
+        # that finishes and one that doesn't.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Static shuffle parallelism for the local harness; AQE coalesces
+        # below this. On a cluster this would be ~2-3x total cores.
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
+        # Arrow for every pandas_udf / mapInPandas / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep scans splittable: one task per ~128MB of parquet (default,
+        # stated explicitly because bench relies on it).
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Timestamps in test parquet are TIMESTAMP_MICROS without tz;
+        # pin session tz so literals compare identically to DuckDB.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
