@@ -1,0 +1,222 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All pure DataFrame composition — JVM-side Catalyst expressions, no
+Python UDFs — so they hold up at 100 TB:
+
+* exact_dedup        — hash-groupBy on a stable content fingerprint.
+                       One shuffle on the 60-bit hash (never on the
+                       full text — bytes stay columnar in the scan).
+* minhash_lsh_pairs  — shingle → minhash signature → banded LSH →
+                       bucket self-join → exact-Jaccard verify.
+                       The self-join is on (band, band_hash), i.e.
+                       candidate generation is O(sum of bucket²), not
+                       O(n²) — the standard web-scale near-dup design
+                       (Broder minhash + banding).
+* simhash            — 60-bit SimHash over unigrams; near-dups cluster
+                       by Hamming distance (pairs via band rotation at
+                       scale; the fingerprint itself here).
+* ngram_jaccard_pairs— exact n-gram Jaccard within explicit blocking
+                       columns (the quadratic join is bounded per block).
+* embedding_neardup_pairs — cosine near-dup pairs within a coarse
+                       cluster assignment (label column = offline IVF
+                       cell), so the pair join is per-cell.
+
+MinHash/shingle hashing uses functions.hashing.stable_hash64 (top 60
+bits of MD5), reproducible bit-for-bit in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from migrator_spark.functions.hashing import minhash_signature, stable_hash64, word_shingles, words
+from migrator_spark.functions.vectors import cosine_similarity
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    """Whitespace-collapsed lowercase normalization (dedup canonical form)."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: one row per distinct normalized text.
+
+    Returns (text_hash, keep_doc_id = min id, n_copies). Downstream
+    keeps rows whose id is in keep_doc_id — a semi-join, no text
+    comparison. The shuffle key is the 60-bit hash: uniform, skew-free.
+    """
+    return (
+        docs.select(F.col(id_col), stable_hash64(normalized_text(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """(id, shingles) with the k-word shingle array (not deduplicated;
+    set semantics applied where sizes matter)."""
+    return docs.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact verify.
+
+    Two docs are candidates iff any band of their minhash signatures
+    collides; candidates are verified with exact shingle-set Jaccard
+    >= threshold. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Scale: the band self-join shuffles by (band, band_hash) — bucket
+    sizes are tiny for realistic thresholds, so the join is linear-ish;
+    signatures are num_hashes longs per doc (constant width).
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    sig = docs.select(
+        F.col(id_col),
+        minhash_signature(text_col, num_hashes, shingle_k).alias("sig"),
+        word_shingles(text_col, shingle_k).alias("shingles"),
+    )
+    banded = sig.select(
+        id_col,
+        "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                # band hash = stable hash of the comma-joined signature slice
+                lambda b: stable_hash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"), "band", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"), "band", "band_hash"
+    )
+    cand = (
+        left.join(right, on=["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jaccard = (
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+        / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    )
+    return (
+        cand.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """60-bit SimHash fingerprint over distinct unigrams (weight 1).
+
+    bit_i = sign of sum over words of (word_hash bit_i ? +1 : -1).
+    Computed as ``bits`` aggregate expressions over the exploded word
+    relation — one shuffle by doc id, no Python. 60 bits because
+    stable_hash64 carries 60 bits of MD5.
+    """
+    w = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("w")
+    ).withColumn("h", stable_hash64(F.col("w")))
+    bit_sums = w.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bit_sums.select(F.col(id_col), acc.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact k-gram Jaccard pairs within blocking-column groups.
+
+    The pairwise join is restricted to equal ``block_cols`` — the
+    classic blocked-dedup bound on the quadratic candidate space.
+    """
+    sh = docs.select(
+        F.col(id_col), *block_cols, F.array_distinct(word_shingles(text_col, k)).alias("sh")
+    )
+    a = sh.select(
+        F.col(id_col).alias("doc_a"), *block_cols, F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col(id_col).alias("doc_b"), *block_cols, F.col("sh").alias("sh_b")
+    )
+    jaccard = (
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+        / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    )
+    return (
+        a.join(b, on=block_cols)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs within a coarse cluster (IVF-cell) column.
+
+    The self-join is per-cluster — with a balanced clustering this is
+    n²/C work instead of n². Cosine is computed in double, element
+    order preserved (bit-reproducible in the oracle).
+    """
+    a = emb.select(
+        F.col(id_col).alias("vec_a"), F.col(cluster_col), F.col(vec_col).alias("e_a")
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_b"), F.col(cluster_col), F.col(vec_col).alias("e_b")
+    )
+    return (
+        a.join(b, on=cluster_col)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cosine_similarity("e_a", "e_b"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

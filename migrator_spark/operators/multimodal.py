@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+The container has no image/audio libraries, so the decode step is a
+STUB (deterministic fake measurements derived from the bytes, or
+``NotImplementedError`` when ``strict=True``). Everything around it —
+binary column handling, explicit output schema, Arrow batch transfer,
+partition-preserving mapInPandas — is the real production shape: swap
+``_fake_decode`` for PIL/libvips/ffmpeg calls and nothing else changes.
+
+Scale notes: payloads stay in the executor as Arrow buffers (never on
+the driver); mapInPandas streams batches, so memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of table
+size. Partitioning is inherited — repartition upstream by size class if
+payload sizes are skewed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def to_binary_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Model a multimodal table: (id, payload binary, media_type).
+
+    Here the payload is the utf-8 text bytes; in production it's the
+    image/audio blob column read straight from parquet BinaryType.
+    """
+    return docs.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").cast(BinaryType()).alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for image decode (STUB — no image libs in
+    this container). Returns (n_bytes, width, height, phash); the fake
+    'perceptual hash' is the top 60 bits of MD5 so the DuckDB oracle
+    can reproduce it."""
+    import hashlib
+
+    n = len(payload)
+    phash = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    return n, 320 + n % 320, 240 + n % 240, phash
+
+
+def decode_metadata(payloads: DataFrame, strict: bool = False) -> DataFrame:
+    """'Decode' each payload to typed metadata via mapInPandas.
+
+    ``strict=True`` raises NotImplementedError where a real decoder
+    (PIL / torchaudio / ffmpeg) would be invoked — marking exactly the
+    line to replace in a fully-provisioned environment.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if strict:
+                raise NotImplementedError(
+                    "real image/audio decode requires PIL/ffmpeg (not in container); "
+                    "use strict=False for the deterministic stub"
+                )
+            out = pdf["payload"].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": out.map(lambda t: t[0]),
+                    "width": out.map(lambda t: t[1]),
+                    "height": out.map(lambda t: t[2]),
+                    "phash": out.map(lambda t: t[3]),
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+def frame_sample_plan(payloads: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: explode a (stubbed) frame index
+    list per payload — the real decoder would emit one binary frame per
+    index. Shows the fan-out schema/partitioning shape only."""
+    n_frames = (F.octet_length("payload") % 100 + 1).alias("n_frames")
+    return (
+        payloads.withColumn("n_frames", n_frames)
+        .withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))),
+        )
+        .select("doc_id", "n_frames", "frame_idx")
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data curation.
+
+Language-ID (stopword-hit heuristic + CJK codepoint detection),
+quality scoring (length / punctuation / digit / stopword ratios),
+token counting (whitespace + regex), and document fingerprinting.
+Everything is built-in Catalyst string/array expressions — counts are
+integers and ratios are exact int/int double divisions, so the DuckDB
+oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from migrator_spark.functions.hashing import stable_hash64, words
+from migrator_spark.operators.dedup import normalized_text
+
+# Tiny built-in stopword sets (heuristic language ID, not linguistics).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por"],
+    "fr": ["le", "les", "des", "et", "est", "une", "pour", "dans", "sur", "pas"],
+}
+
+
+def _regex_count(col: Column, pattern: str) -> Column:
+    """Occurrences of a single-char class pattern: length delta after
+    deleting matches — portable to DuckDB's regexp_replace(...,'g')."""
+    return F.length(col) - F.length(F.regexp_replace(col, pattern, ""))
+
+
+def _stop_hits(w: Column, lang: str) -> Column:
+    stop = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, alnum-run tokens (BPE-ish
+    pre-tokenization), char length, exact avg token length."""
+    t = F.col(text_col)
+    w = words(text_col)
+    sum_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_text"),
+        F.size(w).alias("n_tokens"),
+        F.size(F.split(F.lower(t), r"[^a-z0-9]+")).alias("n_alnum_runs"),
+        (sum_len.cast("double") / F.size(w).cast("double")).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality heuristics: digit/punct/space ratios, English stopword
+    ratio, and a boolean keep-flag rule (the standard cheap pre-filter
+    in front of model-based quality scoring)."""
+    t = F.col(text_col)
+    w = words(text_col)
+    n = F.length(t).cast("double")
+    n_tok = F.size(w)
+    digit_ratio = _regex_count(t, "[0-9]").cast("double") / n
+    punct_ratio = _regex_count(t, r"[.,;:!?'\"]").cast("double") / n
+    space_ratio = _regex_count(t, " ").cast("double") / n
+    stop_ratio = _stop_hits(w, "en").cast("double") / n_tok.cast("double")
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_text"),
+        n_tok.alias("n_tokens"),
+        digit_ratio.alias("digit_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        space_ratio.alias("space_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            (F.length(t) >= 20)
+            & (n_tok >= 5)
+            & (digit_ratio < 0.3)
+            & (stop_ratio > 0.0)
+        ).alias("keep"),
+    )
+
+
+def lang_guess(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK codepoint share, else argmax of
+    per-language stopword hits (deterministic precedence en>de>es>fr)."""
+    t = F.col(text_col)
+    w = words(text_col)
+    cjk = _regex_count(t, r"[一-鿿]")
+    en, de, es, fr = (_stop_hits(w, L) for L in ("en", "de", "es", "fr"))
+    guess = (
+        F.when(cjk * 4 > F.length(t), F.lit("zh"))
+        .when((en >= de) & (en >= es) & (en >= fr), F.lit("en"))
+        .when((de >= es) & (de >= fr), F.lit("de"))
+        .when(es >= fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        F.col(id_col),
+        en.alias("hits_en"),
+        de.alias("hits_de"),
+        es.alias("hits_es"),
+        fr.alias("hits_fr"),
+        guess.alias("guessed_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full-content stable hash + prefix hash of
+    the first 8 normalized words (cheap near-head dedup key)."""
+    w = words(text_col)
+    return docs.select(
+        F.col(id_col),
+        stable_hash64(normalized_text(text_col)).alias("content_fp"),
+        stable_hash64(F.array_join(F.slice(w, 1, 8), " ")).alias("prefix_fp"),
+    )

@@ -1,0 +1,358 @@
+"""Training-data-pipeline queries (dedup / similarity / text / multimodal)
+with DuckDB oracles.
+
+The oracles reimplement each operator in pure DuckDB SQL — including the
+full MinHash-LSH pipeline — using the same stable 60-bit MD5 hash, the
+same shingling, and double-precision arithmetic in the same evaluation
+order, so results match Spark bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from migrator_spark.operators import dedup as dd
+from migrator_spark.operators import multimodal as mm
+from migrator_spark.operators import similarity as sim
+from migrator_spark.operators import textops as tx
+from migrator_spark.tables import load_table
+
+# DuckDB fragments mirroring functions.hashing
+H = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+H_NORM = H.format(x=_NORM)
+DOCS_CTE = """
+docs AS (
+  SELECT doc_id, text, lang, source,
+         string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+)
+"""
+# k=2 word shingles (single-word docs yield their one word), matching
+# functions.hashing.word_shingles(k=2)
+SH_CTE = """
+sh AS (
+  SELECT doc_id, lang, source,
+         list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                        j -> array_to_string(w[j:j+1], ' ')) AS sh
+  FROM docs
+)
+"""
+
+# ------------------------------------------------------------- dedup
+
+
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text."""
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+DD1_ORACLE = f"""
+SELECT {H_NORM} AS text_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+MINHASH_NUM, MINHASH_BANDS, MINHASH_THRESH = 12, 4, 0.3
+
+
+def dd2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup candidate pairs, exact-verified."""
+    return dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESH,
+    )
+
+
+DD2_ORACLE = f"""
+WITH {DOCS_CTE}, {SH_CTE},
+sig AS (
+  SELECT doc_id, sh,
+         list_transform(generate_series(0, {MINHASH_NUM - 1}),
+           i -> list_min(list_transform(sh,
+                  s -> {H.format(x="i::VARCHAR || '|' || s")}))) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, sh, band,
+         {H.format(x="array_to_string(list_transform(sig[band*3+1:band*3+3], v -> v::VARCHAR), ',')")} AS band_hash
+  FROM sig, LATERAL unnest(generate_series(0, {MINHASH_BANDS - 1})) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_distinct(list_intersect(sa.sh, sb.sh)))::DOUBLE
+           / len(list_distinct(sa.sh || sb.sh))::DOUBLE AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+)
+SELECT * FROM verified WHERE jaccard >= {MINHASH_THRESH}
+"""
+
+
+def dd3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document."""
+    return dd.simhash(load_table(spark, sf_dir, "documents"))
+
+
+DD3_ORACLE = f"""
+WITH {DOCS_CTE},
+dw AS (
+  SELECT DISTINCT doc_id, {H.format(x="wd")} AS h
+  FROM docs, LATERAL unnest(list_distinct(w)) AS t(wd)
+),
+bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS bitsum
+  FROM dw, LATERAL unnest(generate_series(0, 59)) AS g(i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+NGRAM_THRESH = 0.2
+
+
+def dd4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact 2-gram Jaccard pairs (blocking: lang, source)."""
+    return dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        block_cols=["lang", "source"],
+        threshold=NGRAM_THRESH,
+    )
+
+
+DD4_ORACLE = f"""
+WITH {DOCS_CTE}, {SH_CTE},
+d AS (SELECT doc_id, lang, source, list_distinct(sh) AS sh FROM sh)
+SELECT * FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+           / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+) WHERE jaccard >= {NGRAM_THRESH}
+"""
+
+# synthetic embeddings are near-orthogonal (max within-label cosine
+# ~0.47); 0.4 keeps the operator selective but non-vacuous at every SF
+NEARDUP_COS = 0.4
+
+COS_EXPR = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within coarse clusters (label)."""
+    return dd.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS
+    )
+
+
+DD5_ORACLE = f"""
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {COS_EXPR.format(a="a.embedding", b="b.embedding")} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos_sim >= {NEARDUP_COS}
+"""
+
+# -------------------------------------------------------- similarity
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == vec_id).select(F.col("embedding").alias("qe"))
+
+
+def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 against vec 0 (ANN baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return sim.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+SIM1_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {COS_EXPR.format(a="embedding", b="qe")} AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def sim2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned top-10: probe only the query's coarse cell (label) —
+    the partition-pruned scale path; exact within the probed cells."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    probe = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("label")
+    )
+    return sim.ivf_topk(emb, _query_vec(spark, sf_dir), probe, k=10)
+
+
+SIM2_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {COS_EXPR.format(a="embedding", b="qe")} AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0 AND label = qlabel
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def sim3_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 corpus neighbors for each of the first 5 vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    return sim.pairwise_topk_join(emb, queries, k=5)
+
+
+SIM3_ORACLE = f"""
+SELECT q_id, vec_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS q_id, e.vec_id,
+         {COS_EXPR.format(a="e.embedding", b="q.embedding")} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {COS_EXPR.format(a="e.embedding", b="q.embedding")} DESC, e.vec_id ASC
+         ) AS rank
+  FROM embeddings e, embeddings q
+  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+) WHERE rank <= 5
+"""
+
+# ------------------------------------------------------------- text
+
+
+def ta1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+TA1_ORACLE = f"""
+WITH {DOCS_CTE}
+SELECT doc_id,
+       length(text) AS n_chars_text,
+       len(w) AS n_tokens,
+       len(string_split_regex(lower(text), '[^a-z0-9]+')) AS n_alnum_runs,
+       CAST(list_sum(list_transform(w, s -> length(s))) AS DOUBLE)
+         / len(w)::DOUBLE AS avg_token_len
+FROM docs
+"""
+
+_SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in tx.STOPWORDS.items()}
+_HITS = "len(list_filter(w, x -> list_contains({lst}, x)))"
+
+
+def ta2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+TA2_ORACLE = f"""
+WITH {DOCS_CTE},
+m AS (
+  SELECT doc_id,
+         length(text) AS n_chars_text,
+         len(w) AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+           / length(text)::DOUBLE AS digit_ratio,
+         (length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g')))::DOUBLE
+           / length(text)::DOUBLE AS punct_ratio,
+         (length(text) - length(regexp_replace(text, ' ', '', 'g')))::DOUBLE
+           / length(text)::DOUBLE AS space_ratio,
+         {_HITS.format(lst=_SW["en"])}::DOUBLE / len(w)::DOUBLE AS stopword_ratio
+  FROM docs
+)
+SELECT *,
+       (n_chars_text >= 20 AND n_tokens >= 5 AND digit_ratio < 0.3
+        AND stopword_ratio > 0.0) AS keep
+FROM m
+"""
+
+
+def ta3_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.lang_guess(load_table(spark, sf_dir, "documents"))
+
+
+TA3_ORACLE = f"""
+WITH {DOCS_CTE},
+m AS (
+  SELECT doc_id,
+         length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+         length(text) AS n,
+         {_HITS.format(lst=_SW["en"])} AS hits_en,
+         {_HITS.format(lst=_SW["de"])} AS hits_de,
+         {_HITS.format(lst=_SW["es"])} AS hits_es,
+         {_HITS.format(lst=_SW["fr"])} AS hits_fr
+  FROM docs
+)
+SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+       CASE WHEN cjk * 4 > n THEN 'zh'
+            WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+            WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+            WHEN hits_es >= hits_fr THEN 'es'
+            ELSE 'fr' END AS guessed_lang
+FROM m
+"""
+
+
+def ta4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+TA4_ORACLE = f"""
+WITH {DOCS_CTE}
+SELECT doc_id,
+       {H_NORM} AS content_fp,
+       {H.format(x="array_to_string(w[1:8], ' ')")} AS prefix_fp
+FROM docs
+"""
+
+# -------------------------------------------------------- multimodal
+
+
+def mm1_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> typed metadata via Arrow mapInPandas (decode
+    stubbed deterministically; plumbing is production-shaped)."""
+    payloads = mm.to_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.decode_metadata(payloads)
+
+
+MM1_ORACLE = f"""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       320 + octet_length(encode(text)) % 320 AS width,
+       240 + octet_length(encode(text)) % 240 AS height,
+       {H.format(x="text")} AS phash
+FROM documents
+"""
+
+
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out plumbing (stub frame counts)."""
+    payloads = mm.to_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.frame_sample_plan(payloads, every_n=10)
+
+
+MM2_ORACLE = """
+SELECT doc_id, n_frames, f AS frame_idx
+FROM (SELECT doc_id, octet_length(encode(text)) % 100 + 1 AS n_frames FROM documents),
+     LATERAL unnest(generate_series(0, n_frames - 1, 10)) AS t(f)
+"""

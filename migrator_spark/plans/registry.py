@@ -12,7 +12,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from migrator_spark.plans import cdc, tpch
+from migrator_spark.plans import cdc, llmdata, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -47,6 +47,24 @@ REGISTRY: dict[str, QuerySpec] = {
     "l2_upsert_lastwins": QuerySpec(cdc.l2_upsert_lastwins, cdc.L2_ORACLE),
     "l3_remove_antijoin": QuerySpec(cdc.l3_remove_antijoin, cdc.L3_ORACLE),
     "l0_apply_cdc_batch": QuerySpec(cdc.l0_apply_cdc_batch, cdc.L0_ORACLE),
+    # --- dedup (training-data pipeline surface) ---
+    "dd1_exact_dedup": QuerySpec(llmdata.dd1_exact_dedup, llmdata.DD1_ORACLE),
+    "dd2_minhash_lsh_pairs": QuerySpec(llmdata.dd2_minhash_lsh_pairs, llmdata.DD2_ORACLE),
+    "dd3_simhash": QuerySpec(llmdata.dd3_simhash, llmdata.DD3_ORACLE),
+    "dd4_ngram_jaccard_pairs": QuerySpec(llmdata.dd4_ngram_jaccard_pairs, llmdata.DD4_ORACLE),
+    "dd5_embedding_neardup": QuerySpec(llmdata.dd5_embedding_neardup, llmdata.DD5_ORACLE),
+    # --- similarity search ---
+    "sim1_cosine_topk": QuerySpec(llmdata.sim1_cosine_topk, llmdata.SIM1_ORACLE),
+    "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),
+    "sim3_pairwise_topk": QuerySpec(llmdata.sim3_pairwise_topk, llmdata.SIM3_ORACLE),
+    # --- text analysis ---
+    "ta1_token_stats": QuerySpec(llmdata.ta1_token_stats, llmdata.TA1_ORACLE),
+    "ta2_quality_score": QuerySpec(llmdata.ta2_quality_score, llmdata.TA2_ORACLE),
+    "ta3_lang_guess": QuerySpec(llmdata.ta3_lang_guess, llmdata.TA3_ORACLE),
+    "ta4_fingerprint": QuerySpec(llmdata.ta4_fingerprint, llmdata.TA4_ORACLE),
+    # --- multimodal plumbing (decode stubbed, see operators/multimodal.py) ---
+    "mm1_decode_metadata": QuerySpec(llmdata.mm1_decode_metadata, llmdata.MM1_ORACLE),
+    "mm2_frame_sample": QuerySpec(llmdata.mm2_frame_sample, llmdata.MM2_ORACLE),
 }
 
 
