@@ -1,0 +1,138 @@
+"""Pipeline configuration.
+
+YAML key shape mirrors the reference CLI's config
+(cmd/migrator/config.go:13-45, testdata/*.yml) so a reference user's
+mental model ports directly; DSNs are storage URIs (parquet://,
+memory://, jdbc:) instead of MySQL DSNs.
+
+Example::
+
+    tracking-table: _tracking
+    parameters:
+      batch-size: 1000
+      sequential-replace: false
+      sleep-between-runs: 5
+    migrations:
+      - source:
+          dsn: parquet:///data/a
+          table: x
+          key: id
+        target:
+          dsn: parquet:///data/b
+          table: x
+        extractor: sequential
+        transformer: default
+        transformer-parameters: {}
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class IterationSpec:
+    source_table: str
+    source_key: str  # position column(s): PK / timestamp / "a,b" fallback pair
+    target_table: str
+    # PK used for upsert/delete matching when it differs from the scan
+    # column (timestamp scans); empty -> source_key (sequential scans,
+    # where the position column IS the PK, as in the reference)
+    merge_key: str = ""
+    extractor: str = "sequential"
+    transformer: str = "default"
+    transformer_parameters: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def merge_key_cols(self) -> list[str]:
+        return [c.strip() for c in (self.merge_key or self.source_key).split(",")]
+
+
+@dataclass
+class MigrationSpec:
+    source_dsn: str
+    target_dsn: str
+    iterations: list[IterationSpec] = field(default_factory=list)
+
+
+@dataclass
+class Parameters:
+    batch_size: int = 1000  # reference default, types.go:8-9
+    insert_batch_size: int = 100  # loader_default.go:12 (JDBC batchsize)
+    sequential_replace: bool = False
+    sleep_between_runs: float = 5.0  # migrator.go:304
+    only_past: bool = False
+    extra: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class MigratorConfig:
+    migrations: list[MigrationSpec] = field(default_factory=list)
+    tracking_table: str = "_tracking"
+    parameters: Parameters = field(default_factory=Parameters)
+    timeout: float = 0.0  # wall-clock auto-stop, 0 = none (main.go Timeout)
+    debug: bool = False
+
+
+def _iteration_from_dict(mig: dict[str, Any], it: dict[str, Any]) -> IterationSpec:
+    src = it.get("source", mig.get("source", {}))
+    tgt = it.get("target", mig.get("target", {}))
+    return IterationSpec(
+        source_table=src["table"],
+        source_key=src.get("key", "id"),
+        target_table=tgt.get("table", src["table"]),
+        merge_key=src.get("merge-key", ""),
+        extractor=it.get("extractor", "sequential"),
+        transformer=it.get("transformer", "default"),
+        transformer_parameters=dict(it.get("transformer-parameters") or {}),
+    )
+
+
+def from_dict(raw: dict[str, Any]) -> MigratorConfig:
+    params = raw.get("parameters") or {}
+    known = {
+        "batch_size": params.get("batch-size", 1000),
+        "insert_batch_size": params.get("insert-batch-size", 100),
+        "sequential_replace": params.get("sequential-replace", False),
+        "sleep_between_runs": params.get("sleep-between-runs", 5.0),
+        "only_past": params.get("only-past", False),
+    }
+    extra = {k: v for k, v in params.items() if k.replace("-", "_") not in known}
+    migrations = []
+    for mig in raw.get("migrations", []):
+        # reference YAML nests one iteration inline in the migration
+        # (source/target/extractor at migration level); also accept an
+        # explicit iterations list
+        its = mig.get("iterations")
+        if its is None:
+            its = [mig]
+        migrations.append(
+            MigrationSpec(
+                source_dsn=mig.get("source", {}).get("dsn", mig.get("source-dsn", "")),
+                target_dsn=mig.get("target", {}).get("dsn", mig.get("target-dsn", "")),
+                iterations=[_iteration_from_dict(mig, it) for it in its],
+            )
+        )
+    return MigratorConfig(
+        migrations=migrations,
+        tracking_table=raw.get("tracking-table", "_tracking"),
+        parameters=Parameters(**known, extra=extra),
+        timeout=float(raw.get("timeout", 0) or 0),
+        debug=bool(raw.get("debug", False)),
+    )
+
+
+def db_name_from_dsn(dsn: str) -> str:
+    """Logical database name: last path segment of the DSN (the role the
+    MySQL schema name plays in the reference's DSNs — queue/tracking rows
+    are keyed by it, record_queue.go:12-21)."""
+    tail = dsn.split("://", 1)[-1]
+    return tail.rstrip("/").rsplit("/", 1)[-1] or tail
+
+
+def load_config(path: str) -> MigratorConfig:
+    import yaml
+
+    with open(path) as f:
+        return from_dict(yaml.safe_load(f) or {})

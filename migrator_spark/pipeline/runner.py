@@ -1,0 +1,185 @@
+"""The Migrator runner: per-table incremental E->T->L loops with
+restartable offsets and lifecycle control.
+
+Reimplements the reference's outer engine (migrator.go:27-467) on
+Spark semantics:
+
+* one worker thread per Iteration (the reference's goroutines,
+  migrator.go:307) sharing one SparkSession — Spark's scheduler
+  multiplexes the actual cluster work;
+* each cycle: read tracking -> extract -> transform -> load ->
+  **then** commit tracking (fixes the reference's offset-before-load
+  data-loss flaw, SURVEY.md §2.11 / TODO.md:4-10) -> queue cleanup;
+* drain mode (``run_until_drained`` ≈ Trigger.AvailableNow): loop while
+  ``more``; continuous mode (``start``/``stop`` ≈ processingTime
+  trigger): sleep ``sleep_between_runs`` between drains;
+* lifecycle states mirror state.go:5-27 (NEW/RUNNING/PAUSED/STOPPING/
+  STOPPED) with Pause/Unpause/Quit; error callback carries stage
+  context like Migrator.SetErrorCallback (migrator.go:176-178).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+from enum import Enum
+
+from pyspark.sql import SparkSession
+
+from migrator_spark.pipeline.config import (
+    IterationSpec,
+    MigratorConfig,
+    Parameters,
+    db_name_from_dsn,
+)
+from migrator_spark.pipeline.registries import resolve
+from migrator_spark.pipeline.tracking import TrackingStatus, TrackingStore
+from migrator_spark.pipeline.transformers import TransformContext
+from migrator_spark.sources.base import Source, open_source
+
+
+class State(Enum):
+    NEW = "new"
+    RUNNING = "running"
+    PAUSED = "paused"
+    STOPPING = "stopping"
+    STOPPED = "stopped"
+
+
+@dataclass
+class BoundIteration:
+    source: Source
+    target: Source
+    source_db: str  # logical db name: tracking + queue filter key
+    spec: IterationSpec
+
+
+class Migrator:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: MigratorConfig,
+        tracking_root: str,
+        error_callback: Callable[[str, Exception, dict], None] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.config = config
+        self.store = TrackingStore(tracking_root)
+        self.error_callback = error_callback
+        self.errors: list[tuple[str, Exception, dict]] = []
+        self.state = State.NEW
+        self._threads: list[threading.Thread] = []
+        self._stop = threading.Event()
+        self._pause = threading.Event()
+        self.iterations: list[BoundIteration] = []
+        for mig in config.migrations:
+            src, tgt = open_source(mig.source_dsn), open_source(mig.target_dsn)
+            db = db_name_from_dsn(mig.source_dsn)
+            for it in mig.iterations:
+                self.iterations.append(BoundIteration(src, tgt, db, it))
+
+    # ---------------------------------------------------------- cycle
+
+    def _run_batch(self, b: BoundIteration, params: Parameters, strict: bool = True) -> bool:
+        """One E->T->L cycle; returns the extractor's ``more`` flag.
+
+        ``strict=False`` (continuous mode): failures are recorded and the
+        cycle retries next poll — a transient extract/load error must not
+        kill the worker (the reference logs and continues,
+        migrator.go:350-380); offsets stay put so the batch replays.
+        """
+        spec = b.spec
+        ts = self.store.get(b.source_db, spec.source_table, spec.source_key)
+        extractor = resolve("extractor", spec.extractor)
+        try:
+            res = extractor(self.spark, b.source, b.source_db, spec, ts, params)
+        except Exception as e:  # noqa: BLE001
+            self._error("extract", e, spec, strict)
+            return False
+        if res.row_count == 0 or res.batch is None:
+            return False
+        try:
+            transformer = resolve("transformer", spec.transformer)
+            ctx = TransformContext(
+                spec.source_table, spec.target_table, spec.transformer_parameters
+            )
+            routed = transformer(res.batch, ctx)
+            loader = resolve("loader", "default")
+            for r in routed:
+                loader(self.spark, b.target, r.target_table, r.df, spec, params)
+        except Exception as e:  # noqa: BLE001
+            self._error("load", e, spec, strict)
+            # offset NOT committed -> this batch replays next cycle
+            return False
+        # load committed: now (and only now) advance the offset
+        self.store.put(res.new_tracking)
+        if res.cleanup is not None:
+            res.cleanup()
+        res.batch.unpersist()
+        return res.more
+
+    def _error(self, stage: str, e: Exception, spec: IterationSpec, strict: bool = True) -> None:
+        ctx = {"source_table": spec.source_table, "target_table": spec.target_table}
+        self.errors.append((stage, e, ctx))
+        if self.error_callback is not None:
+            self.error_callback(stage, e, ctx)
+        elif strict:
+            raise e
+
+    # ---------------------------------------------------------- drain
+
+    def run_until_drained(self, max_batches: int = 10_000) -> int:
+        """AvailableNow semantics: every iteration drains to quiescence.
+        Returns total batches executed."""
+        self.state = State.RUNNING
+        total = 0
+        for b in self.iterations:
+            for _ in range(max_batches):
+                more = self._run_batch(b, self.config.parameters)
+                total += 1
+                if not more:
+                    break
+        self.state = State.STOPPED
+        return total
+
+    # ------------------------------------------------------ continuous
+
+    def _loop(self, b: BoundIteration) -> None:
+        params = self.config.parameters
+        while not self._stop.is_set():
+            if self._pause.is_set():
+                time.sleep(0.1)
+                continue
+            more = self._run_batch(b, params, strict=False)
+            if not more and self._stop.wait(params.sleep_between_runs):
+                break
+
+    def start(self) -> None:
+        """Continuous polling mode (processingTime trigger analogue):
+        one thread per iteration, immediate next batch while more."""
+        self.state = State.RUNNING
+        self._stop.clear()
+        for b in self.iterations:
+            t = threading.Thread(target=self._loop, args=(b,), daemon=True)
+            t.start()
+            self._threads.append(t)
+        if self.config.timeout:
+            threading.Timer(self.config.timeout, self.quit).start()
+
+    def pause(self) -> None:
+        self._pause.set()
+        self.state = State.PAUSED
+
+    def unpause(self) -> None:
+        self._pause.clear()
+        self.state = State.RUNNING
+
+    def quit(self) -> None:
+        self.state = State.STOPPING
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=60)
+        self._threads.clear()
+        self.state = State.STOPPED

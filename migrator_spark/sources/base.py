@@ -1,0 +1,41 @@
+"""Source protocol + DSN dispatch."""
+
+from __future__ import annotations
+
+from typing import Protocol, runtime_checkable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@runtime_checkable
+class Source(Protocol):
+    """A named-table store: the engine's read/write boundary."""
+
+    def table(self, spark: SparkSession, name: str) -> DataFrame:
+        """Load a table as a DataFrame (lazy; pushdown-friendly)."""
+        ...
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        """Persist a DataFrame as the new content of ``name``
+        (mode='append' adds files without rewriting — the insert-only
+        fast path)."""
+        ...
+
+    def exists(self, spark: SparkSession, name: str) -> bool: ...
+
+
+def open_source(dsn: str) -> Source:
+    """Resolve a DSN string to a Source implementation."""
+    from migrator_spark.sources.memory import MemorySource
+    from migrator_spark.sources.parquet import ParquetSource
+
+    if dsn.startswith("parquet://"):
+        return ParquetSource(dsn[len("parquet://") :])
+    if dsn.startswith("memory://"):
+        return MemorySource.named(dsn[len("memory://") :])
+    if dsn.startswith("jdbc:"):
+        from migrator_spark.sources.jdbc import JdbcSource
+
+        return JdbcSource(dsn)
+    # bare path -> parquet dir
+    return ParquetSource(dsn)

@@ -1,0 +1,305 @@
+"""End-to-end pipeline runner tests reconstructing the reference's
+manual fixtures (SURVEY.md §5, FIXTURES.md): sequential replication,
+trigger-fed queue CDC with deletes, and tablerenamer routing — plus
+offset-after-load failure semantics the reference gets wrong.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from migrator_spark.pipeline.config import (
+    IterationSpec,
+    MigrationSpec,
+    MigratorConfig,
+    Parameters,
+    from_dict,
+)
+from migrator_spark.pipeline.runner import Migrator, State
+from migrator_spark.sources.parquet import ParquetSource
+
+X_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("name", StringType(), False),
+        StructField("dob", TimestampType(), True),
+        StructField("enabled", BooleanType(), True),
+    ]
+)
+# the canonical 4-row person table (testdata/delete-enabled-queuing.sql:121-125)
+X_ROWS = [
+    (1, "Andrew Abramson", datetime(1930, 1, 2), True),
+    (2, "Brett Baker", datetime(1942, 3, 14), True),
+    (3, "Charlie Collins", datetime(1945, 11, 9), False),
+    (4, "Dirk Delta", datetime(1982, 3, 18), True),
+]
+
+Q_SCHEMA = StructType(
+    [
+        StructField("sourceDatabase", StringType(), False),
+        StructField("sourceTable", StringType(), False),
+        StructField("pkColumn", StringType(), False),
+        StructField("pkValue", StringType(), False),
+        StructField("timestampUpdated", TimestampType(), False),
+        StructField("method", StringType(), False),
+    ]
+)
+
+
+def _mk_config(src, tgt, table="x", key="id", extractor="sequential", **kw):
+    return MigratorConfig(
+        migrations=[
+            MigrationSpec(
+                source_dsn=src,
+                target_dsn=tgt,
+                iterations=[
+                    IterationSpec(
+                        source_table=table,
+                        source_key=key,
+                        target_table=kw.pop("target_table", table),
+                        merge_key=kw.pop("merge_key", ""),
+                        extractor=extractor,
+                        transformer=kw.pop("transformer", "default"),
+                        transformer_parameters=kw.pop("transformer_parameters", {}),
+                    )
+                ],
+            )
+        ],
+        parameters=Parameters(**kw),
+    )
+
+
+@pytest.fixture
+def dirs(tmp_path):
+    return str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "trk")
+
+
+def test_sequential_replication_and_resume(spark, dirs):
+    src_dir, tgt_dir, trk = dirs
+    src = ParquetSource(src_dir)
+    src.write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+
+    cfg = _mk_config(src_dir, tgt_dir, batch_size=3)
+    m = Migrator(spark, cfg, trk)
+    m.run_until_drained()
+    assert m.state == State.STOPPED
+
+    tgt = ParquetSource(tgt_dir)
+    got = sorted(r["id"] for r in tgt.table(spark, "x").collect())
+    assert got == [1, 2, 3, 4]
+    assert m.store.get("a", "x").sequential_position == 4
+
+    # resume: new rows arrive; only they are extracted
+    src.write(
+        spark.createDataFrame([(5, "Eve Early", datetime(1990, 5, 5), True)], X_SCHEMA),
+        "x",
+        mode="append",
+    )
+    Migrator(spark, cfg, trk).run_until_drained()
+    got = sorted(r["id"] for r in tgt.table(spark, "x").collect())
+    assert got == [1, 2, 3, 4, 5]
+    # drained again: no-op
+    n = Migrator(spark, cfg, trk).run_until_drained()
+    assert sorted(r["id"] for r in tgt.table(spark, "x").collect()) == [1, 2, 3, 4, 5]
+
+
+def test_queue_cdc_with_deletes(spark, dirs):
+    """delete-enabled-queuing fixture: UPDATE + REMOVE events, including
+    update-then-remove for one key (final state wins) and a new-row
+    update (insert arm)."""
+    src_dir, tgt_dir, trk = dirs
+    src = ParquetSource(src_dir)
+    rows = X_ROWS + [(5, "Eve Early", datetime(1990, 5, 5), True)]
+    src.write(spark.createDataFrame(rows, X_SCHEMA), "x")
+    tgt = ParquetSource(tgt_dir)
+    tgt.write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")  # dest pre-seeded, no id 5
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    q = [
+        ("a", "x", "id", "2", datetime(2024, 1, 1, 12, 0, 1), "UPDATE"),
+        ("a", "x", "id", "3", datetime(2024, 1, 1, 12, 0, 2), "UPDATE"),
+        ("a", "x", "id", "3", datetime(2024, 1, 1, 12, 0, 3), "REMOVE"),  # final: gone
+        ("a", "x", "id", "5", datetime(2024, 1, 1, 12, 0, 4), "UPDATE"),  # new row
+        ("other", "x", "id", "9", t, "UPDATE"),  # different source db: untouched
+    ]
+    src.write(spark.createDataFrame(q, Q_SCHEMA), "MigratorRecordQueue")
+
+    cfg = _mk_config(src_dir, tgt_dir, extractor="queue", batch_size=100)
+    m = Migrator(spark, cfg, trk)
+    m.run_until_drained()
+
+    out = {r["id"]: r["name"] for r in tgt.table(spark, "x").collect()}
+    assert set(out) == {1, 2, 4, 5}  # 3 removed, 5 inserted
+    assert out[5] == "Eve Early"
+    # drained entries removed; foreign-db entry remains
+    left = src.table(spark, "MigratorRecordQueue").collect()
+    assert len(left) == 1 and left[0]["sourceDatabase"] == "other"
+
+
+def test_tablerenamer_routing(spark, dirs):
+    """table-renamer fixture: source a.x -> destination b.y."""
+    src_dir, tgt_dir, trk = dirs
+    ParquetSource(src_dir).write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+    cfg = _mk_config(
+        src_dir,
+        tgt_dir,
+        transformer="tablerenamer",
+        transformer_parameters={"TableName": "y"},
+        batch_size=10,
+    )
+    Migrator(spark, cfg, trk).run_until_drained()
+    tgt = ParquetSource(tgt_dir)
+    assert not tgt.exists(spark, "x")
+    assert tgt.table(spark, "y").count() == 4
+
+
+def _drop_disabled(df, ctx):
+    return df.filter(F.col("enabled"))
+
+
+def test_python_transformer(spark, dirs):
+    """T3 done right: arbitrary Python transform in the registry."""
+    src_dir, tgt_dir, trk = dirs
+    ParquetSource(src_dir).write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+    cfg = _mk_config(
+        src_dir,
+        tgt_dir,
+        transformer="python",
+        transformer_parameters={"callable": _drop_disabled},
+        batch_size=10,
+    )
+    Migrator(spark, cfg, trk).run_until_drained()
+    got = sorted(r["id"] for r in ParquetSource(tgt_dir).table(spark, "x").collect())
+    assert got == [1, 2, 4]  # Charlie Collins (enabled=false) dropped
+
+
+def test_failed_load_does_not_advance_offset(spark, dirs):
+    """The §2.11 fix: loader failure -> offset untouched -> batch
+    replays on the next run (the reference would lose it)."""
+    src_dir, tgt_dir, trk = dirs
+    ParquetSource(src_dir).write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+
+    calls = {"n": 0}
+
+    def explode_once(df, ctx):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient sink failure")
+        return df
+
+    errors = []
+    cfg = _mk_config(
+        src_dir,
+        tgt_dir,
+        transformer="python",
+        transformer_parameters={"callable": explode_once},
+        batch_size=10,
+    )
+    m = Migrator(spark, cfg, trk, error_callback=lambda s, e, c: errors.append((s, str(e))))
+    m.run_until_drained()
+    assert errors and errors[0][0] == "load"
+    assert m.store.get("a", "x").sequential_position == 0  # NOT advanced
+    assert not ParquetSource(tgt_dir).exists(spark, "x")
+
+    m2 = Migrator(spark, cfg, trk, error_callback=lambda s, e, c: errors.append((s, str(e))))
+    m2.run_until_drained()
+    assert ParquetSource(tgt_dir).table(spark, "x").count() == 4
+    assert m2.store.get("a", "x").sequential_position == 4
+
+
+def test_yaml_config_reference_shape(tmp_path):
+    """The reference's YAML key shape parses (table-renamer.yml)."""
+    cfg = from_dict(
+        {
+            "debug": True,
+            "tracking-table": "EtlPosition",
+            "migrations": [
+                {
+                    "source": {"dsn": "parquet:///data/a", "table": "x", "key": "id"},
+                    "target": {"dsn": "parquet:///data/b", "table": "x"},
+                    "extractor": "queue",
+                    "transformer": "tablerenamer",
+                    "transformer-parameters": {"TableName": "y"},
+                }
+            ],
+            "parameters": {"batch-size": 10000, "insert-batch-size": 1000, "sleep-between-runs": 5},
+            "timeout": 0,
+        }
+    )
+    assert cfg.parameters.batch_size == 10000
+    it = cfg.migrations[0].iterations[0]
+    assert (it.extractor, it.transformer, it.transformer_parameters["TableName"]) == (
+        "queue",
+        "tablerenamer",
+        "y",
+    )
+    assert cfg.migrations[0].source_dsn == "parquet:///data/a"
+
+
+def test_timestamp_extractor_incremental(spark, dirs):
+    """E2 pipeline path: only rows past the persisted timestamp offset
+    are re-extracted; REPLACE upserts keep the target deduplicated."""
+    src_dir, tgt_dir, trk = dirs
+    src = ParquetSource(src_dir)
+    src.write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+    cfg = _mk_config(
+        src_dir, tgt_dir, key="dob", merge_key="id", extractor="timestamp", batch_size=10
+    )
+    Migrator(spark, cfg, trk).run_until_drained()
+    tgt = ParquetSource(tgt_dir)
+    assert tgt.table(spark, "x").count() == 4
+    trk_row = Migrator(spark, cfg, trk).store.get("a", "x")
+    assert trk_row.timestamp_position is not None and trk_row.timestamp_position.startswith("1982")
+    # an updated row with a newer dob re-extracts and upserts (no dup)
+    src.write(
+        spark.createDataFrame([(2, "Brett Updated", datetime(2000, 1, 1), True)], X_SCHEMA),
+        "x",
+        mode="append",
+    )
+    Migrator(spark, cfg, trk).run_until_drained()
+    rows = {r["id"]: r["name"] for r in tgt.table(spark, "x").collect()}
+    assert rows[2] == "Brett Updated" and len(rows) == 4
+
+
+def test_continuous_mode_lifecycle(spark, dirs):
+    """start/pause/unpause/quit (state.go:5-27 analogue): rows appended
+    while running are picked up by the polling loop."""
+    import time
+
+    src_dir, tgt_dir, trk = dirs
+    src = ParquetSource(src_dir)
+    src.write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+    cfg = _mk_config(src_dir, tgt_dir, batch_size=10, sleep_between_runs=0.2)
+    m = Migrator(spark, cfg, trk)
+    m.start()
+    assert m.state == State.RUNNING
+    deadline = time.time() + 30
+    tgt = ParquetSource(tgt_dir)
+    while time.time() < deadline and not tgt.exists(spark, "x"):
+        time.sleep(0.2)
+    src.write(
+        spark.createDataFrame([(6, "Fred Found", datetime(1999, 9, 9), True)], X_SCHEMA),
+        "x",
+        mode="append",
+    )
+    while time.time() < deadline:
+        if tgt.exists(spark, "x") and tgt.table(spark, "x").count() == 5:
+            break
+        time.sleep(0.2)
+    m.pause()
+    assert m.state == State.PAUSED
+    m.unpause()
+    m.quit()
+    assert m.state == State.STOPPED
+    assert tgt.table(spark, "x").count() == 5
