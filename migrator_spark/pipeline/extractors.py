@@ -42,6 +42,12 @@ class ExtractResult:
 def _finish(batch: DataFrame, batch_size: int) -> tuple[DataFrame, int, bool]:
     cached = batch.cache()
     n = cached.count()
+    if n == 0:
+        # CRITICAL: an empty batch must be evicted immediately — Spark's
+        # CacheManager keys cached data by logical plan, and the next poll
+        # at the same offset builds the *same* plan, so a lingering empty
+        # cache entry would mask rows appended to the source forever.
+        cached.unpersist()
     return cached, n, n == batch_size
 
 
@@ -160,6 +166,7 @@ def extract_queue(
     )
     n = drained.count()
     if n == 0:
+        drained.unpersist()  # see _finish: stale empty cache masks new entries
         return ExtractResult(False, None, 0, TrackingStatus(**{**ts.__dict__}))
 
     # comma-joined composite pkValue -> typed key columns

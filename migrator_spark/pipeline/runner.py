@@ -99,6 +99,8 @@ class Migrator:
             self._error("extract", e, spec, strict)
             return False
         if res.row_count == 0 or res.batch is None:
+            if res.batch is not None:
+                res.batch.unpersist()
             return False
         try:
             transformer = resolve("transformer", spec.transformer)
@@ -112,6 +114,7 @@ class Migrator:
         except Exception as e:  # noqa: BLE001
             self._error("load", e, spec, strict)
             # offset NOT committed -> this batch replays next cycle
+            res.batch.unpersist()
             return False
         # load committed: now (and only now) advance the offset
         self.store.put(res.new_tracking)

@@ -1,0 +1,140 @@
+"""Streaming operators.
+
+* cdc_apply_stream    — stream the CDC queue (file source here; Kafka/
+                        Debezium in production) and apply each micro-batch
+                        to the target with the same merge semantics as the
+                        batch loader, via foreachBatch. Offsets live in
+                        the checkpoint dir (write-ahead offset log +
+                        commit log), which is exactly the durable-FIFO +
+                        tracking machinery the reference hand-rolls
+                        (queue.go, tracking.go) — here it's free and
+                        crash-consistent.
+* windowed_event_counts — event-time tumbling-window aggregation with a
+                        watermark for late data (the reference's OnlyPast
+                        flag is a degenerate watermark; SURVEY.md §2.11).
+
+Scale notes: foreachBatch receives a bounded micro-batch
+(maxFilesPerTrigger / maxOffsetsPerTrigger caps it — the reference's
+BatchSize), so the merge join always broadcasts the small batch side.
+Watermark state is per-window-per-key in the state store, bounded by
+the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from migrator_spark.operators import extract as ex
+from migrator_spark.operators import load as ld
+from migrator_spark.sources.base import Source
+
+
+def cdc_apply_stream(
+    spark: SparkSession,
+    queue_dir: str,
+    queue_schema: StructType,
+    source: Source,
+    source_table: str,
+    target: Source,
+    target_table: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream queue entries and merge them into the target table.
+
+    Queue entry schema follows the reference's MigratorRecordQueue
+    (FIXTURES.md §2): pkValue (comma-joined composite), timestampUpdated,
+    method ∈ {UPDATE, REMOVE}.
+    """
+    reader = spark.readStream.schema(queue_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(queue_dir)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        src_df = source.table(spark, source_table)
+        key_types = {f.name: f.dataType for f in src_df.schema.fields}
+        parts = F.split(F.col("pkValue"), ",")
+        keys = batch.select(
+            *[
+                F.element_at(parts, i + 1).cast(key_types[c]).alias(c)
+                for i, c in enumerate(key_cols)
+            ],
+            F.col("timestampUpdated").alias("_order"),
+            F.col("pkValue").alias("_tie"),
+            F.col("method"),
+        )
+        updates = src_df.join(
+            F.broadcast(keys.filter(F.col("method") != "REMOVE").drop("method")),
+            on=key_cols,
+            how="inner",
+        ).withColumn(ex.METHOD_COL, F.lit(ex.M_REPLACE))
+        non_keys = [c for c in src_df.columns if c not in key_cols]
+        removes = (
+            keys.filter(F.col("method") == "REMOVE")
+            .select(
+                *key_cols,
+                *[F.lit(None).cast(key_types[c]).alias(c) for c in non_keys],
+                "_order",
+                "_tie",
+            )
+            .withColumn(ex.METHOD_COL, F.lit(ex.M_REMOVE))
+        )
+        cols = [*src_df.columns, "_order", "_tie", ex.METHOD_COL]
+        cdc = updates.select(*cols).unionByName(removes.select(*cols))
+        if target.exists(spark, target_table):
+            current = target.table(spark, target_table)
+            merged = ld.apply_cdc_batch(
+                current,
+                cdc.select(*current.columns, ex.METHOD_COL, "_order", "_tie"),
+                key_cols,
+                "_order",
+                "_tie",
+            )
+        else:
+            merged = (
+                ld.latest_by_key(cdc, key_cols, "_order", "_tie")
+                .filter(F.col(ex.METHOD_COL) != ex.M_REMOVE)
+                .select(*src_df.columns)
+            )
+        target.write(merged, target_table, mode="overwrite")
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")  # reference idle cadence
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window event counts with late-data watermark.
+
+    Works on both a streaming frame (stateful, late rows beyond the
+    watermark dropped) and a batch frame (identical results when no
+    data is late) — the dual-mode property the tests exploit.
+    """
+    g = group_cols or ["event_type"]
+    stream = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        stream.groupBy(F.window(F.col(ts_col), window).alias("w"), *g)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), *g, "cnt")
+    )

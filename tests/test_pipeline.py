@@ -284,7 +284,7 @@ def test_continuous_mode_lifecycle(spark, dirs):
     m = Migrator(spark, cfg, trk)
     m.start()
     assert m.state == State.RUNNING
-    deadline = time.time() + 30
+    deadline = time.time() + 120
     tgt = ParquetSource(tgt_dir)
     while time.time() < deadline and not tgt.exists(spark, "x"):
         time.sleep(0.2)
@@ -302,4 +302,4 @@ def test_continuous_mode_lifecycle(spark, dirs):
     m.unpause()
     m.quit()
     assert m.state == State.STOPPED
-    assert tgt.table(spark, "x").count() == 5
+    assert tgt.table(spark, "x").count() == 5, f"worker errors: {[(s0, str(e)) for s0, e, _ in m.errors]}"
