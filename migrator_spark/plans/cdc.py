@@ -327,6 +327,92 @@ WHERE NOT EXISTS (SELECT 1 FROM cdc WHERE cdc._method = 'REMOVE' AND cdc.key = c
 """
 
 
+def p7_tracking_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 tracking-status lookup: two-column conjunctive equality +
+    deterministic LIMIT 1 (tracking.go:61 — the reference's bare LIMIT 1
+    relies on MySQL PK order; we make the order explicit, SURVEY.md §2.6 ⚠)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter((F.col("user_id") == 7) & (F.col("event_type") == "click"))
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .limit(1)
+    )
+
+
+P7_ORACLE = """
+SELECT * FROM events
+WHERE user_id = 7 AND event_type = 'click'
+ORDER BY ts, event_id LIMIT 1
+"""
+
+
+def f1_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F3 scalar functions: IFNULL->coalesce (extractor_timestamp_fallback.go:44),
+    intmax/intmin/timemax/timemin (util.go:8-48) -> greatest/least.
+    Comparison-only (no float arithmetic), so cross-engine exact."""
+    events = load_table(spark, sf_dir, "events")
+    ts_a = F.when(F.col("event_type") == "click", F.lit(None).cast("timestamp")).otherwise(
+        F.col("ts")
+    )
+    return events.select(
+        "event_id",
+        F.coalesce(ts_a, F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("eff_ts"),
+        F.greatest(F.col("value"), F.lit(50.0)).alias("val_hi"),
+        F.least(F.col("value"), F.lit(50.0)).alias("val_lo"),
+        F.greatest(F.col("user_id"), F.col("event_id")).alias("id_hi"),
+    )
+
+
+F1_ORACLE = """
+SELECT event_id,
+       coalesce(CASE WHEN event_type = 'click' THEN NULL ELSE ts END,
+                ts - INTERVAL 1 DAY) AS eff_ts,
+       greatest(value, 50.0) AS val_hi,
+       least(value, 50.0) AS val_lo,
+       greatest(user_id, event_id) AS id_hi
+FROM events
+"""
+
+
+def t2_rename_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 tablerenamer transformer (transformer_tablerenamer.go:9-33):
+    routes the batch to a renamed destination table. Exercises the real
+    registry/transform path; the routing decision is surfaced as a
+    ``_target_table`` column so the oracle can check it."""
+    from migrator_spark.pipeline.registries import resolve
+    from migrator_spark.pipeline.transformers import TransformContext
+
+    batch = e1_seq_scan(spark, sf_dir)
+    fn = resolve("transformer", "tablerenamer")
+    routed = fn(batch, TransformContext("orders", "orders", {"TableName": "orders_renamed"}))
+    assert len(routed) == 1
+    return routed[0].df.withColumn("_target_table", F.lit(routed[0].target_table))
+
+
+T2_ORACLE = f"""
+SELECT *, 'INSERT' AS _method, 'orders_renamed' AS _target_table
+FROM orders WHERE o_orderkey > {SEQ_POS}
+ORDER BY o_orderkey LIMIT {SEQ_BATCH}
+"""
+
+
+def st1_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 event-time tumbling-window counts (streaming/streams.py
+    windowed_event_counts in its batch-equivalent mode; the streaming
+    variant adds a watermark — semantics identical when no data is late).
+    Spark's window() is epoch-aligned, so 1-hour tumbling == date_trunc('hour')."""
+    from migrator_spark.streaming.streams import windowed_event_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return windowed_event_counts(events, ts_col="ts", window="1 hour")
+
+
+ST1_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
 def l0_apply_cdc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L0 full merge: mixed INSERT/REPLACE/REMOVE applied in per-key
     event-time order — the FINAL event per key wins (loader_default.go:9-72

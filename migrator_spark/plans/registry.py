@@ -35,7 +35,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "e3_coalesce_scan": QuerySpec(cdc.e3_coalesce_scan, cdc.E3_ORACLE),
     "e4_queue_drain": QuerySpec(cdc.e4_queue_drain, cdc.E4_DRAIN_ORACLE),
     "e4_point_lookup_join": QuerySpec(cdc.e4_point_lookup_join, cdc.E4_LOOKUP_ORACLE),
+    # P2-P5 range/coalesce/point predicates are exercised inside e1/e2/e3/e4
     "p6_composite_lookup": QuerySpec(cdc.p6_composite_lookup, cdc.P6_ORACLE),
+    "p7_tracking_lookup": QuerySpec(cdc.p7_tracking_lookup, cdc.P7_ORACLE),
     # --- aggregates / offsets (§2.4) ---
     "a1_max_offset": QuerySpec(cdc.a1_max_offset, cdc.A1_ORACLE),
     "a2_ts_offset": QuerySpec(cdc.a2_ts_offset, cdc.A2_ORACLE),
@@ -47,6 +49,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "l2_upsert_lastwins": QuerySpec(cdc.l2_upsert_lastwins, cdc.L2_ORACLE),
     "l3_remove_antijoin": QuerySpec(cdc.l3_remove_antijoin, cdc.L3_ORACLE),
     "l0_apply_cdc_batch": QuerySpec(cdc.l0_apply_cdc_batch, cdc.L0_ORACLE),
+    # --- scalar functions / transformers / streaming (§2.8, §2.10, §2.11) ---
+    "f1_scalar_suite": QuerySpec(cdc.f1_scalar_suite, cdc.F1_ORACLE),
+    "t2_rename_routing": QuerySpec(cdc.t2_rename_routing, cdc.T2_ORACLE),
+    "st1_windowed_counts": QuerySpec(cdc.st1_windowed_counts, cdc.ST1_ORACLE),
     # --- dedup (training-data pipeline surface) ---
     "dd1_exact_dedup": QuerySpec(llmdata.dd1_exact_dedup, llmdata.DD1_ORACLE),
     "dd2_minhash_lsh_pairs": QuerySpec(llmdata.dd2_minhash_lsh_pairs, llmdata.DD2_ORACLE),
