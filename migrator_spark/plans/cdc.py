@@ -412,6 +412,94 @@ SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt
 FROM events GROUP BY 1, 2
 """
 
+SESSION_GAP_MIN = 30
+
+
+def st2_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 session windows (SURVEY.md §2.11 'available for free'):
+    per-user sessions with a 30-minute inactivity gap via
+    F.session_window — Spark's native merging session aggregation
+    (stateful in streaming; identical gaps-and-islands semantics in
+    batch, which is what the oracle checks)."""
+    events = load_table(spark, sf_dir, "events")
+    w = F.session_window(F.col("ts"), f"{SESSION_GAP_MIN} minutes")
+    return (
+        events.groupBy(w.alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+        )
+    )
+
+
+# gaps-and-islands: a session breaks when the gap since the previous
+# event (per user) is >= the inactivity gap; session_end = last event
+# + gap (session_window's half-open end bound).
+ST2_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       count(*) AS cnt
+FROM numbered GROUP BY user_id, sess_id
+"""
+
+
+def st3_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: the custom stateful streaming operator
+    (streaming/streams.py streaming_first_seen, applyInPandasWithState)
+    run for real — events streamed from parquet, one row emitted per
+    user_id: the first occurrence by event_id. Executed availableNow to
+    a memory sink so the result is a plain DataFrame for the harness.
+
+    Oracle-expressible because the input is a single file -> a single
+    micro-batch; the cross-batch statefulness is covered by
+    tests/test_streaming.py::test_streaming_first_seen_dedup."""
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    # file stream source needs a directory of micros-timestamp parquet;
+    # stage via Spark write (single-file table -> coalesce keeps one
+    # file -> one micro-batch, which is what makes ST3_ORACLE exact)
+    stage = tempfile.mkdtemp(prefix="st3_events_")
+    events.coalesce(1).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(events.schema).parquet(stage)
+    from migrator_spark.streaming.streams import streaming_first_seen
+
+    out = streaming_first_seen(stream, ["user_id"], "event_id", events.schema)
+    name = f"st3_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st3_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+ST3_ORACLE = """
+SELECT * FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1
+"""
+
 
 def l0_apply_cdc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L0 full merge: mixed INSERT/REPLACE/REMOVE applied in per-key

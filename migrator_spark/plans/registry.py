@@ -53,6 +53,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "f1_scalar_suite": QuerySpec(cdc.f1_scalar_suite, cdc.F1_ORACLE),
     "t2_rename_routing": QuerySpec(cdc.t2_rename_routing, cdc.T2_ORACLE),
     "st1_windowed_counts": QuerySpec(cdc.st1_windowed_counts, cdc.ST1_ORACLE),
+    "st2_session_windows": QuerySpec(cdc.st2_session_windows, cdc.ST2_ORACLE),
+    "st3_stateful_first_seen": QuerySpec(cdc.st3_stateful_first_seen, cdc.ST3_ORACLE),
     # --- dedup (training-data pipeline surface) ---
     "dd1_exact_dedup": QuerySpec(llmdata.dd1_exact_dedup, llmdata.DD1_ORACLE),
     "dd2_minhash_lsh_pairs": QuerySpec(llmdata.dd2_minhash_lsh_pairs, llmdata.DD2_ORACLE),

@@ -118,6 +118,58 @@ def cdc_apply_stream(
     return writer.start()
 
 
+def streaming_first_seen(
+    stream: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    output_schema: StructType | str,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): emit exactly one
+    row per key across the whole stream — the first occurrence (min
+    ``order_col`` within the batch it arrives in); later occurrences in
+    any subsequent micro-batch are suppressed by per-key state.
+
+    This is the streaming form of exact dedup (operators/dedup.py) for
+    unbounded inputs: batch dedup needs the whole corpus, this needs one
+    boolean per key in the state store. State is per-key-group and
+    Arrow-batched (the pandas iterator sees only this key's rows), so
+    memory is bounded by keys-per-partition, not stream length. A
+    production variant would add a TTL timeout
+    (GroupStateTimeout.ProcessingTimeTimeout) to bound state for
+    open-ended key spaces.
+
+    The reference has no analogue — its only state is the scalar offset
+    (tracking.go:12-20); this is the §2.11 'custom stateful operator'
+    extension done Spark-natively.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            return  # key already emitted in an earlier micro-batch
+        best: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(order_col, kind="mergesort").head(1)
+            if best is None or cand.iloc[0][order_col] < best.iloc[0][order_col]:
+                best = cand
+        if best is None:
+            return
+        state.update((True,))
+        yield best
+
+    return stream.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType="seen boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -6,7 +6,11 @@ from __future__ import annotations
 from datetime import datetime
 
 
-from migrator_spark.streaming.streams import cdc_apply_stream, windowed_event_counts
+from migrator_spark.streaming.streams import (
+    cdc_apply_stream,
+    streaming_first_seen,
+    windowed_event_counts,
+)
 from migrator_spark.sources.parquet import ParquetSource
 from migrator_spark.tables import load_table
 
@@ -55,6 +59,37 @@ def test_cdc_apply_stream_incremental(spark, tmp_path):
     run_wave()
     out = {r["id"]: r["name"] for r in tgt.table(spark, "x").collect()}
     assert set(out) == {1, 2, 4, 5} and out[5] == "Eve Early"
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """Stateful first-seen dedup (applyInPandasWithState): keys repeated
+    across micro-batches emit exactly once, with the first occurrence's
+    payload; per-key state survives between batches."""
+    import time
+
+    schema = "k long, payload string, seq long"
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, "first-1", 10), (2, "first-2", 11), (2, "dup-in-batch", 12)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)  # distinct mtimes -> deterministic file->batch order
+    spark.createDataFrame(
+        [(2, "later-2", 20), (3, "first-3", 21)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    q = (
+        streaming_first_seen(stream, ["k"], "seq", schema)
+        .writeStream.format("memory")
+        .queryName("first_seen_out")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = {r["k"]: r["payload"] for r in spark.sql("SELECT * FROM first_seen_out").collect()}
+    assert out == {1: "first-1", 2: "first-2", 3: "first-3"}
 
 
 def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
