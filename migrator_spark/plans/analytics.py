@@ -1,0 +1,354 @@
+"""Extended analytics suite over the synthetic star schema.
+
+Widens the relational surface beyond plans/tpch.py: semi-joins (q4),
+scan-only pushdown aggregates (q6), grouped top-k over 4-way joins
+(q10), conditional aggregation (q14), aggregate-then-join with a HAVING
+filter (q18), window ranking (q2-style), multi-dim pair grouping (q7),
+and exact data profiling (pr1). The reference exposes none of these —
+its relational content is the fixed SQL its extractors emit
+(/root/reference/extractor_sequential.go:39, SURVEY.md §2.2) — but an
+engine claiming "same query capabilities, Spark-first" must subsume
+them, and each is oracle-checked against DuckDB.
+
+Float discipline follows plans/tpch.py: money math in DECIMAL(18,2)
+(exact, order-independent across partitions/engines), cast to double
+only at the edge.
+
+Scale notes (100 TB):
+* q4  — semi-join keeps only orders columns; lineitem is never
+  materialized past the join. Shuffles on orderkey, the natural
+  co-partitioning key for both facts (bucketing both tables by
+  orderkey makes it shuffle-free).
+* q6  — pure scan+filter+agg: predicate pushdown to parquet row-group
+  min/max skipping; single-row result, no shuffle beyond partials.
+* q10 — one fact-fact shuffle join (orders⋈lineitem on orderkey);
+  customer/nation broadcast. Top-20 via TakeOrderedAndProject: no
+  global sort materialization.
+* q14 — part is a dimension: broadcast; lineitem never shuffles.
+* q18 — the qty rollup shuffles lineitem by orderkey once; the
+  HAVING filter (>300) cuts the join input by ~1000× before the
+  orders join, so the second shuffle moves almost nothing.
+* q2w — window over supplier (a dim table): partitions by nation,
+  tiny state; never touches facts.
+* q7  — both nation sides broadcast; the only shuffle is the final
+  625-group agg of pre-reduced partials.
+* pr1 — exact count-distinct shuffles only distinct custkeys
+  (map-side partial dedup first); all other metrics are partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from migrator_spark.tables import load_table
+
+DEC = "decimal(18,2)"
+
+
+def _revenue():
+    return F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue: priority distribution of 1996 orders having at
+    least one line shipped after the order date (EXISTS → left-semi join;
+    the synthetic schema lacks commit/receipt dates)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analogue: revenue delta from discount changes — the
+    canonical pushdown showcase (all three predicates reach the parquet
+    scan; .explain shows PushedFilters on l_shipdate/l_discount/
+    l_quantity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").cast(DEC) >= F.lit("0.03").cast(DEC))
+            & (F.col("l_discount").cast(DEC) <= F.lit("0.07").cast(DEC))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST('0.03' AS DECIMAL(18,2)) AND CAST('0.07' AS DECIMAL(18,2))
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analogue: top 20 customers by revenue lost to returns
+    (l_returnflag = 'R') for orders placed in 1996H2."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT
+  c_custkey, c_name, c_acctbal, n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analogue: share of 1996-01 revenue from PROMO parts —
+    conditional aggregation over a broadcast part⋈lineitem join."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_ORACLE = """
+SELECT
+  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-02-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analogue: large-volume orders (total quantity > 300) —
+    aggregate-then-join: the HAVING filter runs before the orders join so
+    the second shuffle carries only qualifying keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_sq"))
+        .filter(F.col("_sq") > F.lit(300).cast(DEC))
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > CAST(300 AS DECIMAL(18,2))
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q2w_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style: highest-balance supplier per nation via window
+    ranking (row_number over partitionBy nation) — dims only, no facts."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        supp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "n_name", "s_name", "s_acctbal")
+        .orderBy("n_name")
+    )
+
+
+Q2W_ORACLE = """
+SELECT r_name, n_name, s_name, s_acctbal
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY s_nationkey
+                               ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+  FROM supplier
+) s
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE rn = 1
+ORDER BY n_name
+"""
+
+
+def q7_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analogue: 1996 revenue by (supplier nation, customer
+    nation) pair — two independent broadcast dimension paths onto the
+    same fact row."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp_nation = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_nation = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+Q7_ORACLE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier      ON l_suppkey = s_suppkey
+JOIN nation sn     ON s_nationkey = sn.n_nationkey
+JOIN orders        ON l_orderkey = o_orderkey
+JOIN customer      ON o_custkey = c_custkey
+JOIN nation cn     ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY sn.n_name, cn.n_name
+ORDER BY supp_nation, cust_nation
+"""
+
+
+def pr1_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact table profiling (the data-quality pass a training pipeline
+    runs before ingest): row count, key cardinality, date bounds, exact
+    decimal average, null counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    return orders.agg(
+        n.alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / n).alias("avg_price"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_priorities"),
+    )
+
+
+PR1_ORACLE = """
+SELECT
+  count(*) AS n_rows,
+  count(DISTINCT o_custkey) AS n_customers,
+  count(DISTINCT o_orderstatus) AS n_statuses,
+  min(o_orderdate) AS first_order,
+  max(o_orderdate) AS last_order,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_priorities
+FROM orders
+"""

@@ -12,7 +12,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from migrator_spark.plans import cdc, llmdata, tpch
+from migrator_spark.plans import analytics, cdc, llmdata, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -29,6 +29,19 @@ REGISTRY: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(tpch.q1_pricing_summary, tpch.Q1_ORACLE),
     "q3_shipping_priority": QuerySpec(tpch.q3_shipping_priority, tpch.Q3_ORACLE),
     "q5_nation_revenue": QuerySpec(tpch.q5_nation_revenue, tpch.Q5_ORACLE),
+    # --- extended analytics (plans/analytics.py): semi-join, pushdown
+    # scan-agg, grouped top-k, conditional agg, agg-then-join, window
+    # rank, pair grouping, exact profiling ---
+    "q4_order_priority": QuerySpec(analytics.q4_order_priority, analytics.Q4_ORACLE),
+    "q6_forecast_revenue": QuerySpec(analytics.q6_forecast_revenue, analytics.Q6_ORACLE),
+    "q7_trade_volume": QuerySpec(analytics.q7_trade_volume, analytics.Q7_ORACLE),
+    "q10_returned_items": QuerySpec(analytics.q10_returned_items, analytics.Q10_ORACLE),
+    "q14_promo_effect": QuerySpec(analytics.q14_promo_effect, analytics.Q14_ORACLE),
+    "q18_large_orders": QuerySpec(analytics.q18_large_orders, analytics.Q18_ORACLE),
+    "q2w_top_supplier_per_nation": QuerySpec(
+        analytics.q2w_top_supplier_per_nation, analytics.Q2W_ORACLE
+    ),
+    "pr1_profile_orders": QuerySpec(analytics.pr1_profile_orders, analytics.PR1_ORACLE),
     # --- extractors E1-E4 (SURVEY.md §2.1) ---
     "e1_seq_scan": QuerySpec(cdc.e1_seq_scan, cdc.E1_ORACLE),
     "e2_ts_scan_onlypast": QuerySpec(cdc.e2_ts_scan_onlypast, cdc.E2_ORACLE),

@@ -303,3 +303,33 @@ def test_continuous_mode_lifecycle(spark, dirs):
     m.quit()
     assert m.state == State.STOPPED
     assert tgt.table(spark, "x").count() == 5, f"worker errors: {[(s0, str(e)) for s0, e, _ in m.errors]}"
+
+
+def test_cli_drain_mode(spark, dirs, tmp_path):
+    """python -m migrator_spark -config-file cfg.yml --drain: the full
+    CLI path (YAML -> registries -> drain) replicates the source table
+    and exits 0 (cmd/migrator/main.go analogue)."""
+    from migrator_spark.__main__ import main
+
+    src_dir, tgt_dir, trk = dirs
+    src = ParquetSource(src_dir)
+    src.write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+    cfg_file = tmp_path / "pipeline.yml"
+    cfg_file.write_text(
+        f"""
+migrations:
+  - source:
+      dsn: parquet://{src_dir}
+      table: x
+      key: id
+    target:
+      dsn: parquet://{tgt_dir}
+      table: x
+parameters:
+  batch-size: 3
+"""
+    )
+    rc = main(["-config-file", str(cfg_file), "--drain", "--tracking-root", trk])
+    assert rc == 0
+    got = sorted(r["id"] for r in ParquetSource(tgt_dir).table(spark, "x").collect())
+    assert got == [1, 2, 3, 4]
