@@ -30,6 +30,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "sk1_salted_event_stats",
     "e1_seq_scan",
     "e4_point_lookup_join",
     "w1_latest_by_key",

@@ -352,3 +352,80 @@ SELECT
   CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_priorities
 FROM orders
 """
+
+
+# --------------------------------------------------------------- skew ops
+
+
+def sk1_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over events (user_id has a ~15-value
+    hot key domain: exactly the shape that starves reducers at scale).
+    Result is identical to the plain groupBy — the oracle is the plain
+    GROUP BY."""
+    from migrator_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast(DEC)
+    )
+    out = salted_agg(
+        ev,
+        keys=["user_id"],
+        aggs=[
+            ("event_id", "count", "n_events"),
+            ("value_dec", "sum", "sum_value_dec"),
+            ("value", "min", "min_value"),
+            ("value", "max", "max_value"),
+        ],
+        n=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("user_id")
+
+
+SK1_ORACLE = """
+SELECT user_id,
+       count(event_id) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def sk2_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate-join: events (big, skewed on user_id) ⋈ customer
+    (small side replicated across 8 salts), then revenue by market
+    segment. Same result as the unsalted join."""
+    from migrator_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on=["user_id"], n=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SK2_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -42,6 +42,14 @@ REGISTRY: dict[str, QuerySpec] = {
         analytics.q2w_top_supplier_per_nation, analytics.Q2W_ORACLE
     ),
     "pr1_profile_orders": QuerySpec(analytics.pr1_profile_orders, analytics.PR1_ORACLE),
+    # --- skew mitigation (operators/skew.py): semantically transparent,
+    # oracle = the plain GROUP BY / JOIN ---
+    "sk1_salted_event_stats": QuerySpec(
+        analytics.sk1_salted_event_stats, analytics.SK1_ORACLE
+    ),
+    "sk2_salted_user_join": QuerySpec(
+        analytics.sk2_salted_user_join, analytics.SK2_ORACLE
+    ),
     # --- extractors E1-E4 (SURVEY.md §2.1) ---
     "e1_seq_scan": QuerySpec(cdc.e1_seq_scan, cdc.E1_ORACLE),
     "e2_ts_scan_onlypast": QuerySpec(cdc.e2_ts_scan_onlypast, cdc.E2_ORACLE),
