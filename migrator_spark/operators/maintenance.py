@@ -1,0 +1,131 @@
+"""Table maintenance for continuously-loaded tables: compaction and
+incremental aggregate (rollup) maintenance.
+
+A continuous CDC pipeline appends a few small part-files per batch
+(the ParquetSource insert fast path) — after 10k polls a table is 30k
+tiny files and scan planning dominates query time. The reference never
+faces this (MySQL is its storage); a Spark-native engine must own it.
+
+``maintain_rollup`` is the 100 TB answer to "keep an aggregate fresh
+under CDC": re-aggregating a 100 TB fact table per batch is absurd;
+instead the rollup is patched with the delta between the batch's new
+rows and the target rows they replace — O(batch), not O(table).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from migrator_spark.sources.parquet import ParquetSource
+
+
+def _dir_stats(path: str) -> tuple[int, int]:
+    """(num part-files, total bytes) of a parquet table path."""
+    n = size = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                size += os.path.getsize(os.path.join(root, f))
+    return n, size
+
+
+def compact_table(
+    spark: SparkSession,
+    source: ParquetSource,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 8,
+) -> tuple[int, int]:
+    """Rewrite ``table`` into ceil(bytes/target) evenly-sized files.
+
+    Returns (files_before, files_after). No-op if already at or below
+    the target count. The rewrite reuses ParquetSource's atomic swap,
+    so concurrent readers never see a partial table; the pipeline
+    runner can call this between drains (it is just another writer).
+
+    At 100 TB one would compact per partition (only partitions whose
+    small-file count crossed a threshold), which is this same operation
+    scoped to a partition directory — Delta OPTIMIZE / Iceberg rewrite
+    do exactly that under the hood.
+    """
+    path = source._path(table)
+    before, size = _dir_stats(path)
+    want = max(1, math.ceil(size / target_file_bytes))
+    if before <= max(want, min_files):
+        return before, before
+    df = source.table(spark, table)
+    source.write(df.repartition(want), table, mode="overwrite")
+    after, _ = _dir_stats(path)
+    return before, after
+
+
+def maintain_rollup(
+    rollup: DataFrame,
+    target_before: DataFrame,
+    batch_final: DataFrame,
+    key_cols: list[str],
+    group_cols: list[str],
+    sum_col: str,
+) -> DataFrame:
+    """Incrementally patch ``rollup`` (= target.groupBy(group_cols)
+    .agg(sum(sum_col) AS sum_val, count(*) AS n_rows)) so it reflects
+    ``apply_cdc_batch(target_before, batch_final)`` — without touching
+    the fact table.
+
+    ``batch_final`` must already be per-key resolved (latest_by_key)
+    and carry the CDC method column; exactly what operators.load
+    computes before merging. The delta is:
+
+        - for every touched key: retract its OLD row's contribution
+          (found in target_before — a broadcast semi-join of the big
+          table, map-side only);
+        + for every non-REMOVE final event: add its NEW contribution.
+
+    Groups whose count reaches 0 are dropped, matching a recompute.
+    Cost is O(batch + |groups touched|); the fact table is read only
+    for the touched keys (with a PK-bucketed or partitioned target
+    this prunes to the matching files).
+    """
+    from migrator_spark.operators.extract import M_REMOVE, METHOD_COL
+
+    keys = F.broadcast(batch_final.select(*key_cols).dropDuplicates(key_cols))
+    old_rows = target_before.join(keys, on=key_cols, how="left_semi")
+    retract = old_rows.groupBy(*group_cols).agg(
+        (-F.sum(sum_col)).alias("_dsum"), (-F.count(F.lit(1))).alias("_dn")
+    )
+    add = (
+        batch_final.filter(F.col(METHOD_COL) != M_REMOVE)
+        .groupBy(*group_cols)
+        .agg(F.sum(sum_col).alias("_dsum"), F.count(F.lit(1)).alias("_dn"))
+    )
+    delta = (
+        retract.unionByName(add)
+        .groupBy(*group_cols)
+        .agg(F.sum("_dsum").alias("_dsum"), F.sum("_dn").alias("_dn"))
+    )
+    merged = (
+        rollup.join(F.broadcast(delta), on=group_cols, how="full_outer")
+        .select(
+            *group_cols,
+            (F.coalesce(F.col("sum_val"), F.lit(0)) + F.coalesce(F.col("_dsum"), F.lit(0))).alias(
+                "sum_val"
+            ),
+            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))).alias(
+                "n_rows"
+            ),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return merged
+
+
+def compute_rollup(target: DataFrame, group_cols: list[str], sum_col: str) -> DataFrame:
+    """The full recompute ``maintain_rollup`` is checked against."""
+    return target.groupBy(*group_cols).agg(
+        F.sum(sum_col).alias("sum_val"), F.count(F.lit(1)).alias("n_rows")
+    )

@@ -63,6 +63,11 @@ class Parameters:
     sequential_replace: bool = False
     sleep_between_runs: float = 5.0  # migrator.go:304
     only_past: bool = False
+    # compact the target table's part-files after every Nth drain
+    # (0 = off). Continuous CDC appends a few small files per batch;
+    # without this a long-running table degrades into a small-files
+    # scan-planning problem (operators/maintenance.py).
+    compact_every: int = 0
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -97,6 +102,7 @@ def from_dict(raw: dict[str, Any]) -> MigratorConfig:
         "sequential_replace": params.get("sequential-replace", False),
         "sleep_between_runs": params.get("sleep-between-runs", 5.0),
         "only_past": params.get("only-past", False),
+        "compact_every": params.get("compact-every", 0),
     }
     extra = {k: v for k, v in params.items() if k.replace("-", "_") not in known}
     migrations = []

@@ -144,20 +144,44 @@ class Migrator:
                 total += 1
                 if not more:
                     break
+            if self.config.parameters.compact_every:
+                self._maybe_compact(b)
         self.state = State.STOPPED
         return total
+
+    def _maybe_compact(self, b: BoundIteration) -> None:
+        """Post-drain housekeeping: merge the small part-files the
+        per-batch appends left behind (maintenance.compact_table is a
+        no-op when the table is already compact). Runs between drains,
+        never concurrently with this iteration's own loads; the atomic
+        swap keeps it safe for concurrent readers."""
+        from migrator_spark.operators.maintenance import compact_table
+        from migrator_spark.sources.parquet import ParquetSource
+
+        if isinstance(b.target, ParquetSource) and b.target.exists(
+            self.spark, b.spec.target_table
+        ):
+            compact_table(self.spark, b.target, b.spec.target_table)
 
     # ------------------------------------------------------ continuous
 
     def _loop(self, b: BoundIteration) -> None:
         params = self.config.parameters
+        drains = 0
         while not self._stop.is_set():
             if self._pause.is_set():
                 time.sleep(0.1)
                 continue
             more = self._run_batch(b, params, strict=False)
-            if not more and self._stop.wait(params.sleep_between_runs):
-                break
+            if not more:
+                drains += 1
+                if params.compact_every and drains % params.compact_every == 0:
+                    try:
+                        self._maybe_compact(b)
+                    except Exception as e:  # noqa: BLE001 - housekeeping must not kill the worker
+                        self._error("compact", e, b.spec, strict=False)
+                if self._stop.wait(params.sleep_between_runs):
+                    break
 
     def start(self) -> None:
         """Continuous polling mode (processingTime trigger analogue):

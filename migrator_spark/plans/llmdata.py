@@ -356,3 +356,55 @@ SELECT doc_id, n_frames, f AS frame_idx
 FROM (SELECT doc_id, octet_length(encode(text)) % 100 + 1 AS n_frames FROM documents),
      LATERAL unnest(generate_series(0, n_frames - 1, 10)) AS t(f)
 """
+
+
+# -------------------------------------------------------- sampling
+
+
+def sm1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~13% corpus sample: keep docs whose md5(doc_id)
+    prefix falls under a threshold. Unlike rand()/sampleBy this is
+    reproducible across engines, reruns and cluster sizes (the property
+    that makes train/eval splits auditable), and it needs no shuffle —
+    a pure pushdown-friendly filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.filter(bucket <= "20").select("doc_id", "lang", "source", "n_chars")
+
+
+SM1_ORACLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '20'
+"""
+
+
+def sm2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: fixed quota of 5 docs per
+    language, ranked by md5(doc_id) — an unbiased-within-stratum,
+    fully reproducible pick. Window per stratum; at scale partitions
+    by the (low-cardinality) stratum key, WindowGroupLimit caps state
+    at k rows per partition map-side."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+SM2_ORACLE = """
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+"""

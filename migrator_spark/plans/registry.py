@@ -91,6 +91,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "ta2_quality_score": QuerySpec(llmdata.ta2_quality_score, llmdata.TA2_ORACLE),
     "ta3_lang_guess": QuerySpec(llmdata.ta3_lang_guess, llmdata.TA3_ORACLE),
     "ta4_fingerprint": QuerySpec(llmdata.ta4_fingerprint, llmdata.TA4_ORACLE),
+    # --- deterministic sampling (reproducible train/eval splits) ---
+    "sm1_hash_sample": QuerySpec(llmdata.sm1_hash_sample, llmdata.SM1_ORACLE),
+    "sm2_stratified_sample": QuerySpec(
+        llmdata.sm2_stratified_sample, llmdata.SM2_ORACLE
+    ),
     # --- multimodal plumbing (decode stubbed, see operators/multimodal.py) ---
     "mm1_decode_metadata": QuerySpec(llmdata.mm1_decode_metadata, llmdata.MM1_ORACLE),
     "mm2_frame_sample": QuerySpec(llmdata.mm2_frame_sample, llmdata.MM2_ORACLE),

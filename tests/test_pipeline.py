@@ -333,3 +333,56 @@ parameters:
     assert rc == 0
     got = sorted(r["id"] for r in ParquetSource(tgt_dir).table(spark, "x").collect())
     assert got == [1, 2, 3, 4]
+
+
+def test_drain_compacts_small_files(spark, dirs):
+    """compact-every: the per-batch append churn (batch_size=1 -> one
+    part-file per batch) is merged back after the drain."""
+    import glob
+
+    src_dir, tgt_dir, trk = dirs
+    src = ParquetSource(src_dir)
+    rows = [(i, f"name {i}", datetime(1980, 1, 1 + i % 27), True) for i in range(1, 13)]
+    src.write(spark.createDataFrame(rows, X_SCHEMA), "x")
+    cfg = _mk_config(src_dir, tgt_dir, batch_size=1, compact_every=1)
+    Migrator(spark, cfg, trk).run_until_drained()
+    tgt = ParquetSource(tgt_dir)
+    assert sorted(r["id"] for r in tgt.table(spark, "x").collect()) == list(range(1, 13))
+    files = glob.glob(f"{tgt_dir}/x.parquet/*.parquet")
+    assert len(files) <= 8, f"expected compacted table, got {len(files)} part-files"
+
+
+def test_multi_iteration_concurrent_migration(spark, dirs):
+    """One Migrator, two tables (the reference's N-goroutine shape,
+    migrator.go:307): both replicate with independent offsets."""
+    src_dir, tgt_dir, trk = dirs
+    src = ParquetSource(src_dir)
+    src.write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+    src.write(
+        spark.createDataFrame(
+            [(10, "Yvonne Young", datetime(1970, 7, 7), True),
+             (11, "Zach Zimmer", datetime(1971, 8, 8), False)],
+            X_SCHEMA,
+        ),
+        "y",
+    )
+    cfg = MigratorConfig(
+        migrations=[
+            MigrationSpec(
+                source_dsn=src_dir,
+                target_dsn=tgt_dir,
+                iterations=[
+                    IterationSpec(source_table="x", source_key="id", target_table="x"),
+                    IterationSpec(source_table="y", source_key="id", target_table="y"),
+                ],
+            )
+        ],
+        parameters=Parameters(batch_size=10),
+    )
+    m = Migrator(spark, cfg, trk)
+    m.run_until_drained()
+    tgt = ParquetSource(tgt_dir)
+    assert tgt.table(spark, "x").count() == 4
+    assert sorted(r["id"] for r in tgt.table(spark, "y").collect()) == [10, 11]
+    assert m.store.get("a", "x").sequential_position == 4
+    assert m.store.get("a", "y").sequential_position == 11
