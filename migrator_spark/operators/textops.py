@@ -113,3 +113,19 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         stable_hash64(normalized_text(text_col)).alias("content_fp"),
         stable_hash64(F.array_join(F.slice(w, 1, 8), " ")).alias("prefix_fp"),
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Repetition signals (Gopher-style quality rule): distinct-word
+    ratio and duplicate-word count. Highly repetitive documents
+    (boilerplate, keyword stuffing, generation loops) score high on
+    ``dup_word_ratio`` and get filtered before training."""
+    w = words(text_col)
+    n = F.size(w)
+    nd = F.size(F.array_distinct(w))
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        nd.alias("n_distinct_words"),
+        (F.lit(1.0) - nd.cast("double") / n.cast("double")).alias("dup_word_ratio"),
+    )

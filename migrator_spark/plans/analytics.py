@@ -429,3 +429,81 @@ JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# ----------------------------------------------------- time-series / sets
+
+
+def ev1_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via lag() — the sequential
+    window shape (lag/lead over event time) that session analysis and
+    anomaly detection start from. Gap math in exact epoch-micros
+    (unix_micros / epoch_us) so both engines agree bit-for-bit.
+
+    Scale: partitions by user_id — the window state is one previous row
+    per user per partition; no global sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    gaps = ev.select("user_id", gap.alias("gap_us")).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("avg_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV1_ORACLE = """
+SELECT user_id,
+       count(*) AS n_gaps,
+       min(gap_us) AS min_gap_us,
+       max(gap_us) AS max_gap_us,
+       CAST(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts ASC, event_id ASC) AS gap_us
+  FROM events
+)
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def set1_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra (§2.7 'none in the reference' — subsumed here):
+    customers ordering in both 1996 AND 1997 (INTERSECT) but not in
+    1995 (EXCEPT)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return (
+        year(1996).intersect(year(1997)).subtract(year(1995)).orderBy("o_custkey")
+    )
+
+
+SET1_ORACLE = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+ORDER BY o_custkey
+"""

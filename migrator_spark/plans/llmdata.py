@@ -408,3 +408,18 @@ FROM (
 )
 WHERE rn <= 5
 """
+
+
+def ta5_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-repetition quality signal (textops.repetition_stats)."""
+    return tx.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+TA5_ORACLE = f"""
+WITH {DOCS_CTE}
+SELECT doc_id,
+       len(w) AS n_words,
+       len(list_distinct(w)) AS n_distinct_words,
+       1.0 - len(list_distinct(w))::DOUBLE / len(w)::DOUBLE AS dup_word_ratio
+FROM docs
+"""

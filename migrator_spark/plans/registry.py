@@ -42,6 +42,11 @@ REGISTRY: dict[str, QuerySpec] = {
         analytics.q2w_top_supplier_per_nation, analytics.Q2W_ORACLE
     ),
     "pr1_profile_orders": QuerySpec(analytics.pr1_profile_orders, analytics.PR1_ORACLE),
+    # --- time-series windows / set operations ---
+    "ev1_event_gaps": QuerySpec(analytics.ev1_event_gaps, analytics.EV1_ORACLE),
+    "set1_repeat_customers": QuerySpec(
+        analytics.set1_repeat_customers, analytics.SET1_ORACLE
+    ),
     # --- skew mitigation (operators/skew.py): semantically transparent,
     # oracle = the plain GROUP BY / JOIN ---
     "sk1_salted_event_stats": QuerySpec(
@@ -91,6 +96,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ta2_quality_score": QuerySpec(llmdata.ta2_quality_score, llmdata.TA2_ORACLE),
     "ta3_lang_guess": QuerySpec(llmdata.ta3_lang_guess, llmdata.TA3_ORACLE),
     "ta4_fingerprint": QuerySpec(llmdata.ta4_fingerprint, llmdata.TA4_ORACLE),
+    "ta5_repetition": QuerySpec(llmdata.ta5_repetition, llmdata.TA5_ORACLE),
     # --- deterministic sampling (reproducible train/eval splits) ---
     "sm1_hash_sample": QuerySpec(llmdata.sm1_hash_sample, llmdata.SM1_ORACLE),
     "sm2_stratified_sample": QuerySpec(

@@ -1,0 +1,81 @@
+"""Physical-plan regression tests.
+
+SCALE.md's claims (pushdown reaches the scan, bounded sides broadcast,
+window top-1 prunes map-side) are enforced here so a refactor that
+silently reintroduces a shuffle or drops a pushed filter fails CI —
+at sf0.001 the timing wouldn't notice, but at 100 TB it's the whole
+game.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from migrator_spark.plans.registry import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _pushed_filters(plan: str) -> list[str]:
+    return [m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m.strip()]
+
+
+def test_e1_pushdown_and_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "e1_seq_scan")
+    assert any("GreaterThan" in p for p in _pushed_filters(plan)), plan
+    assert "TakeOrderedAndProject" in plan  # deterministic LIMIT, no global sort
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    pushed = " ".join(_pushed_filters(plan))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, plan
+
+
+def test_e4_lookup_is_broadcast_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "e4_point_lookup_join")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_w1_window_group_limit(spark, sf_dir):
+    # top-1-per-key must prune before the exchange (WindowGroupLimit),
+    # not materialize the full window
+    plan = _plan(spark, sf_dir, "w1_latest_by_key")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_l0_merge_broadcasts_batch_not_target(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "l0_apply_cdc_batch")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_q5_dims_broadcast_fact_not_shuffled_prejoin(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # the only hash-partitioned exchange should be the final small groupBy
+    # (orders⋈lineitem may add one on orderkey at real scale; with dims
+    # broadcast at this SF the fact side stays map-only until the agg)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    # P1: the reference always SELECT *; we must prune. e1 projects all
+    # source columns by contract, so check a projecting query instead.
+    plan = _plan(spark, sf_dir, "sm1_hash_sample")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "text" not in cols, f"unpruned text column read: {cols}"
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "sk1_salted_event_stats"])
+def test_aggs_have_mapside_partials(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    # partial_ aggregate functions before the exchange = map-side combine
+    assert "partial_" in plan, plan

@@ -131,3 +131,34 @@ def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
     assert stream_out
     for k, v in stream_out.items():
         assert batch_out.get(k) == v
+
+
+def test_cdc_stream_paced_micro_batches(spark, tmp_path):
+    """maxFilesPerTrigger=1 (the reference's BatchSize cap,
+    migrator.go:390-394 analogue): N queue files -> N committed
+    micro-batches in the checkpoint's offset log, same final state."""
+    import os
+    import time
+
+    d = str(tmp_path)
+    src = ParquetSource(d + "/a")
+    src.write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+    tgt = ParquetSource(d + "/b")
+    tgt.write(spark.createDataFrame(X_ROWS[:2], X_SCHEMA), "x")
+
+    qdir = d + "/queue"
+    for i, (pk, method) in enumerate([("3", "UPDATE"), ("1", "REMOVE"), ("4", "UPDATE")]):
+        spark.createDataFrame(
+            [("a", "x", "id", pk, datetime(2024, 1, 1, 12, 0, i), method)], Q_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(qdir)
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    q = cdc_apply_stream(
+        spark, qdir, Q_SCHEMA, src, "x", tgt, "x", ["id"],
+        checkpoint_dir=d + "/ckpt", available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    commits = [f for f in os.listdir(d + "/ckpt/commits") if not f.startswith(".")]
+    assert len(commits) >= 3, f"expected >=3 paced micro-batches, got {commits}"
+    out = {r["id"] for r in tgt.table(spark, "x").collect()}
+    assert out == {2, 3, 4}  # 1 removed; 3 and 4 upserted from source
