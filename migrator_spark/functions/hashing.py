@@ -51,11 +51,19 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     matching the DuckDB oracle construction in plans/oracles.
     """
     w = words(col)
-    n_shingles = F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n_shingles),
-        lambda i: F.array_join(F.slice(w, i, k), " "),
-    )
+    # k-1 chained zip_withs over shifted slices instead of
+    # transform(sequence, i -> array_join(slice(w, i, k))): the latter's
+    # per-element slice+join runs interpreted (HOF lambdas skip
+    # whole-stage codegen) — measured ~11x slower at sf0.1. zip_with's
+    # per-element work is a single concat.
+    m = F.size(w) - F.lit(k - 1)
+    cur = F.slice(w, 1, m)
+    for j in range(1, k):
+        cur = F.zip_with(
+            cur, F.slice(w, 1 + j, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    # short docs (< k words): one shingle of all words, never empty
+    return F.when(F.size(w) < F.lit(k), F.array(F.array_join(w, " "))).otherwise(cur)
 
 
 def minhash_signature(col: Column | str, num_hashes: int, k: int = 3) -> Column:

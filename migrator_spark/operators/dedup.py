@@ -83,41 +83,62 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
-    sig = docs.select(
-        F.col(id_col),
-        minhash_signature(text_col, num_hashes, shingle_k).alias("sig"),
-        word_shingles(text_col, shingle_k).alias("shingles"),
+    # Shingle ONCE, then hash the flat exploded relation. The naive form
+    # (nested transform(sequence(H), transform(shingles, md5...))) falls
+    # out of whole-stage codegen into interpreted evaluation — measured
+    # 45 s for 5k docs at sf0.1 vs ~2 s for this shape. Same hash values,
+    # same oracle; only the plan shape changes.
+    sh = docs.select(F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles"))
+    tok = sh.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("shingles"))).alias("s")
     )
-    banded = sig.select(
-        id_col,
-        "shingles",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                # band hash = stable hash of the comma-joined signature slice
-                lambda b: stable_hash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
+    # permutation i = stable_hash64(i || '|' || shingle); 12 flat md5
+    # projections codegen together over one pass of the token relation
+    hcols = [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        tok.select(id_col, *hcols)
+        .groupBy(id_col)
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+    )
+    # band hash = stable hash of the comma-joined signature slice
+    band_hashes = [
+        stable_hash64(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
-        ).alias("band", "band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        id_col, F.posexplode(F.array(*band_hashes)).alias("band", "band_hash")
     )
-    left = banded.select(
-        F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"), "band", "band_hash"
-    )
-    right = banded.select(
-        F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"), "band", "band_hash"
-    )
+    # candidate generation carries ids only — the shingle arrays join
+    # back in for the (small) verified candidate set
     cand = (
-        left.join(right, on=["band", "band_hash"])
+        banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
+        .join(
+            banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash"),
+            on=["band", "band_hash"],
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = cand.join(
+        sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")), on="doc_a"
+    ).join(
+        sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")), on="doc_b"
     )
     jaccard = (
         F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
@@ -169,25 +190,35 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact k-gram Jaccard pairs within blocking-column groups.
 
-    The pairwise join is restricted to equal ``block_cols`` — the
-    classic blocked-dedup bound on the quadratic candidate space.
+    Inverted-index formulation: instead of a blocked cross-join carrying
+    both shingle arrays (quadratic rows × array ops), the exploded token
+    relation self-joins on (block, shingle) and the per-pair match count
+    IS the intersection size; union size follows from the per-doc set
+    sizes. Only pairs sharing ≥1 shingle materialize — identical output
+    for any threshold > 0 (zero-overlap pairs have jaccard 0), ~7×
+    faster at sf0.1 and sub-quadratic whenever shingle overlap is
+    sparse. ``block_cols`` still bound the worst case.
     """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (zero-overlap pairs never materialize)")
     sh = docs.select(
         F.col(id_col), *block_cols, F.array_distinct(word_shingles(text_col, k)).alias("sh")
     )
-    a = sh.select(
-        F.col(id_col).alias("doc_a"), *block_cols, F.col("sh").alias("sh_a")
-    )
-    b = sh.select(
-        F.col(id_col).alias("doc_b"), *block_cols, F.col("sh").alias("sh_b")
-    )
-    jaccard = (
-        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-        / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    )
-    return (
-        a.join(b, on=block_cols)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("sz"))
+    tok = sh.select(F.col(id_col), *block_cols, F.explode("sh").alias("s"))
+    inter = (
+        tok.select(F.col(id_col).alias("doc_a"), *block_cols, "s")
+        .join(tok.select(F.col(id_col).alias("doc_b"), *block_cols, "s"), on=[*block_cols, "s"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jaccard = F.col("n_inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")), on="doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")), on="doc_b")
         .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -20,10 +20,11 @@ Spark semantics:
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
 from collections.abc import Callable
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from enum import Enum
 
 from pyspark.sql import SparkSession
@@ -56,6 +57,44 @@ class BoundIteration:
     spec: IterationSpec
 
 
+@dataclass
+class BatchMetric:
+    """One E->T->L cycle's observability record (the reference wires
+    Elastic APM spans around each stage, migrator.go:20-23,482-497;
+    here a structured record + stdlib logging line per batch)."""
+
+    source_table: str
+    target_table: str
+    rows: int
+    seconds: float
+    more: bool
+
+
+@dataclass
+class Metrics:
+    batches: list[BatchMetric] = field(default_factory=list)
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def record(self, m: BatchMetric) -> None:
+        with self._lock:
+            self.batches.append(m)
+
+    def summary(self) -> dict[str, dict[str, float]]:
+        """Per source table: batches, rows, seconds, rows/sec."""
+        out: dict[str, dict[str, float]] = {}
+        with self._lock:
+            for m in self.batches:
+                s = out.setdefault(
+                    m.source_table, {"batches": 0, "rows": 0, "seconds": 0.0}
+                )
+                s["batches"] += 1
+                s["rows"] += m.rows
+                s["seconds"] += m.seconds
+        for s in out.values():
+            s["rows_per_sec"] = round(s["rows"] / s["seconds"], 1) if s["seconds"] else 0.0
+        return out
+
+
 class Migrator:
     def __init__(
         self,
@@ -69,6 +108,8 @@ class Migrator:
         self.store = TrackingStore(tracking_root)
         self.error_callback = error_callback
         self.errors: list[tuple[str, Exception, dict]] = []
+        self.metrics = Metrics()
+        self.log = logging.getLogger("migrator_spark.runner")
         self.state = State.NEW
         self._threads: list[threading.Thread] = []
         self._stop = threading.Event()
@@ -91,6 +132,7 @@ class Migrator:
         migrator.go:350-380); offsets stay put so the batch replays.
         """
         spec = b.spec
+        t_start = time.perf_counter()
         ts = self.store.get(b.source_db, spec.source_table, spec.source_key)
         extractor = resolve("extractor", spec.extractor)
         try:
@@ -121,6 +163,18 @@ class Migrator:
         if res.cleanup is not None:
             res.cleanup()
         res.batch.unpersist()
+        m = BatchMetric(
+            spec.source_table,
+            spec.target_table,
+            res.row_count,
+            round(time.perf_counter() - t_start, 4),
+            res.more,
+        )
+        self.metrics.record(m)
+        self.log.debug(
+            "batch %s->%s rows=%d %.3fs more=%s",
+            m.source_table, m.target_table, m.rows, m.seconds, m.more,
+        )
         return res.more
 
     def _error(self, stage: str, e: Exception, spec: IterationSpec, strict: bool = True) -> None:

@@ -33,6 +33,10 @@ def open_source(dsn: str) -> Source:
         return ParquetSource(dsn[len("parquet://") :])
     if dsn.startswith("memory://"):
         return MemorySource.named(dsn[len("memory://") :])
+    if dsn.startswith("delta://"):
+        from migrator_spark.sources.delta import DeltaSource
+
+        return DeltaSource(dsn[len("delta://") :])
     if dsn.startswith("jdbc:"):
         from migrator_spark.sources.jdbc import JdbcSource
 
