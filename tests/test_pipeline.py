@@ -416,3 +416,46 @@ def test_delta_source_gated(tmp_path):
         pass
     with _pytest.raises(ImportError, match="delta-spark"):
         open_source(f"delta://{tmp_path}")
+
+
+def test_queue_cdc_composite_pk(spark, dirs):
+    """P6 end-to-end: composite-key CDC ("k1,k2" source_key, comma-joined
+    pkValue — extractor_queue.go:75-90 semantics) through the full
+    pipeline: upsert + remove by composite key."""
+    from pyspark.sql.types import StructType, StructField, LongType, StringType
+
+    src_dir, tgt_dir, trk = dirs
+    schema = StructType(
+        [
+            StructField("k1", LongType(), False),
+            StructField("k2", StringType(), False),
+            StructField("val", StringType(), True),
+        ]
+    )
+    src = ParquetSource(src_dir)
+    src.write(
+        spark.createDataFrame(
+            [(1, "a", "one-a"), (1, "b", "one-b"), (2, "a", "two-a-v2")], schema
+        ),
+        "x",
+    )
+    tgt = ParquetSource(tgt_dir)
+    tgt.write(
+        spark.createDataFrame(
+            [(1, "a", "one-a"), (2, "a", "two-a-v1"), (3, "c", "gone")], schema
+        ),
+        "x",
+    )
+    queue = [
+        ("a", "x", "k1,k2", "1,b", datetime(2024, 1, 1, 12, 0, 0), "UPDATE"),
+        ("a", "x", "k1,k2", "2,a", datetime(2024, 1, 1, 12, 0, 1), "UPDATE"),
+        ("a", "x", "k1,k2", "3,c", datetime(2024, 1, 1, 12, 0, 2), "REMOVE"),
+    ]
+    src.write(spark.createDataFrame(queue, Q_SCHEMA), "MigratorRecordQueue")
+
+    cfg = _mk_config(src_dir, tgt_dir, key="k1,k2", extractor="queue", batch_size=10)
+    Migrator(spark, cfg, trk).run_until_drained()
+    out = {(r["k1"], r["k2"]): r["val"] for r in tgt.table(spark, "x").collect()}
+    assert out == {(1, "a"): "one-a", (1, "b"): "one-b", (2, "a"): "two-a-v2"}
+    # queue fully drained after commit
+    assert src.table(spark, "MigratorRecordQueue").count() == 0
