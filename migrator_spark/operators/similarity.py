@@ -95,3 +95,39 @@ def pairwise_topk_join(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def incremental_topk(
+    old_topk: DataFrame,
+    new_batch: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qe",
+) -> DataFrame:
+    """Maintain an exact top-k under corpus growth without rescanning.
+
+    Top-k is monotone under union: topk(A ∪ B) = topk(topk(A) ∪ score(B)),
+    so an arriving batch only needs its own rows scored and merged with
+    the k retained rows (the incremental-session pattern of EDBT'20
+    "Incremental Top-K Similarity Search"). Per batch this is O(|batch|
+    + k), not O(corpus) — at 100 TB the corpus is never re-read; with
+    the CDC runner this slots in as a transformer keeping a "nearest
+    neighbors so far" table fresh.
+
+    ``old_topk``: (id_col, cos_sim) — the previous result. Returns the
+    merged exact top-k with the same deterministic tiebreak as
+    cosine_topk, so the result equals a full recompute bit-for-bit.
+    """
+    scored_new = (
+        new_batch.crossJoin(F.broadcast(query_vec))
+        .withColumn("cos_sim", cosine_similarity(vec_col, query_vec_col))
+        .select(id_col, "cos_sim")
+    )
+    return (
+        old_topk.select(id_col, "cos_sim")
+        .unionByName(scored_new)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

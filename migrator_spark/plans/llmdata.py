@@ -423,3 +423,27 @@ SELECT doc_id,
        1.0 - len(list_distinct(w))::DOUBLE / len(w)::DOUBLE AS dup_word_ratio
 FROM docs
 """
+
+
+def sim4_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact top-k (EDBT'20 pattern): corpus split into an
+    'already indexed' half (even ids, top-k retained) and an 'arriving'
+    half (odd ids, scored per batch); merging the k retained rows with
+    the scored batch equals a full-corpus recompute — which is exactly
+    what the oracle computes. O(batch + k) per step, never O(corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    old_topk = sim.cosine_topk(old, q, k=10)
+    return sim.incremental_topk(old_topk, new, q, k=10)
+
+
+SIM4_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {COS_EXPR.format(a="embedding", b="qe")} AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""

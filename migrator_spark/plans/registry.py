@@ -91,6 +91,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim1_cosine_topk": QuerySpec(llmdata.sim1_cosine_topk, llmdata.SIM1_ORACLE),
     "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),
     "sim3_pairwise_topk": QuerySpec(llmdata.sim3_pairwise_topk, llmdata.SIM3_ORACLE),
+    "sim4_incremental_topk": QuerySpec(
+        llmdata.sim4_incremental_topk, llmdata.SIM4_ORACLE
+    ),
     # --- text analysis ---
     "ta1_token_stats": QuerySpec(llmdata.ta1_token_stats, llmdata.TA1_ORACLE),
     "ta2_quality_score": QuerySpec(llmdata.ta2_quality_score, llmdata.TA2_ORACLE),
