@@ -39,16 +39,26 @@ class ExtractResult:
     cleanup: Callable[[], None] | None = None
 
 
-def _finish(batch: DataFrame, batch_size: int) -> tuple[DataFrame, int, bool]:
+def _finish(
+    batch: DataFrame, batch_size: int, max_col: str | None = None
+) -> tuple[DataFrame, int, bool, object]:
+    """Cache the batch and compute (count[, max(max_col)]) in ONE job —
+    count-then-max as separate actions doubles per-batch fixed cost,
+    which is what bounds small-batch pipeline throughput (SCALE.md §5c).
+    """
     cached = batch.cache()
-    n = cached.count()
+    if max_col is None:
+        n, mx = cached.count(), None
+    else:
+        row = cached.agg(F.count(F.lit(1)), F.max(max_col)).collect()[0]
+        n, mx = row[0], row[1]
     if n == 0:
         # CRITICAL: an empty batch must be evicted immediately — Spark's
         # CacheManager keys cached data by logical plan, and the next poll
         # at the same offset builds the *same* plan, so a lingering empty
         # cache entry would mask rows appended to the source forever.
         cached.unpersist()
-    return cached, n, n == batch_size
+    return cached, n, n == batch_size, mx
 
 
 @register_extractor("sequential")
@@ -67,11 +77,11 @@ def extract_sequential(
     batch = ex.sequential_scan(
         df, key, ts.sequential_position, params.batch_size, params.sequential_replace
     ).withColumn("_order", F.col(key).cast("long")).withColumn("_tie", F.col(key).cast("string"))
-    cached, n, more = _finish(batch, params.batch_size)
+    cached, n, more, mx = _finish(batch, params.batch_size, max_col=key)
     new = TrackingStatus(**{**ts.__dict__})
     new.column_name = key
     if n > 0:
-        new.sequential_position = cached.agg(F.max(key)).collect()[0][0]
+        new.sequential_position = mx
     return ExtractResult(more, cached, n, new)
 
 
@@ -97,13 +107,12 @@ def _ts_extract(
         .withColumn(ex.METHOD_COL, F.lit(ex.M_REPLACE))
         .withColumn("_tie", F.col(it.merge_key or cols[0]).cast("string"))
     )
-    cached, n, more = _finish(batch, params.batch_size)
+    # max of the coalesced expression — the reference's E3 computed
+    # this from a nonexistent map key (its known bug); fixed here
+    cached, n, more, mx = _finish(batch, params.batch_size, max_col="_order")
     new = TrackingStatus(**{**ts.__dict__})
     new.column_name = ",".join(cols)
     if n > 0:
-        # max of the coalesced expression — the reference's E3 computed
-        # this from a nonexistent map key (its known bug); fixed here
-        mx = cached.agg(F.max("_order")).collect()[0][0]
         new.timestamp_position = mx.isoformat()
     return ExtractResult(more, cached, n, new)
 

@@ -35,6 +35,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(analytics.q4_order_priority, analytics.Q4_ORACLE),
     "q6_forecast_revenue": QuerySpec(analytics.q6_forecast_revenue, analytics.Q6_ORACLE),
     "q7_trade_volume": QuerySpec(analytics.q7_trade_volume, analytics.Q7_ORACLE),
+    "q8_rollup_sales": QuerySpec(analytics.q8_rollup_sales, analytics.Q8_ORACLE),
     "q10_returned_items": QuerySpec(analytics.q10_returned_items, analytics.Q10_ORACLE),
     "q14_promo_effect": QuerySpec(analytics.q14_promo_effect, analytics.Q14_ORACLE),
     "q18_large_orders": QuerySpec(analytics.q18_large_orders, analytics.Q18_ORACLE),
