@@ -538,3 +538,37 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY g_flag, g_status, l_returnflag, l_linestatus
 """
+
+
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicate: revenue from lineitems
+    matching either of two (brand, size, quantity) branches — exercises
+    OR-of-ANDs pushdown and join-then-filter planning. part broadcasts;
+    the OR collapses to a single scan pass."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size") <= 20)
+        & (F.col("l_quantity") <= 20)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size") >= 10)
+        & (F.col("l_quantity") >= 30)
+    )
+    return joined.filter(branch1 | branch2).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_revenue()).cast("double").alias("revenue"),
+    )
+
+
+Q19_ORACLE = """
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 20 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size >= 10 AND l_quantity >= 30)
+"""

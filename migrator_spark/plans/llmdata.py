@@ -16,6 +16,7 @@ from migrator_spark.operators import dedup as dd
 from migrator_spark.operators import multimodal as mm
 from migrator_spark.operators import similarity as sim
 from migrator_spark.operators import textops as tx
+from migrator_spark.functions.hashing import words
 from migrator_spark.tables import load_table
 
 # DuckDB fragments mirroring functions.hashing
@@ -446,4 +447,66 @@ FROM embeddings, q
 WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id ASC
 LIMIT 10
+"""
+
+
+# ------------------------------------------------------- composition
+
+
+def cur1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pass — the shape of a real pre-training data
+    pipeline, as ONE declarative plan Catalyst optimizes end-to-end
+    (filters merge into the scan; the dedup shuffle is the only
+    exchange):
+
+        quality keep-rule (ta2) -> exact dedup survivors, min doc_id
+        per normalized-content hash (dd1) -> deterministic ~50% hash
+        sample (sm1 family) -> per-doc token count (ta1).
+
+    Chaining queries() entries composes because every operator is a
+    pure DataFrame -> DataFrame function."""
+    from migrator_spark.operators import dedup as ddp
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = tx.quality_score(docs).filter(F.col("keep")).select("doc_id")
+    kept = docs.join(q, on="doc_id", how="left_semi")
+    survivors = (
+        ddp.exact_dedup(kept).select(F.col("keep_doc_id").alias("doc_id"))
+    )
+    curated = kept.join(survivors, on="doc_id", how="left_semi").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "7"
+    )
+    return curated.select(
+        "doc_id",
+        "lang",
+        F.size(words("text")).alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+CUR1_ORACLE = f"""
+WITH {DOCS_CTE},
+m AS (
+  SELECT doc_id, text, lang, w,
+         length(text) AS n_chars_text,
+         len(w) AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+           / length(text)::DOUBLE AS digit_ratio,
+         {_HITS.format(lst=_SW["en"])}::DOUBLE / len(w)::DOUBLE AS stopword_ratio
+  FROM docs
+),
+kept AS (
+  SELECT * FROM m
+  WHERE n_chars_text >= 20 AND n_tokens >= 5 AND digit_ratio < 0.3
+    AND stopword_ratio > 0.0
+),
+survivors AS (
+  SELECT min(doc_id) AS doc_id
+  FROM kept
+  GROUP BY (('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT)
+)
+SELECT k.doc_id, k.lang, k.n_tokens
+FROM kept k
+JOIN survivors s ON k.doc_id = s.doc_id
+WHERE substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1) <= '7'
+ORDER BY k.doc_id
 """

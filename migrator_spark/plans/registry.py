@@ -36,6 +36,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "q6_forecast_revenue": QuerySpec(analytics.q6_forecast_revenue, analytics.Q6_ORACLE),
     "q7_trade_volume": QuerySpec(analytics.q7_trade_volume, analytics.Q7_ORACLE),
     "q8_rollup_sales": QuerySpec(analytics.q8_rollup_sales, analytics.Q8_ORACLE),
+    "q19_disjunctive_filter": QuerySpec(
+        analytics.q19_disjunctive_filter, analytics.Q19_ORACLE
+    ),
     "q10_returned_items": QuerySpec(analytics.q10_returned_items, analytics.Q10_ORACLE),
     "q14_promo_effect": QuerySpec(analytics.q14_promo_effect, analytics.Q14_ORACLE),
     "q18_large_orders": QuerySpec(analytics.q18_large_orders, analytics.Q18_ORACLE),
@@ -105,6 +108,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "sm1_hash_sample": QuerySpec(llmdata.sm1_hash_sample, llmdata.SM1_ORACLE),
     "sm2_stratified_sample": QuerySpec(
         llmdata.sm2_stratified_sample, llmdata.SM2_ORACLE
+    ),
+    # --- composed curation pipeline (quality -> dedup -> sample) ---
+    "cur1_curation_pipeline": QuerySpec(
+        llmdata.cur1_curation_pipeline, llmdata.CUR1_ORACLE
     ),
     # --- multimodal plumbing (decode stubbed, see operators/multimodal.py) ---
     "mm1_decode_metadata": QuerySpec(llmdata.mm1_decode_metadata, llmdata.MM1_ORACLE),

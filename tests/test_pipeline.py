@@ -459,3 +459,52 @@ def test_queue_cdc_composite_pk(spark, dirs):
     assert out == {(1, "a"): "one-a", (1, "b"): "one-b", (2, "a"): "two-a-v2"}
     # queue fully drained after commit
     assert src.table(spark, "MigratorRecordQueue").count() == 0
+
+
+def _fan_out(batch, ctx):
+    """User transform fanning one batch out to two destination tables
+    (the []TableData return contract, types.go:86-88)."""
+    from pyspark.sql import functions as F
+
+    from migrator_spark.pipeline.transformers import Routed
+
+    return [
+        Routed(batch.filter(F.col("enabled")), "x_enabled"),
+        Routed(batch.filter(~F.col("enabled")), "x_disabled"),
+    ]
+
+
+def test_transformer_multi_table_fanout(spark, dirs):
+    """One extracted batch routed to N destination tables — the list
+    return of the transformer contract, exercised through the runner."""
+    src_dir, tgt_dir, trk = dirs
+    ParquetSource(src_dir).write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+    cfg = _mk_config(
+        src_dir,
+        tgt_dir,
+        transformer="python",
+        transformer_parameters={"callable": _fan_out},
+        batch_size=10,
+    )
+    Migrator(spark, cfg, trk).run_until_drained()
+    tgt = ParquetSource(tgt_dir)
+    assert sorted(r["id"] for r in tgt.table(spark, "x_enabled").collect()) == [1, 2, 4]
+    assert sorted(r["id"] for r in tgt.table(spark, "x_disabled").collect()) == [3]
+
+
+def test_continuous_timeout_autostop(spark, dirs):
+    """Wall-clock Timeout auto-stop (cmd/migrator/main.go Timeout):
+    start() schedules quit() after config.timeout seconds."""
+    import time
+
+    src_dir, tgt_dir, trk = dirs
+    ParquetSource(src_dir).write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+    cfg = _mk_config(src_dir, tgt_dir, batch_size=10, sleep_between_runs=0.2)
+    cfg.timeout = 3.0
+    m = Migrator(spark, cfg, trk)
+    m.start()
+    deadline = time.time() + 120
+    while time.time() < deadline and m.state != State.STOPPED:
+        time.sleep(0.5)
+    assert m.state == State.STOPPED
+    assert ParquetSource(tgt_dir).table(spark, "x").count() == 4
