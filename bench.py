@@ -34,6 +34,7 @@ HEADLINE = [
     "q10_returned_items",
     "q18_large_orders",
     "sk1_salted_event_stats",
+    "cur1_curation_pipeline",
     "e1_seq_scan",
     "e4_point_lookup_join",
     "w1_latest_by_key",

@@ -572,3 +572,105 @@ JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 20 AND l_quantity <= 20)
    OR (p_brand = 'Brand#3' AND p_size >= 10 AND l_quantity >= 30)
 """
+
+
+def f2_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured (JSON) column handling: extract a typed value
+    from the events.props JSON payload and aggregate per event type —
+    get_json_object is JVM-side (Jackson), no Python; at scale the
+    extraction runs in the scan's codegen stage before the small
+    groupBy shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+F2_ORACLE = """
+SELECT event_type,
+       count(k) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def f3_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family: extract + truncate + diff — orders per
+    (year, quarter) with first/last day and span in days."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderdate").alias("first_ts"),
+            F.max("o_orderdate").alias("last_ts"),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+            .cast("long")
+            .alias("span_days"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+F3_ORACLE = """
+SELECT year(o_orderdate) AS yr,
+       quarter(o_orderdate) AS qtr,
+       count(*) AS n_orders,
+       min(o_orderdate) AS first_ts,
+       max(o_orderdate) AS last_ts,
+       CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) AS BIGINT) AS span_days
+FROM orders
+GROUP BY year(o_orderdate), quarter(o_orderdate)
+ORDER BY yr, qtr
+"""
+
+
+def f4_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over customer names: case mapping,
+    substring, padding, replace, concatenation, length — one projecting
+    pass, no shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(name).alias("up"),
+        F.lower(name).alias("lo"),
+        F.substring(name, 1, 8).alias("first8"),
+        F.length(name).cast("long").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.regexp_replace(name, "[0-9]+", "#").alias("digits_masked"),
+        F.concat_ws("|", name, F.col("c_mktsegment")).alias("tagged"),
+    ).orderBy("c_custkey")
+
+
+F4_ORACLE = """
+SELECT c_custkey,
+       upper(c_name) AS up,
+       lower(c_name) AS lo,
+       substr(c_name, 1, 8) AS first8,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS digits_masked,
+       concat_ws('|', c_name, c_mktsegment) AS tagged
+FROM customer
+ORDER BY c_custkey
+"""

@@ -81,6 +81,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "l0_apply_cdc_batch": QuerySpec(cdc.l0_apply_cdc_batch, cdc.L0_ORACLE),
     # --- scalar functions / transformers / streaming (§2.8, §2.10, §2.11) ---
     "f1_scalar_suite": QuerySpec(cdc.f1_scalar_suite, cdc.F1_ORACLE),
+    "f2_json_props": QuerySpec(analytics.f2_json_props, analytics.F2_ORACLE),
+    "f3_date_parts": QuerySpec(analytics.f3_date_parts, analytics.F3_ORACLE),
+    "f4_string_suite": QuerySpec(analytics.f4_string_suite, analytics.F4_ORACLE),
     "t2_rename_routing": QuerySpec(cdc.t2_rename_routing, cdc.T2_ORACLE),
     "st1_windowed_counts": QuerySpec(cdc.st1_windowed_counts, cdc.ST1_ORACLE),
     "st2_session_windows": QuerySpec(cdc.st2_session_windows, cdc.ST2_ORACLE),
