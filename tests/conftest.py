@@ -92,3 +92,11 @@ def assert_frames_match(spark_df, duck_rel, check_exact_floats=True):
         if len(mismatches) > 5:
             break
     assert not mismatches, f"value mismatches (row, col, spark, duck): {mismatches}"
+    if check_exact_floats:
+        # the driver's hash is repr-strict: 4420 (int64) vs 4420.0 (a
+        # DuckDB HUGEINT sum decayed to float) passes == above but fails
+        # the driver — mirror that strictness here so pytest catches it
+        sp_repr = sorted(map(repr, sp.itertuples(index=False, name=None)))
+        dp_repr = sorted(map(repr, dp.itertuples(index=False, name=None)))
+        diff = [(a, b) for a, b in zip(sp_repr, dp_repr) if a != b][:3]
+        assert sp_repr == dp_repr, f"strict repr mismatch (driver-style): {diff}"

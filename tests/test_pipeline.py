@@ -508,3 +508,49 @@ def test_continuous_timeout_autostop(spark, dirs):
         time.sleep(0.5)
     assert m.state == State.STOPPED
     assert ParquetSource(tgt_dir).table(spark, "x").count() == 4
+
+
+def test_continuous_queue_cdc_convergence(spark, dirs):
+    """Soak: queue CDC in continuous polling mode — events enqueued
+    while the loop runs are applied (update + delete) and the queue
+    drains to empty before quit."""
+    import time
+
+    src_dir, tgt_dir, trk = dirs
+    src = ParquetSource(src_dir)
+    rows = X_ROWS + [(5, "Eve Early", datetime(1990, 5, 5), True)]
+    src.write(spark.createDataFrame(rows, X_SCHEMA), "x")
+    tgt = ParquetSource(tgt_dir)
+    tgt.write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+    src.write(
+        spark.createDataFrame(
+            [("a", "x", "id", "5", datetime(2024, 1, 1, 12, 0, 0), "UPDATE")], Q_SCHEMA
+        ),
+        "MigratorRecordQueue",
+    )
+    cfg = _mk_config(
+        src_dir, tgt_dir, extractor="queue", batch_size=10, sleep_between_runs=0.2
+    )
+    m = Migrator(spark, cfg, trk)
+    m.start()
+    deadline = time.time() + 120
+    while time.time() < deadline and tgt.table(spark, "x").count() != 5:
+        time.sleep(0.3)
+    # enqueue a delete while the loop is live
+    src.write(
+        spark.createDataFrame(
+            [("a", "x", "id", "3", datetime(2024, 1, 1, 12, 0, 1), "REMOVE")], Q_SCHEMA
+        ),
+        "MigratorRecordQueue",
+        mode="append",
+    )
+    while time.time() < deadline:
+        ids = {r["id"] for r in tgt.table(spark, "x").collect()}
+        if ids == {1, 2, 4, 5}:
+            break
+        time.sleep(0.3)
+    m.quit()
+    assert {r["id"] for r in tgt.table(spark, "x").collect()} == {1, 2, 4, 5}, (
+        f"errors: {[(s, str(e)) for s, e, _ in m.errors]}"
+    )
+    assert src.table(spark, "MigratorRecordQueue").count() == 0
