@@ -7,6 +7,10 @@ load       merge semantics L1-L3 (append / last-write-wins upsert /
 dedup      exact + MinHash-LSH + SimHash + n-gram Jaccard + embedding
            near-dup (training-data pipeline surface)
 similarity brute-force & LSH-bucketed cosine top-k ANN
-textops    language-id, quality scoring, token counting, fingerprinting
+textops    language-id, quality scoring, token counting, fingerprinting,
+           repetition signals
 multimodal binary-column plumbing with stubbed decoders
+skew       salted two-phase aggregation + salted replicate joins
+bucketing  co-located (bucketed) tables: shuffle-free fact-fact joins
+maintenance small-file compaction + incremental rollup upkeep
 """

@@ -510,3 +510,39 @@ JOIN survivors s ON k.doc_id = s.doc_id
 WHERE substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1) <= '7'
 ORDER BY k.doc_id
 """
+
+
+def pr2_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles (the distribution check a
+    corpus audit runs before setting truncation/packing lengths).
+    Spark's exact `percentile` and DuckDB's `quantile_cont` both use
+    linear interpolation — bit-identical on the same doubles. At 100 TB
+    one would switch to approx_percentile (t-digest) and drop the
+    oracle; the exact form keeps this differentially testable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50"),
+            F.expr("percentile(n_chars, 0.9)").alias("p90"),
+            F.expr("percentile(n_chars, 0.99)").alias("p99"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+PR2_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       quantile_cont(n_chars, 0.99) AS p99,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""

@@ -107,6 +107,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ta3_lang_guess": QuerySpec(llmdata.ta3_lang_guess, llmdata.TA3_ORACLE),
     "ta4_fingerprint": QuerySpec(llmdata.ta4_fingerprint, llmdata.TA4_ORACLE),
     "ta5_repetition": QuerySpec(llmdata.ta5_repetition, llmdata.TA5_ORACLE),
+    "pr2_length_percentiles": QuerySpec(
+        llmdata.pr2_length_percentiles, llmdata.PR2_ORACLE
+    ),
     # --- deterministic sampling (reproducible train/eval splits) ---
     "sm1_hash_sample": QuerySpec(llmdata.sm1_hash_sample, llmdata.SM1_ORACLE),
     "sm2_stratified_sample": QuerySpec(
