@@ -674,3 +674,201 @@ SELECT c_custkey,
 FROM customer
 ORDER BY c_custkey
 """
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analogue: distribution of customers by order count,
+    including zero-order customers — the canonical LEFT OUTER JOIN +
+    double aggregation shape the suite otherwise lacks. The priority
+    filter stands in for Q13's o_comment NOT LIKE (no comment column in
+    the synthetic schema) and must live in the join condition, not a
+    WHERE, to keep customers with only-excluded orders at count 0.
+
+    Scale: shuffles on custkey once (orders pre-filtered map-side); the
+    second aggregation groups a ~|customers| input down to tens of rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analogue: supplier(s) achieving the maximum quarterly
+    revenue — scalar-subquery-against-aggregate shape. Revenue stays
+    DECIMAL end-to-end so the max-equality join cannot drift between
+    engines (double equality would).
+
+    Scale: lineitem reduces to one row per suppkey before anything
+    joins; the 1-row max and the supplier dim broadcast, so the only
+    shuffle is the suppkey rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).alias("_tr"))
+    )
+    maxr = rev.agg(F.max("_tr").alias("_mr"))
+    return (
+        rev.join(F.broadcast(maxr), F.col("_tr") == F.col("_mr"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_tr").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS tr
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE tr = (SELECT max(tr) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analogue: yearly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) moved to bulk. The
+    correlated AVG subquery is decorrelated into a per-partkey rollup
+    joined back to lineitem. `qty < 0.2*avg(qty)` is evaluated as
+    `5*qty*cnt < sum_qty` in exact DECIMAL — multiply-through instead of
+    decimal division, so no engine-specific rounding can flip a
+    borderline row.
+
+    Scale: both the rollup and the probe shuffle on l_partkey — one
+    co-partitioned key; the part dim filter broadcasts. At 100 TB the
+    rollup output is |parts|-sized, far below the probe side, and AQE
+    turns the back-join into a broadcast when the brand filter is
+    selective.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast(DEC)
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("_sq"), F.count(F.lit(1)).cast(DEC).alias("_cnt")
+    )
+    brand = part.filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, on="l_partkey")
+        .filter(F.lit(5).cast(DEC) * qty * F.col("_cnt") < F.col("_sq"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+Q17_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         CAST(count(*) AS DECIMAL(18,2)) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23' AND p_size < 15
+JOIN per_part USING (l_partkey)
+WHERE CAST(5 AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * cnt < sq
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analogue: per-nation count/balance of customers with
+    above-average account balance and no orders in the current year
+    (every synthetic customer has *some* order, so the recency bound
+    keeps the anti-join selective instead of vacuous) — anti-join plus a
+    scalar aggregate threshold. `bal > avg(bal)` over the positive-
+    balance population is evaluated as `bal*cnt > sum_bal` in exact
+    DECIMAL (same multiply-through trick as q17).
+
+    Scale: the threshold aggregate is one row (broadcast); the
+    anti-join needs only o_custkey from orders — column pruning cuts the
+    shuffle to one long per order — and groups by nationkey at the end.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast(DEC)
+    thresh = cust.filter(bal > F.lit(0).cast(DEC)).agg(
+        F.sum(bal).alias("_sb"), F.count(F.lit(1)).cast(DEC).alias("_cb")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(bal * F.col("_cb") > F.col("_sb"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q22_ORACLE = """
+WITH thresh AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sb,
+         CAST(count(*) AS DECIMAL(18,2)) AS cb
+  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0
+)
+SELECT c_nationkey AS nationkey,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, thresh
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cb > sb
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c_nationkey
+ORDER BY nationkey
+"""

@@ -45,6 +45,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "q2w_top_supplier_per_nation": QuerySpec(
         analytics.q2w_top_supplier_per_nation, analytics.Q2W_ORACLE
     ),
+    "q13_customer_distribution": QuerySpec(
+        analytics.q13_customer_distribution, analytics.Q13_ORACLE
+    ),
+    "q15_top_supplier": QuerySpec(analytics.q15_top_supplier, analytics.Q15_ORACLE),
+    "q17_small_quantity_revenue": QuerySpec(
+        analytics.q17_small_quantity_revenue, analytics.Q17_ORACLE
+    ),
+    "q22_global_sales_opportunity": QuerySpec(
+        analytics.q22_global_sales_opportunity, analytics.Q22_ORACLE
+    ),
     "pr1_profile_orders": QuerySpec(analytics.pr1_profile_orders, analytics.PR1_ORACLE),
     # --- time-series windows / set operations ---
     "ev1_event_gaps": QuerySpec(analytics.ev1_event_gaps, analytics.EV1_ORACLE),

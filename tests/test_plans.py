@@ -79,3 +79,38 @@ def test_aggs_have_mapside_partials(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     # partial_ aggregate functions before the exchange = map-side combine
     assert "partial_" in plan, plan
+
+
+def test_q13_outer_join_aggregates_after_prefilter(spark, sf_dir):
+    # the priority predicate must be applied to orders before the outer
+    # join (pushed beneath it), and the join must preserve customers
+    plan = _plan(spark, sf_dir, "q13_customer_distribution")
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan
+    pushed = " ".join(_pushed_filters(plan))
+    assert "o_orderpriority" in pushed, plan
+
+
+def test_q15_max_and_dim_broadcast(spark, sf_dir):
+    # both the 1-row max and the supplier dim must broadcast — the only
+    # shuffle is the suppkey rollup
+    plan = _plan(spark, sf_dir, "q15_top_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q17_brand_filter_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = " ".join(_pushed_filters(plan))
+    assert "p_brand" in pushed and "p_size" in pushed, plan
+
+
+def test_q22_antijoin_prunes_orders_to_custkey(spark, sf_dir):
+    # anti-join side must read only (o_custkey, o_orderdate) — column
+    # pruning is what keeps the orders scan cheap at 100 TB
+    plan = _plan(spark, sf_dir, "q22_global_sales_opportunity")
+    assert "LeftAnti" in plan, plan
+    m = re.search(r"ReadSchema: struct<(o_[^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "o_custkey",
+        "o_orderdate",
+    }, plan
