@@ -872,3 +872,151 @@ WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cb > sb
 GROUP BY c_nationkey
 ORDER BY nationkey
 """
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue: profit by supplier nation and order year for
+    LIKE-filtered parts. The synthetic schema has no partsupp, so cost
+    is proxied as 60% of the part's retail price per unit (stated, not
+    TPC-H-exact — the shape under test is the 5-way join + substring
+    filter + year extraction, all in exact DECIMAL).
+
+    Scale: part (LIKE-filtered), supplier, and nation broadcast; the
+    only shuffles are lineitem⋈orders on orderkey and the final
+    (nation, year) rollup of pre-reduced partials.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    ) - F.lit(0.6).cast(DEC) * F.col("p_retailprice").cast(DEC) * F.col(
+        "l_quantity"
+    ).cast(DEC)
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(0.6 AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue: how many distinct suppliers ship each
+    (brand, type, size) combination, excluding a brand and a type set —
+    exact COUNT(DISTINCT) per group with NOT-IN exclusion. Supplier
+    pairs come from lineitem (no partsupp in the synthetic schema).
+
+    Scale: the distinct collapses (partkey, suppkey) pairs map-side
+    before the group shuffle; part broadcasts. Exact distinct is the
+    oracle-checkable form — at 100 TB swap to approx_count_distinct
+    (HLL) per SCALE.md.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    keep = part.filter(
+        (F.col("p_brand") != "Brand#4")
+        & (~F.col("p_type").isin("PROMO", "SMALL"))
+        & (F.col("p_size").isin(1, 2, 3, 4, 5, 10, 15, 20))
+    )
+    return (
+        li.join(F.broadcast(keep), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#4'
+  AND p_type NOT IN ('PROMO', 'SMALL')
+  AND p_size IN (1, 2, 3, 4, 5, 10, 15, 20)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue: suppliers who moved more than 300 units of
+    red parts in 1996 — nested semi-join shape (supplier SEMI JOIN a
+    HAVING-filtered rollup that itself joins a LIKE-filtered dim). The
+    300 threshold selects roughly half the suppliers at test SFs.
+
+    Scale: red-part keys broadcast into the lineitem scan; the rollup
+    shuffles on suppkey (|suppliers|-sized output); the final semi-join
+    broadcasts that rollup into the supplier/nation side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    red = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_sq"))
+        .filter(F.col("_sq") > F.lit(300).cast(DEC))
+    )
+    return (
+        supp.join(
+            F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_ORACLE = """
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > CAST(300 AS DECIMAL(18,2))
+)
+ORDER BY s_suppkey
+"""

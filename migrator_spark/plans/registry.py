@@ -45,6 +45,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "q2w_top_supplier_per_nation": QuerySpec(
         analytics.q2w_top_supplier_per_nation, analytics.Q2W_ORACLE
     ),
+    "q9_product_profit": QuerySpec(analytics.q9_product_profit, analytics.Q9_ORACLE),
+    "q16_supplier_part_counts": QuerySpec(
+        analytics.q16_supplier_part_counts, analytics.Q16_ORACLE
+    ),
+    "q20_excess_suppliers": QuerySpec(
+        analytics.q20_excess_suppliers, analytics.Q20_ORACLE
+    ),
     "q13_customer_distribution": QuerySpec(
         analytics.q13_customer_distribution, analytics.Q13_ORACLE
     ),

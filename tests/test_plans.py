@@ -114,3 +114,27 @@ def test_q22_antijoin_prunes_orders_to_custkey(spark, sf_dir):
         "o_custkey",
         "o_orderdate",
     }, plan
+
+
+def test_q9_all_dims_broadcast(spark, sf_dir):
+    # part (LIKE-filtered), supplier, nation broadcast; lineitem⋈orders
+    # is the only fact-fact shuffle join
+    plan = _plan(spark, sf_dir, "q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    pushed = " ".join(_pushed_filters(plan))
+    assert "StringContains" in pushed, plan
+
+
+def test_q16_part_filter_pushed_and_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_supplier_part_counts")
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = " ".join(_pushed_filters(plan))
+    assert "p_brand" in pushed, plan
+    # _pushed_filters truncates at the nested ] of In-lists; check the
+    # raw plan for the pushed size/type set filters instead
+    assert "In(p_size" in plan and "In(p_type" in plan, plan
+
+
+def test_q20_semi_join_broadcasts_rollup(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q20_excess_suppliers")
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
