@@ -217,13 +217,26 @@ def extract_queue(
     ).cache()
 
     def cleanup() -> None:
-        # drained entries leave the queue only after the load commits
-        remaining = queue.join(
-            drained.select("sourceDatabase", "sourceTable", "pkValue", "timestampUpdated"),
-            on=["sourceDatabase", "sourceTable", "pkValue", "timestampUpdated"],
-            how="left_anti",
+        # drained entries leave the queue only after the load commits.
+        # The anti-join runs against a FRESH queue read inside the
+        # source's locked read-modify-write: entries enqueued while this
+        # batch processed are re-listed and survive the rewrite (the old
+        # snapshot `queue` from extract time would silently drop them).
+        from migrator_spark.sources import base as src_base
+
+        drained_keys = drained.select(
+            "sourceDatabase", "sourceTable", "pkValue", "timestampUpdated"
         )
-        source.write(remaining, queue_table, mode="overwrite")
+        src_base.rmw(
+            source,
+            spark,
+            queue_table,
+            lambda fresh: fresh.join(
+                drained_keys,
+                on=["sourceDatabase", "sourceTable", "pkValue", "timestampUpdated"],
+                how="left_anti",
+            ),
+        )
         drained.unpersist()
 
     return ExtractResult(

@@ -24,6 +24,23 @@ class Source(Protocol):
     def exists(self, spark: SparkSession, name: str) -> bool: ...
 
 
+def rmw(source: Source, spark: SparkSession, name: str, fn) -> None:
+    """Read-modify-write ``name``: replace it with ``fn(current_df)``.
+
+    Dispatches to the source's own ``rmw`` when it has one (ParquetSource
+    holds its per-table lock across the fresh read and the swap, so a
+    concurrent append can't land in the window and be dropped by the
+    rewrite — the single-process analogue of Delta's conflict check).
+    Falls back to an unserialized read+overwrite for sources without
+    native support (JDBC/Delta do transactional writes themselves).
+    """
+    native = getattr(source, "rmw", None)
+    if native is not None:
+        native(spark, name, fn)
+    else:
+        source.write(fn(source.table(spark, name)), name, mode="overwrite")
+
+
 def open_source(dsn: str) -> Source:
     """Resolve a DSN string to a Source implementation."""
     from migrator_spark.sources.memory import MemorySource
