@@ -1020,3 +1020,158 @@ WHERE s_suppkey IN (
 )
 ORDER BY s_suppkey
 """
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analogue: parts whose revenue exceeds a global
+    threshold — group-agg HAVING a scalar subquery over the whole
+    relation. No partsupp in the synthetic schema, so "value" is
+    lineitem revenue per part, and the fixed fraction is replaced by a
+    scale-free one: value > 1.2x the average part value, evaluated as
+    5*value*n_parts > 6*total in exact DECIMAL x BIGINT (no division,
+    no float drift — the q17 trick).
+
+    Scale: one shuffle on l_partkey for the rollup; the global
+    (total, count) is a 1-row aggregate of that rollup, broadcast back
+    into the filter. The fact table is read once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(revenue).alias("_val"))
+    totals = per_part.agg(
+        (F.sum("_val") * F.lit(6)).alias("_total6"),
+        (F.count(F.lit(1)) * F.lit(5)).alias("_n5"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(F.col("_val") * F.col("_n5") > F.col("_total6"))
+        .select("l_partkey", F.col("_val").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+Q11_ORACLE = """
+WITH v AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS val
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM v
+WHERE val * (SELECT count(*) * 5 FROM v) > (SELECT sum(val) * 6 FROM v)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+def q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue: per return-flag counts of late lines split
+    by order priority — fact-fact join + conditional CASE aggregation.
+    The synthetic schema has no shipmode/commitdate/receiptdate, so
+    "late" is l_shipdate > o_orderdate + 60 days and the split is
+    high-priority (1-URGENT/2-HIGH) vs the rest.
+
+    Scale: the only shuffle is orders ⋈ lineitem on orderkey (both
+    facts co-partitionable/bucketable on it); the CASE sums reduce
+    map-side to |return flags| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue: suppliers who were the sole late shipper on
+    a finalized multi-supplier order — the hardest TPC-H shape: a fact
+    self-join with EXISTS (semi) and NOT EXISTS (anti), both carrying a
+    non-equi suppkey<>suppkey conjunct beside the orderkey equi-key.
+    "Late" is l_shipdate > o_orderdate + 60 days (no receipt/commit
+    dates in the synthetic schema).
+
+    Scale: all three legs (late lines, the EXISTS probe, the NOT-EXISTS
+    probe) hash-partition on l_orderkey — one co-partitioned key, so
+    with orderkey bucketing the self-joins are shuffle-free; the
+    non-equi suppkey conjunct rides along as a post-probe filter.
+    supplier is broadcast; top-10 via TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    sole_late = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
+            "left_semi",
+        ).join(
+            other_late,
+            (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+Q21_ORACLE = """
+SELECT s_name, numwait FROM (
+  SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+  FROM supplier
+  JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+  JOIN orders ON o_orderkey = l1.l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND o2.o_orderstatus = 'F'
+                      AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+  GROUP BY s_name
+) ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""

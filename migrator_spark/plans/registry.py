@@ -62,6 +62,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "q22_global_sales_opportunity": QuerySpec(
         analytics.q22_global_sales_opportunity, analytics.Q22_ORACLE
     ),
+    "q11_important_parts": QuerySpec(analytics.q11_important_parts, analytics.Q11_ORACLE),
+    "q12_priority_lateness": QuerySpec(
+        analytics.q12_priority_lateness, analytics.Q12_ORACLE
+    ),
+    "q21_waiting_suppliers": QuerySpec(
+        analytics.q21_waiting_suppliers, analytics.Q21_ORACLE
+    ),
     "pr1_profile_orders": QuerySpec(analytics.pr1_profile_orders, analytics.PR1_ORACLE),
     # --- time-series windows / set operations ---
     "ev1_event_gaps": QuerySpec(analytics.ev1_event_gaps, analytics.EV1_ORACLE),

@@ -138,3 +138,33 @@ def test_q16_part_filter_pushed_and_broadcast(spark, sf_dir):
 def test_q20_semi_join_broadcasts_rollup(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q20_excess_suppliers")
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+
+
+def test_q11_single_fact_scan_via_exchange_reuse(spark, sf_dir):
+    # the totals side must reuse the per-part rollup exchange, not
+    # rescan lineitem; the threshold join is a 1-row broadcast
+    df = REGISTRY["q11_important_parts"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes ReusedExchange at runtime
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
+    assert final.count("Scan parquet") == 1, final
+
+
+def test_q12_single_equi_join_no_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q12_priority_lateness")
+    # lateness (l_shipdate > o_orderdate + interval) must ride the
+    # orderkey equi-join as a post-join condition, not force a
+    # nested-loop join
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_q21_self_joins_are_hash_joins_on_orderkey(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    # EXISTS/NOT-EXISTS legs: equi on orderkey with the suppkey<>suppkey
+    # conjunct as join condition — never a nested loop
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-10, no global sort
