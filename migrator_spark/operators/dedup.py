@@ -251,3 +251,62 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in a
+    transitively-connected duplicate group gets the group's min doc id
+    as ``cluster_id`` (plus ``cluster_size``). This is the corpus-level
+    step after pair generation — dedup policy ("keep one per cluster")
+    needs components, not pairs, because near-dup relations chain
+    (a~b, b~c but not a~c).
+
+    Algorithm: iterative min-label propagation. Each round is one
+    shuffle (edges ⋈ labels on the node key, then min-label groupBy);
+    rounds needed = graph diameter. LSH duplicate components are
+    near-cliques (diameter ~2), so this converges in 2-3 rounds on real
+    corpora; for adversarial long-chain graphs swap in the
+    large-star/small-star variant (O(log n) rounds) — same per-round
+    plan shape. Lineage is truncated per round with an eager
+    localCheckpoint so the plan doesn't nest across iterations (at
+    cluster scale: checkpoint to reliable storage instead).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iters):
+        msgs = edges.join(labels, edges["u"] == labels["node"]).select(
+            F.col("v").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "_new")
+            .join(labels, on="node")
+            .filter(F.col("_new") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))

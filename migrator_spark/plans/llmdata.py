@@ -546,3 +546,61 @@ FROM documents
 GROUP BY lang
 ORDER BY lang
 """
+
+
+def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters (connected components) over the
+    dd2 MinHash-LSH pair graph — the corpus-level dedup step: pairs
+    chain (a~b~c), so keep-one-per-group policy needs components."""
+    pairs = dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESH,
+    )
+    return dd.duplicate_clusters(pairs)
+
+
+DD6_ORACLE = f"""
+WITH RECURSIVE {DOCS_CTE}, {SH_CTE},
+sig AS (
+  SELECT doc_id, sh,
+         list_transform(generate_series(0, {MINHASH_NUM - 1}),
+           i -> list_min(list_transform(sh,
+                  s -> {H.format(x="i::VARCHAR || '|' || s")}))) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, sh, band,
+         {H.format(x="array_to_string(list_transform(sig[band*3+1:band*3+3], v -> v::VARCHAR), ',')")} AS band_hash
+  FROM sig, LATERAL unnest(generate_series(0, {MINHASH_BANDS - 1})) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_distinct(list_intersect(sa.sh, sb.sh)))::DOUBLE
+           / len(list_distinct(sa.sh || sb.sh))::DOUBLE AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+),
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_THRESH}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+r AS (
+  SELECT u AS n, u AS m FROM edges
+  UNION
+  SELECT r.n, e.v FROM r JOIN edges e ON e.u = r.m
+),
+lab AS (SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""

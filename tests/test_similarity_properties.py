@@ -37,3 +37,28 @@ def test_incremental_topk_equals_full(spark, corpus, qv, split, k):
     old_topk = cosine_topk(old, query, k=k)
     got = [tuple(r) for r in incremental_topk(old_topk, new, query, k=k).collect()]
     assert got == expected
+
+
+def test_duplicate_clusters_chain_and_islands(spark):
+    """Worst-case component shapes for min-label propagation: a long
+    chain (diameter = n-1, needs the full iteration count), a triangle,
+    and an isolated pair — clusters must be exact transitive closures
+    labeled by min member."""
+    from migrator_spark.operators.dedup import duplicate_clusters
+
+    chain = [(i, i + 1) for i in range(10, 20)]          # 10-…-20
+    triangle = [(1, 2), (2, 3), (1, 3)]
+    island = [(100, 101)]
+    pairs = spark.createDataFrame(
+        chain + triangle + island, "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in duplicate_clusters(pairs).collect()
+    }
+    want = (
+        {(i, 10, 11) for i in range(10, 21)}
+        | {(i, 1, 3) for i in (1, 2, 3)}
+        | {(i, 100, 2) for i in (100, 101)}
+    )
+    assert got == want
