@@ -310,3 +310,43 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+
+
+def simhash_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bands: int = 4,
+    band_bits: int = 15,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from SimHash fingerprints via banded Hamming LSH.
+
+    Pigeonhole: two 60-bit fingerprints within Hamming distance
+    ``bands - 1`` (or any pair whose differing bits miss one band)
+    collide exactly on that band — so an equi-join per 15-bit band slice
+    generates all candidates for max_hamming < bands, then an exact
+    popcount(xor) verify filters. Entirely JVM bit-ops: no UDF, no n²
+    — the self-join key is (band, slice), same sub-quadratic shape as
+    MinHash banding but over a 1-long fingerprint instead of a
+    signature array (cheaper to store/shuffle at 100 TB: 8 bytes/doc).
+    """
+    mask = (1 << band_bits) - 1
+    slices = [
+        F.shiftright(F.col(hash_col), band_bits * b).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ]
+    banded = fingerprints.select(
+        F.col(id_col), F.col(hash_col), F.posexplode(F.array(*slices)).alias("band", "key")
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), F.col(hash_col).alias("_ha"), "band", "key")
+    b = banded.select(F.col(id_col).alias("doc_b"), F.col(hash_col).alias("_hb"), "band", "key")
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_ha", "_hb")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -604,3 +604,53 @@ SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM lab
 """
+
+
+SIMHASH_BANDS, SIMHASH_BAND_BITS, SIMHASH_MAX_HAM = 4, 15, 3
+
+
+def dd7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming-LSH near-dup pairs over dd3's SimHash
+    fingerprints — the 8-bytes-per-doc scale path of the dedup family
+    (pigeonhole: hamming <= bands-1 guarantees a band collision)."""
+    fp = dd.simhash(load_table(spark, sf_dir, "documents"))
+    return dd.simhash_pairs(
+        fp,
+        bands=SIMHASH_BANDS,
+        band_bits=SIMHASH_BAND_BITS,
+        max_hamming=SIMHASH_MAX_HAM,
+    )
+
+
+DD7_ORACLE = f"""
+WITH {DOCS_CTE},
+dw AS (
+  SELECT DISTINCT doc_id, {H.format(x="wd")} AS h
+  FROM docs, LATERAL unnest(list_distinct(w)) AS t(wd)
+),
+bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS bitsum
+  FROM dw, LATERAL unnest(generate_series(0, 59)) AS g(i)
+  GROUP BY doc_id, i
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> ({SIMHASH_BAND_BITS} * band)) & {(1 << SIMHASH_BAND_BITS) - 1} AS key
+  FROM fp, LATERAL unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS ha, b.simhash AS hb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAM}
+"""
