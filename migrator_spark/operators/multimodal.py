@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -107,3 +108,60 @@ def frame_sample_plan(payloads: DataFrame, every_n: int = 10) -> DataFrame:
         )
         .select("doc_id", "n_frames", "frame_idx")
     )
+
+
+def resize_plan(
+    metadata: DataFrame, box_w: int = 224, box_h: int = 224
+) -> DataFrame:
+    """Aspect-preserving fit-to-box resize targets from decoded
+    metadata — the planning half of a resize stage, pure column math
+    (JVM). The execution half is the same mapInPandas shape as
+    ``decode_metadata`` with PIL's ``resize`` in place of the stub; at
+    scale the plan column feeds it so each executor touches payload
+    bytes exactly once.
+    """
+    scale = F.least(
+        F.lit(float(box_w)) / F.col("width"), F.lit(float(box_h)) / F.col("height")
+    )
+    return metadata.select(
+        "doc_id",
+        "width",
+        "height",
+        scale.alias("scale"),
+        F.floor(F.col("width") * scale).cast("long").alias("dst_w"),
+        F.floor(F.col("height") * scale).cast("long").alias("dst_h"),
+    )
+
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dim", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def extract_features(payloads: DataFrame) -> DataFrame:
+    """Payload -> dense feature vector via Arrow-batched mapInPandas,
+    exploded to (doc_id, dim, value) rows. The extractor is a
+    deterministic stub (md5-byte features — no model runtimes in this
+    container); swapping in a real encoder (CLIP/wav2vec) changes only
+    the function body: schema, Arrow batching, and partition
+    inheritance are the production shape. Exploded output keeps the
+    result oracle-checkable and shuffle-friendly (fixed-width rows).
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h = hashlib.md5(bytes(payload)).hexdigest()
+                for d in range(FEATURE_DIM):
+                    rows.append((doc_id, d, int(h[2 * d : 2 * d + 2], 16) / 255.0))
+            yield pd.DataFrame(rows, columns=["doc_id", "dim", "value"])
+
+    return payloads.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -654,3 +654,39 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand
 WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAM}
 """
+
+
+def mm3_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving 224x224 fit-to-box resize targets computed
+    from the decoded metadata (planning half of a resize stage)."""
+    payloads = mm.to_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.resize_plan(mm.decode_metadata(payloads))
+
+
+MM3_ORACLE = """
+WITH meta AS (
+  SELECT doc_id,
+         320 + octet_length(encode(text)) % 320 AS width,
+         240 + octet_length(encode(text)) % 240 AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       least(224.0 / width, 224.0 / height) AS scale,
+       CAST(floor(width * least(224.0 / width, 224.0 / height)) AS BIGINT) AS dst_w,
+       CAST(floor(height * least(224.0 / width, 224.0 / height)) AS BIGINT) AS dst_h
+FROM meta
+"""
+
+
+def mm4_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload -> 8-dim feature vector (stub encoder) via Arrow
+    mapInPandas, exploded to (doc_id, dim, value)."""
+    payloads = mm.to_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.extract_features(payloads)
+
+
+MM4_ORACLE = """
+SELECT doc_id, d AS dim,
+       ('0x' || substr(md5(text), 2 * d + 1, 2))::INT / 255.0 AS value
+FROM documents, LATERAL unnest(generate_series(0, 7)) AS t(d)
+"""

@@ -148,6 +148,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- multimodal plumbing (decode stubbed, see operators/multimodal.py) ---
     "mm1_decode_metadata": QuerySpec(llmdata.mm1_decode_metadata, llmdata.MM1_ORACLE),
     "mm2_frame_sample": QuerySpec(llmdata.mm2_frame_sample, llmdata.MM2_ORACLE),
+    "mm3_resize_plan": QuerySpec(llmdata.mm3_resize_plan, llmdata.MM3_ORACLE),
+    "mm4_extract_features": QuerySpec(
+        llmdata.mm4_extract_features, llmdata.MM4_ORACLE
+    ),
 }
 
 
