@@ -522,3 +522,56 @@ UNION ALL
 SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM final
 WHERE _method <> 'REMOVE'
 """
+
+
+def a3_coalesce_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: advanced offset of an E3 batch = max of the COALESCED
+    position expression (extractor_timestamp_fallback.go:85 intended
+    this; the reference reads a nonexistent "colA,colB" map key and
+    aborts — SURVEY.md E3 ⚠. Correct semantics implemented here)."""
+    batch = e3_coalesce_scan(spark, sf_dir)
+    return batch.agg(
+        F.max(F.coalesce(F.col("ts_a"), F.col("ts_b"))).alias("max_pos"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+A3_ORACLE = f"""
+SELECT max(coalesce(ts_a, ts_b)) AS max_pos, count(*) AS cnt
+FROM (
+  WITH src AS (
+    SELECT event_id, user_id, event_type,
+           CASE WHEN event_type = 'click' THEN NULL ELSE ts END AS ts_a,
+           ts - INTERVAL 1 DAY AS ts_b
+    FROM events
+  )
+  SELECT * FROM src
+  WHERE coalesce(ts_a, ts_b) > TIMESTAMP '{E3_POS}'
+  ORDER BY coalesce(ts_a, ts_b), event_id LIMIT {TS_BATCH}
+)
+"""
+
+
+def p8_full_row_delete_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: delete-matching on ALL columns of the row
+    (batched_queries.go:52-58 — the reference's BatchedRemove builds
+    `DELETE ... WHERE c1=? AND c2=? AND ...` over every column). Spark
+    re-expression: the surviving target = anti-join of the target
+    against the delete rows on the full column list, one distributed
+    pass instead of one statement per row."""
+    events = load_table(spark, sf_dir, "events")
+    deletes = events.filter(
+        (F.col("event_type") == "error") & (F.col("user_id") % 7 == 0)
+    )
+    return events.join(deletes, on=events.columns, how="left_anti")
+
+
+P8_ORACLE = """
+SELECT * FROM events t
+WHERE NOT EXISTS (
+  SELECT 1 FROM events d
+  WHERE d.event_type = 'error' AND d.user_id % 7 = 0
+    AND t.event_id = d.event_id AND t.ts = d.ts AND t.user_id = d.user_id
+    AND t.event_type = d.event_type AND t.value = d.value AND t.props = d.props
+)
+"""

@@ -92,9 +92,13 @@ REGISTRY: dict[str, QuerySpec] = {
     # P2-P5 range/coalesce/point predicates are exercised inside e1/e2/e3/e4
     "p6_composite_lookup": QuerySpec(cdc.p6_composite_lookup, cdc.P6_ORACLE),
     "p7_tracking_lookup": QuerySpec(cdc.p7_tracking_lookup, cdc.P7_ORACLE),
+    "p8_full_row_delete_match": QuerySpec(
+        cdc.p8_full_row_delete_match, cdc.P8_ORACLE
+    ),
     # --- aggregates / offsets (§2.4) ---
     "a1_max_offset": QuerySpec(cdc.a1_max_offset, cdc.A1_ORACLE),
     "a2_ts_offset": QuerySpec(cdc.a2_ts_offset, cdc.A2_ORACLE),
+    "a3_coalesce_offset": QuerySpec(cdc.a3_coalesce_offset, cdc.A3_ORACLE),
     "a5_group_by_method": QuerySpec(cdc.a5_group_by_method, cdc.A5_ORACLE),
     # --- sorts / windows (§2.5-2.6) ---
     "s1_queue_topk": QuerySpec(cdc.s1_queue_topk, cdc.S1_ORACLE),
