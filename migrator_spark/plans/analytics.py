@@ -1175,3 +1175,34 @@ SELECT s_name, numwait FROM (
 ) ORDER BY numwait DESC, s_name ASC
 LIMIT 10
 """
+
+
+def q8c_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE completion of the grouping-sets family (q8 covers ROLLUP):
+    all 2^2 aggregation levels over (o_orderstatus, o_orderpriority)
+    in one pass, GROUPING() flags disambiguating subtotal rows. Same
+    scale shape as ROLLUP: map-side partials expand per grouping set,
+    the shuffle carries |sets|x|groups| pre-reduced rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+Q8C_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""

@@ -36,6 +36,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q6_forecast_revenue": QuerySpec(analytics.q6_forecast_revenue, analytics.Q6_ORACLE),
     "q7_trade_volume": QuerySpec(analytics.q7_trade_volume, analytics.Q7_ORACLE),
     "q8_rollup_sales": QuerySpec(analytics.q8_rollup_sales, analytics.Q8_ORACLE),
+    "q8c_cube_orders": QuerySpec(analytics.q8c_cube_orders, analytics.Q8C_ORACLE),
     "q19_disjunctive_filter": QuerySpec(
         analytics.q19_disjunctive_filter, analytics.Q19_ORACLE
     ),
