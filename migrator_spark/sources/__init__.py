@@ -5,6 +5,8 @@ writes (``write``). DSN strings in pipeline configs pick the
 implementation:
 
     parquet:///data/warehouse/a     -> ParquetSource (dir of <table>.parquet)
+    csv:///data/dumps               -> CsvSource (<table>.csv, header'd)
+    json:///data/feeds              -> JsonSource (<table>.json, JSON-lines)
     memory://name                   -> MemorySource (in-process dict, tests)
     jdbc:mysql://host/db            -> JdbcSource (thin spark.read.jdbc wrapper)
 
@@ -16,6 +18,14 @@ from __future__ import annotations
 
 from migrator_spark.sources.base import Source, open_source
 from migrator_spark.sources.memory import MemorySource
+from migrator_spark.sources.files import CsvSource, JsonSource
 from migrator_spark.sources.parquet import ParquetSource
 
-__all__ = ["Source", "open_source", "ParquetSource", "MemorySource"]
+__all__ = [
+    "Source",
+    "open_source",
+    "ParquetSource",
+    "MemorySource",
+    "CsvSource",
+    "JsonSource",
+]

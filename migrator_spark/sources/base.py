@@ -48,6 +48,14 @@ def open_source(dsn: str) -> Source:
 
     if dsn.startswith("parquet://"):
         return ParquetSource(dsn[len("parquet://") :])
+    if dsn.startswith("csv://"):
+        from migrator_spark.sources.files import CsvSource
+
+        return CsvSource(dsn[len("csv://") :])
+    if dsn.startswith("json://"):
+        from migrator_spark.sources.files import JsonSource
+
+        return JsonSource(dsn[len("json://") :])
     if dsn.startswith("memory://"):
         return MemorySource.named(dsn[len("memory://") :])
     if dsn.startswith("delta://"):

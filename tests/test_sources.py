@@ -39,3 +39,116 @@ def test_memory_source_append(spark):
     assert sorted(r["id"] for r in m.table(spark, "x").collect()) == [0, 1, 2, 3, 4]
     m.write(spark.range(1).toDF("id"), "x")  # overwrite resets
     assert m.table(spark, "x").count() == 1
+
+
+def test_csv_source_roundtrip_with_schema(spark, tmp_path):
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from migrator_spark.sources.files import CsvSource
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("dob", TimestampType()),
+            StructField("enabled", BooleanType()),
+        ]
+    )
+    rows = [
+        (1, "Andrew Abramson", datetime(1930, 1, 2), True),
+        (2, "Brett Baker", datetime(1942, 3, 14), False),
+    ]
+    s = CsvSource(str(tmp_path / "csv"), schemas={"x": schema})
+    s.write(spark.createDataFrame(rows, schema), "x")
+    got = s.table(spark, "x")
+    assert got.schema == schema
+    assert sorted(map(tuple, got.collect())) == rows
+    # append fast path + atomic overwrite both land
+    s.write(spark.createDataFrame([(3, "Cora", datetime(2000, 1, 1), True)], schema), "x", mode="append")
+    assert s.table(spark, "x").count() == 3
+    s.write(spark.createDataFrame(rows[:1], schema), "x")
+    assert s.table(spark, "x").count() == 1
+
+
+def test_json_source_roundtrip(spark, tmp_path):
+    from migrator_spark.sources.files import JsonSource
+
+    s = JsonSource(str(tmp_path / "json"))
+    s.write(spark.range(5).toDF("id"), "t")
+    assert sorted(r["id"] for r in s.table(spark, "t").collect()) == [0, 1, 2, 3, 4]
+
+
+def test_open_source_dispatch(tmp_path):
+    from migrator_spark.sources import open_source
+    from migrator_spark.sources.files import CsvSource, JsonSource
+
+    assert isinstance(open_source(f"csv://{tmp_path}/a"), CsvSource)
+    assert isinstance(open_source(f"json://{tmp_path}/b"), JsonSource)
+
+
+def test_pipeline_csv_source_to_parquet_target(spark, tmp_path):
+    """End-to-end: sequential replication out of a CSV dump into a
+    parquet target — interchange formats work as pipeline edges."""
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from migrator_spark.pipeline.config import from_dict
+    from migrator_spark.pipeline.runner import Migrator
+    from migrator_spark.sources.files import CsvSource
+    from migrator_spark.sources.parquet import ParquetSource
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("dob", TimestampType()),
+            StructField("enabled", BooleanType()),
+        ]
+    )
+    rows = [
+        (1, "Andrew Abramson", datetime(1930, 1, 2), True),
+        (2, "Brett Baker", datetime(1942, 3, 14), True),
+        (3, "Charlie Collins", datetime(1945, 11, 9), False),
+    ]
+    src_dir = str(tmp_path / "src")
+    CsvSource(src_dir, schemas={"x": schema}).write(
+        spark.createDataFrame(rows, schema), "x"
+    )
+    cfg = from_dict(
+        {
+            "tracking-table": "EtlPosition",
+            "parameters": {"batch-size": 10},
+            "migrations": [
+                {
+                    "source": {"dsn": f"csv://{src_dir}", "table": "x", "key": "id"},
+                    "target": {
+                        "dsn": f"parquet://{tmp_path}/dst",
+                        "table": "x",
+                    },
+                    "extractor": "sequential",
+                    "transformer": "default",
+                }
+            ],
+        }
+    )
+    m = Migrator(spark, cfg, str(tmp_path / "trk"))
+    m.run_until_drained()
+    got = ParquetSource(f"{tmp_path}/dst").table(spark, "x")
+    assert sorted(map(tuple, got.collect())) == rows
