@@ -1206,3 +1206,100 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
 """
+
+
+def ev2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest view of the same user
+    at-or-before the purchase timestamp. Spark lacks a native ASOF
+    join; the naive form is an inequality join (quadratic per user).
+    This is the scalable re-expression: union both event streams,
+    single shuffle on user_id, and a running ``last(ignoreNulls)``
+    window — O(1) state per row, sort-merge cost, no pair blowup.
+    Ties resolve deterministically: at equal ts the view with the
+    greatest event_id wins, and views sort before the purchases they
+    may match (order key ts, is_purchase, event_id).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("_vid"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(),
+            (F.col("event_type") == "purchase").cast("int").asc(),
+            F.col("event_id").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        both.withColumn("view_event_id", F.last("_vid", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "view_event_id")
+    )
+
+
+EV2_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT v.event_id FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_event_id
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
+RANGE_JOIN_SECONDS = 3600
+
+
+def ev3_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: same-user event pairs within 1 hour of each other.
+    The naive |t_a - t_b| <= h predicate forces a per-user cross
+    product; the scale path bucketizes time into h-wide bins and
+    equi-joins on (user, bin) with one side exploded to (bin-1, bin,
+    bin+1) — any qualifying pair shares a bin under that expansion, so
+    the exact predicate then filters a linear-ish candidate set. This
+    is how Spark's own range-join hints (and KDB-style wj) work
+    underneath.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_timestamp("ts") / F.lit(RANGE_JOIN_SECONDS)).cast("long").alias("_bin"),
+    )
+    probe = binned.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+        F.explode(
+            F.array(F.col("_bin") - 1, F.col("_bin"), F.col("_bin") + 1)
+        ).alias("_bin"),
+    )
+    build = binned.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_b"),
+        "_bin",
+    )
+    dt = F.abs(F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a"))
+    return (
+        probe.join(build, on=["user_id", "_bin"])
+        .filter((F.col("a_id") < F.col("b_id")) & (dt <= RANGE_JOIN_SECONDS))
+        .select("user_id", "a_id", "b_id", dt.cast("long").alias("dt_seconds"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+EV3_ORACLE = f"""
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       abs(date_diff('second', a.ts, b.ts)) AS dt_seconds
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(date_diff('second', a.ts, b.ts)) <= {RANGE_JOIN_SECONDS}
+"""

@@ -73,6 +73,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "pr1_profile_orders": QuerySpec(analytics.pr1_profile_orders, analytics.PR1_ORACLE),
     # --- time-series windows / set operations ---
     "ev1_event_gaps": QuerySpec(analytics.ev1_event_gaps, analytics.EV1_ORACLE),
+    "ev2_asof_join": QuerySpec(analytics.ev2_asof_join, analytics.EV2_ORACLE),
+    "ev3_range_join": QuerySpec(analytics.ev3_range_join, analytics.EV3_ORACLE),
     "set1_repeat_customers": QuerySpec(
         analytics.set1_repeat_customers, analytics.SET1_ORACLE
     ),

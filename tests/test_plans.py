@@ -168,3 +168,21 @@ def test_q21_self_joins_are_hash_joins_on_orderkey(spark, sf_dir):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan  # top-10, no global sort
+
+
+def test_ev2_asof_is_window_not_join(spark, sf_dir):
+    # scalable as-of: union + running last() — one user_id exchange,
+    # NO join operator of any kind in the plan
+    plan = _plan(spark, sf_dir, "ev2_asof_join")
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_ev3_range_join_is_bucketed_hash_join(spark, sf_dir):
+    # bucketized range join: equi-join on (user_id, time bin), the
+    # interval predicate only filters — never a nested loop
+    plan = _plan(spark, sf_dir, "ev3_range_join")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
