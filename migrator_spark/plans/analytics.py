@@ -1303,3 +1303,22 @@ FROM events a JOIN events b
   ON a.user_id = b.user_id AND a.event_id < b.event_id
  AND abs(date_diff('second', a.ts, b.ts)) <= {RANGE_JOIN_SECONDS}
 """
+
+
+def pr3_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profiling: approx_count_distinct (HyperLogLog++)
+    per event type — the 100 TB form of pr1's exact distinct. Exact
+    distinct shuffles every distinct key; the HLL sketch is a few KB
+    per group merged map-side, so cardinality profiling costs one scan
+    regardless of key cardinality. No DuckDB oracle (sketch estimates
+    are engine-specific); the error bound vs the exact answer is
+    asserted in tests/test_plans.py instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

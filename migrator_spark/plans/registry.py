@@ -71,6 +71,11 @@ REGISTRY: dict[str, QuerySpec] = {
         analytics.q21_waiting_suppliers, analytics.Q21_ORACLE
     ),
     "pr1_profile_orders": QuerySpec(analytics.pr1_profile_orders, analytics.PR1_ORACLE),
+    # sketch estimate: engine-specific values, driver rows-only check;
+    # error bound vs exact is pinned in tests/test_plans.py
+    "pr3_approx_profile": QuerySpec(
+        analytics.pr3_approx_profile, None, note="HLL sketch, rows-only"
+    ),
     # --- time-series windows / set operations ---
     "ev1_event_gaps": QuerySpec(analytics.ev1_event_gaps, analytics.EV1_ORACLE),
     "ev2_asof_join": QuerySpec(analytics.ev2_asof_join, analytics.EV2_ORACLE),

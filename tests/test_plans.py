@@ -186,3 +186,26 @@ def test_ev3_range_join_is_bucketed_hash_join(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_pr3_approx_distinct_error_bound(spark, sf_dir):
+    # HLL at rsd=0.02 must land within 5% of the exact distinct count
+    # (no oracle possible: sketch estimates are engine-specific)
+    import pyspark.sql.functions as F
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["pr3_approx_profile"].fn(spark, sf_dir).collect()
+    }
+    from migrator_spark.tables import load_table
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, v in exact.items():
+        assert abs(got[k] - v) <= max(1, 0.05 * v), (k, got[k], v)
