@@ -554,3 +554,23 @@ def test_continuous_queue_cdc_convergence(spark, dirs):
         f"errors: {[(s, str(e)) for s, e, _ in m.errors]}"
     )
     assert src.table(spark, "MigratorRecordQueue").count() == 0
+
+
+def test_all_example_configs_parse():
+    """Every shipped example YAML must load through the config parser
+    and resolve a registered extractor/transformer."""
+    import glob
+
+    import migrator_spark.pipeline.extractors  # noqa: F401 - registers
+    import migrator_spark.pipeline.transformers  # noqa: F401 - registers
+    from migrator_spark.pipeline.config import load_config
+    from migrator_spark.pipeline.registries import EXTRACTORS, TRANSFORMERS
+
+    files = sorted(glob.glob("examples/*.yml"))
+    assert len(files) >= 4
+    for f in files:
+        cfg = load_config(f)
+        for mig in cfg.migrations:
+            for it in mig.iterations:
+                assert it.extractor in EXTRACTORS, (f, it.extractor)
+                assert it.transformer in TRANSFORMERS, (f, it.transformer)
