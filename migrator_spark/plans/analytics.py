@@ -1322,3 +1322,31 @@ def pr3_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def w2_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window function family over per-user event values:
+    dense_rank, ntile(4), percent_rank, cume_dist — one window pass,
+    state bounded per partition (user). Completes §2.5 beyond w1's
+    row_number and q2w's rank."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.dense_rank().over(w).alias("dr"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+W2_ORACLE = """
+SELECT user_id, event_id,
+       dense_rank()   OVER w AS dr,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist()    OVER w AS cd
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+"""

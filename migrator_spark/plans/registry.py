@@ -111,6 +111,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- sorts / windows (§2.5-2.6) ---
     "s1_queue_topk": QuerySpec(cdc.s1_queue_topk, cdc.S1_ORACLE),
     "w1_latest_by_key": QuerySpec(cdc.w1_latest_by_key, cdc.W1_ORACLE),
+    "w2_window_suite": QuerySpec(analytics.w2_window_suite, analytics.W2_ORACLE),
     # --- loaders L0/L2/L3 (§2.9) ---
     "l2_upsert_lastwins": QuerySpec(cdc.l2_upsert_lastwins, cdc.L2_ORACLE),
     "l3_remove_antijoin": QuerySpec(cdc.l3_remove_antijoin, cdc.L3_ORACLE),
