@@ -80,14 +80,41 @@ def minhash_lsh_pairs(
     sizes are tiny for realistic thresholds, so the join is linear-ish;
     signatures are num_hashes longs per doc (constant width).
     """
+    sh, banded = _lsh_state(docs, id_col, text_col, num_hashes, bands, shingle_k)
+    # candidate generation carries ids only — the shingle arrays join
+    # back in for the (small) verified candidate set
+    cand = (
+        banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
+        .join(
+            banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash"),
+            on=["band", "band_hash"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _verify_jaccard(cand, sh, id_col, threshold)
+
+
+def _lsh_state(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle sets, banded LSH index) — the per-doc dedup state.
+
+    Shingle ONCE, then hash the flat exploded relation. The naive form
+    (nested transform(sequence(H), transform(shingles, md5...))) falls
+    out of whole-stage codegen into interpreted evaluation — measured
+    45 s for 5k docs at sf0.1 vs ~2 s for this shape. Same hash values,
+    same oracle; only the plan shape changes.
+    """
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
-    # Shingle ONCE, then hash the flat exploded relation. The naive form
-    # (nested transform(sequence(H), transform(shingles, md5...))) falls
-    # out of whole-stage codegen into interpreted evaluation — measured
-    # 45 s for 5k docs at sf0.1 vs ~2 s for this shape. Same hash values,
-    # same oracle; only the plan shape changes.
     sh = docs.select(F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles"))
     tok = sh.select(
         F.col(id_col), F.explode(F.array_distinct(F.col("shingles"))).alias("s")
@@ -123,18 +150,12 @@ def minhash_lsh_pairs(
     banded = sig.select(
         id_col, F.posexplode(F.array(*band_hashes)).alias("band", "band_hash")
     )
-    # candidate generation carries ids only — the shingle arrays join
-    # back in for the (small) verified candidate set
-    cand = (
-        banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
-        .join(
-            banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash"),
-            on=["band", "band_hash"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    return sh, banded
+
+
+def _verify_jaccard(
+    cand: DataFrame, sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
     cand = cand.join(
         sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")), on="doc_a"
     ).join(
@@ -350,3 +371,47 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def minhash_lsh_pairs_incremental(
+    docs: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup pairs involving a batch of NEW docs — the incremental
+    maintenance form of ``minhash_lsh_pairs`` for continuous ingest:
+    instead of the corpus self-join, the new docs' bands probe the
+    band index, so candidate generation is O(batch x bucket), not
+    O(corpus x bucket). Pair order is normalized (doc_a < doc_b) and
+    new-new pairs emit once.
+
+    At scale the band index for existing docs is a persisted table
+    maintained by appending each batch's bands (8+8+8 bytes/row) — the
+    signatures here are recomputed from ``docs`` only so the operator
+    stays a self-contained oracle-checkable expression; the join
+    structure (new-probe-index) is the part that changes the cost
+    class.
+    """
+    sh, banded = _lsh_state(docs, id_col, text_col, num_hashes, bands, shingle_k)
+    new_b = banded.join(
+        F.broadcast(new_ids.select(id_col)), on=id_col, how="left_semi"
+    )
+    cand = (
+        new_b.select(F.col(id_col).alias("n_id"), "band", "band_hash")
+        .join(
+            banded.select(F.col(id_col).alias("o_id"), "band", "band_hash"),
+            on=["band", "band_hash"],
+        )
+        .filter(F.col("n_id") != F.col("o_id"))
+        .select(
+            F.least("n_id", "o_id").alias("doc_a"),
+            F.greatest("n_id", "o_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _verify_jaccard(cand, sh, id_col, threshold)

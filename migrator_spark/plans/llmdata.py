@@ -690,3 +690,56 @@ SELECT doc_id, d AS dim,
        ('0x' || substr(md5(text), 2 * d + 1, 2))::INT / 255.0 AS value
 FROM documents, LATERAL unnest(generate_series(0, 7)) AS t(d)
 """
+
+
+DD8_NEW_FROM = 400
+
+
+def dd8_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup maintenance: docs with id >= 400 play the
+    newly-ingested batch; their bands probe the band index instead of
+    a corpus self-join (O(batch), the continuous-pipeline form of
+    dd2). Result = exactly dd2's pairs that touch a new doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_ids = docs.filter(F.col("doc_id") >= DD8_NEW_FROM).select("doc_id")
+    return dd.minhash_lsh_pairs_incremental(
+        docs,
+        new_ids,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESH,
+    )
+
+
+DD8_ORACLE = f"""
+WITH {DOCS_CTE}, {SH_CTE},
+sig AS (
+  SELECT doc_id, sh,
+         list_transform(generate_series(0, {MINHASH_NUM - 1}),
+           i -> list_min(list_transform(sh,
+                  s -> {H.format(x="i::VARCHAR || '|' || s")}))) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, sh, band,
+         {H.format(x="array_to_string(list_transform(sig[band*3+1:band*3+3], v -> v::VARCHAR), ',')")} AS band_hash
+  FROM sig, LATERAL unnest(generate_series(0, {MINHASH_BANDS - 1})) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                  greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id <> b.doc_id
+  WHERE a.doc_id >= {DD8_NEW_FROM}
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_distinct(list_intersect(sa.sh, sb.sh)))::DOUBLE
+           / len(list_distinct(sa.sh || sb.sh))::DOUBLE AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+)
+SELECT * FROM verified WHERE jaccard >= {MINHASH_THRESH}
+"""
