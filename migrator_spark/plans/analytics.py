@@ -1350,3 +1350,258 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
 """
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 exact shape: for each PROMO part, the EUROPE supplier(s)
+    offering the minimum supply cost (correlated-scalar-subquery form).
+    The synthetic schema has no partsupp, so the offer relation is
+    derived: min(l_extendedprice) per (partkey, suppkey).
+
+    Scale: part + supplier⋈nation⋈region are dims → broadcast into the
+    lineitem scan as semi-joins (fact never shuffles pre-agg); the
+    per-part minimum is a window min over the already-aggregated offer
+    relation (|parts×suppliers| rows), re-using the (partkey, suppkey)
+    shuffle — the correlated subquery never rescans the fact. Top-20 by
+    acctbal is TakeOrderedAndProject. Cost equality is exact (min of
+    unmodified doubles — no arithmetic, no drift)."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    euro_sup = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(euro_sup.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    best = offers.withColumn(
+        "min_cost", F.min("supply_cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("supply_cost") == F.col("min_cost"))
+    return (
+        best.join(F.broadcast(euro_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("part_key"),
+            "p_name",
+            "supply_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "part_key")
+        .limit(20)
+    )
+
+
+Q2_ORACLE = """
+WITH euro_sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND l_suppkey IN (SELECT s_suppkey FROM euro_sup)
+  GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, o.l_partkey AS part_key, p_name, supply_cost
+FROM offers o
+JOIN euro_sup s ON o.l_suppkey = s.s_suppkey
+JOIN part p ON o.l_partkey = p.p_partkey
+WHERE supply_cost = (
+  SELECT min(supply_cost) FROM offers o2 WHERE o2.l_partkey = o.l_partkey
+)
+ORDER BY s_acctbal DESC, n_name, s_name, part_key
+LIMIT 20
+"""
+
+
+def f5_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order function family over tokenized documents:
+    size, array_distinct, array_contains, array_sort, slice+array_join,
+    and the HOF trio transform / filter / aggregate. This is the
+    expression-surface demo for array columns (the reference has no
+    array types at all, SURVEY.md §1.2).
+
+    Scale: pure per-row projection — no shuffle, no UDF. The HOF
+    lambdas evaluate interpreted (SCALE.md §4 pitfall), which is
+    acceptable here because work is O(tokens/row) with integer results;
+    hot-path token pipelines use the exploded forms in operators/
+    textops.py instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_max(F.transform(toks, lambda x: F.length(x))).alias("max_tok_len"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("sum_tok_len"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias("first_sorted"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long_tokens"),
+    )
+
+
+F5_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       list_contains(string_split(text, ' '), 'the') AS has_the,
+       list_max(list_transform(string_split(text, ' '), x -> length(x))) AS max_tok_len,
+       CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS INTEGER) AS sum_tok_len,
+       array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3,
+       list_sort(list_distinct(string_split(text, ' ')))[1] AS first_sorted,
+       len(list_filter(string_split(text, ' '), x -> length(x) > 5)) AS n_long_tokens
+FROM documents
+"""
+
+
+def w3_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based window aggregates over the event stream: moving
+    sum/count/max over the last 4 rows, a 1-hour RANGE frame, and
+    running totals. Completes §2.5 with explicit ROWS/RANGE frames
+    (w1/w2 cover ranking; this covers sliding aggregation).
+
+    Scale: one shuffle on user_id serves every frame; per-row state is
+    O(frame) for ROWS and O(peers-in-range) for RANGE — both bounded
+    by event rate, not history, so state never grows with table size.
+    Sums in DECIMAL(18,6): frame contents are deterministic (unique
+    (ts, event_id) order; RANGE includes tied peers symmetrically), so
+    exact arithmetic makes the values engine-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,6)")
+    rows_w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    )
+    range_w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    cum_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(val).over(rows_w).cast("double").alias("moving_sum4"),
+        F.count(F.lit(1)).over(rows_w).alias("moving_cnt4"),
+        F.max(val).over(rows_w).cast("double").alias("moving_max4"),
+        F.sum(val).over(range_w).cast("double").alias("hourly_sum"),
+        F.sum(val).over(cum_w).cast("double").alias("running_sum"),
+        F.count(F.lit(1)).over(cum_w).alias("running_cnt"),
+    )
+
+
+W3_ORACLE = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER wr  AS DOUBLE) AS moving_sum4,
+       count(*) OVER wr AS moving_cnt4,
+       CAST(max(CAST(value AS DECIMAL(18,6))) OVER wr  AS DOUBLE) AS moving_max4,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER wh  AS DOUBLE) AS hourly_sum,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER wc  AS DOUBLE) AS running_sum,
+       count(*) OVER wc AS running_cnt
+FROM events
+WINDOW
+  wr AS (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+  wh AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+  wc AS (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+ORDER_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+PRIORITY_ALIASES = ("n_urgent", "n_high", "n_medium", "n_notspec", "n_low")
+
+
+def q23_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts per year × priority as one row
+    per year with a column per priority. Pivot values are pinned
+    explicitly — at 100 TB an unpinned pivot costs an extra distinct
+    pass over the fact just to discover column names, and unbounded
+    cardinality would make the row width a function of the data.
+
+    Scale: with pinned values this is exactly a conditional-sum
+    aggregate (the oracle spells it): map-side partials reduce to
+    |years| rows, one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderpriority", list(ORDER_PRIORITIES))
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = wide.select(
+        "order_year",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a)
+            for v, a in zip(ORDER_PRIORITIES, PRIORITY_ALIASES)
+        ],
+    )
+    return renamed.orderBy("order_year")
+
+
+Q23_ORACLE = """
+SELECT year(o_orderdate) AS order_year,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS n_urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS n_high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS n_medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS n_low
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+PRICE_BUCKET_WIDTH = 50_000
+
+
+def pr4_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: equi-width buckets of
+    50k, with count and exact DECIMAL sum per bucket. The binning
+    pattern for numeric profiling at scale — one scan, map-side
+    partials, shuffle carries |buckets| rows.
+
+    Bucket id = floor(price/width) on IEEE doubles: bit-identical in
+    any engine (single division + floor), so the bucket boundaries
+    cannot drift between Spark and the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(float(PRICE_BUCKET_WIDTH)))
+    return (
+        orders.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("bucket_total"),
+        )
+        .orderBy("price_bucket")
+    )
+
+
+PR4_ORACLE = f"""
+SELECT CAST(floor(o_totalprice / {float(PRICE_BUCKET_WIDTH)}) AS BIGINT) AS price_bucket,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""

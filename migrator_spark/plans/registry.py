@@ -70,11 +70,20 @@ REGISTRY: dict[str, QuerySpec] = {
     "q21_waiting_suppliers": QuerySpec(
         analytics.q21_waiting_suppliers, analytics.Q21_ORACLE
     ),
+    "q2_min_cost_supplier": QuerySpec(
+        analytics.q2_min_cost_supplier, analytics.Q2_ORACLE
+    ),
+    "q23_priority_pivot": QuerySpec(
+        analytics.q23_priority_pivot, analytics.Q23_ORACLE
+    ),
     "pr1_profile_orders": QuerySpec(analytics.pr1_profile_orders, analytics.PR1_ORACLE),
     # sketch estimate: engine-specific values, driver rows-only check;
     # error bound vs exact is pinned in tests/test_plans.py
     "pr3_approx_profile": QuerySpec(
         analytics.pr3_approx_profile, None, note="HLL sketch, rows-only"
+    ),
+    "pr4_price_histogram": QuerySpec(
+        analytics.pr4_price_histogram, analytics.PR4_ORACLE
     ),
     # --- time-series windows / set operations ---
     "ev1_event_gaps": QuerySpec(analytics.ev1_event_gaps, analytics.EV1_ORACLE),
@@ -112,6 +121,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "s1_queue_topk": QuerySpec(cdc.s1_queue_topk, cdc.S1_ORACLE),
     "w1_latest_by_key": QuerySpec(cdc.w1_latest_by_key, cdc.W1_ORACLE),
     "w2_window_suite": QuerySpec(analytics.w2_window_suite, analytics.W2_ORACLE),
+    "w3_rolling_frames": QuerySpec(analytics.w3_rolling_frames, analytics.W3_ORACLE),
     # --- loaders L0/L2/L3 (§2.9) ---
     "l2_upsert_lastwins": QuerySpec(cdc.l2_upsert_lastwins, cdc.L2_ORACLE),
     "l3_remove_antijoin": QuerySpec(cdc.l3_remove_antijoin, cdc.L3_ORACLE),
@@ -121,6 +131,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "f2_json_props": QuerySpec(analytics.f2_json_props, analytics.F2_ORACLE),
     "f3_date_parts": QuerySpec(analytics.f3_date_parts, analytics.F3_ORACLE),
     "f4_string_suite": QuerySpec(analytics.f4_string_suite, analytics.F4_ORACLE),
+    "f5_array_suite": QuerySpec(analytics.f5_array_suite, analytics.F5_ORACLE),
     "t2_rename_routing": QuerySpec(cdc.t2_rename_routing, cdc.T2_ORACLE),
     "st1_windowed_counts": QuerySpec(cdc.st1_windowed_counts, cdc.ST1_ORACLE),
     "st2_session_windows": QuerySpec(cdc.st2_session_windows, cdc.ST2_ORACLE),

@@ -209,3 +209,38 @@ def test_pr3_approx_distinct_error_bound(spark, sf_dir):
     assert set(got) == set(exact)
     for k, v in exact.items():
         assert abs(got[k] - v) <= max(1, 0.05 * v), (k, got[k], v)
+
+
+def test_q2_dims_broadcast_and_topk(spark, sf_dir):
+    # exact-Q2 shape: part/supplier/nation/region all broadcast (the
+    # fact is never shuffled pre-agg) and top-20 is TakeOrderedAndProject
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = " ".join(_pushed_filters(plan))
+    assert "EqualTo(p_type,PROMO)" in pushed and "EqualTo(r_name,EUROPE)" in pushed, plan
+
+
+def test_w3_single_exchange_serves_all_frames(spark, sf_dir):
+    # ROWS, RANGE and cumulative frames all partition by user_id: one
+    # shuffle must feed every Window operator (re-sorting is fine,
+    # re-exchanging is a regression)
+    plan = _plan(spark, sf_dir, "w3_rolling_frames")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2, plan
+
+
+def test_q23_pivot_scan_pruned(spark, sf_dir):
+    # pinned pivot values: no extra distinct pass, orders scan pruned to
+    # the two referenced columns
+    plan = _plan(spark, sf_dir, "q23_priority_pivot")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"o_orderdate", "o_orderpriority"}, plan
+
+
+def test_pr4_histogram_single_column_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pr4_price_histogram")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m.group(1).split(":")[0] == "o_totalprice", plan
+    assert plan.count("HashAggregate") >= 2, plan  # map-side partials
