@@ -1605,3 +1605,318 @@ FROM orders
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def q24_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): melts the q23 pivot back to one row per
+    (year, priority). Round-trips the reshaping surface — pivot and
+    unpivot are inverse operators, and both must exist for a user to
+    move between normalized and reporting layouts.
+
+    Scale: unpivot is an Expand over the already-aggregated wide
+    relation (|years| rows), so its cost is independent of the fact
+    size; the fact scan stays pruned to the two pivot columns."""
+    wide = q23_priority_pivot(spark, sf_dir)
+    labeled = wide.select(
+        "order_year",
+        *[F.col(a).alias(v) for v, a in zip(ORDER_PRIORITIES, PRIORITY_ALIASES)],
+    )
+    return (
+        labeled.unpivot(
+            "order_year", list(ORDER_PRIORITIES), "o_orderpriority", "n_orders"
+        )
+        .orderBy("order_year", "o_orderpriority")
+    )
+
+
+Q24_ORACLE = """
+WITH agg AS (
+  SELECT year(o_orderdate) AS order_year,
+         count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS n_urgent,
+         count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS n_high,
+         count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS n_medium,
+         count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+         count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS n_low
+  FROM orders
+  GROUP BY 1
+)
+SELECT order_year, '1-URGENT' AS o_orderpriority, n_urgent AS n_orders FROM agg
+UNION ALL
+SELECT order_year, '2-HIGH', n_high FROM agg
+UNION ALL
+SELECT order_year, '3-MEDIUM', n_medium FROM agg
+UNION ALL
+SELECT order_year, '4-NOT SPECIFIED', n_notspec FROM agg
+UNION ALL
+SELECT order_year, '5-LOW', n_low FROM agg
+ORDER BY order_year, o_orderpriority
+"""
+
+
+def q25_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — ((year, priority), (year), (priority)):
+    non-hierarchical sets that neither ROLLUP (q8) nor CUBE (q8c) can
+    express (no grand total, but both single-dimension margins).
+    GROUPING() flags disambiguate subtotal NULLs from data NULLs.
+
+    Scale: one fact scan; Expand replicates each input row once per
+    grouping set *after* map-side partials would be ideal — Spark
+    expands pre-agg, so the shuffle carries |sets| × |groups| partials,
+    still bounded by group cardinality (years × priorities), not rows."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    return (
+        o.groupingSets(
+            [["order_year", "o_orderpriority"], ["order_year"], ["o_orderpriority"]],
+            "order_year",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("order_year").cast("int").alias("g_year"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+        .orderBy("g_year", "g_prio", "order_year", "o_orderpriority")
+    )
+
+
+Q25_ORACLE = """
+SELECT year(o_orderdate) AS order_year,
+       o_orderpriority,
+       CAST(grouping(year(o_orderdate)) AS INTEGER) AS g_year,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                        (year(o_orderdate)), (o_orderpriority))
+ORDER BY g_year, g_prio, order_year, o_orderpriority
+"""
+
+
+def fo1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER join: per-customer 1996
+    vs 1997 order activity, classified added / churned / changed /
+    stable. This is the audit primitive a CDC replicator needs to prove
+    source and destination agree (the reference has no verification
+    path at all — drift is invisible to it).
+
+    Scale: both snapshot aggs shuffle on o_custkey and the full-outer
+    join reuses that key, so the whole comparison is one exchange per
+    side; bucketing both snapshots by custkey makes it shuffle-free.
+    Totals compared as DECIMAL (exact) — a float comparison would
+    misclassify rows that differ only in accumulation order."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def snap(y: int, tag: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy(F.col("o_custkey").alias(f"k_{tag}"))
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum(F.col("o_totalprice").cast(DEC)).alias(f"t_{tag}"),
+            )
+        )
+
+    a, b = snap(1996, "a"), snap(1997, "b")
+    joined = a.join(b, a["k_a"] == b["k_b"], "full_outer")
+    status = (
+        F.when(F.col("k_a").isNull(), F.lit("added"))
+        .when(F.col("k_b").isNull(), F.lit("churned"))
+        .when(
+            (F.col("n_a") != F.col("n_b")) | (F.col("t_a") != F.col("t_b")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("stable"))
+    )
+    return joined.select(
+        F.coalesce(F.col("k_a"), F.col("k_b")).alias("custkey"),
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_1996"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_1997"),
+        F.coalesce(F.col("t_a").cast("double"), F.lit(0.0)).alias("total_1996"),
+        F.coalesce(F.col("t_b").cast("double"), F.lit(0.0)).alias("total_1997"),
+        status.alias("status"),
+    ).orderBy("custkey")
+
+
+FO1_ORACLE = """
+WITH a AS (
+  SELECT o_custkey, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+), b AS (
+  SELECT o_custkey, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_1996,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_1997,
+       COALESCE(CAST(a.t AS DOUBLE), 0.0) AS total_1996,
+       COALESCE(CAST(b.t AS DOUBLE), 0.0) AS total_1997,
+       CASE WHEN a.o_custkey IS NULL THEN 'added'
+            WHEN b.o_custkey IS NULL THEN 'churned'
+            WHEN a.n <> b.n OR a.t <> b.t THEN 'changed'
+            ELSE 'stable' END AS status
+FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+ORDER BY custkey
+"""
+
+
+def ev4_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily activity: a (user × day) spine generated with
+    sequence()+explode over the observed date range, left-joined to
+    per-day aggregates with zero-fill — the densification step every
+    time-series chart / forecasting feature pipeline needs (missing
+    days must appear as explicit zeros, not absent rows).
+
+    Scale: the spine is |users| × |days| — generated, never shuffled
+    from the fact; the 1-row bounds aggregate and the day list
+    broadcast. The per-(user, day) agg is map-side-combined before its
+    single shuffle; the spine join keys on (user_id, day), the same key
+    as the agg output."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(days))
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            # ISO string, not DATE: pandas materializes DuckDB DATE as
+            # Timestamp but Spark DATE as datetime.date — the driver's
+            # repr-strict hash would mismatch on the type alone
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("v").cast("double"), F.lit(0.0)).alias("day_total"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+EV4_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+), days AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), users AS (
+  SELECT DISTINCT user_id FROM events
+), daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT u.user_id, CAST(d.day AS VARCHAR) AS day,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+       COALESCE(CAST(v AS DOUBLE), 0.0) AS day_total
+FROM users u
+CROSS JOIN days d
+LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
+ORDER BY u.user_id, d.day
+"""
+
+
+def f6_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family over document text: extract (first long
+    word), count (\\b-delimited word occurrences), match test, global
+    replace, and extract-all cardinality. Patterns are restricted to
+    constructs with identical semantics in Java regex (Spark) and RE2
+    (DuckDB): character classes, bounded repetition, \\b anchors —
+    no backrefs or lookarounds.
+
+    Scale: pure per-row projection, no shuffle, no UDF — regexes
+    evaluate JVM-side inside whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(t, r"[a-z]{6,}", 0).alias("first_long_word"),
+        F.regexp_count(t, F.lit(r"\bthe\b")).cast("long").alias("n_the"),
+        t.rlike("spark").alias("has_spark"),
+        F.length(F.regexp_replace(t, r"[aeiou]", "")).cast("long").alias("len_novowels"),
+        F.size(F.regexp_extract_all(t, F.lit(r"\bs[a-z]+"), 0)).cast("long").alias("n_s_words"),
+    ).orderBy("doc_id")
+
+
+F6_ORACLE = """
+SELECT doc_id,
+       regexp_extract(text, '[a-z]{6,}') AS first_long_word,
+       CAST(len(regexp_extract_all(text, '\\bthe\\b')) AS BIGINT) AS n_the,
+       regexp_matches(text, 'spark') AS has_spark,
+       CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS len_novowels,
+       CAST(len(regexp_extract_all(text, '\\bs[a-z]+')) AS BIGINT) AS n_s_words
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def pr5_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact statistical moments per order priority: n, mean, sample
+    variance and stddev of o_totalprice. Cross-engine float discipline:
+    prices are first fixed to integer cents (round(x·100) — identical
+    IEEE op in both engines), all sums run exact (BIGINT / DECIMAL), and
+    the closed-form moments n·Σx² − (Σx)² are assembled in DECIMAL
+    before ONE cast to double and an identical final expression tree —
+    so the doubles match bit-for-bit even though variance needs
+    division.
+
+    Scale: single scan pruned to two columns, map-side partials, the
+    shuffle carries |priorities| rows of four exact accumulators."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("decimal(19,0)")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).cast("decimal(19,0)").alias("s"),
+        F.sum(cents * cents).cast("decimal(28,0)").alias("ss"),
+    )
+    n_dec = F.col("n").cast("decimal(10,0)")
+    var_num = (n_dec * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        (F.col("s").cast("double") / (n_d * F.lit(100.0))).alias("mean_price"),
+        (var_num / (n_d * (n_d - F.lit(1.0)) * F.lit(1.0e8))).alias("var_price"),
+        F.sqrt(var_num / (n_d * (n_d - F.lit(1.0)) * F.lit(1.0e8))).alias("std_price"),
+    ).orderBy("o_orderpriority")
+
+
+PR5_ORACLE = """
+WITH agg AS (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS s,
+         CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS DECIMAL(19,0))
+                  * CAST(round(o_totalprice * 100.0, 0) AS DECIMAL(19,0))) AS DECIMAL(28,0)) AS ss
+  FROM orders
+  GROUP BY 1
+)
+SELECT o_orderpriority,
+       n,
+       CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean_price,
+       CAST(CAST(n AS DECIMAL(10,0)) * ss - s * s AS DOUBLE)
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * 1.0e8) AS var_price,
+       sqrt(CAST(CAST(n AS DECIMAL(10,0)) * ss - s * s AS DOUBLE)
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * 1.0e8)) AS std_price
+FROM agg
+ORDER BY o_orderpriority
+"""

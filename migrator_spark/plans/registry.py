@@ -76,6 +76,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "q23_priority_pivot": QuerySpec(
         analytics.q23_priority_pivot, analytics.Q23_ORACLE
     ),
+    "q24_priority_unpivot": QuerySpec(
+        analytics.q24_priority_unpivot, analytics.Q24_ORACLE
+    ),
+    "q25_grouping_sets": QuerySpec(
+        analytics.q25_grouping_sets, analytics.Q25_ORACLE
+    ),
+    "fo1_snapshot_diff": QuerySpec(
+        analytics.fo1_snapshot_diff, analytics.FO1_ORACLE
+    ),
     "pr1_profile_orders": QuerySpec(analytics.pr1_profile_orders, analytics.PR1_ORACLE),
     # sketch estimate: engine-specific values, driver rows-only check;
     # error bound vs exact is pinned in tests/test_plans.py
@@ -85,10 +94,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "pr4_price_histogram": QuerySpec(
         analytics.pr4_price_histogram, analytics.PR4_ORACLE
     ),
+    "pr5_stat_moments": QuerySpec(analytics.pr5_stat_moments, analytics.PR5_ORACLE),
     # --- time-series windows / set operations ---
     "ev1_event_gaps": QuerySpec(analytics.ev1_event_gaps, analytics.EV1_ORACLE),
     "ev2_asof_join": QuerySpec(analytics.ev2_asof_join, analytics.EV2_ORACLE),
     "ev3_range_join": QuerySpec(analytics.ev3_range_join, analytics.EV3_ORACLE),
+    "ev4_gap_fill": QuerySpec(analytics.ev4_gap_fill, analytics.EV4_ORACLE),
     "set1_repeat_customers": QuerySpec(
         analytics.set1_repeat_customers, analytics.SET1_ORACLE
     ),
@@ -132,6 +143,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "f3_date_parts": QuerySpec(analytics.f3_date_parts, analytics.F3_ORACLE),
     "f4_string_suite": QuerySpec(analytics.f4_string_suite, analytics.F4_ORACLE),
     "f5_array_suite": QuerySpec(analytics.f5_array_suite, analytics.F5_ORACLE),
+    "f6_regex_suite": QuerySpec(analytics.f6_regex_suite, analytics.F6_ORACLE),
     "t2_rename_routing": QuerySpec(cdc.t2_rename_routing, cdc.T2_ORACLE),
     "st1_windowed_counts": QuerySpec(cdc.st1_windowed_counts, cdc.ST1_ORACLE),
     "st2_session_windows": QuerySpec(cdc.st2_session_windows, cdc.ST2_ORACLE),

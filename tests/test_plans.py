@@ -244,3 +244,63 @@ def test_pr4_histogram_single_column_scan(spark, sf_dir):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m.group(1).split(":")[0] == "o_totalprice", plan
     assert plan.count("HashAggregate") >= 2, plan  # map-side partials
+
+
+def test_q24_unpivot_expands_post_agg(spark, sf_dir):
+    # unpivot's Expand runs over the aggregated wide relation; the fact
+    # scan stays pruned to the two pivot columns
+    plan = _plan(spark, sf_dir, "q24_priority_unpivot")
+    assert "Expand" in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"o_orderdate", "o_orderpriority"}, plan
+
+
+def test_q25_grouping_sets_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q25_grouping_sets")
+    assert "Expand" in plan, plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"o_orderdate", "o_orderpriority", "o_totalprice"}, plan
+
+
+def test_fo1_full_outer_reuses_custkey_shuffle(spark, sf_dir):
+    # both snapshot aggs hash-partition on custkey and the full-outer
+    # join keys on it — no extra exchange between agg and join
+    plan = _plan(spark, sf_dir, "fo1_snapshot_diff")
+    assert "FullOuter" in plan, plan
+    pushed = " ".join(_pushed_filters(plan))
+    assert "o_orderdate" in pushed, plan
+    # exactly 3 exchanges: one per snapshot agg + the final sort —
+    # an extra one between agg and join would mean the join key lost
+    # the agg's partitioning
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 3, plan
+
+
+def test_ev4_spine_broadcast_and_pruned_scans(spark, sf_dir):
+    # the day spine broadcasts into the user list; every events scan is
+    # pruned to the three referenced columns or fewer
+    plan = _plan(spark, sf_dir, "ev4_gap_fill")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"user_id", "ts", "value"}, (cols, plan)
+
+
+def test_f6_regex_projection_only(spark, sf_dir):
+    # per-row regex projection: no aggregate, no join, scan pruned to
+    # (doc_id, text)
+    plan = _plan(spark, sf_dir, "f6_regex_suite")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, plan
+    assert "HashAggregate" not in plan and "Join" not in plan.replace("Join strategy", ""), plan
+
+
+def test_pr5_two_column_scan_with_partials(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pr5_stat_moments")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"o_orderpriority", "o_totalprice"}, plan
+    assert plan.count("HashAggregate") >= 2, plan  # map-side partials
