@@ -7,6 +7,7 @@ implementation:
     parquet:///data/warehouse/a     -> ParquetSource (dir of <table>.parquet)
     csv:///data/dumps               -> CsvSource (<table>.csv, header'd)
     json:///data/feeds              -> JsonSource (<table>.json, JSON-lines)
+    orc:///data/hive_export         -> OrcSource (<table>.orc, columnar)
     memory://name                   -> MemorySource (in-process dict, tests)
     jdbc:mysql://host/db            -> JdbcSource (thin spark.read.jdbc wrapper)
 
@@ -18,7 +19,7 @@ from __future__ import annotations
 
 from migrator_spark.sources.base import Source, open_source
 from migrator_spark.sources.memory import MemorySource
-from migrator_spark.sources.files import CsvSource, JsonSource
+from migrator_spark.sources.files import CsvSource, JsonSource, OrcSource
 from migrator_spark.sources.parquet import ParquetSource
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "MemorySource",
     "CsvSource",
     "JsonSource",
+    "OrcSource",
 ]

@@ -56,6 +56,10 @@ def open_source(dsn: str) -> Source:
         from migrator_spark.sources.files import JsonSource
 
         return JsonSource(dsn[len("json://") :])
+    if dsn.startswith("orc://"):
+        from migrator_spark.sources.files import OrcSource
+
+        return OrcSource(dsn[len("orc://") :])
     if dsn.startswith("memory://"):
         return MemorySource.named(dsn[len("memory://") :])
     if dsn.startswith("delta://"):

@@ -98,3 +98,16 @@ class JsonSource(FileSource):
     FORMAT = "json"
     READ_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]"}
     WRITE_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"}
+
+
+class OrcSource(FileSource):
+    """ORC directories — the other Spark-native columnar format.
+
+    Unlike CSV/JSON these carry an embedded schema and column
+    statistics, so reads get column pruning + predicate pushdown for
+    free (same scan machinery as parquet: `PushedFilters` in the plan).
+    Useful as an interchange edge with Hive/Trino deployments that
+    standardized on ORC; internal storage remains parquet/Delta.
+    """
+
+    FORMAT = "orc"

@@ -87,12 +87,40 @@ def test_json_source_roundtrip(spark, tmp_path):
     assert sorted(r["id"] for r in s.table(spark, "t").collect()) == [0, 1, 2, 3, 4]
 
 
+def test_orc_source_roundtrip_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from migrator_spark.sources.files import OrcSource
+
+    s = OrcSource(str(tmp_path / "orc"))
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket"), F.sha1(F.col("id").cast("string")).alias("payload")
+    )
+    s.write(df, "t")
+    back = s.table(spark, "t")
+    # embedded schema survives (no inference, unlike CSV); nullability
+    # widens on read as with any file scan
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    assert back.count() == 100
+    # columnar scan: the filter reaches the ORC reader
+    plan = back.filter(F.col("bucket") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "bucket" in plan
+    # versioned overwrite + append fast path, same as the other file sources
+    s.write(df.limit(10), "t", mode="append")
+    assert s.table(spark, "t").count() == 110
+    s.write(df.limit(5), "t")
+    assert s.table(spark, "t").count() == 5
+
+
 def test_open_source_dispatch(tmp_path):
     from migrator_spark.sources import open_source
-    from migrator_spark.sources.files import CsvSource, JsonSource
+    from migrator_spark.sources.files import CsvSource, JsonSource, OrcSource
 
     assert isinstance(open_source(f"csv://{tmp_path}/a"), CsvSource)
     assert isinstance(open_source(f"json://{tmp_path}/b"), JsonSource)
+    assert isinstance(open_source(f"orc://{tmp_path}/c"), OrcSource)
 
 
 def test_pipeline_csv_source_to_parquet_target(spark, tmp_path):
