@@ -12,7 +12,8 @@ textops    language-id, quality scoring, token counting, fingerprinting,
 multimodal binary-column plumbing with stubbed decoders
 skew       salted two-phase aggregation + salted replicate joins
 bucketing  co-located (bucketed) tables: shuffle-free fact-fact joins
-layout     Hive-partitioned writes (directory pruning) + range-clustered
-           writes (parquet min/max file skipping)
+layout     Hive-partitioned writes (directory pruning), range-clustered
+           and Z-order-clustered writes (parquet min/max file skipping,
+           multi-dimensional for Z-order)
 maintenance small-file compaction + incremental rollup upkeep
 """

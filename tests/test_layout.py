@@ -21,6 +21,7 @@ from migrator_spark.operators.layout import (
     read_partitioned,
     write_partitioned,
     write_range_clustered,
+    write_zorder_clustered,
 )
 from migrator_spark.tables import load_table
 
@@ -108,3 +109,36 @@ def test_range_clustering_concentrates_interval_matches(spark, sf_dir, tmp_path)
     # and the timestamp predicate is still pushed to the scan
     plan = _formatted_plan(spark.read.parquet(clustered).filter(pred))
     assert "PushedFilters" in plan and "ts" in plan, plan
+
+
+def test_zorder_preserves_locality_in_every_dimension(spark, sf_dir, tmp_path):
+    """Z-order on (user_id, ts): a 2-D box predicate concentrates into
+    few files, AND each single-dimension predicate still skips files —
+    the property 1-D range clustering can't give (its secondary
+    dimension is scattered across every file)."""
+    ev = load_table(spark, sf_dir, "events")
+    n_files = 16
+    zpath = str(tmp_path / "ev_z")
+    hpath = str(tmp_path / "ev_h")
+    write_zorder_clustered(ev, zpath, ["user_id", "ts"], n_files)
+    ev.repartition(n_files, "event_id").write.mode("overwrite").parquet(hpath)
+
+    ts_pred = (F.col("ts") >= F.lit("2024-01-10").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-13").cast("timestamp")
+    )
+    user_pred = F.col("user_id").between(3, 5)
+    box = user_pred & ts_pred
+
+    def touched(path, pred) -> int:
+        df = spark.read.parquet(path).filter(pred)
+        return df.select(F.input_file_name()).distinct().count()
+
+    # 2-D box: ~2% of rows -> a couple of z-tiles; hash scatters it
+    # across (nearly) every file
+    assert touched(zpath, box) <= 4 < touched(hpath, box)
+    # each dimension alone retains file-level locality (the MSB-aligned
+    # interleave: neither dim's bits are buried under the other's)
+    assert touched(zpath, ts_pred) <= n_files // 2
+    assert touched(zpath, user_pred) <= 10
+    # layout changes bytes read, never results
+    assert spark.read.parquet(zpath).filter(box).count() == ev.filter(box).count() > 0
