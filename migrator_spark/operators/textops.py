@@ -129,3 +129,45 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         nd.alias("n_distinct_words"),
         (F.lit(1.0) - nd.cast("double") / n.cast("double")).alias("dup_word_ratio"),
     )
+
+
+# PII patterns, restricted to the regex subset Java (Spark) and RE2
+# (DuckDB) interpret identically — no lookaround, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9][0-9\- ]{7,}[0-9]"
+PII_IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII redaction pass for training-data curation: count and mask
+    emails, international-format phone numbers, and IPv4 addresses.
+
+    Counts are taken on the raw text (each pattern independent), then
+    redaction applies email -> IP -> phone so a tag never creates a new
+    match for a later pattern. All regexp work is JVM-side codegen —
+    at 100 TB this is a single narrow map stage, no shuffle, and the
+    scan reads only (id, text).
+
+    The reference has no text surface at all; this extends the T
+    (transformer) stage the way a curation pipeline needs before
+    anything reaches a tokenizer.
+    """
+    t = F.col(text_col)
+
+    def n_hits(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pattern), 0)).cast("long")
+
+    clean = t
+    for pat, tag in [
+        (PII_EMAIL_RE, "<EMAIL>"),
+        (PII_IPV4_RE, "<IP>"),
+        (PII_PHONE_RE, "<PHONE>"),
+    ]:
+        clean = F.regexp_replace(clean, pat, tag)
+    return docs.select(
+        F.col(id_col),
+        n_hits(PII_EMAIL_RE).alias("n_emails"),
+        n_hits(PII_PHONE_RE).alias("n_phones"),
+        n_hits(PII_IPV4_RE).alias("n_ips"),
+        clean.alias("clean"),
+    )

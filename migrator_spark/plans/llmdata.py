@@ -16,7 +16,7 @@ from migrator_spark.operators import dedup as dd
 from migrator_spark.operators import multimodal as mm
 from migrator_spark.operators import similarity as sim
 from migrator_spark.operators import textops as tx
-from migrator_spark.functions.hashing import words
+from migrator_spark.functions.hashing import stable_hash64, words
 from migrator_spark.tables import load_table
 
 # DuckDB fragments mirroring functions.hashing
@@ -742,4 +742,91 @@ verified AS (
   JOIN sh sb ON sb.doc_id = doc_b
 )
 SELECT * FROM verified WHERE jaccard >= {MINHASH_THRESH}
+"""
+
+
+def ta6_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (textops.pii_scrub) over documents carrying
+    deterministic synthetic PII: the corpus text is word-soup, so the
+    query first plants an email (always), a phone (doc_id % 3 > 0) and
+    an IPv4 (even doc_id) derived from doc_id, then counts and masks
+    them. The oracle replays the same construction, so the scrubber's
+    counts AND the redacted text are both differentially checked."""
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        d.cast("string"),
+        F.lit("@mail.example.com"),
+        F.when(
+            d % 3 > 0,
+            F.concat(
+                F.lit(" or +1-555-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit(" from 10."), (d % 256).cast("string"), F.lit(".0.7")),
+        ).otherwise(F.lit("")),
+    )
+    docs = load_table(spark, sf_dir, "documents").withColumn("text", aug)
+    return tx.pii_scrub(docs)
+
+
+_PII_EMAIL = tx.PII_EMAIL_RE
+_PII_PHONE = tx.PII_PHONE_RE
+_PII_IP = tx.PII_IPV4_RE
+
+TA6_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         || CASE WHEN doc_id % 3 > 0
+                 THEN ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS clean
+FROM aug
+"""
+
+
+def sm3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample: top-25 docs by priority
+    hash(doc_id)/n_chars ascending — longer documents draw smaller
+    priorities more often, so inclusion probability grows with length
+    (priority sampling; the exact exponential variant u^(1/w) needs
+    ln(), which is not bit-reproducible across engines — this integer/
+    IEEE-division form is). Reproducible across engines, reruns and
+    cluster sizes, like sm1/sm2. At scale: a full sort is avoided —
+    top-k by priority is a WindowGroupLimit-style partial top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    prio = stable_hash64(F.col("doc_id").cast("string")).cast("double") / F.col(
+        "n_chars"
+    ).cast("double")
+    return (
+        docs.select("doc_id", "lang", "n_chars", prio.alias("priority"))
+        .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
+SM3_ORACLE = f"""
+SELECT doc_id, lang, n_chars,
+       {H.format(x="CAST(doc_id AS VARCHAR)")}::DOUBLE / n_chars::DOUBLE AS priority
+FROM documents
+ORDER BY priority ASC, doc_id ASC
+LIMIT 25
 """

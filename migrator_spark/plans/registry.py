@@ -170,6 +170,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ta3_lang_guess": QuerySpec(llmdata.ta3_lang_guess, llmdata.TA3_ORACLE),
     "ta4_fingerprint": QuerySpec(llmdata.ta4_fingerprint, llmdata.TA4_ORACLE),
     "ta5_repetition": QuerySpec(llmdata.ta5_repetition, llmdata.TA5_ORACLE),
+    "ta6_pii_scrub": QuerySpec(llmdata.ta6_pii_scrub, llmdata.TA6_ORACLE),
     "pr2_length_percentiles": QuerySpec(
         llmdata.pr2_length_percentiles, llmdata.PR2_ORACLE
     ),
@@ -177,6 +178,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sm1_hash_sample": QuerySpec(llmdata.sm1_hash_sample, llmdata.SM1_ORACLE),
     "sm2_stratified_sample": QuerySpec(
         llmdata.sm2_stratified_sample, llmdata.SM2_ORACLE
+    ),
+    "sm3_weighted_sample": QuerySpec(
+        llmdata.sm3_weighted_sample, llmdata.SM3_ORACLE
     ),
     # --- composed curation pipeline (quality -> dedup -> sample) ---
     "cur1_curation_pipeline": QuerySpec(
