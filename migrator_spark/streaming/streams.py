@@ -190,3 +190,67 @@ def windowed_event_counts(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("window_start"), *g, "cnt")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "2 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream (or batch-batch) interval join: pair each left row
+    with right rows for the same key arriving in
+    ``(left_ts, left_ts + max_delay]`` — the click→purchase attribution
+    shape. Dual-mode like windowed_event_counts: on streams both sides
+    get watermarks and the time-bound condition lets Spark expire join
+    state (without it, stream-stream state grows forever — the bound IS
+    the scale contract); on batch frames the same plan is a plain
+    range-condition join, which is what the oracle checks.
+
+    Output columns are the left frame's, prefixed ``l_``, then the
+    right's, prefixed ``r_`` (self-joins would otherwise collide).
+    """
+    lsrc = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rsrc = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    l, r = lsrc.alias("l"), rsrc.alias("r")
+    cond = (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}")) & (
+        F.col(f"r.{right_ts}")
+        <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+    )
+    for k in key_cols:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    joined = l.join(r, cond, "inner")
+    return joined.select(
+        *[F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns],
+        *[F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns],
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Keyed dedup with bounded state: emit each key once.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — state for a key is
+    dropped once the watermark passes it, so memory is bounded by the
+    watermark horizon (plain streaming ``dropDuplicates`` would hold
+    every key ever seen; within-watermark is the only form that
+    survives an unbounded key space). First arrival is emitted
+    immediately in append mode.
+
+    Batch: the same contract is just DISTINCT over the keys (every
+    duplicate is 'within the watermark' of a bounded input).
+    """
+    if df.isStreaming:
+        return (
+            df.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols)
+            .select(*key_cols)
+        )
+    return df.select(*key_cols).distinct()

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
 
 from migrator_spark.streaming.streams import (
     cdc_apply_stream,
@@ -162,3 +163,84 @@ def test_cdc_stream_paced_micro_batches(spark, tmp_path):
     assert len(commits) >= 3, f"expected >=3 paced micro-batches, got {commits}"
     out = {r["id"] for r in tgt.table(spark, "x").collect()}
     assert out == {2, 3, 4}  # 1 removed; 3 and 4 upserted from source
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (two file streams, watermarked,
+    availableNow) produces exactly the batch join's pairs — and the
+    time bound makes the state store expirable, which is the property
+    that lets this run forever at scale."""
+    from migrator_spark.streaming.streams import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    batch = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in interval_join(clicks, purchases, ["user_id"]).collect()
+    }
+    assert batch  # probed: 9 pairs at sf0.001
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks.write.parquet(cdir)
+    purchases.write.parquet(pdir)
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    ps = spark.readStream.schema(purchases.schema).parquet(pdir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        interval_join(cs, ps, ["user_id"])
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed == batch
+
+
+def test_dedup_within_watermark_suppresses_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a key that reappears in a later
+    micro-batch (within the watermark) is emitted exactly once. Staged
+    as two parquet files + maxFilesPerTrigger=1 so the duplicate
+    arrives in a different micro-batch than the original — the case
+    plain batch dropDuplicates never sees."""
+    from datetime import datetime
+
+    from migrator_spark.streaming.streams import dedup_within_watermark
+
+    schema = "user_id long, event_type string, ts timestamp"
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    b1 = spark.createDataFrame(
+        [(1, "click", t0), (2, "view", t0), (1, "click", t0)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, "click", datetime(2024, 1, 1, 12, 30)), (3, "click", t0)], schema
+    )
+    sdir = str(tmp_path / "stream")
+    b1.coalesce(1).write.mode("append").parquet(sdir)
+    b2.coalesce(1).write.mode("append").parquet(sdir)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(sdir)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        dedup_within_watermark(stream, ["user_id", "event_type"], "ts")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [tuple(r) for r in spark.read.parquet(out_dir).collect()]
+    # three distinct keys, each exactly once, despite key (1, click)
+    # appearing three times across two micro-batches
+    assert sorted(rows) == [(1, "click"), (2, "view"), (3, "click")]
