@@ -15,5 +15,6 @@ bucketing  co-located (bucketed) tables: shuffle-free fact-fact joins
 layout     Hive-partitioned writes (directory pruning), range-clustered
            and Z-order-clustered writes (parquet min/max file skipping,
            multi-dimensional for Z-order)
+quality    declarative constraint audit (unique/fk/accepted/range/null)
 maintenance small-file compaction + incremental rollup upkeep
 """

@@ -1,0 +1,105 @@
+"""Declarative data-quality constraint audit.
+
+A pipeline moving 100 TB needs its contracts checked where the data
+lives, not sampled on the driver: each constraint below compiles to one
+distributed count (filter/agg/anti-join — all Catalyst-planned, all
+pushdown-friendly), and ``audit`` unions the one-row results into a
+single DataFrame so an entire table's contract is one action.
+
+The reference's only integrity device is MySQL's PK enforcement on the
+target (REPLACE INTO semantics, loader_batched.go); there is no check
+surface at all. This module is the curation-pipeline equivalent of
+dbt-style tests / Deequ constraints, re-expressed as plain DataFrame
+ops so they run inside the same job as everything else.
+
+Checks return a one-row frame ``(constraint string, n_violations
+long)``; 0 means the contract holds. Counting violations (not
+asserting) keeps the op side-effect-free and lets callers alert on
+thresholds — at scale you page on `n_violations / n_rows`, not on the
+first bad row.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _one_row(name: str, count: Column, src: DataFrame) -> DataFrame:
+    return src.agg(
+        F.lit(name).alias("constraint"), count.cast("long").alias("n_violations")
+    )
+
+
+def not_null(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
+    """Violations: rows where ``col`` IS NULL."""
+    return _one_row(
+        name or f"not_null({col})",
+        F.count_if(F.col(col).isNull()),
+        df,
+    )
+
+
+def unique_key(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
+    """Violations: surplus rows beyond one per key (total - distinct).
+
+    ``count_distinct`` over the key columns — a partial-aggregating
+    shuffle on the key, no row explosion.
+    """
+    key = [F.col(c) for c in cols]
+    return _one_row(
+        name or f"unique({','.join(cols)})",
+        F.count(F.lit(1)) - F.count_distinct(*key),
+        df,
+    )
+
+
+def foreign_key(
+    child: DataFrame,
+    col: str,
+    parent: DataFrame,
+    parent_col: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Violations: child rows whose ``col`` has no match in the parent
+    (NULLs don't count — use not_null separately). Anti-join; AQE
+    broadcasts the parent's distinct-key side when it's small."""
+    orphans = child.filter(F.col(col).isNotNull()).join(
+        parent.select(F.col(parent_col).alias(col)).distinct(),
+        on=col,
+        how="left_anti",
+    )
+    return _one_row(name or f"fk({col})", F.count(F.lit(1)), orphans)
+
+
+def accepted_values(
+    df: DataFrame, col: str, values: list, name: str | None = None
+) -> DataFrame:
+    """Violations: non-null values outside the accepted set."""
+    c = F.col(col)
+    return _one_row(
+        name or f"accepted({col})",
+        F.count_if(c.isNotNull() & ~c.isin(values)),
+        df,
+    )
+
+
+def in_range(
+    df: DataFrame, col: str, lo, hi, name: str | None = None
+) -> DataFrame:
+    """Violations: non-null values outside [lo, hi]."""
+    c = F.col(col)
+    return _one_row(
+        name or f"range({col})",
+        F.count_if(c.isNotNull() & ~c.between(lo, hi)),
+        df,
+    )
+
+
+def audit(checks: list[DataFrame]) -> DataFrame:
+    """Union the one-row check frames into a single report. Each input
+    is already an aggregate, so the union moves a handful of rows — the
+    heavy lifting stayed distributed inside each check."""
+    return reduce(lambda a, b: a.unionByName(b), checks)

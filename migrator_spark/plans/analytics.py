@@ -1920,3 +1920,53 @@ SELECT o_orderpriority,
 FROM agg
 ORDER BY o_orderpriority
 """
+
+
+def dq1_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ1 declarative constraint audit (operators/quality.py): five
+    dbt/Deequ-style checks — PK uniqueness, FK integrity, accepted
+    values, numeric range, not-null — each one distributed count,
+    unioned into a single report frame. Violation counts (not boolean
+    pass/fail) so thresholds can be applied downstream."""
+    from migrator_spark.operators import quality as dq
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    return dq.audit(
+        [
+            dq.unique_key(orders, ["o_orderkey"]),
+            dq.foreign_key(orders, "o_custkey", customer, "c_custkey"),
+            dq.accepted_values(orders, "o_orderstatus", ["F", "O"]),
+            dq.in_range(lineitem, "l_quantity", 1, 30),
+            dq.not_null(events, "props"),
+        ]
+    )
+
+
+DQ1_ORACLE = """
+SELECT 'unique(o_orderkey)' AS constraint,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'fk(o_custkey)',
+       CAST(count(*) AS BIGINT)
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'accepted(o_orderstatus)',
+       CAST(count_if(o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('F', 'O')) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'range(l_quantity)',
+       CAST(count_if(l_quantity IS NOT NULL
+                     AND l_quantity NOT BETWEEN 1 AND 30) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'not_null(props)',
+       CAST(count_if(props IS NULL) AS BIGINT)
+FROM events
+"""

@@ -575,3 +575,57 @@ WHERE NOT EXISTS (
     AND t.event_type = d.event_type AND t.value = d.value AND t.props = d.props
 )
 """
+
+
+def st4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 keyed dedup with bounded state
+    (streaming/streams.py dedup_within_watermark): in streaming mode
+    dropDuplicatesWithinWatermark emits each key once and expires its
+    state at the watermark horizon; the batch-equivalent contract —
+    DISTINCT over the keys — is what the oracle checks (the
+    cross-micro-batch suppression is exercised in tests/test_streaming)."""
+    from migrator_spark.streaming.streams import dedup_within_watermark
+
+    events = load_table(spark, sf_dir, "events")
+    return dedup_within_watermark(events, ["user_id", "event_type"], "ts")
+
+
+ST4_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+INTERVAL_JOIN_DELAY = "2 hours"
+
+
+def st5_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 stream-stream interval join (streams.interval_join):
+    click→purchase attribution within 2 hours per user. The time bound
+    is what lets streaming expire join state; in batch mode the same
+    plan is a range-condition join, checked here against the oracle."""
+    from migrator_spark.streaming.streams import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = interval_join(clicks, purchases, ["user_id"], max_delay=INTERVAL_JOIN_DELAY)
+    return j.select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("l_ts").alias("click_ts"),
+        F.col("r_ts").alias("purchase_ts"),
+    )
+
+
+ST5_ORACLE = """
+SELECT a.user_id AS user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+       a.ts AS click_ts, b.ts AS purchase_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+"""

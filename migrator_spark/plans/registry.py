@@ -148,6 +148,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "st1_windowed_counts": QuerySpec(cdc.st1_windowed_counts, cdc.ST1_ORACLE),
     "st2_session_windows": QuerySpec(cdc.st2_session_windows, cdc.ST2_ORACLE),
     "st3_stateful_first_seen": QuerySpec(cdc.st3_stateful_first_seen, cdc.ST3_ORACLE),
+    "st4_stream_dedup": QuerySpec(cdc.st4_stream_dedup, cdc.ST4_ORACLE),
+    "st5_interval_join": QuerySpec(cdc.st5_interval_join, cdc.ST5_ORACLE),
     # --- dedup (training-data pipeline surface) ---
     "dd1_exact_dedup": QuerySpec(llmdata.dd1_exact_dedup, llmdata.DD1_ORACLE),
     "dd2_minhash_lsh_pairs": QuerySpec(llmdata.dd2_minhash_lsh_pairs, llmdata.DD2_ORACLE),
@@ -173,6 +175,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "ta6_pii_scrub": QuerySpec(llmdata.ta6_pii_scrub, llmdata.TA6_ORACLE),
     "pr2_length_percentiles": QuerySpec(
         llmdata.pr2_length_percentiles, llmdata.PR2_ORACLE
+    ),
+    # --- data-quality constraint audit ---
+    "dq1_constraint_audit": QuerySpec(
+        analytics.dq1_constraint_audit, analytics.DQ1_ORACLE
     ),
     # --- deterministic sampling (reproducible train/eval splits) ---
     "sm1_hash_sample": QuerySpec(llmdata.sm1_hash_sample, llmdata.SM1_ORACLE),
