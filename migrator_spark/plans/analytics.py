@@ -1970,3 +1970,107 @@ SELECT 'not_null(props)',
        CAST(count_if(props IS NULL) AS BIGINT)
 FROM events
 """
+
+
+def ev5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV5 conversion funnel: signup → first click within 1 day →
+    first purchase within 1 day of that click, counted per stage.
+
+    Scale shape: every stage is a per-user aggregate — all three
+    shuffles hash on user_id, so one Exchange is reused across stages
+    (AQE); the stage frames are user-level (tiny vs the event fact) and
+    the final union moves three aggregate rows. No window over the raw
+    fact, no self-join of events against events."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 1 DAY")
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        events.join(s, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("signup_ts"))
+            & (F.col("ts") <= F.col("signup_ts") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        events.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("click_ts"))
+            & (F.col("ts") <= F.col("click_ts") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.select(F.lit("1_signup").alias("stage"), "user_id")
+        .unionByName(c.select(F.lit("2_click_1d").alias("stage"), "user_id"))
+        .unionByName(p.select(F.lit("3_purchase_1d").alias("stage"), "user_id"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+EV5_ORACLE = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+    AND e.ts <= s.signup_ts + INTERVAL 1 DAY
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+    AND e.ts <= c.click_ts + INTERVAL 1 DAY
+  GROUP BY 1
+)
+SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s
+UNION ALL
+SELECT '2_click_1d', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_purchase_1d', CAST(count(*) AS BIGINT) FROM p
+"""
+
+
+def ev6_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV6 retention cohorts: users bucketed by first-seen week, then
+    distinct-active counts per (cohort_week, active_week) cell — the
+    standard retention triangle.
+
+    Scale shape: first-seen is one user_id-hash aggregate; the join
+    back to events reuses that partitioning on the probe side; the
+    final count_distinct partial-aggregates map-side on the (already
+    co-located) user_id before the small (cohort, week) shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    fs = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        events.join(fs, "user_id")
+        .groupBy(
+            "cohort_week", F.date_trunc("week", F.col("ts")).alias("active_week")
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+EV6_ORACLE = """
+WITH fs AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+)
+SELECT fs.cohort_week, date_trunc('week', e.ts) AS active_week,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM events e JOIN fs ON e.user_id = fs.user_id
+GROUP BY 1, 2
+"""

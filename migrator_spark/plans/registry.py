@@ -100,6 +100,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "ev2_asof_join": QuerySpec(analytics.ev2_asof_join, analytics.EV2_ORACLE),
     "ev3_range_join": QuerySpec(analytics.ev3_range_join, analytics.EV3_ORACLE),
     "ev4_gap_fill": QuerySpec(analytics.ev4_gap_fill, analytics.EV4_ORACLE),
+    "ev5_funnel": QuerySpec(analytics.ev5_funnel, analytics.EV5_ORACLE),
+    "ev6_retention": QuerySpec(analytics.ev6_retention, analytics.EV6_ORACLE),
     "set1_repeat_customers": QuerySpec(
         analytics.set1_repeat_customers, analytics.SET1_ORACLE
     ),

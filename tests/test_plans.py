@@ -304,3 +304,47 @@ def test_pr5_two_column_scan_with_partials(spark, sf_dir):
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"o_orderpriority", "o_totalprice"}, plan
     assert plan.count("HashAggregate") >= 2, plan  # map-side partials
+
+
+def test_ta6_pii_scrub_is_narrow_map_stage(spark, sf_dir):
+    # regex count+redact must stay a shuffle-free projection over a
+    # two-column scan — at 100 TB this is the difference between one
+    # pass and a pointless exchange of full documents
+    plan = _plan(spark, sf_dir, "ta6_pii_scrub")
+    assert "Exchange" not in plan, plan
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), plan
+
+
+def test_sm3_weighted_sample_is_topk_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sm3_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_st5_interval_join_no_cartesian(spark, sf_dir):
+    # the user_id equi-key must anchor a hash join; only the time bound
+    # is a range predicate
+    plan = _plan(spark, sf_dir, "st5_interval_join")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_ev5_funnel_stages_are_hash_joins_on_pruned_scans(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ev5_funnel")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    # the event fact is never read wider than (ts, user_id, event_type)
+    for rs in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "props" not in rs and "value" not in rs, rs
+
+
+def test_ev6_retention_two_column_scan_with_partials(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ev6_retention")
+    assert re.search(r"ReadSchema: struct<ts:bigint,user_id:bigint>", plan), plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_dq1_every_check_scan_is_narrow(spark, sf_dir):
+    # each constraint reads only the column(s) it audits — five checks,
+    # five single-or-double-column scans, never SELECT *
+    plan = _plan(spark, sf_dir, "dq1_constraint_audit")
+    reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert reads and all(len(r.split(",")) <= 2 for r in reads), reads
