@@ -415,3 +415,64 @@ def minhash_lsh_pairs_incremental(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return _verify_jaccard(cand, sh, id_col, threshold)
+
+
+def chunk_boilerplate_dedup(
+    docs: DataFrame,
+    chunk_words: int = 5,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document (chunk-level) boilerplate removal, the CCNet /
+    RefinedWeb line-dedup step: documents are split into consecutive
+    ``chunk_words``-word chunks; a chunk whose content hash appears in
+    ``min_docs`` or more distinct documents is boilerplate (headers,
+    footers, licence blurbs, nav text) and is dropped from every
+    document; the survivors are reassembled in order.
+
+    Whole-document dedup (dd1/dd2) can't catch this — two documents
+    sharing one repeated footer are not near-duplicates of each other.
+
+    Scale shape: explode to (doc, chunk_idx, hash64) — rows ≈ words/k,
+    strictly smaller than a shingle explosion; one hash-keyed aggregate
+    finds boilerplate (partial map-side count-distinct); the tiny
+    boilerplate set broadcast-joins back; one regroup by doc reassembles.
+    Two shuffles total, both on high-cardinality uniform keys.
+    """
+    w = words(text_col)
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    chunks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda j: F.struct(
+                    j.alias("j"),
+                    F.array_join(
+                        F.slice(w, (j - 1) * chunk_words + 1, chunk_words), " "
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    ).select(id_col, F.col("c.j").alias("j"), F.col("c.chunk").alias("chunk"))
+    hashed = chunks.withColumn("chash", stable_hash64(F.col("chunk")))
+    boiler = (
+        hashed.groupBy("chash")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chash", F.lit(True).alias("is_bp"))
+    )
+    flagged = hashed.join(F.broadcast(boiler), on="chash", how="left")
+    kept = F.sort_array(
+        F.collect_list(
+            F.when(F.col("is_bp").isNull(), F.struct(F.col("j"), F.col("chunk")))
+        )
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count_if(F.col("is_bp").isNotNull()).cast("long").alias("n_boilerplate"),
+        F.array_join(
+            F.transform(kept, lambda s: s.getField("chunk")), " "
+        ).alias("clean_text"),
+    )

@@ -830,3 +830,44 @@ FROM documents
 ORDER BY priority ASC, doc_id ASC
 LIMIT 25
 """
+
+
+CHUNK_WORDS, CHUNK_MIN_DOCS = 5, 3
+
+
+def dd9_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate removal (dedup.chunk_boilerplate_dedup):
+    5-word chunks appearing in >= 3 distinct docs are dropped from all
+    of them; per-doc counts + reassembled clean text, all
+    differentially checked."""
+    return dd.chunk_boilerplate_dedup(
+        load_table(spark, sf_dir, "documents"),
+        chunk_words=CHUNK_WORDS,
+        min_docs=CHUNK_MIN_DOCS,
+    )
+
+
+DD9_ORACLE = f"""
+WITH {DOCS_CTE},
+ch AS (
+  SELECT doc_id, j,
+         array_to_string(w[(j-1)*{CHUNK_WORDS}+1 : j*{CHUNK_WORDS}], ' ') AS chunk
+  FROM docs,
+       LATERAL unnest(generate_series(
+         1, CAST(ceil(len(w) / {CHUNK_WORDS}.0) AS BIGINT))) AS t(j)
+),
+h AS (SELECT doc_id, j, chunk, {H.format(x="chunk")} AS chash FROM ch),
+bp AS (
+  SELECT chash FROM h GROUP BY chash
+  HAVING count(DISTINCT doc_id) >= {CHUNK_MIN_DOCS}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count_if(chash IN (SELECT chash FROM bp)) AS BIGINT) AS n_boilerplate,
+       coalesce(
+         string_agg(CASE WHEN chash NOT IN (SELECT chash FROM bp) THEN chunk END,
+                    ' ' ORDER BY j),
+         '') AS clean_text
+FROM h
+GROUP BY doc_id
+"""

@@ -161,6 +161,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dd6_dup_clusters": QuerySpec(llmdata.dd6_dup_clusters, llmdata.DD6_ORACLE),
     "dd7_simhash_pairs": QuerySpec(llmdata.dd7_simhash_pairs, llmdata.DD7_ORACLE),
     "dd8_incremental_lsh": QuerySpec(llmdata.dd8_incremental_lsh, llmdata.DD8_ORACLE),
+    "dd9_chunk_boilerplate": QuerySpec(
+        llmdata.dd9_chunk_boilerplate, llmdata.DD9_ORACLE
+    ),
     # --- similarity search ---
     "sim1_cosine_topk": QuerySpec(llmdata.sim1_cosine_topk, llmdata.SIM1_ORACLE),
     "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),

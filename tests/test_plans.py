@@ -348,3 +348,12 @@ def test_dq1_every_check_scan_is_narrow(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dq1_constraint_audit")
     reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert reads and all(len(r.split(",")) <= 2 for r in reads), reads
+
+
+def test_dd9_boilerplate_set_broadcasts_back(spark, sf_dir):
+    # the (tiny) boilerplate hash set must broadcast to the chunk frame
+    # — a sort-merge join here would shuffle the full chunk explosion
+    # twice at 100 TB
+    plan = _plan(spark, sf_dir, "dd9_chunk_boilerplate")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), plan
