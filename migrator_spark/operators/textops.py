@@ -171,3 +171,55 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         n_hits(PII_IPV4_RE).alias("n_ips"),
         clean.alias("clean"),
     )
+
+
+def keyword_search(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ranked keyword search: TF-IDF-style scoring with a log-free IDF.
+
+    score(d) = Σ_t tf(t, d) · (N + 1) / (df(t) + 1)
+
+    The (N+1)/(df+1) weight is a monotone transform of the classic
+    log-IDF (same down-weighting of common terms, same ordering
+    behavior for single-term queries) chosen because it is a single
+    IEEE division — bit-reproducible across engines, which log() is
+    not; that property is what lets the oracle check the scores
+    exactly, not approximately.
+
+    Scale shape: corpus stats (N, per-term df) are ONE aggregate row,
+    broadcast back over the scoring scan — two passes over a pruned
+    (id, text) read, no shuffle of documents; top-k via
+    TakeOrderedAndProject, never a global sort.
+    """
+    w = words(text_col)
+    stats = docs.select(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.count_if(F.array_contains(w, t)).alias(f"_df{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    def term_freq(term: str) -> Column:
+        # closure, not a default arg: a 2-arg lambda would make
+        # F.filter pass the element *index* as the second argument
+        return F.size(F.filter(w, lambda x: x == F.lit(term)))
+
+    score = None
+    for i, t in enumerate(terms):
+        tf = term_freq(t)
+        part = tf.cast("double") * (
+            (F.col("_n") + F.lit(1)).cast("double")
+            / (F.col(f"_df{i}") + F.lit(1)).cast("double")
+        )
+        score = part if score is None else score + part
+    return (
+        docs.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

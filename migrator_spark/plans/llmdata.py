@@ -871,3 +871,50 @@ SELECT doc_id,
 FROM h
 GROUP BY doc_id
 """
+
+
+FTS_TERMS = ["spark", "merge", "vector"]
+
+
+def fts1_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked keyword search (textops.keyword_search): top-15 docs for
+    a 3-term query under log-free TF-IDF — scores differentially
+    checked bit-for-bit (the log-free IDF exists exactly so this can
+    be an equality check, see the operator docstring)."""
+    return tx.keyword_search(load_table(spark, sf_dir, "documents"), FTS_TERMS, k=15)
+
+
+_FTS_DFS = ", ".join(
+    f"count_if(list_contains(w, '{t}')) AS df{i}" for i, t in enumerate(FTS_TERMS)
+)
+_FTS_SCORE = " + ".join(
+    f"len(list_filter(w, x -> x = '{t}'))::DOUBLE * ((n + 1)::DOUBLE / (df{i} + 1)::DOUBLE)"
+    for i, t in enumerate(FTS_TERMS)
+)
+
+FTS1_ORACLE = f"""
+WITH {DOCS_CTE},
+stats AS (SELECT count(*) AS n, {_FTS_DFS} FROM docs)
+SELECT doc_id, {_FTS_SCORE} AS score
+FROM docs, stats
+ORDER BY score DESC, doc_id ASC
+LIMIT 15
+"""
+
+
+def pr6_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR6 sketch-based percentile profiling: per-language p50/p90/p99
+    of document length via percentile_approx (KLL-style sketch:
+    mergeable across partitions, bounded memory — the 100 TB profiling
+    path where exact percentiles would shuffle the full column).
+    Rows-only in the driver (sketches are engine-specific);
+    tests/test_plans.py pins the rank-error bound against DuckDB's
+    exact percentiles, mirroring the pr3 HLL error-bound pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    acc = 1000  # relative rank error <= 1/acc
+    return docs.groupBy("lang").agg(
+        F.percentile_approx("n_chars", 0.5, acc).alias("p50"),
+        F.percentile_approx("n_chars", 0.9, acc).alias("p90"),
+        F.percentile_approx("n_chars", 0.99, acc).alias("p99"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

@@ -181,6 +181,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "pr2_length_percentiles": QuerySpec(
         llmdata.pr2_length_percentiles, llmdata.PR2_ORACLE
     ),
+    "pr6_approx_percentiles": QuerySpec(
+        llmdata.pr6_approx_percentiles, None, note="KLL-style sketch, rows-only"
+    ),
+    # --- full-text keyword search ---
+    "fts1_keyword_search": QuerySpec(
+        llmdata.fts1_keyword_search, llmdata.FTS1_ORACLE
+    ),
     # --- data-quality constraint audit ---
     "dq1_constraint_audit": QuerySpec(
         analytics.dq1_constraint_audit, analytics.DQ1_ORACLE

@@ -357,3 +357,51 @@ def test_dd9_boilerplate_set_broadcasts_back(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dd9_chunk_boilerplate")
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
     assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), plan
+
+
+def test_pr6_approx_percentile_error_bound(spark, ddb, sf_dir):
+    # percentile_approx at accuracy=1000 must land within 1/1000 rank
+    # error of the exact per-language percentile (no oracle possible:
+    # sketch internals are engine-specific — same pattern as pr3)
+    got = {
+        r["lang"]: (r["p50"], r["p90"], r["p99"], r["n_docs"])
+        for r in REGISTRY["pr6_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r[0]: r[1:]
+        for r in ddb.sql(
+            """
+            SELECT lang,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars),
+                   percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars),
+                   percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars),
+                   list_sort(list(n_chars))
+            FROM documents GROUP BY lang
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for lang, (p50, p90, p99, n_docs) in got.items():
+        e50, e90, e99, sorted_vals = exact[lang]
+        n = len(sorted_vals)
+        assert n == n_docs
+        for approx, q in [(p50, 0.5), (p90, 0.9), (p99, 0.99)]:
+            # rank of the sketch's answer must be within n/1000 + 1 of
+            # the target rank (the KLL accuracy contract)
+            import bisect
+
+            lo = bisect.bisect_left(sorted_vals, approx)
+            hi = bisect.bisect_right(sorted_vals, approx) - 1
+            target = q * (n - 1)
+            err_budget = n / 1000 + 1
+            assert lo - err_budget <= target <= hi + err_budget, (
+                lang, q, approx, lo, hi, target,
+            )
+
+
+def test_fts1_stats_broadcast_and_topk(spark, sf_dir):
+    # corpus stats (one row) broadcast over the scoring scan; top-15
+    # via TakeOrderedAndProject, never a global sort of all scores
+    plan = _plan(spark, sf_dir, "fts1_keyword_search")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Broadcast" in plan, plan
