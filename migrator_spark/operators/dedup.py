@@ -436,9 +436,13 @@ def chunk_boilerplate_dedup(
 
     Scale shape: explode to (doc, chunk_idx, hash64) — rows ≈ words/k,
     strictly smaller than a shingle explosion; one hash-keyed aggregate
-    finds boilerplate (partial map-side count-distinct); the tiny
-    boilerplate set broadcast-joins back; one regroup by doc reassembles.
-    Two shuffles total, both on high-cardinality uniform keys.
+    finds boilerplate (partial map-side count-distinct); the boilerplate
+    set joins back WITHOUT a broadcast hint — its size is corpus-
+    dependent and unbounded (a crawl snapshot can have billions of
+    boilerplate chunks), so the join strategy is left to AQE, which
+    broadcasts at runtime only when the measured size is actually small.
+    One regroup by doc reassembles. Two shuffles total worst-case, both
+    on high-cardinality uniform keys.
     """
     w = words(text_col)
     n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
@@ -463,7 +467,11 @@ def chunk_boilerplate_dedup(
         .filter(F.col("n_docs") >= min_docs)
         .select("chash", F.lit(True).alias("is_bp"))
     )
-    flagged = hashed.join(F.broadcast(boiler), on="chash", how="left")
+    # No broadcast hint: ``boiler`` is corpus-dependent and unbounded.
+    # AQE's runtime size check picks broadcast when it is genuinely
+    # small; a static hint would OOM the driver on a boilerplate-heavy
+    # corpus at 100 TB.
+    flagged = hashed.join(boiler, on="chash", how="left")
     kept = F.sort_array(
         F.collect_list(
             F.when(F.col("is_bp").isNull(), F.struct(F.col("j"), F.col("chunk")))

@@ -196,24 +196,88 @@ LIMIT 10
 """
 
 
-def sim2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned top-10: probe only the query's coarse cell (label) —
-    the partition-pruned scale path; exact within the probed cells."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    probe = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select("label")
+KMEANS_K, KMEANS_ITERS = 8, 2
+
+
+def _kmeans_cte(k: int, iters: int) -> str:
+    """Unrolled fixed-iteration Lloyd's k-means as DuckDB CTEs, exactly
+    mirroring similarity.kmeans_assign: md5-rank seeds, strict-< /
+    lowest-cell tie-break assignment, per-(cell,pos) mean update.
+    Terminates in a CTE named ``assign_final`` = (vec_id, cell)."""
+    sq = (
+        "(list_dot_product({a},{a}) - 2*list_dot_product({a},{b})"
+        " + list_dot_product({b},{b}))"
     )
-    return sim.ivf_topk(emb, _query_vec(spark, sf_dir), probe, k=10)
+    parts = [
+        "pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""seedord AS (
+  SELECT vec_id, v FROM pts ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k})""",
+        """cents0 AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
+         v AS c FROM seedord)""",
+    ]
+    for i in range(iters):
+        parts.append(f"""assign{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT p.vec_id, p.v, c.cell,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY {sq.format(a="p.v", b="c.c")} ASC, c.cell ASC) AS rn
+    FROM pts p CROSS JOIN cents{i} c) WHERE rn = 1)""")
+        parts.append(f"""cents{i + 1} AS (
+  SELECT cell, list(val ORDER BY pos) AS c FROM (
+    SELECT cell, pos, avg(val) AS val FROM (
+      SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+      FROM assign{i})
+    GROUP BY cell, pos) GROUP BY cell)""")
+    parts.append(f"""assign_final AS (
+  SELECT vec_id, cell FROM (
+    SELECT p.vec_id, c.cell,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY {sq.format(a="p.v", b="c.c")} ASC, c.cell ASC) AS rn
+    FROM pts p CROSS JOIN cents{iters} c) WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+def sim5_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF quantizer build: deterministic fixed-iteration Lloyd's
+    k-means over the full embedding table (similarity.kmeans_assign),
+    emitting the coarse-cell assignment sim2/dd5 consume. Integer-only
+    output, so the oracle comparison is drift-proof."""
+    return sim.kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), k=KMEANS_K, iters=KMEANS_ITERS
+    )
+
+
+SIM5_ORACLE = f"""
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS)}
+SELECT vec_id, cell FROM assign_final
+"""
+
+
+def sim2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned top-10: cells come from the COMPUTED quantizer
+    (kmeans_assign), not the synthetic label column — probe only the
+    query's cell; exact within the probed cells. With the table laid
+    out by cell this is partition pruning (scan cells/k of the data)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = sim.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    emb_cells = emb.filter(F.col("vec_id") != 0).join(assign, on="vec_id")
+    probe = assign.filter(F.col("vec_id") == 0).select("cell")
+    return sim.ivf_topk(
+        emb_cells, _query_vec(spark, sf_dir), probe, k=10, cluster_col="cell"
+    )
 
 
 SIM2_ORACLE = f"""
-WITH q AS (SELECT embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, {COS_EXPR.format(a="embedding", b="qe")} AS cos_sim
-FROM embeddings, q
-WHERE vec_id <> 0 AND label = qlabel
-ORDER BY cos_sim DESC, vec_id ASC
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS)},
+q AS (
+  SELECT e.embedding AS qe, a.cell AS qcell
+  FROM embeddings e JOIN assign_final a ON e.vec_id = a.vec_id
+  WHERE e.vec_id = 0)
+SELECT e.vec_id, {COS_EXPR.format(a="e.embedding", b="qe")} AS cos_sim
+FROM embeddings e JOIN assign_final a ON e.vec_id = a.vec_id, q
+WHERE e.vec_id <> 0 AND a.cell = qcell
+ORDER BY cos_sim DESC, e.vec_id ASC
 LIMIT 10
 """
 

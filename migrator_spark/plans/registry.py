@@ -75,6 +75,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- similarity search ---
     "sim1_cosine_topk": QuerySpec(llmdata.sim1_cosine_topk, llmdata.SIM1_ORACLE),
     "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),
+    "sim5_ivf_build": QuerySpec(llmdata.sim5_ivf_build, llmdata.SIM5_ORACLE),
     "sim3_pairwise_topk": QuerySpec(llmdata.sim3_pairwise_topk, llmdata.SIM3_ORACLE),
     "sim4_incremental_topk": QuerySpec(
         llmdata.sim4_incremental_topk, llmdata.SIM4_ORACLE

@@ -59,6 +59,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # `div` = integer division: epoch-nanos exceed 2^53, so going
         # through double (`/`) would corrupt the low bits.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Parquet TIMESTAMP(micros, isAdjustedToUTC=false) arrives as
+    # TIMESTAMP_NTZ; the engine's time semantics (and the DuckDB
+    # oracles) treat event times as UTC instants, and the session tz is
+    # pinned UTC, so the cast relabels without changing wall values.
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

@@ -350,13 +350,34 @@ def test_dq1_every_check_scan_is_narrow(spark, sf_dir):
     assert reads and all(len(r.split(",")) <= 2 for r in reads), reads
 
 
-def test_dd9_boilerplate_set_broadcasts_back(spark, sf_dir):
-    # the (tiny) boilerplate hash set must broadcast to the chunk frame
-    # — a sort-merge join here would shuffle the full chunk explosion
-    # twice at 100 TB
+def test_dd9_no_forced_broadcast_of_corpus_dependent_set(spark, sf_dir):
+    # the boilerplate hash set is corpus-dependent and unbounded — it
+    # must NOT carry a static broadcast hint (driver OOM at 100 TB on a
+    # boilerplate-heavy crawl). The join strategy is left to stats/AQE:
+    # at test SF the size estimate legitimately picks broadcast, but the
+    # optimized logical plan must be hint-free so a large corpus falls
+    # back to shuffle join.
+    df = REGISTRY["dd9_chunk_boilerplate"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "hint" not in opt.lower(), opt
     plan = _plan(spark, sf_dir, "dd9_chunk_boilerplate")
-    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
     assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), plan
+
+
+def test_sim5_assignment_passes_are_map_only(spark, sf_dir):
+    # every Lloyd assignment pass must be a broadcast of the packed
+    # centroid row against the point scan — the point set is NEVER
+    # shuffle-joined (that property is what makes the quantizer build
+    # viable at 100 TB). Seeds come from TakeOrderedAndProject, not a
+    # global sort.
+    plan = _plan(spark, sf_dir, "sim5_ivf_build")
+    from migrator_spark.plans.llmdata import KMEANS_ITERS
+
+    # tree section only (formatted mode also lists nodes in a detail
+    # section, which would double-count)
+    assert len(re.findall(r"\+- BroadcastNestedLoopJoin", plan)) == KMEANS_ITERS + 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_pr6_approx_percentile_error_bound(spark, ddb, sf_dir):
