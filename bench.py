@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -39,7 +40,13 @@ HEADLINE = [
     "e4_point_lookup_join",
     "w1_latest_by_key",
     "l0_apply_cdc_batch",
+    # the two most expensive LLM-data plans — tracked so their scale
+    # behavior gets round-over-round numbers (VERDICT r2 #7)
+    "dd2_minhash_lsh_pairs",
+    "sim5_ivf_build",
 ]
+
+REPEATS = 3  # median-of-3: one cold run can no longer swing the number 2x
 
 
 def main() -> None:
@@ -58,14 +65,25 @@ def main() -> None:
         if spec is not None and os.path.isdir(warm_dir):
             spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    # Warm-up pass at the target SF (populates OS page cache for the
+    # parquet files + finishes codegen at real plan shapes), then
+    # median-of-REPEATS timed runs per query.
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is not None:
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
     print(

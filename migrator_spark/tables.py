@@ -54,18 +54,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet TIMESTAMP(micros, isAdjustedToUTC=false) would arrive as
+    # TIMESTAMP_NTZ; the engine's time semantics (and the DuckDB
+    # oracles) treat event times as UTC instants, and the session tz is
+    # pinned UTC. Disabling NTZ inference makes the scan emit
+    # TimestampType natively — zero-cost at the reader, instead of a
+    # per-row cast projection over every scan of the hot tables.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in ns_cols:
         # `div` = integer division: epoch-nanos exceed 2^53, so going
         # through double (`/`) would corrupt the low bits.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    # Parquet TIMESTAMP(micros, isAdjustedToUTC=false) arrives as
-    # TIMESTAMP_NTZ; the engine's time semantics (and the DuckDB
-    # oracles) treat event times as UTC instants, and the session tz is
-    # pinned UTC, so the cast relabels without changing wall values.
-    for f in df.schema.fields:
-        if f.dataType.typeName() == "timestamp_ntz":
-            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
