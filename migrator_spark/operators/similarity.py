@@ -156,19 +156,22 @@ def _assign_cells(pts: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     packed = cents.agg(
         F.sort_array(F.collect_list(F.struct(F.col("cell"), F.col("c")))).alias("cs")
     )
-    best = F.aggregate(
+    # Compute each centroid distance exactly ONCE (HOF lambdas are not
+    # CSE'd, so a when/otherwise fold would double the arithmetic of the
+    # pass that must be cheap at 100 TB), then take the lexicographic
+    # struct minimum: min by d, ties to the lowest cell id — identical
+    # tie-break to a strict-< fold over the cell-sorted array. NaN
+    # distances sort greatest (Spark ordering), so an all-NaN embedding
+    # lands in the lowest cell id — matching the oracle's
+    # row_number()-over-(d, cell) choice rather than a sentinel cell.
+    dists = F.transform(
         F.col("cs"),
-        F.struct(
-            F.lit(float("inf")).alias("d"), F.lit(-1).alias("cell")
+        lambda s: F.struct(
+            _sq_l2(F.col("v"), s.getField("c")).alias("d"),
+            s.getField("cell").alias("cell"),
         ),
-        lambda acc, s: F.when(
-            _sq_l2(F.col("v"), s.getField("c")) < acc.getField("d"),
-            F.struct(
-                _sq_l2(F.col("v"), s.getField("c")).alias("d"),
-                s.getField("cell").alias("cell"),
-            ),
-        ).otherwise(acc),
-    ).getField("cell")
+    )
+    best = F.array_min(dists).getField("cell")
     return pts.crossJoin(F.broadcast(packed)).select(
         F.col(id_col), F.col("v"), best.alias("cell")
     )

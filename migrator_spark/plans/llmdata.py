@@ -201,12 +201,22 @@ KMEANS_K, KMEANS_ITERS = 8, 2
 
 def _kmeans_cte(k: int, iters: int) -> str:
     """Unrolled fixed-iteration Lloyd's k-means as DuckDB CTEs, exactly
-    mirroring similarity.kmeans_assign: md5-rank seeds, strict-< /
-    lowest-cell tie-break assignment, per-(cell,pos) mean update.
-    Terminates in a CTE named ``assign_final`` = (vec_id, cell)."""
+    mirroring similarity.kmeans_assign: md5-rank seeds, lowest-cell
+    tie-break assignment, per-(cell,pos) mean update. Terminates in a
+    CTE named ``assign_final`` = (vec_id, cell).
+
+    The squared distance uses the SAME arithmetic form and fold order as
+    Spark's _sq_l2 — sum of (x-y)^2 in index order — not the expanded
+    dot(a,a)-2dot(a,b)+dot(b,b), so both engines round identically and
+    near-equidistant points cannot flip cells between engines. Residual
+    divergence risk: the centroid mean (avg per (cell,pos)) is
+    merge-order-dependent across Spark partitions; for exactly-tied
+    accumulation orders the engines could still drift — accepted, since
+    a deterministic summation would require sorting every cell's points
+    per round (a per-round shuffle the 100 TB build can't afford)."""
     sq = (
-        "(list_dot_product({a},{a}) - 2*list_dot_product({a},{b})"
-        " + list_dot_product({b},{b}))"
+        "list_sum(list_transform(list_zip({a},{b}),"
+        " x -> (x[1]-x[2]) * (x[1]-x[2])))"
     )
     parts = [
         "pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -260,7 +270,13 @@ def sim2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's cell; exact within the probed cells. With the table laid
     out by cell this is partition pruning (scan cells/k of the data)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = sim.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    # Persist the assignment: it is referenced twice (cell join + probe
+    # lookup) and without materialization the whole Lloyd pipeline would
+    # execute twice per query. At scale the quantizer build is an
+    # OFFLINE step writing a (vec_id, cell) table that queries join
+    # against; persist() models that here — 2 ints per vector, ~1/1000th
+    # the size of the embedding table it summarizes.
+    assign = sim.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS).persist()
     emb_cells = emb.filter(F.col("vec_id") != 0).join(assign, on="vec_id")
     probe = assign.filter(F.col("vec_id") == 0).select("cell")
     return sim.ivf_topk(
