@@ -42,6 +42,10 @@ class IterationSpec:
     merge_key: str = ""
     extractor: str = "sequential"
     transformer: str = "default"
+    # loader registry key; "pruned" = file-pruned merge for large
+    # range-clustered parquet targets (reference hard-wires
+    # DefaultLoader, main.go:99-100)
+    loader: str = "default"
     transformer_parameters: dict[str, Any] = field(default_factory=dict)
 
     @property
@@ -90,6 +94,7 @@ def _iteration_from_dict(mig: dict[str, Any], it: dict[str, Any]) -> IterationSp
         merge_key=src.get("merge-key", ""),
         extractor=it.get("extractor", "sequential"),
         transformer=it.get("transformer", "default"),
+        loader=it.get("loader", "default"),
         transformer_parameters=dict(it.get("transformer-parameters") or {}),
     )
 

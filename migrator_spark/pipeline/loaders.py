@@ -29,6 +29,7 @@ from migrator_spark.operators import load as ld
 from migrator_spark.pipeline.config import IterationSpec, Parameters
 from migrator_spark.pipeline.registries import register_loader
 from migrator_spark.sources.base import Source
+from migrator_spark.sources.parquet import ParquetSource
 
 META_COLS = (ex.METHOD_COL, "_order", "_tie")
 
@@ -65,3 +66,65 @@ def load_default(
         key_cols, "_order", "_tie",
     )
     target.write(merged, table, mode="overwrite")
+
+
+@register_loader("pruned")
+def load_pruned(
+    spark: SparkSession,
+    target: Source,
+    table: str,
+    batch: DataFrame,
+    it: IterationSpec,
+    params: Parameters,
+) -> None:
+    """File-pruned merge loader: same semantics as "default", but the
+    merge rewrites only the part-files whose footer key range intersects
+    the batch keys (ParquetSource.merge_pruned) instead of the whole
+    table — the Delta-MERGE-shaped execution of REPLACE/DELETE
+    (batched_queries.go:21-23,28-74) for large range-clustered targets.
+
+    Falls back to the default loader when pruning can't apply: non-
+    parquet target, composite merge key (footer pruning needs one key
+    column), or a target that doesn't exist yet (first write seeds it
+    range-clustered so later merges prune).
+    """
+    key_cols = [c for c in it.merge_key_cols if c in batch.columns]
+    data_cols = [c for c in batch.columns if c not in META_COLS]
+
+    if not isinstance(target, ParquetSource) or len(key_cols) != 1:
+        load_default(spark, target, table, batch, it, params)
+        return
+    key = key_cols[0]
+
+    methods = {r[0] for r in batch.select(ex.METHOD_COL).distinct().collect()}
+    if methods <= {ex.M_INSERT} and target.exists(spark, table):
+        target.write(batch.select(*data_cols), table, mode="append")
+        return
+
+    if not target.exists(spark, table):
+        final = ld.latest_by_key(batch, key_cols, "_order", "_tie")
+        seeded = final.filter(F.col(ex.METHOD_COL) != ex.M_REMOVE).select(*data_cols)
+        # seed range-clustered on the merge key so every later merge
+        # can prune by footer min/max
+        n_files = max(1, int(params.extra.get("seed_files", 8)))
+        target.write(
+            seeded.repartitionByRange(n_files, F.col(key)).sortWithinPartitions(key),
+            table,
+            mode="overwrite",
+        )
+        return
+
+    cols = target.table(spark, table).columns
+    target.merge_pruned(
+        spark,
+        table,
+        batch.select(key),
+        key,
+        lambda tdf: ld.apply_cdc_batch(
+            tdf,
+            batch.select(*cols, ex.METHOD_COL, "_order", "_tie"),
+            key_cols,
+            "_order",
+            "_tie",
+        ),
+    )

@@ -150,7 +150,7 @@ class Migrator:
                 spec.source_table, spec.target_table, spec.transformer_parameters
             )
             routed = transformer(res.batch, ctx)
-            loader = resolve("loader", "default")
+            loader = resolve("loader", spec.loader)
             for r in routed:
                 loader(self.spark, b.target, r.target_table, r.df, spec, params)
         except Exception as e:  # noqa: BLE001

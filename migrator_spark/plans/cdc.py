@@ -15,6 +15,8 @@ method = REMOVE for 'error' events else REPLACE.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -514,6 +516,53 @@ L0_ORACLE = f"""
 WITH {CDC_CTE}, {SHAPED_CTE},
 final AS (
   SELECT * FROM shaped
+  QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM final)
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM final
+WHERE _method <> 'REMOVE'
+"""
+
+
+def l4_pruned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 transactional file-pruned MERGE, executed end-to-end through
+    the versioned-parquet sink: the customer table is seeded
+    range-clustered on its PK, a key-localized CDC batch (keys < 400)
+    is merged via ParquetSource.merge_pruned, and the POST-MERGE table
+    is read back and returned. Only part-files whose footer key range
+    intersects the batch keys are rewritten; the rest are carried by
+    hardlink — the Delta-MERGE file-skipping execution of REPLACE/DELETE
+    (/root/reference/batched_queries.go:21-23,28-74,
+    loader_default.go:30-34) that replaces the full-table-rewrite sink.
+    The oracle is L0's set algebra restricted to the same key band —
+    identical semantics, different (pruned) physical execution.
+    """
+    from migrator_spark.sources.parquet import ParquetSource
+
+    customer = load_table(spark, sf_dir, "customer")
+    batch = _shaped_batch(spark, sf_dir).filter(F.col("c_custkey") < 400)
+    src = ParquetSource("/root/repo/spark-warehouse/l4_sink")
+    table = f"customer_{os.path.basename(sf_dir.rstrip('/'))}"
+    seeded = customer.repartitionByRange(8, F.col("c_custkey")).sortWithinPartitions(
+        "c_custkey"
+    )
+    src.write(seeded, table, mode="overwrite")
+    src.merge_pruned(
+        spark,
+        table,
+        batch.select("c_custkey"),
+        "c_custkey",
+        lambda tdf: ld.apply_cdc_batch(tdf, batch, ["c_custkey"], "ts", "event_id"),
+    )
+    return src.table(spark, table)
+
+
+L4_ORACLE = f"""
+WITH {CDC_CTE}, {SHAPED_CTE},
+final AS (
+  SELECT * FROM shaped WHERE c_custkey < 400
   QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ts DESC, event_id DESC) = 1
 )
 SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer

@@ -23,12 +23,54 @@ import os
 import shutil
 import threading
 import uuid
+from bisect import bisect_left
+from dataclasses import dataclass
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # old versions kept after a swap; bounds how long an in-flight reader
 # holding a resolved version dir stays valid (N further overwrites)
 KEEP_VERSIONS = 3
+
+
+@dataclass(frozen=True)
+class MergeStats:
+    """Outcome of a file-pruned merge: how much of the table was
+    actually rewritten vs carried forward untouched."""
+
+    total_files: int
+    touched_files: int
+
+    @property
+    def pruned_files(self) -> int:
+        return self.total_files - self.touched_files
+
+
+def _file_key_range(path: str, key_col: str):
+    """(min, max) of ``key_col`` across a part-file's row groups, from
+    the parquet footer only — no data pages are read. None when the
+    footer carries no usable statistics (caller must treat the file as
+    touched)."""
+    md = pq.read_metadata(path)
+    try:
+        idx = md.schema.names.index(key_col)
+    except ValueError:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
+def _any_key_in(sorted_keys: list, lo, hi) -> bool:
+    i = bisect_left(sorted_keys, lo)
+    return i < len(sorted_keys) and sorted_keys[i] <= hi
 
 _locks: dict[str, threading.Lock] = {}
 _locks_guard = threading.Lock()
@@ -84,6 +126,84 @@ class ParquetSource:
         with _lock_for(self._path(name)):
             df = fn(spark.read.parquet(os.path.realpath(self._path(name))))
             self._swap(name, self._materialize(df, name))
+
+    def merge_pruned(
+        self,
+        spark: SparkSession,
+        name: str,
+        batch_keys: DataFrame,
+        key_col: str,
+        merge_fn,
+    ) -> MergeStats:
+        """File-pruned MERGE: rewrite ONLY the part-files whose footer
+        [min, max] range of ``key_col`` intersects the batch's key set;
+        every other part-file is carried into the new table version by
+        hardlink — a metadata-only operation, no data read or copied.
+
+        This is the execution of MySQL REPLACE/DELETE semantics
+        (/root/reference/batched_queries.go:21-23,28-74) the way Delta
+        MERGE executes it at scale — file skipping from column
+        statistics plus copy-forward of unmatched files — implemented
+        over the dependency-free versioned-parquet layout. The
+        full-table-rewrite write amplification of ``rmw`` (the round-1/2
+        scale liability) drops to O(files containing matched keys):
+        with a range-clustered target and a key-localized batch that is
+        a small fraction of the table.
+
+        Correctness: any target row whose key equals a batch key lies
+        in a file whose stats range covers that key, so every possibly-
+        matched row reaches ``merge_fn``; files without statistics are
+        conservatively treated as touched. ``merge_fn(touched_df)``
+        returns the replacement rows for the touched subset (typically
+        ``apply_cdc_batch(touched_df, batch, ...)`` — batch rows with
+        keys outside every file range surface as brand-new inserts
+        there). NULL batch keys cannot match any stats range and are
+        ignored for pruning.
+
+        The rewritten slice is re-range-clustered on ``key_col`` so
+        repeated merges keep the layout prunable. Runs under the table
+        lock; the symlink swap is atomic, concurrent readers see the
+        complete old or new version.
+        """
+        final = self._path(name)
+        with _lock_for(final):
+            current = os.path.realpath(final)
+            parts = sorted(
+                e.path
+                for e in os.scandir(current)
+                if e.is_file() and e.name.endswith(".parquet")
+            )
+            keys = sorted(
+                r[0]
+                for r in batch_keys.select(key_col).distinct().collect()
+                if r[0] is not None
+            )
+            touched, kept = [], []
+            for p in parts:
+                rng = _file_key_range(p, key_col)
+                if rng is None or _any_key_in(keys, rng[0], rng[1]):
+                    touched.append(p)
+                else:
+                    kept.append(p)
+            if touched:
+                tdf = spark.read.parquet(*touched)
+            else:
+                tdf = spark.createDataFrame([], spark.read.parquet(current).schema)
+            merged = merge_fn(tdf)
+            n_out = max(1, len(touched))
+            merged = merged.repartitionByRange(
+                n_out, F.col(key_col)
+            ).sortWithinPartitions(key_col)
+            vdir = self._versions(name)
+            os.makedirs(vdir, exist_ok=True)
+            new_version = f"{vdir}/{uuid.uuid4().hex[:12]}"
+            merged.write.mode("overwrite").parquet(new_version)
+            for p in kept:
+                os.link(
+                    p, f"{new_version}/keep-{uuid.uuid4().hex[:8]}-{os.path.basename(p)}"
+                )
+            self._swap(name, new_version)
+            return MergeStats(total_files=len(parts), touched_files=len(touched))
 
     def _materialize(self, df: DataFrame, name: str) -> str:
         vdir = self._versions(name)
