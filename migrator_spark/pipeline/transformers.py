@@ -21,6 +21,7 @@ tables)::
 from __future__ import annotations
 
 import importlib
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass
 from typing import Any
@@ -28,6 +29,50 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from migrator_spark.pipeline.registries import register_transformer
+
+# Wall-clock bound on user transform code, matching the reference's JS
+# VM interrupt timeout (transformer_js.go:26, default 5s). Override per
+# iteration with transformer-parameters: {timeout: <seconds>}; 0 or
+# negative disables.
+DEFAULT_TRANSFORM_TIMEOUT = 5.0
+
+
+class TransformTimeout(Exception):
+    """User transform exceeded its wall-clock budget; the batch aborts,
+    the runner surfaces the error callback, and offsets stay put so the
+    batch replays (runner commit-after-load ordering)."""
+
+
+def _call_with_timeout(fn: Callable, args: tuple, timeout: float):
+    """Run ``fn(*args)`` bounded by ``timeout`` seconds.
+
+    The reference interrupts its JS VM (transformer_js.go:26); CPython
+    cannot safely kill a thread, so on timeout the worker thread is
+    abandoned (daemon) and the batch fails — same pipeline-visible
+    semantics (batch aborted, offset not committed), with the residual
+    difference that runaway user code keeps a thread until it returns.
+    """
+    if not timeout or timeout <= 0:
+        return fn(*args)
+    result: list = []
+    err: list[BaseException] = []
+
+    def run() -> None:
+        try:
+            result.append(fn(*args))
+        except BaseException as e:  # noqa: BLE001 - re-raised in caller
+            err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        raise TransformTimeout(
+            f"python transformer exceeded {timeout}s wall-clock budget"
+        )
+    if err:
+        raise err[0]
+    return result[0]
 
 
 @dataclass
@@ -66,7 +111,8 @@ def _resolve_callable(spec: Any) -> Callable:
 @register_transformer("python")
 def transform_python(batch: DataFrame, ctx: TransformContext) -> list[Routed]:
     fn = _resolve_callable(ctx.params.get("callable"))
-    out = fn(batch, ctx)
+    timeout = float(ctx.params.get("timeout", DEFAULT_TRANSFORM_TIMEOUT))
+    out = _call_with_timeout(fn, (batch, ctx), timeout)
     if isinstance(out, DataFrame):
         return [Routed(out, ctx.target_table)]
     return [o if isinstance(o, Routed) else Routed(o[0], o[1]) for o in out]

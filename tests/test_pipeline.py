@@ -71,6 +71,7 @@ def _mk_config(src, tgt, table="x", key="id", extractor="sequential", **kw):
                         merge_key=kw.pop("merge_key", ""),
                         extractor=extractor,
                         transformer=kw.pop("transformer", "default"),
+                        loader=kw.pop("loader", "default"),
                         transformer_parameters=kw.pop("transformer_parameters", {}),
                     )
                 ],
@@ -574,3 +575,72 @@ def test_all_example_configs_parse():
             for it in mig.iterations:
                 assert it.extractor in EXTRACTORS, (f, it.extractor)
                 assert it.transformer in TRANSFORMERS, (f, it.transformer)
+
+
+def _sleepy_transform(batch, ctx):
+    import time as _t
+
+    _t.sleep(5.0)
+    return batch
+
+
+def test_python_transformer_timeout_aborts_batch(spark, dirs):
+    """T3 timeout parity (transformer_js.go:26): a user transform that
+    exceeds its wall-clock budget aborts the batch, surfaces the error
+    callback, and does NOT commit offsets — the batch replays."""
+    src_dir, tgt_dir, trk = dirs
+    src = ParquetSource(src_dir)
+    src.write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+
+    caught = []
+    cfg = _mk_config(
+        src_dir,
+        tgt_dir,
+        transformer="python",
+        transformer_parameters={"callable": _sleepy_transform, "timeout": 0.3},
+    )
+    m = Migrator(spark, cfg, trk, error_callback=lambda s, e, c: caught.append((s, e, c)))
+    m.run_until_drained()
+
+    from migrator_spark.pipeline.transformers import TransformTimeout
+
+    assert caught and isinstance(caught[0][1], TransformTimeout), caught
+    # offset never committed -> tracking still at origin, target absent
+    assert m.store.get("a", "x").sequential_position == 0
+    assert not ParquetSource(tgt_dir).exists(spark, "x")
+
+
+def test_python_transformer_fast_path_unaffected_by_timeout(spark, dirs):
+    src_dir, tgt_dir, trk = dirs
+    src = ParquetSource(src_dir)
+    src.write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+    cfg = _mk_config(
+        src_dir,
+        tgt_dir,
+        transformer="python",
+        transformer_parameters={"callable": lambda b, c: b, "timeout": 5.0},
+    )
+    Migrator(spark, cfg, trk).run_until_drained()
+    assert ParquetSource(tgt_dir).table(spark, "x").count() == 4
+
+
+def test_pipeline_pruned_loader_replication(spark, dirs):
+    """Sequential replication through the "pruned" loader: first drain
+    seeds the target range-clustered; a later upsert batch merges with
+    file pruning and converges to the same rows as default."""
+    src_dir, tgt_dir, trk = dirs
+    src = ParquetSource(src_dir)
+    src.write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+
+    cfg = _mk_config(src_dir, tgt_dir, loader="pruned", batch_size=3)
+    Migrator(spark, cfg, trk).run_until_drained()
+    tgt = ParquetSource(tgt_dir)
+    assert sorted(r["id"] for r in tgt.table(spark, "x").collect()) == [1, 2, 3, 4]
+
+    src.write(
+        spark.createDataFrame([(5, "Eve Early", datetime(1990, 5, 5), True)], X_SCHEMA),
+        "x",
+        mode="append",
+    )
+    Migrator(spark, cfg, trk).run_until_drained()
+    assert sorted(r["id"] for r in tgt.table(spark, "x").collect()) == [1, 2, 3, 4, 5]
