@@ -333,6 +333,99 @@ def duplicate_clusters(
     ).withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
 
 
+def _star_contract(edges: DataFrame, max_iters: int = 20) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) until the
+    edge set reaches its star fixpoint: every non-root node holds exactly
+    one edge to its component's minimum id.
+
+    ``edges`` must be canonically oriented (u > v), distinct, self-loop
+    free. Returns (star edges, rounds used). Round count is O(log n) on
+    ANY graph shape — adversarial long chains included — where plain
+    min-label propagation needs diameter rounds; each round is two
+    node-keyed aggregations plus one join (same shuffle shape), so at
+    100 TB the win is purely the round count. Lineage is truncated per
+    round with an eager localCheckpoint (cluster: reliable storage).
+    """
+    e = edges
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # large-star: every neighbor v > u connects to m(u) = min(Γ(u) ∪ {u})
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("mn"), F.col("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: every smaller neighbor (and u itself) connects to
+        # m(u) = min of u's smaller neighborhood; orientation preserved
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            small.count() == e.count()
+            and small.exceptAll(e).limit(1).count() == 0
+        )
+        e = small
+        if converged:
+            break
+    return e, rounds
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """``duplicate_clusters`` semantics via star contraction — the
+    adversarial-diameter variant the duplicate_clusters docstring
+    promises: O(log n) rounds instead of O(diameter). Output is
+    identical (doc_id, cluster_id = component min, cluster_size), so
+    the two share one oracle.
+    """
+    edges0 = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    stars, _rounds = _star_contract(edges0, max_iters)
+    labels = stars.groupBy("u").agg(F.min("v").alias("label")).select(
+        F.col("u").alias("node"), "label"
+    )
+    roots = (
+        stars.select(F.col("v").alias("node"))
+        .distinct()
+        .join(labels, on="node", how="left_anti")
+        .withColumn("label", F.col("node"))
+    )
+    from pyspark.sql import Window
+
+    return (
+        labels.unionByName(roots)
+        .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+    )
+
+
 def simhash_pairs(
     fingerprints: DataFrame,
     id_col: str = "doc_id",

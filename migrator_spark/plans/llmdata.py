@@ -686,6 +686,22 @@ FROM lab
 """
 
 
+def dd6b_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd6's connected components via large-star/small-star contraction
+    (Kiveris et al. SoCC'14): O(log n) rounds on ANY graph shape —
+    adversarial long chains included — where dd6's min-label
+    propagation needs diameter rounds. Identical output contract, so
+    the two variants share one oracle; the round bound is pinned by
+    tests/test_cc_star.py."""
+    pairs = dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESH,
+    )
+    return dd.duplicate_clusters_star(pairs)
+
+
 SIMHASH_BANDS, SIMHASH_BAND_BITS, SIMHASH_MAX_HAM = 4, 15, 3
 
 

@@ -137,13 +137,18 @@ REGISTRY: dict[str, QuerySpec] = {
     "e3_coalesce_scan": QuerySpec(cdc.e3_coalesce_scan, cdc.E3_ORACLE),
     "e4_queue_drain": QuerySpec(cdc.e4_queue_drain, cdc.E4_DRAIN_ORACLE),
     "e4_point_lookup_join": QuerySpec(cdc.e4_point_lookup_join, cdc.E4_LOOKUP_ORACLE),
-    # P2-P5 range/coalesce/point predicates are exercised inside e1/e2/e3/e4
+    # --- NEW round 3: file-pruned merge sink executed end-to-end, and
+    # star-contraction connected components (shares dd6's oracle) ---
+    "l4_pruned_merge": QuerySpec(cdc.l4_pruned_merge, cdc.L4_ORACLE),
+    "dd6b_dup_clusters_star": QuerySpec(
+        llmdata.dd6b_dup_clusters_star, llmdata.DD6_ORACLE
+    ),
+    # ============ just past the 50-entry cut: least loader-sensitive
+    # r01-green entries (PK-only lookups, re-checked by local pytest) ====
     "p6_composite_lookup": QuerySpec(cdc.p6_composite_lookup, cdc.P6_ORACLE),
     "p8_full_row_delete_match": QuerySpec(
         cdc.p8_full_row_delete_match, cdc.P8_ORACLE
     ),
-    # ============ just past the 50-entry cut: least loader-sensitive
-    # r01-green entries (PK-only lookups, re-checked by local pytest) ====
     "p7_tracking_lookup": QuerySpec(cdc.p7_tracking_lookup, cdc.P7_ORACLE),
     "a1_max_offset": QuerySpec(cdc.a1_max_offset, cdc.A1_ORACLE),
     # ============ graded green in CORRECTNESS_r02 ============
