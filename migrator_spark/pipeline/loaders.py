@@ -68,6 +68,53 @@ def load_default(
     target.write(merged, table, mode="overwrite")
 
 
+@register_loader("jdbc")
+def load_jdbc(
+    spark: SparkSession,
+    target: Source,
+    table: str,
+    batch: DataFrame,
+    it: IterationSpec,
+    params: Parameters,
+) -> None:
+    """Live-database loader: the reference's DefaultLoader against a
+    real JDBC target (loader_default.go:9-72). Pure-INSERT batches
+    append with batched statements; mixed batches resolve per-key
+    last-write-wins then run staging + server-side MERGE/DELETE inside
+    one transaction (JdbcSource.apply_cdc_txn). Falls back to the
+    default set-algebra loader for non-JDBC targets.
+    """
+    from migrator_spark.sources.jdbc import JdbcSource
+
+    if not isinstance(target, JdbcSource):
+        load_default(spark, target, table, batch, it, params)
+        return
+    key_cols = [c for c in it.merge_key_cols if c in batch.columns]
+    data_cols = [c for c in batch.columns if c not in META_COLS]
+
+    methods = {r[0] for r in batch.select(ex.METHOD_COL).distinct().collect()}
+    if methods <= {ex.M_INSERT} and target.exists(spark, table):
+        target.write(batch.select(*data_cols), table, mode="append")
+        return
+
+    final = ld.latest_by_key(batch, key_cols, "_order", "_tie")
+    if not target.exists(spark, table):
+        target.write(
+            final.filter(F.col(ex.METHOD_COL) != ex.M_REMOVE).select(*data_cols),
+            table,
+            mode="overwrite",
+        )
+        return
+    target.apply_cdc_txn(
+        spark,
+        table,
+        final.select(*data_cols, ex.METHOD_COL),
+        key_cols,
+        method_col=ex.METHOD_COL,
+        remove_method=ex.M_REMOVE,
+    )
+
+
 @register_loader("pruned")
 def load_pruned(
     spark: SparkSession,

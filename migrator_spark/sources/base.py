@@ -31,14 +31,17 @@ def rmw(source: Source, spark: SparkSession, name: str, fn) -> None:
     holds its per-table lock across the fresh read and the swap, so a
     concurrent append can't land in the window and be dropped by the
     rewrite — the single-process analogue of Delta's conflict check).
-    Falls back to an unserialized read+overwrite for sources without
-    native support (JDBC/Delta do transactional writes themselves).
+    The fallback MATERIALIZES fn's result before overwriting: for an
+    in-place store (JDBC) the overwrite truncates the very table the
+    lazy plan still has to read — without the checkpoint the rewrite
+    would consume its own destruction.
     """
     native = getattr(source, "rmw", None)
     if native is not None:
         native(spark, name, fn)
     else:
-        source.write(fn(source.table(spark, name)), name, mode="overwrite")
+        out = fn(source.table(spark, name)).localCheckpoint(eager=True)
+        source.write(out, name, mode="overwrite")
 
 
 def open_source(dsn: str) -> Source:

@@ -1,18 +1,38 @@
-"""JDBC source/sink (thin wrapper over spark.read/write.jdbc).
+"""JDBC source/sink: the production path for the reference's
+MySQL->MySQL replication shape.
 
-Production path for the reference's MySQL->MySQL replication shape:
-reads partition on the tracking column (numPartitions/lowerBound/
+Reads partition on the tracking column (numPartitions/lowerBound/
 upperBound) so a 100 TB table scans in parallel; writes use JDBC
 ``batchsize`` (the reference's InsertBatchSize, loader_default.go:12)
-and isolation none for idempotent upsert targets.
+and isolation NONE for idempotent append targets.
 
-No JDBC driver ships in this container, so this class is exercised by
-unit tests only through its option-building logic.
+``apply_cdc_txn`` is the live-database merge: the resolved batch is
+staged via parallel batched INSERTs, then a server-side ANSI MERGE
+(upserts) + key DELETE (removes) run inside ONE driver-held JDBC
+transaction — the BEGIN/COMMIT-per-batch semantics of
+/root/reference/loader_default.go:30-34 with MySQL's REPLACE INTO
+(batched_queries.go:21-23) generalized to standard SQL MERGE. A failure
+rolls back, the runner never commits offsets, the batch replays.
+
+Exercised end-to-end against embedded Apache Derby (bundled with
+Spark's classpath) in tests/test_jdbc_e2e.py; the same code path works
+against any server that speaks ANSI MERGE. Embedded Derby is
+single-JVM — production targets are networked databases, where the
+executor-parallel staging write + one server-side MERGE is exactly the
+shape you want at scale (no per-row round trips).
 """
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _q(ident: str) -> str:
+    """ANSI double-quote an identifier, matching Spark's JDBC writer
+    quoting so staged column names resolve case-exactly."""
+    return '"' + ident.replace('"', '""') + '"'
 
 
 class JdbcSource:
@@ -49,6 +69,22 @@ class JdbcSource:
     def table(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.format("jdbc").options(**self.reader_options(name)).load()
 
+    def table_partitioned(
+        self,
+        spark: SparkSession,
+        name: str,
+        partition_column: str,
+        lower: int,
+        upper: int,
+    ) -> DataFrame:
+        """Parallel scan: ``num_partitions`` range-split WHERE clauses on
+        the key column — how a big table is actually read at scale."""
+        return (
+            spark.read.format("jdbc")
+            .options(**self.reader_options(name, partition_column, lower, upper))
+            .load()
+        )
+
     def exists(self, spark: SparkSession, name: str) -> bool:
         try:
             self.table(spark, name).schema
@@ -60,3 +96,91 @@ class JdbcSource:
         df.write.format("jdbc").options(**self.writer_options(name)).mode(
             "append" if mode == "append" else "overwrite"
         ).save()
+
+    # ------------------------------------------------- transactions
+
+    def execute(self, spark: SparkSession, *statements: str, transactional: bool = True) -> None:
+        """Run statements over one driver-side JDBC connection; with
+        ``transactional`` they commit atomically (rollback on any
+        failure). This is the loader's per-batch BEGIN/COMMIT
+        (loader_default.go:30-34)."""
+        conn = spark._jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            conn.setAutoCommit(not transactional)
+            st = conn.createStatement()
+            try:
+                for s in statements:
+                    st.execute(s)
+            finally:
+                st.close()
+            if transactional:
+                conn.commit()
+        except Exception:
+            if transactional:
+                try:
+                    conn.rollback()
+                except Exception:
+                    pass
+            raise
+        finally:
+            conn.close()
+
+    def apply_cdc_txn(
+        self,
+        spark: SparkSession,
+        table: str,
+        batch: DataFrame,
+        key_cols: list[str],
+        method_col: str = "_method",
+        remove_method: str = "REMOVE",
+    ) -> None:
+        """Apply a per-key-resolved CDC batch (data columns +
+        ``method_col``) to a live JDBC table.
+
+        1. stage: executors write the batch to a throwaway table with
+           batched INSERTs (parallel, ``batchsize``-chunked);
+        2. one transaction: a single ANSI ``MERGE INTO`` with refined
+           WHEN clauses — matched REMOVE rows DELETE, matched others
+           UPDATE, unmatched non-REMOVE rows INSERT (the source must be
+           a base table, hence staging rather than a subquery);
+        3. drop the staging table.
+
+        The merge itself runs server-side — no per-row round trips, no
+        table-sized data movement through Spark. The reference's
+        REPLACE INTO / DELETE pair (batched_queries.go:21-23,28-74) is
+        exactly this with MySQL's nonstandard upsert syntax.
+        """
+        stage = f"{table}_stg_{uuid.uuid4().hex[:8]}"
+        self.write(batch, stage, mode="overwrite")
+        data_cols = [c for c in batch.columns if c != method_col]
+        non_keys = [c for c in data_cols if c not in key_cols]
+        on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
+        set_clause = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in non_keys)
+        ins_cols = ", ".join(_q(c) for c in data_cols)
+        ins_vals = ", ".join(f"s.{_q(c)}" for c in data_cols)
+        # table names pass through UNQUOTED, exactly as Spark's JDBC
+        # writer passes dbtable (the server case-folds them); COLUMN
+        # names are quoted, exactly as Spark's writer creates them
+        # CAST: some dialects (Derby) store StringType as CLOB, which
+        # cannot compare against a CHAR literal directly
+        mcol = f"CAST(s.{_q(method_col)} AS VARCHAR(32))"
+        not_remove = f"{mcol} <> '{remove_method}'"
+        is_remove = f"{mcol} = '{remove_method}'"
+        merge = (
+            f"MERGE INTO {table} t USING {stage} s ON {on} "
+            f"WHEN MATCHED AND {is_remove} THEN DELETE "
+            + (
+                f"WHEN MATCHED AND {not_remove} THEN UPDATE SET {set_clause} "
+                if non_keys
+                else ""
+            )
+            + f"WHEN NOT MATCHED AND {not_remove} "
+            f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
+        try:
+            self.execute(spark, merge, transactional=True)
+        finally:
+            try:
+                self.execute(spark, f"DROP TABLE {stage}", transactional=False)
+            except Exception:
+                pass
