@@ -66,24 +66,47 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(F.size(w) < F.lit(k), F.array(F.array_join(w, " "))).otherwise(cur)
 
 
+# Mersenne prime 2^31 - 1: the affine-permutation modulus. With the
+# base hash reduced mod P, a*h + b stays < 2^62 — inside int64 in both
+# Spark (wrapping longs never wrap here) and DuckDB (which would RAISE
+# on BIGINT overflow). Same family as Spark MLlib's MinHashLSH.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_perm_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine minhash
+    permutations h_i(x) = (a_i * x + b_i) mod P, a_i != 0.
+
+    Derived from md5 so any engine (or a reviewer) can reproduce them;
+    they are baked into the DuckDB oracles as integer literals.
+    """
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        (h60(f"a{i}") % (MINHASH_P - 1) + 1, h60(f"b{i}") % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signature(col: Column | str, num_hashes: int, k: int = 3) -> Column:
     """Array of ``num_hashes`` min-hash values over the k-shingle set.
 
-    Permutation i is simulated as stable_hash64(i || '|' || shingle);
-    signature[i] = min over shingles. All JVM-side: transform over a
-    literal index sequence with a nested array_min/transform.
+    One stable_hash64 per shingle (reduced mod P), then ``num_hashes``
+    affine permutations (a_i*h + b_i) mod P — integer-only after the
+    single md5, so the signature costs one hash per shingle instead of
+    ``num_hashes`` (the dominant cost at corpus scale).
     """
-    sh = word_shingles(col, k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                sh,
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(i.cast("string"), F.lit("|"), s)), 1, 15),
-                    16,
-                    10,
-                ).cast("long"),
+    hs = F.transform(
+        word_shingles(col, k), lambda s: stable_hash64(s) % F.lit(MINHASH_P)
+    )
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
             )
-        ),
+            for (a, b) in minhash_perm_constants(num_hashes)
+        ]
     )

@@ -16,7 +16,12 @@ from migrator_spark.operators import dedup as dd
 from migrator_spark.operators import multimodal as mm
 from migrator_spark.operators import similarity as sim
 from migrator_spark.operators import textops as tx
-from migrator_spark.functions.hashing import stable_hash64, words
+from migrator_spark.functions.hashing import (
+    MINHASH_P,
+    minhash_perm_constants,
+    stable_hash64,
+    words,
+)
 from migrator_spark.tables import load_table
 
 # DuckDB fragments mirroring functions.hashing
@@ -57,6 +62,23 @@ FROM documents GROUP BY 1
 
 MINHASH_NUM, MINHASH_BANDS, MINHASH_THRESH = 12, 4, 0.3
 
+# Minhash signature CTE shared by the dd2/dd6/dd8 oracles: ONE md5 per
+# shingle reduced mod P, then the same affine permutations as the Spark
+# side (functions.hashing.minhash_perm_constants) baked in as literals.
+_SIG_MINS = ",\n           ".join(
+    f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {MINHASH_P}))"
+    for (a, b) in minhash_perm_constants(MINHASH_NUM)
+)
+SIG_CTE = f"""
+sig AS (
+  SELECT doc_id, sh,
+         [{_SIG_MINS}] AS sig
+  FROM (SELECT doc_id, sh,
+               list_transform(sh, s -> {H.format(x="s")} % {MINHASH_P}) AS hv
+        FROM sh)
+)
+"""
+
 
 def dd2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup candidate pairs, exact-verified."""
@@ -70,13 +92,7 @@ def dd2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DD2_ORACLE = f"""
 WITH {DOCS_CTE}, {SH_CTE},
-sig AS (
-  SELECT doc_id, sh,
-         list_transform(generate_series(0, {MINHASH_NUM - 1}),
-           i -> list_min(list_transform(sh,
-                  s -> {H.format(x="i::VARCHAR || '|' || s")}))) AS sig
-  FROM sh
-),
+{SIG_CTE},
 banded AS (
   SELECT doc_id, sh, band,
          {H.format(x="array_to_string(list_transform(sig[band*3+1:band*3+3], v -> v::VARCHAR), ',')")} AS band_hash
@@ -643,13 +659,7 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DD6_ORACLE = f"""
 WITH RECURSIVE {DOCS_CTE}, {SH_CTE},
-sig AS (
-  SELECT doc_id, sh,
-         list_transform(generate_series(0, {MINHASH_NUM - 1}),
-           i -> list_min(list_transform(sh,
-                  s -> {H.format(x="i::VARCHAR || '|' || s")}))) AS sig
-  FROM sh
-),
+{SIG_CTE},
 banded AS (
   SELECT doc_id, sh, band,
          {H.format(x="array_to_string(list_transform(sig[band*3+1:band*3+3], v -> v::VARCHAR), ',')")} AS band_hash
@@ -809,13 +819,7 @@ def dd8_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DD8_ORACLE = f"""
 WITH {DOCS_CTE}, {SH_CTE},
-sig AS (
-  SELECT doc_id, sh,
-         list_transform(generate_series(0, {MINHASH_NUM - 1}),
-           i -> list_min(list_transform(sh,
-                  s -> {H.format(x="i::VARCHAR || '|' || s")}))) AS sig
-  FROM sh
-),
+{SIG_CTE},
 banded AS (
   SELECT doc_id, sh, band,
          {H.format(x="array_to_string(list_transform(sig[band*3+1:band*3+3], v -> v::VARCHAR), ',')")} AS band_hash
