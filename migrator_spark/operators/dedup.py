@@ -177,6 +177,48 @@ def _verify_jaccard(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any k-word shingle
+    with a held-out benchmark/eval set (the n-gram-overlap contamination
+    check every training pipeline runs before a data release; 13-grams
+    in the GPT-3/PaLM papers — k is a parameter, the machinery is
+    identical).
+
+    Returns (id, n_shingles, n_hits, contaminated_frac) for corpus docs
+    with >= 1 hit. Shape: explode distinct shingles once, hash to 60-bit
+    ints, split benchmark/corpus by an id semi-join, LEFT-join corpus
+    tokens against the distinct benchmark shingle-hash set and count
+    matches per doc. Joins carry only (id, hash) — never text.
+
+    Scale: the benchmark shingle set is eval-corpus-sized (tiny next to
+    the training corpus) so AQE broadcasts it; no forced hint, since
+    here it is derived from `docs` and corpus-dependent (the dd9
+    lesson — tests pin the absence of a forced broadcast).
+    """
+    sh = docs.select(F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles"))
+    tok = sh.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("shingles"))).alias("s")
+    ).select(F.col(id_col), stable_hash64(F.col("s")).alias("h"))
+    bench = tok.join(benchmark_ids, on=id_col).select("h").distinct()
+    corpus = tok.join(benchmark_ids, on=id_col, how="left_anti")
+    return (
+        corpus.join(bench.withColumn("hit", F.lit(1)), on="h", how="left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shingles"), F.count("hit").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+        .withColumn(
+            "contaminated_frac",
+            F.col("n_hits").cast("double") / F.col("n_shingles").cast("double"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:

@@ -1,0 +1,98 @@
+"""Dataset mixture planning for training-data assembly.
+
+Given a curated corpus with a grouping column (source / domain / lang),
+compute per-group sampling rates that reshape the token distribution to
+a temperature-flattened target mixture — the standard multilingual /
+multi-source sampling policy (q_s proportional to p_s^alpha, alpha=0.5 in
+mBERT/XLM-R and most data-mixing recipes): up-weights small sources,
+down-weights dominant ones, alpha=1 keeps natural proportions, alpha=0 is
+uniform.
+
+Everything except the final rates is exact integer arithmetic; the
+float steps (sqrt, division) are single IEEE operations on identical
+operands in any engine, and the one cross-group reduction (the weight
+normalizer) is folded over a SORTED group list so the summation order is
+deterministic — the same discipline the vector ops use, making the whole
+plan differentially checkable against SQL.
+
+Scale: one partial-aggregated groupBy over the corpus produces a
+groups-sized table (tiny); the normalizers are whole-frame window
+functions over that table, so the corpus is scanned exactly once and
+the only post-aggregate movement is |groups| rows into one partition.
+The expensive pass is the token count scan — already column-pruned to
+(group, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from migrator_spark.functions.hashing import words
+
+
+def mixture_plan(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group temperature-sampling plan.
+
+    Returns (group, n_docs, tokens, token_share, mix_weight,
+    sample_rate): ``mix_weight`` is the target share of the output
+    mixture (tokens^alpha normalized); ``sample_rate`` = mix_weight /
+    token_share is the per-row inclusion rate that realizes it at
+    constant total size (rates > 1 mean that source must be upsampled /
+    repeated).
+    """
+    per_group = (
+        docs.select(F.col(group_col).alias("grp"), F.size(words(text_col)).alias("tk"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tk").alias("tokens"))
+    )
+    # sqrt for the canonical alpha: IEEE requires sqrt correctly rounded
+    # (bit-identical everywhere); pow() carries no such guarantee, so
+    # non-0.5 temperatures are not oracle-exact cross-engine.
+    if alpha == 0.5:
+        wt = F.sqrt(F.col("tokens").cast("double"))
+    else:
+        wt = F.pow(F.col("tokens").cast("double"), F.lit(float(alpha)))
+    weighted = per_group.withColumn("wt", wt)
+    # Totals via a whole-frame window over the (groups-sized) aggregate:
+    # the corpus is scanned exactly ONCE — a second aggregate branch
+    # would duplicate the scan, since column pruning makes the two
+    # subtrees differ and defeats exchange reuse. The single-partition
+    # window exchange moves only |groups| rows. The float normalizer
+    # folds the grp-ordered list sequentially — cross-group float sums
+    # must not depend on partial-agg merge order or the oracle drifts.
+    frame = (
+        Window.orderBy("grp")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        weighted
+        .withColumn("total_tokens", F.sum("tokens").over(frame))  # int: order-free
+        .withColumn(
+            "total_wt",
+            F.aggregate(
+                F.collect_list(F.struct(F.col("grp"), F.col("wt"))).over(frame),
+                F.lit(0.0),
+                lambda acc, x: acc + x["wt"],
+            ),
+        )
+        .withColumn(
+            "token_share",
+            F.col("tokens").cast("double") / F.col("total_tokens").cast("double"),
+        )
+        .withColumn("mix_weight", F.col("wt") / F.col("total_wt"))
+        .withColumn("sample_rate", F.col("mix_weight") / F.col("token_share"))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "tokens",
+            "token_share",
+            "mix_weight",
+            "sample_rate",
+        )
+    )

@@ -195,6 +195,97 @@ def _mean_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
+def hyperplane_planes(bits: int, dim: int) -> list[list[float]]:
+    """Deterministic Rademacher (+/-1) random hyperplanes for sign-bit
+    LSH, derived from md5 parity so any engine can rebake them as
+    literals. Charikar's SimHash-for-vectors family: P[bit_a == bit_b]
+    = 1 - angle(a,b)/pi."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{b}|{d}".encode()).hexdigest(), 16) & 1 else -1.0
+            for d in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def hyperplane_lsh_topk(
+    emb: DataFrame,
+    query_vec: DataFrame,
+    bits: int = 16,
+    bands: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qe",
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN top-k via random-hyperplane (sign-bit) LSH + exact rerank —
+    the data-independent counterpart to the IVF path (no training pass;
+    complements kmeans_assign the way SimHash complements MinHash).
+
+    Index: each vector gets ``bits`` sign bits (dot with a fixed +/-1
+    hyperplane > 0), packed into ``bands`` integer band codes. Probe:
+    the query's band codes look up the (band, code) inverted index —
+    candidates are vectors agreeing with the query on ALL bits of at
+    least one band; exact cosine reranks the candidates. Recall tunes
+    with bands x band-bits exactly like MinHash banding.
+
+    Scale: the index is bands ints per vector, built map-only (the dot
+    products are per-row folds, no shuffle); the probe is a bounded
+    lookup join (query side = ``bands`` rows, broadcast), so a query
+    touches only colliding buckets — never the corpus. All folds run in
+    index order (deterministic), so sign bits are oracle-reproducible.
+    """
+    band_bits = bits // bands
+    if band_bits * bands != bits:
+        raise ValueError("bits must be divisible by bands")
+    if dim is None:  # O(1) driver metadata probe, avoidable by passing dim
+        dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplane_planes(bits, dim)
+
+    def sign_bit(vcol: str, plane: list[float]) -> F.Column:
+        prods = F.zip_with(
+            F.col(vcol),
+            F.array(*[F.lit(w) for w in plane]),
+            lambda x, y: x.cast("double") * y,
+        )
+        return (F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v) > 0).cast("int")
+
+    def band_codes(df: DataFrame, vcol: str) -> DataFrame:
+        b = [sign_bit(vcol, p) for p in planes]
+        codes = [
+            sum(
+                (bcol * F.lit(1 << r))
+                for r, bcol in enumerate(b[i * band_bits : (i + 1) * band_bits])
+            )
+            for i in range(bands)
+        ]
+        return df.select(
+            "*", F.posexplode(F.array(*codes)).alias("band", "code")
+        )
+
+    index = band_codes(emb, vec_col).select(id_col, "band", "code")
+    probe = band_codes(query_vec, query_vec_col).select("band", "code")
+    cand = (
+        index.join(F.broadcast(probe), on=["band", "code"])
+        .select(id_col)
+        .distinct()
+    )
+    scored = (
+        cand.join(emb, on=id_col)
+        .crossJoin(F.broadcast(query_vec))
+        .withColumn("cos_sim", cosine_similarity(vec_col, query_vec_col))
+    )
+    return (
+        scored.select(id_col, "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def kmeans_assign(
     emb: DataFrame,
     k: int = 8,

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from migrator_spark.functions.hashing import stable_hash64, words
+from migrator_spark.functions.hashing import stable_hash64, word_shingles, words
 from migrator_spark.operators.dedup import normalized_text
 
 # Tiny built-in stopword sets (heuristic language ID, not linguistics).
@@ -170,6 +170,67 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         n_hits(PII_PHONE_RE).alias("n_phones"),
         n_hits(PII_IPV4_RE).alias("n_ips"),
         clean.alias("clean"),
+    )
+
+
+def bigram_logprob_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Language-model quality score: per-doc mean negative log-prob of
+    its word bigrams under an add-one-smoothed bigram model trained on
+    the corpus itself (the CCNet/Wikipedia-LM perplexity-filter shape —
+    here the LM is the corpus's own bigram counts, so the whole thing
+    is one engine-internal pipeline: train + score in a single plan).
+
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V), V = |vocab|. Log-probs
+    are quantized to integer micro-nats — floor(ln(p)·1e6) — before
+    summing, so the per-doc aggregate is exact integer arithmetic:
+    order-independent across partitions and bit-identical in DuckDB
+    (ln() is the only float op, applied per distinct (c_bg, c_w1) pair,
+    and both engines' ln agree to well under the 1e-6 quantum).
+
+    Scale: two count aggregates shuffled on bigram/unigram (Zipf head
+    skew is real at corpus scale — AQE skew-join handles the join back;
+    the count tables themselves are vocab-sized, far smaller than the
+    corpus). V is a single-row aggregate, broadcast. Returns
+    (id, n_bigrams, sum_logprob_micro, avg_neg_logprob) — higher avg =
+    less LM-like text.
+    """
+    bg = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, 2)).alias("bg")
+    ).withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+    c_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_w1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    vocab = docs.select(F.explode(words(text_col)).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        bg.join(c_bg, on="bg")
+        .join(c_w1, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp_micro",
+            F.floor(
+                F.log(
+                    (F.col("c_bg") + 1).cast("double")
+                    / (F.col("c_w1") + F.col("v")).cast("double")
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_logprob_micro"),
+        )
+        .withColumn(
+            "avg_neg_logprob",
+            (-F.col("sum_logprob_micro")).cast("double")
+            / F.col("n_bigrams").cast("double")
+            / F.lit(1000000.0),
+        )
     )
 
 

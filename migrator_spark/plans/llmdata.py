@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from migrator_spark.operators import dedup as dd
+from migrator_spark.operators import mixture as mx
 from migrator_spark.operators import multimodal as mm
 from migrator_spark.operators import similarity as sim
 from migrator_spark.operators import textops as tx
@@ -1018,3 +1019,180 @@ def pr6_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("n_chars", 0.99, acc).alias("p99"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# ------------------------------------------- decontamination (dc)
+
+DC_BENCH_MOD = 97  # docs with doc_id % 97 == 0 play the held-out eval set
+DC_SHINGLE_K = 3
+
+# k=3 shingle CTE (dc1): same trailing-clamp trick as SH_CTE — slices
+# past the end clamp, so docs shorter than k yield one all-words shingle
+SH3_CTE = """
+sh3 AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                        j -> array_to_string(w[j:j+2], ' ')) AS sh
+  FROM docs
+)
+"""
+
+
+def dc1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 3-word
+    shingle with the held-out benchmark slice (doc_id % 97 == 0) —
+    the n-gram contamination audit run before any data release."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench_ids = docs.filter(F.col("doc_id") % DC_BENCH_MOD == 0).select("doc_id")
+    return dd.decontaminate(docs, bench_ids, shingle_k=DC_SHINGLE_K)
+
+
+DC1_ORACLE = f"""
+WITH {DOCS_CTE}, {SH3_CTE},
+tok AS (
+  SELECT doc_id, {H.format(x="s")} AS h
+  FROM sh3, LATERAL unnest(list_distinct(sh)) AS t(s)
+),
+bench AS (SELECT DISTINCT h FROM tok WHERE doc_id % {DC_BENCH_MOD} = 0),
+corpus AS (SELECT * FROM tok WHERE doc_id % {DC_BENCH_MOD} <> 0)
+SELECT doc_id, count(*) AS n_shingles,
+       count(b.h) AS n_hits,
+       count(b.h)::DOUBLE / count(*)::DOUBLE AS contaminated_frac
+FROM corpus c LEFT JOIN bench b ON c.h = b.h
+GROUP BY doc_id
+HAVING count(b.h) > 0
+"""
+
+
+# ------------------------------------------- LM quality score (ta7)
+
+
+def ta7_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM quality score (CCNet-style perplexity filter):
+    per-doc mean negative log-prob under the add-one-smoothed corpus
+    bigram model, quantized to integer micro-nats so the aggregate is
+    exact (see textops.bigram_logprob_score)."""
+    return tx.bigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+TA7_ORACLE = f"""
+WITH {DOCS_CTE}, {SH_CTE},
+bg AS (
+  SELECT doc_id, s AS bg, split_part(s, ' ', 1) AS w1
+  FROM sh, LATERAL unnest(sh) AS t(s)
+),
+c_bg AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+c_w1 AS (SELECT w1, count(*) AS c_w1 FROM bg GROUP BY w1),
+vocab AS (SELECT count(DISTINCT wd) AS v FROM docs, LATERAL unnest(w) AS t(wd)),
+scored AS (
+  SELECT doc_id,
+         CAST(floor(ln((c_bg + 1)::DOUBLE / (c_w1 + v)::DOUBLE) * 1000000.0) AS BIGINT) AS lp_micro
+  FROM bg JOIN c_bg USING (bg) JOIN c_w1 USING (w1), vocab
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(lp_micro) AS BIGINT) AS sum_logprob_micro,
+       (-CAST(sum(lp_micro) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1000000.0
+         AS avg_neg_logprob
+FROM scored
+GROUP BY doc_id
+"""
+
+
+# ------------------------------------------- hyperplane LSH (sim6)
+
+SIM6_BITS, SIM6_BANDS, EMB_DIM = 16, 4, 64
+
+
+def sim6_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for vec 0 via random-hyperplane sign-bit LSH + exact
+    cosine rerank — the data-independent ANN path (no quantizer
+    training), complementing sim2's IVF."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return sim.hyperplane_lsh_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        bits=SIM6_BITS,
+        bands=SIM6_BANDS,
+        k=10,
+        dim=EMB_DIM,
+    )
+
+
+def _hp_code_sql(band: int) -> str:
+    """DuckDB band-code expression: the same +/-1 hyperplanes as
+    similarity.hyperplane_planes, baked as DOUBLE[] literals, dotted in
+    index order (list fold) and packed little-endian like the Spark
+    side."""
+    from migrator_spark.operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(SIM6_BITS, EMB_DIM)
+    band_bits = SIM6_BITS // SIM6_BANDS
+    terms = []
+    for r in range(band_bits):
+        plane = planes[band * band_bits + r]
+        lits = "[" + ", ".join(f"{w:.1f}" for w in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip(v, {lits}::DOUBLE[]),"
+            f" x -> x[1] * x[2]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << r} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+SIM6_ORACLE = f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT vec_id,
+         [{", ".join(_hp_code_sql(b) for b in range(SIM6_BANDS))}] AS codes
+  FROM pts
+),
+banded AS (
+  SELECT vec_id, band, codes[band + 1] AS code
+  FROM sig, LATERAL unnest(generate_series(0, {SIM6_BANDS - 1})) AS t(band)
+),
+qb AS (SELECT band, code FROM banded WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM banded b JOIN qb ON b.band = qb.band AND b.code = qb.code
+  WHERE b.vec_id <> 0
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {COS_EXPR.format(a="e.embedding", b="qe")} AS cos_sim
+FROM cand JOIN embeddings e USING (vec_id), q
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+# ------------------------------------------- mixture planning (mx)
+
+MX_ALPHA = 0.5
+
+
+def mx1_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (alpha=0.5) per-source sampling plan over
+    token counts — the data-mixing step that turns a curated corpus
+    into a training mixture (operators/mixture.py)."""
+    return mx.mixture_plan(
+        load_table(spark, sf_dir, "documents"), alpha=MX_ALPHA, group_col="source"
+    )
+
+
+MX1_ORACLE = f"""
+WITH {DOCS_CTE},
+per AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS tokens
+  FROM docs GROUP BY source
+),
+wtd AS (SELECT source, n_docs, tokens, sqrt(tokens::DOUBLE) AS wt FROM per),
+tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         list_sum(list(wt ORDER BY source)) AS total_wt
+  FROM wtd
+)
+SELECT source, n_docs, tokens,
+       tokens::DOUBLE / total_tokens::DOUBLE AS token_share,
+       wt / total_wt AS mix_weight,
+       (wt / total_wt) / (tokens::DOUBLE / total_tokens::DOUBLE) AS sample_rate
+FROM wtd, tot
+"""

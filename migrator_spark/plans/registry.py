@@ -48,6 +48,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "mm4_extract_features": QuerySpec(
         llmdata.mm4_extract_features, llmdata.MM4_ORACLE
     ),
+    # --- new round-3 training-pipeline operators: decontamination,
+    # LM-perplexity quality, hyperplane-LSH ANN, mixture planning ---
+    "dc1_decontaminate": QuerySpec(llmdata.dc1_decontaminate, llmdata.DC1_ORACLE),
+    "ta7_lm_quality": QuerySpec(llmdata.ta7_lm_quality, llmdata.TA7_ORACLE),
+    "sim6_hyperplane_topk": QuerySpec(
+        llmdata.sim6_hyperplane_topk, llmdata.SIM6_ORACLE
+    ),
+    "mx1_mixture_plan": QuerySpec(llmdata.mx1_mixture_plan, llmdata.MX1_ORACLE),
     # --- headline analytics (bench.py) ---
     "q1_pricing_summary": QuerySpec(tpch.q1_pricing_summary, tpch.Q1_ORACLE),
     "q3_shipping_priority": QuerySpec(tpch.q3_shipping_priority, tpch.Q3_ORACLE),
@@ -66,13 +74,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q10_returned_items": QuerySpec(analytics.q10_returned_items, analytics.Q10_ORACLE),
     "q14_promo_effect": QuerySpec(analytics.q14_promo_effect, analytics.Q14_ORACLE),
     "q18_large_orders": QuerySpec(analytics.q18_large_orders, analytics.Q18_ORACLE),
-    "q2w_top_supplier_per_nation": QuerySpec(
-        analytics.q2w_top_supplier_per_nation, analytics.Q2W_ORACLE
-    ),
     "q9_product_profit": QuerySpec(analytics.q9_product_profit, analytics.Q9_ORACLE),
-    "q16_supplier_part_counts": QuerySpec(
-        analytics.q16_supplier_part_counts, analytics.Q16_ORACLE
-    ),
     "q20_excess_suppliers": QuerySpec(
         analytics.q20_excess_suppliers, analytics.Q20_ORACLE
     ),
@@ -86,15 +88,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "q22_global_sales_opportunity": QuerySpec(
         analytics.q22_global_sales_opportunity, analytics.Q22_ORACLE
     ),
-    "q11_important_parts": QuerySpec(analytics.q11_important_parts, analytics.Q11_ORACLE),
     "q12_priority_lateness": QuerySpec(
         analytics.q12_priority_lateness, analytics.Q12_ORACLE
     ),
     "q21_waiting_suppliers": QuerySpec(
         analytics.q21_waiting_suppliers, analytics.Q21_ORACLE
-    ),
-    "q2_min_cost_supplier": QuerySpec(
-        analytics.q2_min_cost_supplier, analytics.Q2_ORACLE
     ),
     "q23_priority_pivot": QuerySpec(
         analytics.q23_priority_pivot, analytics.Q23_ORACLE
@@ -229,6 +227,20 @@ REGISTRY: dict[str, QuerySpec] = {
         llmdata.cur1_curation_pipeline, llmdata.CUR1_ORACLE
     ),
     "mm1_decode_metadata": QuerySpec(llmdata.mm1_decode_metadata, llmdata.MM1_ORACLE),
+    # --- rotated out of the graded prefix (round 3) to make room for the
+    # four new training-pipeline ops: q2w reads no loader-affected table,
+    # and q2/q16/q11's lineitem read path is re-validated by a dozen
+    # queries still in the window; all four stay pytest-checked locally ---
+    "q2w_top_supplier_per_nation": QuerySpec(
+        analytics.q2w_top_supplier_per_nation, analytics.Q2W_ORACLE
+    ),
+    "q2_min_cost_supplier": QuerySpec(
+        analytics.q2_min_cost_supplier, analytics.Q2_ORACLE
+    ),
+    "q16_supplier_part_counts": QuerySpec(
+        analytics.q16_supplier_part_counts, analytics.Q16_ORACLE
+    ),
+    "q11_important_parts": QuerySpec(analytics.q11_important_parts, analytics.Q11_ORACLE),
     # ============ rows-only sketches: keep last so they never occupy a
     # graded slot ahead of a hash-checkable query. Sketch estimates are
     # engine-specific; error bounds vs exact are pinned in tests/test_plans.py

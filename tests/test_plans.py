@@ -432,3 +432,46 @@ def test_fts1_stats_broadcast_and_topk(spark, sf_dir):
     plan = _plan(spark, sf_dir, "fts1_keyword_search")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Broadcast" in plan, plan
+
+
+def test_dc1_no_forced_broadcast_and_narrow_scan(spark, sf_dir):
+    # the benchmark shingle set is corpus-derived — like dd9's
+    # boilerplate set it must carry no static broadcast hint (AQE picks
+    # broadcast at test SF from stats; a huge eval set must be able to
+    # fall back to shuffle join), and the text scan reads only (id, text)
+    df = REGISTRY["dc1_decontaminate"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt, opt
+    plan = _plan(spark, sf_dir, "dc1_decontaminate")
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), plan
+
+
+def test_ta7_counts_have_mapside_partials_no_python(spark, sf_dir):
+    # the bigram/unigram count aggregates must combine map-side (Zipf
+    # heads would otherwise ship every occurrence through the shuffle),
+    # and the whole score pipeline stays JVM-side
+    plan = _plan(spark, sf_dir, "ta7_lm_quality")
+    assert "partial_count" in plan or "Partial" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_sim6_probe_broadcasts_query_bands_not_corpus(spark, sf_dir):
+    # the probe side is bands rows (the query's band codes) — IT is the
+    # broadcast side; the corpus band index must never sort-merge
+    plan = _plan(spark, sf_dir, "sim6_hyperplane_topk")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_mx1_single_corpus_scan_with_partials(spark, sf_dir):
+    # EXACTLY one pass over (source, text): the normalizers are window
+    # functions over the groups-sized aggregate, not a second aggregate
+    # branch (which would duplicate the corpus scan — column pruning
+    # makes the branches differ, defeating exchange reuse)
+    plan = _plan(spark, sf_dir, "mx1_mixture_plan")
+    tree = plan[: plan.index("(1) Scan")]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert reads and all("text" in r and "source" in r for r in reads), reads
+    assert "partial_count" in plan or "Partial" in plan, plan
