@@ -1196,3 +1196,111 @@ SELECT source, n_docs, tokens,
        (wt / total_wt) / (tokens::DOUBLE / total_tokens::DOUBLE) AS sample_rate
 FROM wtd, tot
 """
+
+
+# ------------------------------------------- composed training mix (cur2)
+
+CUR2_MAX_NLL = 3.40  # keeps ~75% of the corpus (ta7 median is ~3.39)
+U60 = "1152921504606846976.0"  # 2^60 as a double literal
+
+
+def cur2_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation story as ONE Catalyst plan — every round-3
+    operator composed end-to-end the way a pre-training data release
+    actually runs:
+
+        benchmark holdout (never trains) -> n-gram decontamination
+        (dc1) -> corpus-bigram-LM quality gate (ta7, keep nll <=
+        {CUR2_MAX_NLL}) -> exact dedup survivors (dd1) -> temperature
+        mixture rates over the SURVIVING corpus (mx1, alpha=0.5) ->
+        deterministic per-doc hash sampling at the per-source rate.
+
+    The hash-u sample (h/2^60 < rate) is reproducible across engines
+    and cluster sizes, and rates > 1 (up-weighted small sources) cap
+    at always-keep automatically since u < 1. Output is the final
+    training-set manifest (doc_id, source, n_tokens).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bench_ids = docs.filter(F.col("doc_id") % DC_BENCH_MOD == 0).select("doc_id")
+    corpus = docs.join(bench_ids, on="doc_id", how="left_anti")
+    contaminated = dd.decontaminate(docs, bench_ids, shingle_k=DC_SHINGLE_K).select(
+        "doc_id"
+    )
+    clean = corpus.join(contaminated, on="doc_id", how="left_anti")
+    lm_pass = (
+        tx.bigram_logprob_score(docs)
+        .filter(F.col("avg_neg_logprob") <= CUR2_MAX_NLL)
+        .select("doc_id")
+    )
+    good = clean.join(lm_pass, on="doc_id", how="left_semi")
+    survivors = dd.exact_dedup(good).select(F.col("keep_doc_id").alias("doc_id"))
+    kept = good.join(survivors, on="doc_id", how="left_semi")
+    rates = mx.mixture_plan(kept, alpha=MX_ALPHA, group_col="source").select(
+        "source", "sample_rate"
+    )
+    u = stable_hash64(F.col("doc_id").cast("string")).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    return (
+        kept.join(rates, on="source")
+        .filter(u < F.col("sample_rate"))
+        .select("doc_id", "source", F.size(words("text")).alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+CUR2_ORACLE = f"""
+WITH {DOCS_CTE}, {SH3_CTE}, {SH_CTE},
+tok3 AS (
+  SELECT doc_id, {H.format(x="s")} AS h
+  FROM sh3, LATERAL unnest(list_distinct(sh)) AS t(s)
+),
+bench3 AS (SELECT DISTINCT h FROM tok3 WHERE doc_id % {DC_BENCH_MOD} = 0),
+contaminated AS (
+  SELECT doc_id FROM (SELECT * FROM tok3 WHERE doc_id % {DC_BENCH_MOD} <> 0) c
+  LEFT JOIN bench3 b ON c.h = b.h
+  GROUP BY doc_id HAVING count(b.h) > 0
+),
+bg AS (
+  SELECT doc_id, s AS bg, split_part(s, ' ', 1) AS w1
+  FROM sh, LATERAL unnest(sh) AS t(s)
+),
+c_bg AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+c_w1 AS (SELECT w1, count(*) AS c_w1 FROM bg GROUP BY w1),
+vocab AS (SELECT count(DISTINCT wd) AS v FROM docs, LATERAL unnest(w) AS t(wd)),
+lm AS (
+  SELECT doc_id,
+         (-CAST(sum(CAST(floor(ln((c_bg + 1)::DOUBLE / (c_w1 + v)::DOUBLE)
+             * 1000000.0) AS BIGINT)) AS BIGINT))::DOUBLE
+           / count(*)::DOUBLE / 1000000.0 AS nll
+  FROM bg JOIN c_bg USING (bg) JOIN c_w1 USING (w1), vocab
+  GROUP BY doc_id
+),
+good AS (
+  SELECT d.* FROM docs d
+  JOIN lm ON lm.doc_id = d.doc_id AND lm.nll <= {CUR2_MAX_NLL}
+  WHERE d.doc_id % {DC_BENCH_MOD} <> 0
+    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+),
+keeps AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY {H_NORM.replace("text", "good.text")}),
+kept AS (SELECT g.* FROM good g WHERE EXISTS (SELECT 1 FROM keeps k WHERE k.doc_id = g.doc_id)),
+per AS (
+  SELECT source, CAST(sum(len(w)) AS BIGINT) AS tokens
+  FROM kept GROUP BY source
+),
+wtd AS (SELECT source, tokens, sqrt(tokens::DOUBLE) AS wt FROM per),
+tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         list_sum(list(wt ORDER BY source)) AS total_wt
+  FROM wtd
+),
+rates AS (
+  SELECT source,
+         (wt / total_wt) / (tokens::DOUBLE / total_tokens::DOUBLE) AS sample_rate
+  FROM wtd, tot
+)
+SELECT k.doc_id, k.source, len(k.w) AS n_tokens
+FROM kept k JOIN rates r ON k.source = r.source
+WHERE {H.format(x="CAST(k.doc_id AS VARCHAR)")}::DOUBLE / {U60} < r.sample_rate
+ORDER BY k.doc_id
+"""

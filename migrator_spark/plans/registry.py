@@ -56,6 +56,7 @@ REGISTRY: dict[str, QuerySpec] = {
         llmdata.sim6_hyperplane_topk, llmdata.SIM6_ORACLE
     ),
     "mx1_mixture_plan": QuerySpec(llmdata.mx1_mixture_plan, llmdata.MX1_ORACLE),
+    "cur2_training_mix": QuerySpec(llmdata.cur2_training_mix, llmdata.CUR2_ORACLE),
     # --- headline analytics (bench.py) ---
     "q1_pricing_summary": QuerySpec(tpch.q1_pricing_summary, tpch.Q1_ORACLE),
     "q3_shipping_priority": QuerySpec(tpch.q3_shipping_priority, tpch.Q3_ORACLE),
@@ -84,9 +85,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "q15_top_supplier": QuerySpec(analytics.q15_top_supplier, analytics.Q15_ORACLE),
     "q17_small_quantity_revenue": QuerySpec(
         analytics.q17_small_quantity_revenue, analytics.Q17_ORACLE
-    ),
-    "q22_global_sales_opportunity": QuerySpec(
-        analytics.q22_global_sales_opportunity, analytics.Q22_ORACLE
     ),
     "q12_priority_lateness": QuerySpec(
         analytics.q12_priority_lateness, analytics.Q12_ORACLE
@@ -241,6 +239,9 @@ REGISTRY: dict[str, QuerySpec] = {
         analytics.q16_supplier_part_counts, analytics.Q16_ORACLE
     ),
     "q11_important_parts": QuerySpec(analytics.q11_important_parts, analytics.Q11_ORACLE),
+    "q22_global_sales_opportunity": QuerySpec(
+        analytics.q22_global_sales_opportunity, analytics.Q22_ORACLE
+    ),
     # ============ rows-only sketches: keep last so they never occupy a
     # graded slot ahead of a hash-checkable query. Sketch estimates are
     # engine-specific; error bounds vs exact are pinned in tests/test_plans.py

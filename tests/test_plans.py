@@ -475,3 +475,14 @@ def test_mx1_single_corpus_scan_with_partials(spark, sf_dir):
     reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert reads and all("text" in r and "source" in r for r in reads), reads
     assert "partial_count" in plan or "Partial" in plan, plan
+
+
+def test_cur2_stays_jvm_side_no_cartesian(spark, sf_dir):
+    # five composed stages (decontaminate -> LM gate -> dedup ->
+    # mixture -> sample) must stay one Catalyst plan: no Python
+    # evaluation anywhere, no cartesian blowup (the only cross joins
+    # carry single-row aggregates), and the rates join must not
+    # sort-merge (rates is groups-sized)
+    plan = _plan(spark, sf_dir, "cur2_training_mix")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
