@@ -27,7 +27,7 @@ bits of MD5), reproducible bit-for-bit in the DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from migrator_spark.functions.hashing import (
@@ -191,26 +191,35 @@ def decontaminate(
     identical).
 
     Returns (id, n_shingles, n_hits, contaminated_frac) for corpus docs
-    with >= 1 hit. Shape: explode distinct shingles once, hash to 60-bit
-    ints, split benchmark/corpus by an id semi-join, LEFT-join corpus
-    tokens against the distinct benchmark shingle-hash set and count
-    matches per doc. Joins carry only (id, hash) — never text.
-
-    Scale: the benchmark shingle set is eval-corpus-sized (tiny next to
-    the training corpus) so AQE broadcasts it; no forced hint, since
-    here it is derived from `docs` and corpus-dependent (the dd9
-    lesson — tests pin the absence of a forced broadcast).
+    with >= 1 hit. Shape: flag benchmark membership doc-level (the id
+    set joins BEFORE the explode — AQE broadcasts it, no forced hint:
+    it is corpus-derived, the dd9 lesson, pinned in tests), explode
+    distinct shingles ONCE, hash to 60-bit ints, then a per-hash window
+    max marks every token whose hash occurs in any benchmark doc. One
+    token-relation subtree in the DAG — the split-and-rejoin form
+    computes the shingle+hash pass twice. Rows carry only
+    (id, flag, hash) — never text; the window key is the uniform
+    60-bit hash, skew-free.
     """
-    sh = docs.select(F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles"))
-    tok = sh.select(
-        F.col(id_col), F.explode(F.array_distinct(F.col("shingles"))).alias("s")
-    ).select(F.col(id_col), stable_hash64(F.col("s")).alias("h"))
-    bench = tok.join(benchmark_ids, on=id_col).select("h").distinct()
-    corpus = tok.join(benchmark_ids, on=id_col, how="left_anti")
+    flagged = docs.join(
+        benchmark_ids.select(F.col(id_col), F.lit(True).alias("_is_bench")),
+        on=id_col,
+        how="left",
+    )
+    tok = flagged.select(
+        F.col(id_col),
+        F.coalesce(F.col("_is_bench"), F.lit(False)).alias("_is_bench"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("s"),
+    ).select(F.col(id_col), "_is_bench", stable_hash64(F.col("s")).alias("h"))
+    hit = F.max(F.col("_is_bench").cast("int")).over(Window.partitionBy("h"))
     return (
-        corpus.join(bench.withColumn("hit", F.lit(1)), on="h", how="left")
+        tok.withColumn("_hit", hit)
+        .filter(~F.col("_is_bench"))
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shingles"), F.count("hit").alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("_hit").alias("n_hits"),
+        )
         .filter(F.col("n_hits") > 0)
         .withColumn(
             "contaminated_frac",

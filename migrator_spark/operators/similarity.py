@@ -246,29 +246,41 @@ def hyperplane_lsh_topk(
         dim = len(emb.select(vec_col).first()[0])
     planes = hyperplane_planes(bits, dim)
 
-    def sign_bit(vcol: str, plane: list[float]) -> F.Column:
-        prods = F.zip_with(
-            F.col(vcol),
-            F.array(*[F.lit(w) for w in plane]),
-            lambda x, y: x.cast("double") * y,
+    def band_codes(df: DataFrame, vcol: str, idc: F.Column) -> DataFrame:
+        # Dot products as ONE exploded-dimension aggregate with 16 sums
+        # — not per-bit zip_with/aggregate folds (HOF lambdas evaluate
+        # interpreted, the SCALE.md §4 pitfall: ~10x slower) and not an
+        # unrolled 16x64-term projection (blows codegen's method limits
+        # into full interpretation: worse still). Every vector's dims
+        # explode adjacently in one partition, so the partial aggregate
+        # accumulates in index order and finishes pre-shuffle: the
+        # exchange carries ONE row of 16 doubles per vector, and the
+        # sums are bit-identical to the oracle's sequential list_sum.
+        ex = df.select(idc.alias("_id"), F.posexplode(F.col(vcol)).alias("_d", "_x"))
+        x = F.col("_x").cast("double")
+        bit_sums = ex.groupBy("_id").agg(
+            *[
+                F.sum(
+                    x * F.element_at(F.array(*[F.lit(w) for w in p]), F.col("_d") + 1)
+                ).alias(f"_s{b}")
+                for b, p in enumerate(planes)
+            ]
         )
-        return (F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v) > 0).cast("int")
-
-    def band_codes(df: DataFrame, vcol: str) -> DataFrame:
-        b = [sign_bit(vcol, p) for p in planes]
         codes = [
             sum(
-                (bcol * F.lit(1 << r))
-                for r, bcol in enumerate(b[i * band_bits : (i + 1) * band_bits])
+                (F.col(f"_s{i * band_bits + r}") > 0).cast("int") * F.lit(1 << r)
+                for r in range(band_bits)
             )
             for i in range(bands)
         ]
-        return df.select(
-            "*", F.posexplode(F.array(*codes)).alias("band", "code")
+        return bit_sums.select(
+            "_id", F.posexplode(F.array(*codes)).alias("band", "code")
         )
 
-    index = band_codes(emb, vec_col).select(id_col, "band", "code")
-    probe = band_codes(query_vec, query_vec_col).select("band", "code")
+    index = band_codes(emb, vec_col, F.col(id_col)).select(
+        F.col("_id").alias(id_col), "band", "code"
+    )
+    probe = band_codes(query_vec, query_vec_col, F.lit(0)).select("band", "code")
     cand = (
         index.join(F.broadcast(probe), on=["band", "code"])
         .select(id_col)

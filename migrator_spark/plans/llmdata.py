@@ -720,7 +720,12 @@ def dd7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded Hamming-LSH near-dup pairs over dd3's SimHash
     fingerprints — the 8-bytes-per-doc scale path of the dedup family
     (pigeonhole: hamming <= bands-1 guarantees a band collision)."""
-    fp = dd.simhash(load_table(spark, sf_dir, "documents"))
+    # persist: both sides of the band self-join derive from the
+    # fingerprint relation — unpersisted, the 60-sum SimHash build runs
+    # twice. At scale this IS the stored fingerprint table the operator
+    # docstring describes (8 bytes/doc), same modeling as sim2's
+    # persisted quantizer assignment.
+    fp = dd.simhash(load_table(spark, sf_dir, "documents")).persist()
     return dd.simhash_pairs(
         fp,
         bands=SIMHASH_BANDS,
@@ -1232,9 +1237,14 @@ def cur2_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("avg_neg_logprob") <= CUR2_MAX_NLL)
         .select("doc_id")
     )
-    good = clean.join(lm_pass, on="doc_id", how="left_semi")
+    # persist the gate output: dedup, the semi-join, the mixture rates
+    # and the final manifest all consume `good`/`kept` — unpersisted,
+    # the decontamination + LM subtrees would re-execute per consumer.
+    # At scale these are the checkpointed stage tables of a real
+    # curation run (each stage's manifest is worth keeping anyway).
+    good = clean.join(lm_pass, on="doc_id", how="left_semi").persist()
     survivors = dd.exact_dedup(good).select(F.col("keep_doc_id").alias("doc_id"))
-    kept = good.join(survivors, on="doc_id", how="left_semi")
+    kept = good.join(survivors, on="doc_id", how="left_semi").persist()
     rates = mx.mixture_plan(kept, alpha=MX_ALPHA, group_col="source").select(
         "source", "sample_rate"
     )
