@@ -313,18 +313,35 @@ def embedding_neardup_pairs(
 
     The self-join is per-cluster — with a balanced clustering this is
     n²/C work instead of n². Cosine is computed in double, element
-    order preserved (bit-reproducible in the oracle).
+    order preserved (bit-reproducible in the oracle). Norms are
+    computed ONCE per vector and carried through the join: the value
+    of sqrt(dot(v,v)) is identical whether evaluated per-vector or
+    per-pair, so the result is float-identical to the naive form while
+    the quadratic pair stage runs one HOF fold (the dot) instead of
+    three — HOF lambdas are interpreted, and at n²/C pairs they are
+    the whole cost.
     """
-    a = emb.select(
-        F.col(id_col).alias("vec_a"), F.col(cluster_col), F.col(vec_col).alias("e_a")
+    from migrator_spark.functions.vectors import dot, l2_norm
+
+    normed = emb.select(
+        F.col(id_col), F.col(cluster_col), F.col(vec_col), l2_norm(vec_col).alias("_n")
     )
-    b = emb.select(
-        F.col(id_col).alias("vec_b"), F.col(cluster_col), F.col(vec_col).alias("e_b")
+    a = normed.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(cluster_col),
+        F.col(vec_col).alias("e_a"),
+        F.col("_n").alias("n_a"),
+    )
+    b = normed.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(cluster_col),
+        F.col(vec_col).alias("e_b"),
+        F.col("_n").alias("n_b"),
     )
     return (
         a.join(b, on=cluster_col)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", cosine_similarity("e_a", "e_b"))
+        .withColumn("cos_sim", dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
