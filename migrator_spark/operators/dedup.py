@@ -281,22 +281,31 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col), *block_cols, F.array_distinct(word_shingles(text_col, k)).alias("sh")
     )
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("sz"))
-    tok = sh.select(F.col(id_col), *block_cols, F.explode("sh").alias("s"))
+    # set size rides along each token row (8 bytes) so the union size
+    # falls out of the pair aggregate — the join-back-to-sizes form
+    # re-evaluated the shingle subtree twice more and added two joins
+    tok = sh.select(
+        F.col(id_col), *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    )
     inter = (
-        tok.select(F.col(id_col).alias("doc_a"), *block_cols, "s")
-        .join(tok.select(F.col(id_col).alias("doc_b"), *block_cols, "s"), on=[*block_cols, "s"])
+        tok.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"), *block_cols, "s")
+        .join(
+            tok.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"), *block_cols, "s"),
+            on=[*block_cols, "s"],
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("sz_a").alias("sz_a"),  # constant per doc; min is a
+            F.min("sz_b").alias("sz_b"),  # deterministic way to pick it
+        )
     )
     jaccard = F.col("n_inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
     ).cast("double")
     return (
-        inter.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")), on="doc_a")
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")), on="doc_b")
-        .withColumn("jaccard", jaccard)
+        inter.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
