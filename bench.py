@@ -44,6 +44,9 @@ HEADLINE = [
     # behavior gets round-over-round numbers (VERDICT r2 #7)
     "dd2_minhash_lsh_pairs",
     "sim5_ivf_build",
+    # round-3 flagship: the five-stage curation composition (holdout ->
+    # decontaminate -> LM gate -> dedup -> mixture-rate sample)
+    "cur2_training_mix",
 ]
 
 REPEATS = 3  # median-of-3: one cold run can no longer swing the number 2x
