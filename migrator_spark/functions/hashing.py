@@ -91,22 +91,7 @@ def minhash_perm_constants(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(col: Column | str, num_hashes: int, k: int = 3) -> Column:
-    """Array of ``num_hashes`` min-hash values over the k-shingle set.
-
-    One stable_hash64 per shingle (reduced mod P), then ``num_hashes``
-    affine permutations (a_i*h + b_i) mod P — integer-only after the
-    single md5, so the signature costs one hash per shingle instead of
-    ``num_hashes`` (the dominant cost at corpus scale).
-    """
-    hs = F.transform(
-        word_shingles(col, k), lambda s: stable_hash64(s) % F.lit(MINHASH_P)
-    )
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
-            )
-            for (a, b) in minhash_perm_constants(num_hashes)
-        ]
-    )
+# (The minhash signature itself is built in operators/dedup._lsh_state
+# over the exploded token relation — a per-row array-building variant
+# here would be a second copy of the permutation logic to keep in sync,
+# and the flat explode shape is the one that survives codegen.)

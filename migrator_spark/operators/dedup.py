@@ -462,8 +462,13 @@ def _star_contract(edges: DataFrame, max_iters: int = 20) -> tuple[DataFrame, in
         )
         e = small
         if converged:
-            break
-    return e, rounds
+            return e, rounds
+    raise RuntimeError(
+        f"star contraction did not reach its fixpoint in {max_iters} rounds; "
+        "labels from an unconverged edge set would be silently wrong — "
+        "raise max_iters (the alternating bound grows with log^2 of the "
+        "largest component, not the corpus)"
+    )
 
 
 def duplicate_clusters_star(

@@ -200,7 +200,13 @@ def bigram_logprob_score(
         F.col(id_col), F.explode(word_shingles(text_col, 2)).alias("bg")
     ).withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
     c_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
-    c_w1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    # c(w1·) rolls up from the bigram counts — vocab²-sized input —
+    # instead of a second count over the corpus-sized bigram explode
+    c_w1 = (
+        c_bg.withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c_bg").alias("c_w1"))
+    )
     vocab = docs.select(F.explode(words(text_col)).alias("w")).agg(
         F.countDistinct("w").alias("v")
     )

@@ -94,7 +94,10 @@ def load_jdbc(
 
     methods = {r[0] for r in batch.select(ex.METHOD_COL).distinct().collect()}
     if methods <= {ex.M_INSERT} and target.exists(spark, table):
-        target.write(batch.select(*data_cols), table, mode="append")
+        # staged single-transaction append, NOT Spark's per-task-commit
+        # append: a partial failure must leave the target untouched so
+        # the un-committed offset can replay the batch without dupes
+        target.append_txn(spark, table, batch.select(*data_cols))
         return
 
     final = ld.latest_by_key(batch, key_cols, "_order", "_tie")

@@ -116,7 +116,8 @@ class Migrator:
         self._pause = threading.Event()
         self.iterations: list[BoundIteration] = []
         for mig in config.migrations:
-            src, tgt = open_source(mig.source_dsn), open_source(mig.target_dsn)
+            src = open_source(mig.source_dsn, config.parameters)
+            tgt = open_source(mig.target_dsn, config.parameters)
             db = db_name_from_dsn(mig.source_dsn)
             for it in mig.iterations:
                 self.iterations.append(BoundIteration(src, tgt, db, it))

@@ -110,9 +110,18 @@ def _resolve_callable(spec: Any) -> Callable:
 
 @register_transformer("python")
 def transform_python(batch: DataFrame, ctx: TransformContext) -> list[Routed]:
+    """User-code transformer with the reference's wall-clock budget
+    (transformer_js.go:26, default 5 s). The budget covers the user
+    callable itself — normally lazy plan construction, well under 5 s.
+    A transform that runs Spark ACTIONS (collect/count) can legitimately
+    exceed it and would replay forever; set ``timeout`` in
+    transformer-parameters for such transforms (0 disables)."""
     fn = _resolve_callable(ctx.params.get("callable"))
     timeout = float(ctx.params.get("timeout", DEFAULT_TRANSFORM_TIMEOUT))
-    out = _call_with_timeout(fn, (batch, ctx), timeout)
+    if timeout <= 0:
+        out = fn(batch, ctx)
+    else:
+        out = _call_with_timeout(fn, (batch, ctx), timeout)
     if isinstance(out, DataFrame):
         return [Routed(out, ctx.target_table)]
     return [o if isinstance(o, Routed) else Routed(o[0], o[1]) for o in out]

@@ -44,8 +44,13 @@ def rmw(source: Source, spark: SparkSession, name: str, fn) -> None:
         source.write(out, name, mode="overwrite")
 
 
-def open_source(dsn: str) -> Source:
-    """Resolve a DSN string to a Source implementation."""
+def open_source(dsn: str, params=None) -> Source:
+    """Resolve a DSN string to a Source implementation.
+
+    ``params`` (pipeline ``Parameters``) carries the knobs some sources
+    honor — for JDBC, ``insert_batch_size`` is the writer's JDBC
+    ``batchsize`` (the reference's InsertBatchSize, loader_default.go:12).
+    """
     from migrator_spark.sources.memory import MemorySource
     from migrator_spark.sources.parquet import ParquetSource
 
@@ -72,6 +77,8 @@ def open_source(dsn: str) -> Source:
     if dsn.startswith("jdbc:"):
         from migrator_spark.sources.jdbc import JdbcSource
 
+        if params is not None and getattr(params, "insert_batch_size", None):
+            return JdbcSource(dsn, batch_size=params.insert_batch_size)
         return JdbcSource(dsn)
     # bare path -> parquet dir
     return ParquetSource(dsn)

@@ -125,6 +125,31 @@ class JdbcSource:
         finally:
             conn.close()
 
+    def append_txn(self, spark: SparkSession, table: str, df: DataFrame) -> None:
+        """Atomic batch append: stage with executor-parallel batched
+        INSERTs (the staging table is throwaway — a partial staging
+        failure just re-stages on replay), then commit ONE server-side
+        ``INSERT INTO target SELECT FROM stage``. Spark's own JDBC
+        append commits per task, so a mid-batch executor failure leaves
+        a partially-written target and the replay duplicates rows; this
+        path gives the reference's one-transaction-per-batch guarantee
+        (loader_default.go:30-34) without moving data through the
+        driver."""
+        stage = f"{table}_stg_{uuid.uuid4().hex[:8]}"
+        self.write(df, stage, mode="overwrite")
+        cols = ", ".join(_q(c) for c in df.columns)
+        try:
+            self.execute(
+                spark,
+                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
+                transactional=True,
+            )
+        finally:
+            try:
+                self.execute(spark, f"DROP TABLE {stage}", transactional=False)
+            except Exception:
+                pass
+
     def apply_cdc_txn(
         self,
         spark: SparkSession,

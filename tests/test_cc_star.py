@@ -97,3 +97,16 @@ def test_star_equals_label_propagation_on_lsh_pairs(spark, sf_dir):
     a = sorted(map(tuple, duplicate_clusters(pairs).collect()))
     b = sorted(map(tuple, duplicate_clusters_star(pairs).collect()))
     assert a == b
+
+
+def test_star_contract_raises_instead_of_wrong_labels(spark):
+    """Exhausting max_iters must be an ERROR, never silently-wrong
+    cluster ids from an unconverged edge set."""
+    import pytest
+    from migrator_spark.operators.dedup import duplicate_clusters_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        duplicate_clusters_star(chain, max_iters=1).collect()

@@ -135,3 +135,42 @@ def test_rmw_fallback_safe_on_in_place_store(spark, derby):
     derby.write(spark.range(1, 6).toDF("id"), "q")
     base.rmw(derby, spark, "q", lambda df: df.filter(F.col("id") != 3))
     assert sorted(r["id"] for r in derby.table(spark, "q").collect()) == [1, 2, 4, 5]
+
+
+def test_append_txn_is_atomic(spark, derby):
+    """The pure-insert loader path must not use Spark's per-task-commit
+    append: a failing batch leaves the target untouched (replay-safe)."""
+    derby.write(spark.range(3).toDF("id"), "atx")
+    before = sorted(r["id"] for r in derby.table(spark, "atx").collect())
+    # a batch whose schema doesn't match the target: the staged
+    # INSERT..SELECT fails server-side and must roll back as one unit
+    bad = spark.range(2).selectExpr("id", "id as extra_col")
+    with pytest.raises(Exception):
+        derby.append_txn(spark, "atx", bad)
+    assert sorted(r["id"] for r in derby.table(spark, "atx").collect()) == before
+    # a good batch commits exactly once
+    derby.append_txn(spark, "atx", spark.range(10, 12).toDF("id"))
+    assert sorted(r["id"] for r in derby.table(spark, "atx").collect()) == [0, 1, 2, 10, 11]
+
+
+def test_jdbc_loader_append_is_transactional_and_batchsize_wired(spark, derby, tmp_path):
+    """Pipeline e2e: insert-batch-size reaches the JdbcSource writer and
+    the pure-insert path goes through the staged transactional append."""
+    from migrator_spark.pipeline.config import from_dict
+    from migrator_spark.sources.base import open_source
+
+    cfg = _cfg(f"parquet://{tmp_path}/src", derby.url, loader="jdbc",
+                batch_size=10, insert_batch_size=7)
+    tgt = open_source(cfg.migrations[0].target_dsn, cfg.parameters)
+    assert tgt.batch_size == 7  # loader_default.go:12 InsertBatchSize
+    ParquetSource(f"{tmp_path}/src").write(
+        spark.range(1, 6).selectExpr("id", "id*2 as v"), "x"
+    )
+    Migrator(spark, cfg, str(tmp_path / "trk")).run_until_drained()
+    assert sorted(r["id"] for r in derby.table(spark, "x").collect()) == [1, 2, 3, 4, 5]
+    # incremental resume appends through append_txn (table now exists)
+    ParquetSource(f"{tmp_path}/src").write(
+        spark.range(6, 9).selectExpr("id", "id*2 as v"), "x", mode="append"
+    )
+    Migrator(spark, cfg, str(tmp_path / "trk")).run_until_drained()
+    assert sorted(r["id"] for r in derby.table(spark, "x").collect()) == list(range(1, 9))

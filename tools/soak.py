@@ -54,7 +54,11 @@ def main() -> None:
             times[name] = float("nan")
             print(f"ERR {name}: {e}", file=sys.stderr)
     total = time.time() - wall
-    for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
+    # failed queries (NaN) sort first — NaN comparisons would otherwise
+    # scatter them arbitrarily through the "slowest first" report
+    for name, t in sorted(
+        times.items(), key=lambda kv: -kv[1] if kv[1] == kv[1] else float("-inf")
+    ):
         print(f"{t:8.2f}  {name}")
     print(f"# {len(times)} queries, total wall {total:.1f}s, sf_dir={sf_dir}")
 
