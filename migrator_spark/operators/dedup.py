@@ -597,6 +597,36 @@ def minhash_lsh_pairs_incremental(
     return _verify_jaccard(cand, sh, id_col, threshold)
 
 
+def chunk_hashes(
+    docs: DataFrame,
+    chunk_words: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode documents into consecutive ``chunk_words``-word chunks and
+    hash each: (id, j, chunk, chash). Split out of
+    :func:`chunk_boilerplate_dedup` so its pruned scan stays separately
+    plan-pinnable (the consumer checkpoints this relation, which hides
+    the scan from the final plan)."""
+    w = words(text_col)
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    chunks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda j: F.struct(
+                    j.alias("j"),
+                    F.array_join(
+                        F.slice(w, (j - 1) * chunk_words + 1, chunk_words), " "
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    ).select(id_col, F.col("c.j").alias("j"), F.col("c.chunk").alias("chunk"))
+    return chunks.withColumn("chash", stable_hash64(F.col("chunk")))
+
+
 def chunk_boilerplate_dedup(
     docs: DataFrame,
     chunk_words: int = 5,
@@ -623,24 +653,21 @@ def chunk_boilerplate_dedup(
     broadcasts at runtime only when the measured size is actually small.
     One regroup by doc reassembles. Two shuffles total worst-case, both
     on high-cardinality uniform keys.
+
+    The chunk relation feeds BOTH the boilerplate aggregate and the join
+    probe; without materialisation the corpus explode+hash evaluates
+    twice (exchange reuse can't apply — the two consumers are different
+    subtrees of one plan). An eager ``localCheckpoint`` runs it once and
+    bounds the cached blocks to the plan's lifetime (freed by the
+    ContextCleaner when the RDD is collected — no CacheManager entry to
+    leak across a long session, unlike ``persist``). On a real cluster
+    the equivalent is a reliable checkpoint or an intermediate table;
+    the cost is one linear write of ~corpus size, strictly cheaper than
+    the second full explode+hash pass it replaces.
     """
-    w = words(text_col)
-    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
-    chunks = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), n_chunks),
-                lambda j: F.struct(
-                    j.alias("j"),
-                    F.array_join(
-                        F.slice(w, (j - 1) * chunk_words + 1, chunk_words), " "
-                    ).alias("chunk"),
-                ),
-            )
-        ).alias("c"),
-    ).select(id_col, F.col("c.j").alias("j"), F.col("c.chunk").alias("chunk"))
-    hashed = chunks.withColumn("chash", stable_hash64(F.col("chunk")))
+    hashed = chunk_hashes(
+        docs, chunk_words=chunk_words, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
     boiler = (
         hashed.groupBy("chash")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))

@@ -291,9 +291,14 @@ def sim2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lookup) and without materialization the whole Lloyd pipeline would
     # execute twice per query. At scale the quantizer build is an
     # OFFLINE step writing a (vec_id, cell) table that queries join
-    # against; persist() models that here — 2 ints per vector, ~1/1000th
-    # the size of the embedding table it summarizes.
-    assign = sim.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS).persist()
+    # against; an eager localCheckpoint models that here — 2 ints per
+    # vector, ~1/1000th the size of the embedding table it summarizes —
+    # and unlike persist() its blocks are freed by the ContextCleaner
+    # when the plan is dropped, so repeated queries in one long session
+    # (the 111-query soak) don't accumulate storage-memory entries.
+    assign = sim.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS).localCheckpoint(
+        eager=True
+    )
     emb_cells = emb.filter(F.col("vec_id") != 0).join(assign, on="vec_id")
     probe = assign.filter(F.col("vec_id") == 0).select("cell")
     return sim.ivf_topk(
@@ -720,12 +725,13 @@ def dd7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded Hamming-LSH near-dup pairs over dd3's SimHash
     fingerprints — the 8-bytes-per-doc scale path of the dedup family
     (pigeonhole: hamming <= bands-1 guarantees a band collision)."""
-    # persist: both sides of the band self-join derive from the
-    # fingerprint relation — unpersisted, the 60-sum SimHash build runs
+    # materialise: both sides of the band self-join derive from the
+    # fingerprint relation — otherwise the 60-sum SimHash build runs
     # twice. At scale this IS the stored fingerprint table the operator
     # docstring describes (8 bytes/doc), same modeling as sim2's
-    # persisted quantizer assignment.
-    fp = dd.simhash(load_table(spark, sf_dir, "documents")).persist()
+    # quantizer assignment. localCheckpoint (not persist) so the blocks
+    # are plan-scoped, not session-leaked.
+    fp = dd.simhash(load_table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
     return dd.simhash_pairs(
         fp,
         bands=SIMHASH_BANDS,
@@ -1237,25 +1243,32 @@ def cur2_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("avg_neg_logprob") <= CUR2_MAX_NLL)
         .select("doc_id")
     )
-    # persist the gate output: dedup, the semi-join, the mixture rates
-    # and the final manifest all consume `good`/`kept` — unpersisted,
-    # the decontamination + LM subtrees would re-execute per consumer.
-    # At scale these are the checkpointed stage tables of a real
-    # curation run (each stage's manifest is worth keeping anyway).
-    good = clean.join(lm_pass, on="doc_id", how="left_semi").persist()
+    # materialise the gate output: dedup, the semi-join, the mixture
+    # rates and the final manifest all consume `good`/`kept` —
+    # otherwise the decontamination + LM subtrees would re-execute per
+    # consumer. At scale these are the checkpointed stage tables of a
+    # real curation run (each stage's manifest is worth keeping anyway).
+    # localCheckpoint (not persist) so the stage tables are plan-scoped
+    # and freed with the plan, not leaked into session storage memory.
+    good = clean.join(lm_pass, on="doc_id", how="left_semi").localCheckpoint(eager=True)
     survivors = dd.exact_dedup(good).select(F.col("keep_doc_id").alias("doc_id"))
-    kept = good.join(survivors, on="doc_id", how="left_semi").persist()
+    kept = good.join(survivors, on="doc_id", how="left_semi").localCheckpoint(eager=True)
     rates = mx.mixture_plan(kept, alpha=MX_ALPHA, group_col="source").select(
         "source", "sample_rate"
     )
     u = stable_hash64(F.col("doc_id").cast("string")).cast("double") / F.lit(
         float(1 << 60)
     )
+    # No trailing orderBy: a global sort of the whole training manifest
+    # is a full range-partition exchange bought for cosmetics — at
+    # 100 TB that's the most expensive node in the plan. The driver's
+    # value-hash comparison is row-order independent; consumers that
+    # need ordered output sort at write time (sortWithinPartitions) or
+    # downstream.
     return (
         kept.join(rates, on="source")
         .filter(u < F.col("sample_rate"))
         .select("doc_id", "source", F.size(words("text")).alias("n_tokens"))
-        .orderBy("doc_id")
     )
 
 

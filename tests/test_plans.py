@@ -365,8 +365,18 @@ def test_dd9_no_forced_broadcast_of_corpus_dependent_set(spark, sf_dir):
     # (a global "hint"-substring scan would trip on unrelated node names)
     assert re.search(r"Join\b.*chash", opt), opt
     assert "strategy=broadcast" not in opt, opt
-    plan = _plan(spark, sf_dir, "dd9_chunk_boilerplate")
-    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), plan
+    # the corpus explode+hash is checkpointed (runs ONCE, round 4) so the
+    # parquet scan no longer appears in the final plan; pin that the
+    # final plan reads the materialised RDD (single evaluation), then pin
+    # the pruned scan on the pre-checkpoint subtree instead
+    assert "LogicalRDD" in opt, opt
+    from migrator_spark.operators.dedup import chunk_hashes
+    from migrator_spark.tables import load_table
+
+    sub = chunk_hashes(load_table(spark, sf_dir, "documents"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    sub_plan = sub._jdf.queryExecution().explainString(mode)
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", sub_plan), sub_plan
 
 
 def test_sim5_assignment_passes_are_map_only(spark, sf_dir):
@@ -486,3 +496,7 @@ def test_cur2_stays_jvm_side_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cur2_training_mix")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # round 4: the manifest is emitted UNSORTED — a trailing global
+    # orderBy("doc_id") was a full range-partition exchange bought for
+    # cosmetic ordering (the single most expensive node at 100 TB)
+    assert "rangepartitioning" not in plan.lower(), plan
