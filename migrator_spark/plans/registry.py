@@ -24,46 +24,147 @@ class QuerySpec:
     note: str = ""
 
 
-# Ordering note (round 3): the driver grades a bounded prefix of this dict
-# (50 entries in insertion order, observed in CORRECTNESS_r01/r02). Window
-# policy, per VERDICT r2 #2/#8:
-#   1. mm2/mm3/mm4 first — the only hash-checkable queries with no driver
-#      row after two rounds (they sat at positions 51-53 both times).
-#   2. Then the whole r01-green family (TPC-H/analytics/extractors): last
-#      graded in round 1, BEFORE the tables.py loader changes, so their
-#      driver-green status is stale; rotating them in re-validates them
-#      under the current read path. p7/a1 sit just past the cut (least
-#      loader-sensitive: PK-only lookups, re-checked by local pytest).
-#   3. The 50 entries graded green in CORRECTNESS_r02 move to the tail.
-#   4. The two rows-only sketches (pr3/pr6) stay at the very end so they
-#      never consume a graded slot ahead of a hash-checkable query.
-# bench.py resolves HEADLINE queries by name, so this reorder is
+# Ordering policy (round 4, per ADVICE r3 #1): the driver grades a
+# bounded 50-entry prefix in insertion order. The window is now a strict
+# STALEST-FIRST ROUND-ROBIN — every entry rotates back through the
+# window as its newest driver-green row ages, so no query's driver
+# validation can go permanently stale after a read-path or loader
+# change. Round-4 window composition:
+#   1. pr6 (never driver-graded) and pr3 (rows-only since r1) — with
+#      these, all 111 entries have a driver row of some kind.
+#   2. The r1-only family (q2w/q2/q16/q11/q22, p6/p7/p8/a1): their only
+#      green rows predate the round-3 tables.py read-path change.
+#   3. The r2-green entries most sensitive to the round-3/4 loader and
+#      merge-sink work (l0/l2/l3/w1/st4/st5/dd2, VERDICT r3 #8), plus
+#      the r3-green queries whose plans changed this round (cur2/l4).
+#   4. The rest of the r2-green family, original order, through the cut.
+# Tail: the 13 remaining r2-green entries head the queue for round 5's
+# window; the r3-green family follows and re-enters in rounds 5-6.
+# bench.py resolves HEADLINE queries by name, so reorders are
 # bench-neutral.
 REGISTRY: dict[str, QuerySpec] = {
-    # ============ graded prefix ============
-    # --- multimodal plumbing, never driver-graded before round 3
-    # (decode stubbed, see operators/multimodal.py) ---
+    # ======== graded prefix (round 4): stalest-first round-robin ========
+    # never-driver-graded sketch + the r1 rows-only sketch: every one of
+    # the 111 entries now gets a driver row (VERDICT r3 #2)
+    "pr6_approx_percentiles": QuerySpec(
+        llmdata.pr6_approx_percentiles, None, note="KLL-style sketch, rows-only"
+    ),
+    "pr3_approx_profile": QuerySpec(
+        analytics.pr3_approx_profile, None, note="HLL sketch, rows-only"
+    ),
+    # --- r1-only family: last green before the round-3 read-path
+    # change (tables.py NTZ conf); re-validated under it here ---
+    "q2w_top_supplier_per_nation": QuerySpec(
+        analytics.q2w_top_supplier_per_nation, analytics.Q2W_ORACLE
+    ),
+    "q2_min_cost_supplier": QuerySpec(
+        analytics.q2_min_cost_supplier, analytics.Q2_ORACLE
+    ),
+    "q16_supplier_part_counts": QuerySpec(
+        analytics.q16_supplier_part_counts, analytics.Q16_ORACLE
+    ),
+    "q11_important_parts": QuerySpec(analytics.q11_important_parts, analytics.Q11_ORACLE),
+    "q22_global_sales_opportunity": QuerySpec(
+        analytics.q22_global_sales_opportunity, analytics.Q22_ORACLE
+    ),
+    "p6_composite_lookup": QuerySpec(cdc.p6_composite_lookup, cdc.P6_ORACLE),
+    "p8_full_row_delete_match": QuerySpec(
+        cdc.p8_full_row_delete_match, cdc.P8_ORACLE
+    ),
+    "p7_tracking_lookup": QuerySpec(cdc.p7_tracking_lookup, cdc.P7_ORACLE),
+    "a1_max_offset": QuerySpec(cdc.a1_max_offset, cdc.A1_ORACLE),
+    # --- r2-green entries most sensitive to the round-3/4 loader and
+    # merge-sink changes (VERDICT r3 #8) ---
+    "l0_apply_cdc_batch": QuerySpec(cdc.l0_apply_cdc_batch, cdc.L0_ORACLE),
+    "l2_upsert_lastwins": QuerySpec(cdc.l2_upsert_lastwins, cdc.L2_ORACLE),
+    "l3_remove_antijoin": QuerySpec(cdc.l3_remove_antijoin, cdc.L3_ORACLE),
+    "w1_latest_by_key": QuerySpec(cdc.w1_latest_by_key, cdc.W1_ORACLE),
+    "st4_stream_dedup": QuerySpec(cdc.st4_stream_dedup, cdc.ST4_ORACLE),
+    "st5_interval_join": QuerySpec(cdc.st5_interval_join, cdc.ST5_ORACLE),
+    "dd2_minhash_lsh_pairs": QuerySpec(llmdata.dd2_minhash_lsh_pairs, llmdata.DD2_ORACLE),
+    # --- r3-green entries whose plans changed THIS round (cur2 sort
+    # drop; l4 shares merge_pruned with the composite-key work) ---
+    "cur2_training_mix": QuerySpec(llmdata.cur2_training_mix, llmdata.CUR2_ORACLE),
+    "l4_pruned_merge": QuerySpec(cdc.l4_pruned_merge, cdc.L4_ORACLE),
+    # --- rest of the r2-green family in original order; dd9/sim2/dd7
+    # also changed this round (checkpointed shared subtrees) ---
+    "a2_ts_offset": QuerySpec(cdc.a2_ts_offset, cdc.A2_ORACLE),
+    "a3_coalesce_offset": QuerySpec(cdc.a3_coalesce_offset, cdc.A3_ORACLE),
+    "a5_group_by_method": QuerySpec(cdc.a5_group_by_method, cdc.A5_ORACLE),
+    "s1_queue_topk": QuerySpec(cdc.s1_queue_topk, cdc.S1_ORACLE),
+    "w2_window_suite": QuerySpec(analytics.w2_window_suite, analytics.W2_ORACLE),
+    "w3_rolling_frames": QuerySpec(analytics.w3_rolling_frames, analytics.W3_ORACLE),
+    "f1_scalar_suite": QuerySpec(cdc.f1_scalar_suite, cdc.F1_ORACLE),
+    "f2_json_props": QuerySpec(analytics.f2_json_props, analytics.F2_ORACLE),
+    "f3_date_parts": QuerySpec(analytics.f3_date_parts, analytics.F3_ORACLE),
+    "f4_string_suite": QuerySpec(analytics.f4_string_suite, analytics.F4_ORACLE),
+    "f5_array_suite": QuerySpec(analytics.f5_array_suite, analytics.F5_ORACLE),
+    "f6_regex_suite": QuerySpec(analytics.f6_regex_suite, analytics.F6_ORACLE),
+    "t2_rename_routing": QuerySpec(cdc.t2_rename_routing, cdc.T2_ORACLE),
+    "st1_windowed_counts": QuerySpec(cdc.st1_windowed_counts, cdc.ST1_ORACLE),
+    "st2_session_windows": QuerySpec(cdc.st2_session_windows, cdc.ST2_ORACLE),
+    "st3_stateful_first_seen": QuerySpec(cdc.st3_stateful_first_seen, cdc.ST3_ORACLE),
+    "dd1_exact_dedup": QuerySpec(llmdata.dd1_exact_dedup, llmdata.DD1_ORACLE),
+    "dd3_simhash": QuerySpec(llmdata.dd3_simhash, llmdata.DD3_ORACLE),
+    "dd4_ngram_jaccard_pairs": QuerySpec(llmdata.dd4_ngram_jaccard_pairs, llmdata.DD4_ORACLE),
+    "dd5_embedding_neardup": QuerySpec(llmdata.dd5_embedding_neardup, llmdata.DD5_ORACLE),
+    "dd6_dup_clusters": QuerySpec(llmdata.dd6_dup_clusters, llmdata.DD6_ORACLE),
+    "dd7_simhash_pairs": QuerySpec(llmdata.dd7_simhash_pairs, llmdata.DD7_ORACLE),
+    "dd8_incremental_lsh": QuerySpec(llmdata.dd8_incremental_lsh, llmdata.DD8_ORACLE),
+    "dd9_chunk_boilerplate": QuerySpec(
+        llmdata.dd9_chunk_boilerplate, llmdata.DD9_ORACLE
+    ),
+    "sim1_cosine_topk": QuerySpec(llmdata.sim1_cosine_topk, llmdata.SIM1_ORACLE),
+    "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),
+    "sim5_ivf_build": QuerySpec(llmdata.sim5_ivf_build, llmdata.SIM5_ORACLE),
+    "sim3_pairwise_topk": QuerySpec(llmdata.sim3_pairwise_topk, llmdata.SIM3_ORACLE),
+    "sim4_incremental_topk": QuerySpec(
+        llmdata.sim4_incremental_topk, llmdata.SIM4_ORACLE
+    ),
+    "ta1_token_stats": QuerySpec(llmdata.ta1_token_stats, llmdata.TA1_ORACLE),
+    # ============ past the 50-entry cut ============
+    # r2-green leftovers — first in line for the round-5 window
+    "ta2_quality_score": QuerySpec(llmdata.ta2_quality_score, llmdata.TA2_ORACLE),
+    "ta3_lang_guess": QuerySpec(llmdata.ta3_lang_guess, llmdata.TA3_ORACLE),
+    "ta4_fingerprint": QuerySpec(llmdata.ta4_fingerprint, llmdata.TA4_ORACLE),
+    "ta5_repetition": QuerySpec(llmdata.ta5_repetition, llmdata.TA5_ORACLE),
+    "ta6_pii_scrub": QuerySpec(llmdata.ta6_pii_scrub, llmdata.TA6_ORACLE),
+    "pr2_length_percentiles": QuerySpec(
+        llmdata.pr2_length_percentiles, llmdata.PR2_ORACLE
+    ),
+    "fts1_keyword_search": QuerySpec(
+        llmdata.fts1_keyword_search, llmdata.FTS1_ORACLE
+    ),
+    "dq1_constraint_audit": QuerySpec(
+        analytics.dq1_constraint_audit, analytics.DQ1_ORACLE
+    ),
+    "sm1_hash_sample": QuerySpec(llmdata.sm1_hash_sample, llmdata.SM1_ORACLE),
+    "sm2_stratified_sample": QuerySpec(
+        llmdata.sm2_stratified_sample, llmdata.SM2_ORACLE
+    ),
+    "sm3_weighted_sample": QuerySpec(
+        llmdata.sm3_weighted_sample, llmdata.SM3_ORACLE
+    ),
+    "cur1_curation_pipeline": QuerySpec(
+        llmdata.cur1_curation_pipeline, llmdata.CUR1_ORACLE
+    ),
+    "mm1_decode_metadata": QuerySpec(llmdata.mm1_decode_metadata, llmdata.MM1_ORACLE),
+    # r3-green family (newest driver rows) — rotates back through the
+    # window in rounds 5-6 as it ages
     "mm2_frame_sample": QuerySpec(llmdata.mm2_frame_sample, llmdata.MM2_ORACLE),
     "mm3_resize_plan": QuerySpec(llmdata.mm3_resize_plan, llmdata.MM3_ORACLE),
     "mm4_extract_features": QuerySpec(
         llmdata.mm4_extract_features, llmdata.MM4_ORACLE
     ),
-    # --- new round-3 training-pipeline operators: decontamination,
-    # LM-perplexity quality, hyperplane-LSH ANN, mixture planning ---
     "dc1_decontaminate": QuerySpec(llmdata.dc1_decontaminate, llmdata.DC1_ORACLE),
     "ta7_lm_quality": QuerySpec(llmdata.ta7_lm_quality, llmdata.TA7_ORACLE),
     "sim6_hyperplane_topk": QuerySpec(
         llmdata.sim6_hyperplane_topk, llmdata.SIM6_ORACLE
     ),
     "mx1_mixture_plan": QuerySpec(llmdata.mx1_mixture_plan, llmdata.MX1_ORACLE),
-    "cur2_training_mix": QuerySpec(llmdata.cur2_training_mix, llmdata.CUR2_ORACLE),
-    # --- headline analytics (bench.py) ---
     "q1_pricing_summary": QuerySpec(tpch.q1_pricing_summary, tpch.Q1_ORACLE),
     "q3_shipping_priority": QuerySpec(tpch.q3_shipping_priority, tpch.Q3_ORACLE),
     "q5_nation_revenue": QuerySpec(tpch.q5_nation_revenue, tpch.Q5_ORACLE),
-    # --- extended analytics (plans/analytics.py): semi-join, pushdown
-    # scan-agg, grouped top-k, conditional agg, agg-then-join, window
-    # rank, pair grouping, exact profiling ---
     "q4_order_priority": QuerySpec(analytics.q4_order_priority, analytics.Q4_ORACLE),
     "q6_forecast_revenue": QuerySpec(analytics.q6_forecast_revenue, analytics.Q6_ORACLE),
     "q7_trade_volume": QuerySpec(analytics.q7_trade_volume, analytics.Q7_ORACLE),
@@ -109,7 +210,6 @@ REGISTRY: dict[str, QuerySpec] = {
         analytics.pr4_price_histogram, analytics.PR4_ORACLE
     ),
     "pr5_stat_moments": QuerySpec(analytics.pr5_stat_moments, analytics.PR5_ORACLE),
-    # --- time-series windows / set operations ---
     "ev1_event_gaps": QuerySpec(analytics.ev1_event_gaps, analytics.EV1_ORACLE),
     "ev2_asof_join": QuerySpec(analytics.ev2_asof_join, analytics.EV2_ORACLE),
     "ev3_range_join": QuerySpec(analytics.ev3_range_join, analytics.EV3_ORACLE),
@@ -119,137 +219,19 @@ REGISTRY: dict[str, QuerySpec] = {
     "set1_repeat_customers": QuerySpec(
         analytics.set1_repeat_customers, analytics.SET1_ORACLE
     ),
-    # --- skew mitigation (operators/skew.py): semantically transparent,
-    # oracle = the plain GROUP BY / JOIN ---
     "sk1_salted_event_stats": QuerySpec(
         analytics.sk1_salted_event_stats, analytics.SK1_ORACLE
     ),
     "sk2_salted_user_join": QuerySpec(
         analytics.sk2_salted_user_join, analytics.SK2_ORACLE
     ),
-    # --- extractors E1-E4 (SURVEY.md §2.1) ---
     "e1_seq_scan": QuerySpec(cdc.e1_seq_scan, cdc.E1_ORACLE),
     "e2_ts_scan_onlypast": QuerySpec(cdc.e2_ts_scan_onlypast, cdc.E2_ORACLE),
     "e3_coalesce_scan": QuerySpec(cdc.e3_coalesce_scan, cdc.E3_ORACLE),
     "e4_queue_drain": QuerySpec(cdc.e4_queue_drain, cdc.E4_DRAIN_ORACLE),
     "e4_point_lookup_join": QuerySpec(cdc.e4_point_lookup_join, cdc.E4_LOOKUP_ORACLE),
-    # --- NEW round 3: file-pruned merge sink executed end-to-end, and
-    # star-contraction connected components (shares dd6's oracle) ---
-    "l4_pruned_merge": QuerySpec(cdc.l4_pruned_merge, cdc.L4_ORACLE),
     "dd6b_dup_clusters_star": QuerySpec(
         llmdata.dd6b_dup_clusters_star, llmdata.DD6_ORACLE
-    ),
-    # ============ just past the 50-entry cut: least loader-sensitive
-    # r01-green entries (PK-only lookups, re-checked by local pytest) ====
-    "p6_composite_lookup": QuerySpec(cdc.p6_composite_lookup, cdc.P6_ORACLE),
-    "p8_full_row_delete_match": QuerySpec(
-        cdc.p8_full_row_delete_match, cdc.P8_ORACLE
-    ),
-    "p7_tracking_lookup": QuerySpec(cdc.p7_tracking_lookup, cdc.P7_ORACLE),
-    "a1_max_offset": QuerySpec(cdc.a1_max_offset, cdc.A1_ORACLE),
-    # ============ graded green in CORRECTNESS_r02 ============
-    # --- aggregates / offsets (§2.4) ---
-    "a2_ts_offset": QuerySpec(cdc.a2_ts_offset, cdc.A2_ORACLE),
-    "a3_coalesce_offset": QuerySpec(cdc.a3_coalesce_offset, cdc.A3_ORACLE),
-    "a5_group_by_method": QuerySpec(cdc.a5_group_by_method, cdc.A5_ORACLE),
-    # --- sorts / windows (§2.5-2.6) ---
-    "s1_queue_topk": QuerySpec(cdc.s1_queue_topk, cdc.S1_ORACLE),
-    "w1_latest_by_key": QuerySpec(cdc.w1_latest_by_key, cdc.W1_ORACLE),
-    "w2_window_suite": QuerySpec(analytics.w2_window_suite, analytics.W2_ORACLE),
-    "w3_rolling_frames": QuerySpec(analytics.w3_rolling_frames, analytics.W3_ORACLE),
-    # --- loaders L0/L2/L3 (§2.9) ---
-    "l2_upsert_lastwins": QuerySpec(cdc.l2_upsert_lastwins, cdc.L2_ORACLE),
-    "l3_remove_antijoin": QuerySpec(cdc.l3_remove_antijoin, cdc.L3_ORACLE),
-    "l0_apply_cdc_batch": QuerySpec(cdc.l0_apply_cdc_batch, cdc.L0_ORACLE),
-    # --- scalar functions / transformers / streaming (§2.8, §2.10, §2.11) ---
-    "f1_scalar_suite": QuerySpec(cdc.f1_scalar_suite, cdc.F1_ORACLE),
-    "f2_json_props": QuerySpec(analytics.f2_json_props, analytics.F2_ORACLE),
-    "f3_date_parts": QuerySpec(analytics.f3_date_parts, analytics.F3_ORACLE),
-    "f4_string_suite": QuerySpec(analytics.f4_string_suite, analytics.F4_ORACLE),
-    "f5_array_suite": QuerySpec(analytics.f5_array_suite, analytics.F5_ORACLE),
-    "f6_regex_suite": QuerySpec(analytics.f6_regex_suite, analytics.F6_ORACLE),
-    "t2_rename_routing": QuerySpec(cdc.t2_rename_routing, cdc.T2_ORACLE),
-    "st1_windowed_counts": QuerySpec(cdc.st1_windowed_counts, cdc.ST1_ORACLE),
-    "st2_session_windows": QuerySpec(cdc.st2_session_windows, cdc.ST2_ORACLE),
-    "st3_stateful_first_seen": QuerySpec(cdc.st3_stateful_first_seen, cdc.ST3_ORACLE),
-    "st4_stream_dedup": QuerySpec(cdc.st4_stream_dedup, cdc.ST4_ORACLE),
-    "st5_interval_join": QuerySpec(cdc.st5_interval_join, cdc.ST5_ORACLE),
-    # --- dedup (training-data pipeline surface) ---
-    "dd1_exact_dedup": QuerySpec(llmdata.dd1_exact_dedup, llmdata.DD1_ORACLE),
-    "dd2_minhash_lsh_pairs": QuerySpec(llmdata.dd2_minhash_lsh_pairs, llmdata.DD2_ORACLE),
-    "dd3_simhash": QuerySpec(llmdata.dd3_simhash, llmdata.DD3_ORACLE),
-    "dd4_ngram_jaccard_pairs": QuerySpec(llmdata.dd4_ngram_jaccard_pairs, llmdata.DD4_ORACLE),
-    "dd5_embedding_neardup": QuerySpec(llmdata.dd5_embedding_neardup, llmdata.DD5_ORACLE),
-    "dd6_dup_clusters": QuerySpec(llmdata.dd6_dup_clusters, llmdata.DD6_ORACLE),
-    "dd7_simhash_pairs": QuerySpec(llmdata.dd7_simhash_pairs, llmdata.DD7_ORACLE),
-    "dd8_incremental_lsh": QuerySpec(llmdata.dd8_incremental_lsh, llmdata.DD8_ORACLE),
-    "dd9_chunk_boilerplate": QuerySpec(
-        llmdata.dd9_chunk_boilerplate, llmdata.DD9_ORACLE
-    ),
-    # --- similarity search ---
-    "sim1_cosine_topk": QuerySpec(llmdata.sim1_cosine_topk, llmdata.SIM1_ORACLE),
-    "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),
-    "sim5_ivf_build": QuerySpec(llmdata.sim5_ivf_build, llmdata.SIM5_ORACLE),
-    "sim3_pairwise_topk": QuerySpec(llmdata.sim3_pairwise_topk, llmdata.SIM3_ORACLE),
-    "sim4_incremental_topk": QuerySpec(
-        llmdata.sim4_incremental_topk, llmdata.SIM4_ORACLE
-    ),
-    # --- text analysis ---
-    "ta1_token_stats": QuerySpec(llmdata.ta1_token_stats, llmdata.TA1_ORACLE),
-    "ta2_quality_score": QuerySpec(llmdata.ta2_quality_score, llmdata.TA2_ORACLE),
-    "ta3_lang_guess": QuerySpec(llmdata.ta3_lang_guess, llmdata.TA3_ORACLE),
-    "ta4_fingerprint": QuerySpec(llmdata.ta4_fingerprint, llmdata.TA4_ORACLE),
-    "ta5_repetition": QuerySpec(llmdata.ta5_repetition, llmdata.TA5_ORACLE),
-    "ta6_pii_scrub": QuerySpec(llmdata.ta6_pii_scrub, llmdata.TA6_ORACLE),
-    "pr2_length_percentiles": QuerySpec(
-        llmdata.pr2_length_percentiles, llmdata.PR2_ORACLE
-    ),
-    # --- full-text keyword search ---
-    "fts1_keyword_search": QuerySpec(
-        llmdata.fts1_keyword_search, llmdata.FTS1_ORACLE
-    ),
-    # --- data-quality constraint audit ---
-    "dq1_constraint_audit": QuerySpec(
-        analytics.dq1_constraint_audit, analytics.DQ1_ORACLE
-    ),
-    # --- deterministic sampling (reproducible train/eval splits) ---
-    "sm1_hash_sample": QuerySpec(llmdata.sm1_hash_sample, llmdata.SM1_ORACLE),
-    "sm2_stratified_sample": QuerySpec(
-        llmdata.sm2_stratified_sample, llmdata.SM2_ORACLE
-    ),
-    "sm3_weighted_sample": QuerySpec(
-        llmdata.sm3_weighted_sample, llmdata.SM3_ORACLE
-    ),
-    # --- composed curation pipeline (quality -> dedup -> sample) ---
-    "cur1_curation_pipeline": QuerySpec(
-        llmdata.cur1_curation_pipeline, llmdata.CUR1_ORACLE
-    ),
-    "mm1_decode_metadata": QuerySpec(llmdata.mm1_decode_metadata, llmdata.MM1_ORACLE),
-    # --- rotated out of the graded prefix (round 3) to make room for the
-    # four new training-pipeline ops: q2w reads no loader-affected table,
-    # and q2/q16/q11's lineitem read path is re-validated by a dozen
-    # queries still in the window; all four stay pytest-checked locally ---
-    "q2w_top_supplier_per_nation": QuerySpec(
-        analytics.q2w_top_supplier_per_nation, analytics.Q2W_ORACLE
-    ),
-    "q2_min_cost_supplier": QuerySpec(
-        analytics.q2_min_cost_supplier, analytics.Q2_ORACLE
-    ),
-    "q16_supplier_part_counts": QuerySpec(
-        analytics.q16_supplier_part_counts, analytics.Q16_ORACLE
-    ),
-    "q11_important_parts": QuerySpec(analytics.q11_important_parts, analytics.Q11_ORACLE),
-    "q22_global_sales_opportunity": QuerySpec(
-        analytics.q22_global_sales_opportunity, analytics.Q22_ORACLE
-    ),
-    # ============ rows-only sketches: keep last so they never occupy a
-    # graded slot ahead of a hash-checkable query. Sketch estimates are
-    # engine-specific; error bounds vs exact are pinned in tests/test_plans.py
-    "pr3_approx_profile": QuerySpec(
-        analytics.pr3_approx_profile, None, note="HLL sketch, rows-only"
-    ),
-    "pr6_approx_percentiles": QuerySpec(
-        llmdata.pr6_approx_percentiles, None, note="KLL-style sketch, rows-only"
     ),
 }
 
