@@ -7,18 +7,23 @@ overwrite materializes a fresh version directory under
 (``table()``) and read the pinned version directory, which is retained
 for KEEP_VERSIONS further overwrites — so a reader concurrent with a
 swap sees a complete old or new table, never missing part-files.
-Appends and swaps on the same table are serialized by an in-process
-per-path lock, so an insert-fast-path append can't land in a version
-directory a concurrent swap is about to retire.
+Appends and swaps on the same table are serialized by a two-level
+per-table lock — a ``threading.Lock`` within a driver process plus an
+``fcntl.flock`` lockfile across driver processes — so an
+insert-fast-path append can't land in a version directory a concurrent
+swap (from this process or another one) is about to retire.
 
-(Delta/Iceberg would give true MVCC commits with multi-process
-isolation; this is the dependency-free single-process equivalent at
-table-replacement granularity, per SURVEY.md §7.4. At cluster scale
-the parquet sink is swapped for the Delta sink in sources/delta.py.)
+(Delta/Iceberg would give true MVCC commits with optimistic
+multi-writer conflict detection; this is the dependency-free mutual-
+exclusion equivalent at table-replacement granularity, per SURVEY.md
+§7.4 — single-host scope, since flock doesn't span NFS reliably. At
+cluster scale the parquet sink is swapped for the Delta sink in
+sources/delta.py.)
 """
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
 import threading
@@ -72,14 +77,63 @@ def _any_key_in(sorted_keys: list, lo, hi) -> bool:
     i = bisect_left(sorted_keys, lo)
     return i < len(sorted_keys) and sorted_keys[i] <= hi
 
-_locks: dict[str, threading.Lock] = {}
+class _TableLock:
+    """Two-level writer lock for one table path: a ``threading.Lock``
+    serializes threads inside this driver process, and an ``fcntl.flock``
+    on a per-table lockfile serializes SEPARATE driver processes writing
+    the same table (the round-3 residual, SCALE.md §6.1: the in-process
+    lock alone let two drivers interleave swap/append). flock is
+    kernel-held and vanishes automatically when the holder dies, so
+    there is no stale-lockfile recovery path to get wrong. Advisory by
+    design: all writers come through this class; readers never lock —
+    symlink-pinned versions already give them snapshot isolation.
+
+    The thread lock is taken FIRST so at most one thread per process
+    ever reaches the flock (flock contends between file descriptors,
+    including two fds in one process — ordering makes that moot).
+    """
+
+    def __init__(self, lockfile: str) -> None:
+        self._tlock = threading.Lock()
+        self._lockfile = lockfile
+
+    def __enter__(self) -> "_TableLock":
+        self._tlock.acquire()
+        try:
+            os.makedirs(os.path.dirname(self._lockfile), exist_ok=True)
+            self._fd = os.open(self._lockfile, os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                fcntl.flock(self._fd, fcntl.LOCK_EX)
+            except BaseException:
+                os.close(self._fd)
+                raise
+        except BaseException:
+            self._tlock.release()
+            raise
+        return self
+
+    def __exit__(self, *exc) -> None:
+        try:
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+            os.close(self._fd)
+        finally:
+            self._tlock.release()
+
+
+_locks: dict[str, _TableLock] = {}
 _locks_guard = threading.Lock()
 
 
-def _lock_for(path: str) -> threading.Lock:
+def _lock_for(path: str) -> _TableLock:
+    """Lock object for a table path. The lockfile lives under the
+    table's ``.v`` version directory so ``<root>`` stays clean and the
+    path is shared by every process that opens the same root."""
     key = os.path.abspath(path)
+    lockfile = os.path.join(
+        os.path.dirname(key), ".v", os.path.basename(key) + ".lock"
+    )
     with _locks_guard:
-        return _locks.setdefault(key, threading.Lock())
+        return _locks.setdefault(key, _TableLock(lockfile))
 
 
 class ParquetSource:
@@ -134,6 +188,7 @@ class ParquetSource:
         batch_keys: DataFrame,
         key_col: str,
         merge_fn,
+        cluster_cols: list[str] | None = None,
     ) -> MergeStats:
         """File-pruned MERGE: rewrite ONLY the part-files whose footer
         [min, max] range of ``key_col`` intersects the batch's key set;
@@ -160,11 +215,20 @@ class ParquetSource:
         there). NULL batch keys cannot match any stats range and are
         ignored for pruning.
 
-        The rewritten slice is re-range-clustered on ``key_col`` so
-        repeated merges keep the layout prunable. Runs under the table
-        lock; the symlink swap is atomic, concurrent readers see the
-        complete old or new version.
+        Composite merge keys prune on their LEADING column: a target row
+        matching a batch row on every key column necessarily matches on
+        the leading one, so the leading-column footer intersection is a
+        correct superset of the files that can hold matches; ``merge_fn``
+        then applies the full composite-key semantics to that slice.
+        Callers pass ``key_col`` = leading column and the full key list
+        as ``cluster_cols`` so the rewrite keeps multi-column locality.
+
+        The rewritten slice is re-range-clustered on ``cluster_cols``
+        (default ``[key_col]``) so repeated merges keep the layout
+        prunable. Runs under the table lock; the symlink swap is atomic,
+        concurrent readers see the complete old or new version.
         """
+        cluster = [F.col(c) for c in (cluster_cols or [key_col])]
         final = self._path(name)
         with _lock_for(final):
             current = os.path.realpath(final)
@@ -191,9 +255,9 @@ class ParquetSource:
                 tdf = spark.createDataFrame([], spark.read.parquet(current).schema)
             merged = merge_fn(tdf)
             n_out = max(1, len(touched))
-            merged = merged.repartitionByRange(
-                n_out, F.col(key_col)
-            ).sortWithinPartitions(key_col)
+            merged = merged.repartitionByRange(n_out, *cluster).sortWithinPartitions(
+                *cluster
+            )
             vdir = self._versions(name)
             os.makedirs(vdir, exist_ok=True)
             new_version = f"{vdir}/{uuid.uuid4().hex[:12]}"
