@@ -68,7 +68,12 @@ def upsert(
     ALL.
     """
     b = F.broadcast(batch) if broadcast_batch else batch
-    kept = target.join(b.select(*key_cols), on=key_cols, how="left_anti")
+    # re-select: a list-form equi-join moves the join keys to the front
+    # of the output, and these frames get WRITTEN (mixed column orders
+    # across part-files of one table otherwise)
+    kept = target.join(b.select(*key_cols), on=key_cols, how="left_anti").select(
+        *target.columns
+    )
     return kept.unionByName(batch.select(*target.columns))
 
 
@@ -87,7 +92,7 @@ def delete_antijoin(
     r = removes.select(*key_cols).dropDuplicates(key_cols)
     if broadcast_removes:
         r = F.broadcast(r)
-    return target.join(r, on=key_cols, how="left_anti")
+    return target.join(r, on=key_cols, how="left_anti").select(*target.columns)
 
 
 def apply_cdc_batch(
@@ -113,7 +118,12 @@ def apply_cdc_batch(
     """
     final = latest_by_key(batch, key_cols, order_col, tiebreak_col)
     touched = F.broadcast(final.select(*key_cols))
-    survivors = target.join(touched, on=key_cols, how="left_anti")
+    # re-select target order: the list-form anti-join fronts the key
+    # columns, and merge sinks write this frame next to hardlink-carried
+    # part-files that kept the original order
+    survivors = target.join(touched, on=key_cols, how="left_anti").select(
+        *target.columns
+    )
     upserts = final.filter(F.col(METHOD_COL) != M_REMOVE).select(*target.columns)
     return survivors.unionByName(upserts)
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from migrator_spark.operators import extract as ex
 from migrator_spark.operators import load as ld
@@ -32,6 +33,19 @@ from migrator_spark.sources.base import Source
 from migrator_spark.sources.parquet import ParquetSource
 
 META_COLS = (ex.METHOD_COL, "_order", "_tie")
+
+# Key types whose parquet footer min/max stats Python can compare against
+# driver-collected batch keys without ordering surprises (ADVICE r3:
+# timestamp tz-awareness, bytes-vs-str decode and decimal quantization
+# can all mis-order or raise mid-merge) — everything else takes the
+# full-rewrite default path.
+_PRUNABLE_KEY_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.StringType,
+)
 
 
 @register_loader("default")
@@ -133,15 +147,28 @@ def load_pruned(
     table — the Delta-MERGE-shaped execution of REPLACE/DELETE
     (batched_queries.go:21-23,28-74) for large range-clustered targets.
 
+    Composite merge keys (the reference's multi-column PKs,
+    extractor_queue.go:75-90) prune on the LEADING key column's footer
+    range — a correct superset of the files that can hold full-key
+    matches — while ``apply_cdc_batch`` keeps the composite semantics on
+    the rewritten slice.
+
     Falls back to the default loader when pruning can't apply: non-
-    parquet target, composite merge key (footer pruning needs one key
-    column), or a target that doesn't exist yet (first write seeds it
-    range-clustered so later merges prune).
+    parquet target, no usable merge key, a leading key column whose type
+    Python can't safely order against parquet footer stats (only
+    integral and string keys prune; timestamps/decimals/binary fall
+    back rather than risk a mis-evaluated intersection), or a target
+    that doesn't exist yet (first write seeds it range-clustered so
+    later merges prune).
     """
     key_cols = [c for c in it.merge_key_cols if c in batch.columns]
     data_cols = [c for c in batch.columns if c not in META_COLS]
 
-    if not isinstance(target, ParquetSource) or len(key_cols) != 1:
+    if (
+        not isinstance(target, ParquetSource)
+        or not key_cols
+        or not isinstance(batch.schema[key_cols[0]].dataType, _PRUNABLE_KEY_TYPES)
+    ):
         load_default(spark, target, table, batch, it, params)
         return
     key = key_cols[0]
@@ -158,7 +185,9 @@ def load_pruned(
         # can prune by footer min/max
         n_files = max(1, int(params.extra.get("seed_files", 8)))
         target.write(
-            seeded.repartitionByRange(n_files, F.col(key)).sortWithinPartitions(key),
+            seeded.repartitionByRange(
+                n_files, *[F.col(c) for c in key_cols]
+            ).sortWithinPartitions(*key_cols),
             table,
             mode="overwrite",
         )
@@ -177,4 +206,5 @@ def load_pruned(
             "_order",
             "_tie",
         ),
+        cluster_cols=key_cols,
     )

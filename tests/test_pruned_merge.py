@@ -155,3 +155,115 @@ def test_pruned_loader_end_to_end(spark, sf_dir, tmp_path):
     )
     got = sorted(map(tuple, src.table(spark, "c").collect()))
     assert got == expected
+
+
+def test_pruned_loader_composite_key_prunes_on_leading_column(
+    spark, sf_dir, tmp_path
+):
+    """Composite merge key (the reference's multi-column PKs,
+    extractor_queue.go:75-90): pruning on the LEADING key column's
+    footer range must keep the fast path — untouched files carried by
+    hardlink — while apply_cdc_batch keeps full composite semantics."""
+    from migrator_spark.pipeline.config import IterationSpec, Parameters
+    from migrator_spark.pipeline.registries import resolve
+
+    keys = ["l_orderkey", "l_linenumber"]
+    it = IterationSpec(
+        source_table="li",
+        source_key=keys[0],
+        target_table="li",
+        merge_key=",".join(keys),
+    )
+    loader = resolve("loader", "pruned")
+    src = ParquetSource(str(tmp_path / "sink"))
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    first = (
+        lineitem.withColumn(METHOD_COL, F.lit(M_INSERT))
+        .withColumn("_order", F.lit(0))
+        .withColumn("_tie", F.col(keys[0]))
+    )
+    loader(spark, src, "li", first, it, Parameters())
+    before = _part_inodes(src._path("li"))
+    assert len(before) > 1
+    # pin the seeded version as the expected-merge base: sf0.001 lineitem
+    # is NOT unique on (orderkey, linenumber), so seeding's last-write-wins
+    # already dropped duplicate-PK rows (and which duplicate wins is
+    # tie-dependent) — the semantic contract is vs the seeded table, not
+    # the raw source
+    base = spark.read.parquet(os.path.realpath(src._path("li")))
+
+    # key-localized batch: REPLACE line 1 of low orderkeys, REMOVE line 2,
+    # INSERT a (new orderkey, line 1) row outside every file range
+    low = lineitem.filter(F.col("l_orderkey") <= 100)
+    replaces = (
+        low.filter(F.col("l_linenumber") == 1)
+        .withColumn("l_quantity", F.col("l_quantity") + 500.0)
+        .withColumn(METHOD_COL, F.lit(M_REPLACE))
+    )
+    removes = low.filter(F.col("l_linenumber") == 2).withColumn(
+        METHOD_COL, F.lit(M_REMOVE)
+    )
+    inserts = (
+        lineitem.limit(1)
+        .withColumn("l_orderkey", F.lit(9_999_999).cast("long"))
+        .withColumn(METHOD_COL, F.lit(M_INSERT))
+    )
+    batch = (
+        replaces.unionByName(removes)
+        .unionByName(inserts)
+        .withColumn("_order", F.lit(1))
+        .withColumn("_tie", F.col(keys[0]))
+    )
+    loader(spark, src, "li", batch, it, Parameters())
+
+    after = _part_inodes(src._path("li"))
+    shared = set(before.values()) & set(after.values())
+    # the fast path held: at least one untouched file was carried by
+    # hardlink instead of rewritten (composite keys no longer force the
+    # full-rewrite fallback)
+    assert len(shared) > 0, (len(before), len(after))
+
+    expected = sorted(
+        map(
+            tuple,
+            ld.apply_cdc_batch(base, batch, keys, "_order", "_tie").collect(),
+        )
+    )
+    got = sorted(map(tuple, src.table(spark, "li").collect()))
+    assert got == expected
+
+
+def test_pruned_loader_nonorderable_key_type_falls_back(spark, tmp_path):
+    """A leading key type Python can't safely order against parquet
+    footer stats (timestamp here) must take the full-rewrite default
+    path — correct result, no TypeError mid-merge (ADVICE r3)."""
+    from migrator_spark.pipeline.config import IterationSpec, Parameters
+    from migrator_spark.pipeline.registries import resolve
+
+    it = IterationSpec(
+        source_table="t", source_key="ts", target_table="t", merge_key="ts"
+    )
+    loader = resolve("loader", "pruned")
+    src = ParquetSource(str(tmp_path / "sink"))
+    base = spark.sql(
+        "SELECT timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)"
+        " AS ts, id AS v FROM range(100)"
+    )
+    first = (
+        base.withColumn(METHOD_COL, F.lit(M_INSERT))
+        .withColumn("_order", F.lit(0))
+        .withColumn("_tie", F.col("v"))
+    )
+    loader(spark, src, "t", first, it, Parameters())
+    batch = (
+        base.filter(F.col("v") < 10)
+        .withColumn("v", F.col("v") + 1000)
+        .withColumn(METHOD_COL, F.lit(M_REPLACE))
+        .withColumn("_order", F.lit(1))
+        .withColumn("_tie", F.col("v"))
+    )
+    loader(spark, src, "t", batch, it, Parameters())
+    got = src.table(spark, "t")
+    assert got.count() == 100
+    assert got.filter(F.col("v") >= 1000).count() == 10
