@@ -72,6 +72,12 @@ class Parameters:
     # without this a long-running table degrades into a small-files
     # scan-planning problem (operators/maintenance.py).
     compact_every: int = 0
+    # continuous mode: consecutive failed cycles of one iteration before
+    # its worker gives up permanently (0 = retry forever, the
+    # reference's log-and-continue, migrator.go:350-380). Failed cycles
+    # back off exponentially up to sleep_between_runs so a
+    # deterministically-failing batch can't hot-loop replays.
+    max_replays: int = 20
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -108,6 +114,7 @@ def from_dict(raw: dict[str, Any]) -> MigratorConfig:
         "sleep_between_runs": params.get("sleep-between-runs", 5.0),
         "only_past": params.get("only-past", False),
         "compact_every": params.get("compact-every", 0),
+        "max_replays": params.get("max-replays", 20),
     }
     extra = {k: v for k, v in params.items() if k.replace("-", "_") not in known}
     migrations = []

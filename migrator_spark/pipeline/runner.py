@@ -124,8 +124,12 @@ class Migrator:
 
     # ---------------------------------------------------------- cycle
 
-    def _run_batch(self, b: BoundIteration, params: Parameters, strict: bool = True) -> bool:
-        """One E->T->L cycle; returns the extractor's ``more`` flag.
+    def _run_batch(
+        self, b: BoundIteration, params: Parameters, strict: bool = True
+    ) -> tuple[bool, bool]:
+        """One E->T->L cycle; returns ``(more, failed)`` — the
+        extractor's ``more`` flag and whether the cycle failed (offset
+        not committed, batch will replay).
 
         ``strict=False`` (continuous mode): failures are recorded and the
         cycle retries next poll — a transient extract/load error must not
@@ -140,11 +144,11 @@ class Migrator:
             res = extractor(self.spark, b.source, b.source_db, spec, ts, params)
         except Exception as e:  # noqa: BLE001
             self._error("extract", e, spec, strict)
-            return False
+            return False, True
         if res.row_count == 0 or res.batch is None:
             if res.batch is not None:
                 res.batch.unpersist()
-            return False
+            return False, False
         try:
             transformer = resolve("transformer", spec.transformer)
             ctx = TransformContext(
@@ -158,7 +162,7 @@ class Migrator:
             self._error("load", e, spec, strict)
             # offset NOT committed -> this batch replays next cycle
             res.batch.unpersist()
-            return False
+            return False, True
         # load committed: now (and only now) advance the offset
         self.store.put(res.new_tracking)
         if res.cleanup is not None:
@@ -176,7 +180,7 @@ class Migrator:
             "batch %s->%s rows=%d %.3fs more=%s",
             m.source_table, m.target_table, m.rows, m.seconds, m.more,
         )
-        return res.more
+        return res.more, False
 
     def _error(self, stage: str, e: Exception, spec: IterationSpec, strict: bool = True) -> None:
         ctx = {"source_table": spec.source_table, "target_table": spec.target_table}
@@ -195,7 +199,7 @@ class Migrator:
         total = 0
         for b in self.iterations:
             for _ in range(max_batches):
-                more = self._run_batch(b, self.config.parameters)
+                more, _failed = self._run_batch(b, self.config.parameters)
                 total += 1
                 if not more:
                     break
@@ -223,11 +227,40 @@ class Migrator:
     def _loop(self, b: BoundIteration) -> None:
         params = self.config.parameters
         drains = 0
+        consecutive_failures = 0
         while not self._stop.is_set():
             if self._pause.is_set():
                 time.sleep(0.1)
                 continue
-            more = self._run_batch(b, params, strict=False)
+            more, failed = self._run_batch(b, params, strict=False)
+            if failed:
+                # failed cycle: the offset stayed put, so the SAME batch
+                # replays. Back off exponentially (a deterministically-
+                # failing batch — e.g. a transform that always times out
+                # — must not hot-loop, leaking one abandoned worker
+                # thread per replay), and give up permanently after
+                # max_replays consecutive failures instead of livelocking
+                # (ADVICE r3; 0 = the reference's retry-forever,
+                # migrator.go:350-380).
+                consecutive_failures += 1
+                if params.max_replays and consecutive_failures >= params.max_replays:
+                    self._error(
+                        "replay-limit",
+                        RuntimeError(
+                            f"iteration gave up after {consecutive_failures} "
+                            "consecutive failed cycles (parameters.max-replays)"
+                        ),
+                        b.spec,
+                        strict=False,
+                    )
+                    return
+                backoff = min(
+                    params.sleep_between_runs, 0.1 * (2 ** (consecutive_failures - 1))
+                )
+                if self._stop.wait(backoff):
+                    break
+                continue
+            consecutive_failures = 0
             if not more:
                 drains += 1
                 if params.compact_every and drains % params.compact_every == 0:

@@ -43,33 +43,64 @@ class TransformTimeout(Exception):
     batch replays (runner commit-after-load ordering)."""
 
 
+# CPython can't kill a thread, so a timed-out transform leaves its
+# worker thread running until the user code returns. The runner's
+# replay backoff + max_replays bounds how often that happens; this cap
+# is the defense-in-depth backstop — once this many abandoned threads
+# are still alive, new timed calls fail fast instead of stacking more.
+ABANDONED_THREAD_CAP = 8
+_abandoned_count = 0
+_abandoned_guard = threading.Lock()
+
+
 def _call_with_timeout(fn: Callable, args: tuple, timeout: float):
     """Run ``fn(*args)`` bounded by ``timeout`` seconds.
 
     The reference interrupts its JS VM (transformer_js.go:26); CPython
     cannot safely kill a thread, so on timeout the worker thread is
-    abandoned (daemon) and the batch fails — same pipeline-visible
-    semantics (batch aborted, offset not committed), with the residual
-    difference that runaway user code keeps a thread until it returns.
+    abandoned (daemon, counted against ABANDONED_THREAD_CAP) and the
+    batch fails — same pipeline-visible semantics (batch aborted, offset
+    not committed), with the residual difference that runaway user code
+    keeps a thread until it returns.
     """
+    global _abandoned_count
     if not timeout or timeout <= 0:
         return fn(*args)
+    with _abandoned_guard:
+        if _abandoned_count >= ABANDONED_THREAD_CAP:
+            raise TransformTimeout(
+                f"{_abandoned_count} earlier timed-out transformer threads are "
+                "still running; failing fast instead of spawning more "
+                "(raise the transform timeout or fix the transform)"
+            )
     result: list = []
     err: list[BaseException] = []
+    state = {"abandoned": False, "finished": False}
 
     def run() -> None:
+        global _abandoned_count
         try:
             result.append(fn(*args))
         except BaseException as e:  # noqa: BLE001 - re-raised in caller
             err.append(e)
+        finally:
+            with _abandoned_guard:
+                state["finished"] = True
+                if state["abandoned"]:
+                    _abandoned_count -= 1
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
     t.join(timeout)
-    if t.is_alive():
-        raise TransformTimeout(
-            f"python transformer exceeded {timeout}s wall-clock budget"
-        )
+    with _abandoned_guard:
+        if not state["finished"]:
+            # worker still inside user code: abandon it (it decrements
+            # the counter whenever it eventually returns)
+            state["abandoned"] = True
+            _abandoned_count += 1
+            raise TransformTimeout(
+                f"python transformer exceeded {timeout}s wall-clock budget"
+            )
     if err:
         raise err[0]
     return result[0]

@@ -24,6 +24,7 @@ shape you want at scale (no per-row round trips).
 
 from __future__ import annotations
 
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +34,26 @@ def _q(ident: str) -> str:
     """ANSI double-quote an identifier, matching Spark's JDBC writer
     quoting so staged column names resolve case-exactly."""
     return '"' + ident.replace('"', '""') + '"'
+
+
+_SAFE_TABLE = re.compile(r"^[A-Za-z0-9_.]+$")
+
+
+def _qt(table: str) -> str:
+    """Render a table name for SQL interpolation.
+
+    Plain names (letters/digits/underscore, optionally schema-dotted)
+    pass through UNQUOTED — exactly how Spark's JDBC writer passes
+    ``dbtable``, so the server's case-folding keeps matching tables
+    those writers created. Anything else (spaces, punctuation, quotes)
+    is ANSI-quoted per dotted part, which both closes the SQL-injection
+    surface of raw interpolation and makes exotic names usable at all.
+    Used consistently at creation AND reference, so the two always
+    resolve to the same server-side identifier.
+    """
+    if _SAFE_TABLE.match(table):
+        return table
+    return ".".join(_q(p) for p in table.split("."))
 
 
 class JdbcSource:
@@ -48,7 +69,7 @@ class JdbcSource:
         lower: int | None = None,
         upper: int | None = None,
     ) -> dict[str, str]:
-        opts = {"url": self.url, "dbtable": table, "fetchsize": str(self.batch_size)}
+        opts = {"url": self.url, "dbtable": _qt(table), "fetchsize": str(self.batch_size)}
         if partition_column is not None:
             opts.update(
                 partitionColumn=partition_column,
@@ -61,7 +82,7 @@ class JdbcSource:
     def writer_options(self, table: str) -> dict[str, str]:
         return {
             "url": self.url,
-            "dbtable": table,
+            "dbtable": _qt(table),
             "batchsize": str(self.batch_size),
             "isolationLevel": "NONE",
         }
@@ -141,12 +162,12 @@ class JdbcSource:
         try:
             self.execute(
                 spark,
-                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
+                f"INSERT INTO {_qt(table)} ({cols}) SELECT {cols} FROM {_qt(stage)}",
                 transactional=True,
             )
         finally:
             try:
-                self.execute(spark, f"DROP TABLE {stage}", transactional=False)
+                self.execute(spark, f"DROP TABLE {_qt(stage)}", transactional=False)
             except Exception:
                 pass
 
@@ -183,16 +204,17 @@ class JdbcSource:
         set_clause = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in non_keys)
         ins_cols = ", ".join(_q(c) for c in data_cols)
         ins_vals = ", ".join(f"s.{_q(c)}" for c in data_cols)
-        # table names pass through UNQUOTED, exactly as Spark's JDBC
-        # writer passes dbtable (the server case-folds them); COLUMN
-        # names are quoted, exactly as Spark's writer creates them
+        # table names render via _qt: plain names pass through unquoted
+        # (Spark dbtable parity, server case-folding intact), exotic
+        # names are ANSI-quoted at creation and reference alike; COLUMN
+        # names are always quoted, exactly as Spark's writer creates them
         # CAST: some dialects (Derby) store StringType as CLOB, which
         # cannot compare against a CHAR literal directly
         mcol = f"CAST(s.{_q(method_col)} AS VARCHAR(32))"
         not_remove = f"{mcol} <> '{remove_method}'"
         is_remove = f"{mcol} = '{remove_method}'"
         merge = (
-            f"MERGE INTO {table} t USING {stage} s ON {on} "
+            f"MERGE INTO {_qt(table)} t USING {_qt(stage)} s ON {on} "
             f"WHEN MATCHED AND {is_remove} THEN DELETE "
             + (
                 f"WHEN MATCHED AND {not_remove} THEN UPDATE SET {set_clause} "
@@ -206,6 +228,6 @@ class JdbcSource:
             self.execute(spark, merge, transactional=True)
         finally:
             try:
-                self.execute(spark, f"DROP TABLE {stage}", transactional=False)
+                self.execute(spark, f"DROP TABLE {_qt(stage)}", transactional=False)
             except Exception:
                 pass

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import time
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -644,3 +646,73 @@ def test_pipeline_pruned_loader_replication(spark, dirs):
     )
     Migrator(spark, cfg, trk).run_until_drained()
     assert sorted(r["id"] for r in tgt.table(spark, "x").collect()) == [1, 2, 3, 4, 5]
+
+
+def _always_fails(batch, ctx):
+    raise RuntimeError("deterministic transform failure")
+
+
+def test_continuous_replay_gives_up_after_max_replays(spark, dirs):
+    """ADVICE r3: a deterministically-failing batch must not replay
+    forever in continuous mode — failed cycles back off exponentially
+    and the worker gives up permanently after max_replays, surfacing a
+    'replay-limit' error instead of livelocking."""
+    src_dir, tgt_dir, trk = dirs
+    src = ParquetSource(src_dir)
+    src.write(spark.createDataFrame(X_ROWS, X_SCHEMA), "x")
+
+    caught = []
+    cfg = _mk_config(
+        src_dir,
+        tgt_dir,
+        transformer="python",
+        transformer_parameters={"callable": _always_fails},
+        max_replays=3,
+        sleep_between_runs=0.05,
+    )
+    m = Migrator(spark, cfg, trk, error_callback=lambda s, e, c: caught.append((s, e, c)))
+    m.start()
+    deadline = time.time() + 60
+    while time.time() < deadline and not any(s == "replay-limit" for s, _, _ in caught):
+        time.sleep(0.05)
+    try:
+        stages = [s for s, _, _ in caught]
+        assert "replay-limit" in stages, stages
+        # exactly max_replays failed cycles preceded the give-up
+        assert stages.count("load") == 3, stages
+        # the worker thread exited on its own (gave up, not just idle)
+        m._threads[0].join(timeout=10)
+        assert not m._threads[0].is_alive()
+        # offsets never advanced; the batch was never half-applied
+        assert m.store.get("a", "x").sequential_position == 0
+    finally:
+        m.quit()
+
+
+def test_abandoned_transformer_threads_are_capped(monkeypatch):
+    """The residual of CPython's unkillable threads: each timed-out
+    transform abandons one worker thread, and once ABANDONED_THREAD_CAP
+    are still alive, further timed calls fail fast instead of stacking
+    more; the counter drains as abandoned threads finish."""
+    from migrator_spark.pipeline import transformers as tr
+
+    monkeypatch.setattr(tr, "ABANDONED_THREAD_CAP", 3)
+
+    def sleepy():
+        time.sleep(1.0)
+        return "done"
+
+    for _ in range(3):
+        with pytest.raises(tr.TransformTimeout):
+            tr._call_with_timeout(sleepy, (), 0.05)
+    # cap reached: fail-fast BEFORE spawning another thread
+    t0 = time.time()
+    with pytest.raises(tr.TransformTimeout, match="failing fast"):
+        tr._call_with_timeout(sleepy, (), 0.05)
+    assert time.time() - t0 < 0.05
+    # the abandoned workers finish and decrement the counter
+    deadline = time.time() + 10
+    while time.time() < deadline and tr._abandoned_count > 0:
+        time.sleep(0.05)
+    assert tr._abandoned_count == 0
+    assert tr._call_with_timeout(lambda: 42, (), 1.0) == 42
