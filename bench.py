@@ -51,6 +51,16 @@ HEADLINE = [
 
 REPEATS = 3  # median-of-3: one cold run can no longer swing the number 2x
 
+# Recorded in the output so round-over-round comparisons carry their
+# measurement protocol (ADVICE r3): r1/r2 numbers were cold single-shot;
+# r3+ are codegen-warmed median-of-3 — cross-protocol deltas are partly
+# methodology. Additionally, r4 made per-run costs HONEST for plans with
+# materialized stage tables (cur2: plan-scoped localCheckpoint instead
+# of a session-leaked persist cache, so each timed run now pays its own
+# stage materialization — r3's 1.33 s for cur2 was reading a cache
+# populated by the warm-up pass).
+METHODOLOGY = "warm+median-of-3 (since r3); per-run stage materialization counted (since r4); r1/r2 were cold single-shot"
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,6 +107,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "methodology": METHODOLOGY,
             }
         )
     )
