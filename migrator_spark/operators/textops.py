@@ -290,3 +290,56 @@ def keyword_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def similar_docs_topk(
+    docs: DataFrame,
+    query_doc_id: int = 0,
+    k: int = 10,
+    shingle_k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query-by-document similarity search: the ``k`` corpus documents
+    most similar to one query document by ``shingle_k``-word-shingle
+    Jaccard — "find more like this" over the documents table, the text
+    analogue of sim1's embedding top-k.
+
+    Inverted-index probe, not scan-and-score: the query document's
+    shingle set is bounded (one document), so it BROADCASTS against the
+    exploded corpus token relation and only rows sharing at least one
+    shingle with the query survive the join — per-doc match counts ARE
+    the intersection sizes (dd4's formulation with a fixed probe side).
+    Set sizes ride along each token row, so the union size falls out of
+    the same aggregate with no join-back. Top-k is a
+    TakeOrderedAndProject on the deterministic (jaccard desc, doc_id)
+    order — no global sort, and unique results under ties.
+
+    At 100 TB: the corpus side is one explode + one broadcast-hash
+    semi-style join + one partial-aggregated groupBy — no shuffle ever
+    carries more than (matching docs) rows; the probe set stays
+    driver-bounded regardless of corpus size.
+    """
+    sh = docs.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_k)).alias("sh")
+    )
+    tok = sh.select(F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+    q = tok.filter(F.col(id_col) == query_doc_id).select(
+        F.col("sz").alias("q_sz"), "s"
+    )
+    probe = tok.filter(F.col(id_col) != query_doc_id).join(F.broadcast(q), on="s")
+    jaccard = F.col("n_inter").cast("double") / (
+        F.col("sz") + F.col("q_sz") - F.col("n_inter")
+    ).cast("double")
+    return (
+        probe.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("sz").alias("sz"),  # constant per doc; min picks it
+            F.min("q_sz").alias("q_sz"),  # deterministically
+        )
+        .withColumn("jaccard", jaccard)
+        .select(id_col, "n_inter", "jaccard")
+        .orderBy(F.col("jaccard").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1327,3 +1327,128 @@ FROM kept k JOIN rates r ON k.source = r.source
 WHERE {H.format(x="CAST(k.doc_id AS VARCHAR)")}::DOUBLE / {U60} < r.sample_rate
 ORDER BY k.doc_id
 """
+
+
+# ---------------------------------------------------------------- round 4
+
+
+def cur3_neardup_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup curation manifest: cur2 keeps one copy per EXACT text
+    hash; real crawl corpora need one representative per near-duplicate
+    CLUSTER (MinHash pairs chained through connected components — the
+    RefinedWeb/FineWeb fuzzy-dedup step). Keep the minimum doc_id of
+    each cluster, drop the other members, and report each survivor's
+    near-dup multiplicity.
+
+    One Catalyst plan: dd2's banded LSH pair generation (sub-quadratic)
+    -> dd6b's O(log n) star-contraction components -> two id-keyed
+    joins back to the corpus (loser anti-join + representative size
+    join, both un-hinted: cluster counts are corpus-dependent, AQE
+    picks the strategy — the dd9 rule). Output is all-integer/string,
+    so the oracle compare is exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESH,
+    )
+    clusters = dd.duplicate_clusters_star(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id", "cluster_size"
+    )
+    return (
+        docs.join(losers, on="doc_id", how="left_anti")
+        .join(reps, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "source",
+            F.size(words("text")).alias("n_tokens"),
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long").alias("n_neardups"),
+        )
+    )
+
+
+CUR3_ORACLE = f"""
+WITH RECURSIVE {DOCS_CTE}, {SH_CTE},
+{SIG_CTE},
+banded AS (
+  SELECT doc_id, sh, band,
+         {H.format(x="array_to_string(list_transform(sig[band*3+1:band*3+3], v -> v::VARCHAR), ',')")} AS band_hash
+  FROM sig, LATERAL unnest(generate_series(0, {MINHASH_BANDS - 1})) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_distinct(list_intersect(sa.sh, sb.sh)))::DOUBLE
+           / len(list_distinct(sa.sh || sb.sh))::DOUBLE AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+),
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_THRESH}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+r AS (
+  SELECT u AS n, u AS m FROM edges
+  UNION
+  SELECT r.n, e.v FROM r JOIN edges e ON e.u = r.m
+),
+lab AS (SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM lab GROUP BY cluster_id
+),
+losers AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+SELECT d.doc_id, d.source, len(d.w) AS n_tokens,
+       CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS n_neardups
+FROM docs d
+LEFT JOIN losers l ON l.doc_id = d.doc_id
+LEFT JOIN sizes s ON s.cluster_id = d.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
+TA9_QUERY_DOC, TA9_K = 0, 10
+
+
+def ta9_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"More like this" text search: top-10 documents by 2-word-shingle
+    Jaccard against document 0 (textops.similar_docs_topk) — the text
+    analogue of sim1's embedding top-k, via a broadcast inverted-index
+    probe instead of a corpus scan-and-score."""
+    return tx.similar_docs_topk(
+        load_table(spark, sf_dir, "documents"),
+        query_doc_id=TA9_QUERY_DOC,
+        k=TA9_K,
+        shingle_k=2,
+    )
+
+
+TA9_ORACLE = f"""
+WITH {DOCS_CTE}, {SH_CTE},
+q AS (SELECT list_distinct(sh) AS qs FROM sh WHERE doc_id = {TA9_QUERY_DOC}),
+scored AS (
+  SELECT s.doc_id,
+         CAST(len(list_intersect(list_distinct(s.sh), q.qs)) AS BIGINT) AS n_inter,
+         CAST(len(list_distinct(s.sh)) AS BIGINT) AS sz,
+         CAST(len(q.qs) AS BIGINT) AS q_sz
+  FROM sh s, q
+  WHERE s.doc_id <> {TA9_QUERY_DOC}
+)
+SELECT doc_id, n_inter,
+       n_inter::DOUBLE / (sz + q_sz - n_inter)::DOUBLE AS jaccard
+FROM scored
+WHERE n_inter > 0
+ORDER BY jaccard DESC, doc_id
+LIMIT {TA9_K}
+"""

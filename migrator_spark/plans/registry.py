@@ -52,6 +52,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "pr3_approx_profile": QuerySpec(
         analytics.pr3_approx_profile, None, note="HLL sketch, rows-only"
     ),
+    # --- NEW round 4 (never graded): near-dup cluster curation and
+    # query-by-document text similarity search ---
+    "cur3_neardup_mix": QuerySpec(llmdata.cur3_neardup_mix, llmdata.CUR3_ORACLE),
+    "ta9_similar_docs": QuerySpec(llmdata.ta9_similar_docs, llmdata.TA9_ORACLE),
     # --- r1-only family: last green before the round-3 read-path
     # change (tables.py NTZ conf); re-validated under it here ---
     "q2w_top_supplier_per_nation": QuerySpec(
@@ -118,12 +122,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),
     "sim5_ivf_build": QuerySpec(llmdata.sim5_ivf_build, llmdata.SIM5_ORACLE),
     "sim3_pairwise_topk": QuerySpec(llmdata.sim3_pairwise_topk, llmdata.SIM3_ORACLE),
+    # ============ past the 50-entry cut ============
+    # r2-green leftovers — first in line for the round-5 window (sim4 and
+    # ta1 displaced from the prefix by the two never-graded round-4 ops)
     "sim4_incremental_topk": QuerySpec(
         llmdata.sim4_incremental_topk, llmdata.SIM4_ORACLE
     ),
     "ta1_token_stats": QuerySpec(llmdata.ta1_token_stats, llmdata.TA1_ORACLE),
-    # ============ past the 50-entry cut ============
-    # r2-green leftovers — first in line for the round-5 window
     "ta2_quality_score": QuerySpec(llmdata.ta2_quality_score, llmdata.TA2_ORACLE),
     "ta3_lang_guess": QuerySpec(llmdata.ta3_lang_guess, llmdata.TA3_ORACLE),
     "ta4_fingerprint": QuerySpec(llmdata.ta4_fingerprint, llmdata.TA4_ORACLE),

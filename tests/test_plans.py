@@ -500,3 +500,26 @@ def test_cur2_stays_jvm_side_no_cartesian(spark, sf_dir):
     # orderBy("doc_id") was a full range-partition exchange bought for
     # cosmetic ordering (the single most expensive node at 100 TB)
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_ta9_query_side_broadcasts_with_topk(spark, sf_dir):
+    # the query document's shingle set is bounded (one doc): it must
+    # BROADCAST against the exploded corpus relation, and top-k must be
+    # TakeOrderedAndProject (no global sort of the scored docs)
+    plan = _plan(spark, sf_dir, "ta9_similar_docs")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cur3_stays_jvm_side_no_cartesian(spark, sf_dir):
+    # LSH pairs -> star-contraction components -> two id-keyed joins:
+    # one Catalyst plan, no Python evaluation, no cartesian blowup, and
+    # the cluster joins carry no forced broadcast hint (corpus-dependent
+    # sets — the dd9 rule; AQE decides at runtime)
+    df = REGISTRY["cur3_neardup_mix"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt, opt
+    plan = _plan(spark, sf_dir, "cur3_neardup_mix")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
