@@ -691,3 +691,64 @@ def chunk_boilerplate_dedup(
             F.transform(kept, lambda s: s.getField("chunk")), " "
         ).alias("clean_text"),
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    window_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated SPANS: maximal runs of consecutive
+    ``window_words``-word rolling windows whose content also appears in
+    at least one other document — the distributed approximation of
+    suffix-array substring dedup ("Deduplicating Training Data Makes
+    Language Models Better"): any exact cross-doc duplicate of ≥
+    ``window_words`` words is covered by a run of duplicated windows,
+    and the emitted (start_word, end_word) spans are exactly those runs
+    merged (gaps-and-islands).
+
+    Shapes: rolling windows explode with stride 1 (rows ≈ words — the
+    same cardinality class as a shingle explode); "shared by ≥2 distinct
+    docs" is ``min(id) ≠ max(id)`` over a window keyed by the content
+    hash — ONE pass, no aggregate-plus-join-back (dc1's single-pass
+    trick; an internally-repeated window within one doc does NOT count).
+    Island merging is the ``j − row_number()`` constant-group trick over
+    the per-doc window. Two shuffles total (hash key, then doc key).
+    Hot boilerplate windows skew the hash partitions; if that dominates
+    at scale, the dd9 alternative applies: two-phase distinct aggregate
+    over a checkpointed window relation.
+    """
+    w = words(text_col)
+    n_wins = F.greatest(F.size(w) - F.lit(window_words - 1), F.lit(1))
+    wins = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_wins),
+                lambda j: F.struct(
+                    j.alias("j"),
+                    stable_hash64(
+                        F.array_join(F.slice(w, j, window_words), " ")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("c"),
+    ).select(id_col, F.col("c.j").alias("j"), F.col("c.h").alias("h"))
+    byh = Window.partitionBy("h")
+    flagged = wins.withColumn(
+        "dup", F.min(id_col).over(byh) != F.max(id_col).over(byh)
+    ).filter(F.col("dup"))
+    grp = F.col("j") - F.row_number().over(
+        Window.partitionBy(id_col).orderBy("j")
+    )
+    return (
+        flagged.withColumn("grp", grp)
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("j").cast("long").alias("span_start_word"),
+            (F.max("j") + F.lit(window_words - 1)).cast("long").alias("span_end_word"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("grp")
+    )

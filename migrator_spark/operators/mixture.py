@@ -96,3 +96,41 @@ def mixture_plan(
             "sample_rate",
         )
     )
+
+
+def epoch_plan(
+    docs: DataFrame,
+    token_budget: int,
+    alpha: float = 0.5,
+    max_epochs: float = 4.0,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Epoch-capped mixture realization: given a total training token
+    budget, how many EPOCHS of each source realize the temperature-
+    flattened target mix without repeating any source more than
+    ``max_epochs`` times — the data-constrained-scaling discipline
+    (small high-weight sources cannot be upsampled forever; their
+    excess budget is simply not spent rather than silently reallocated,
+    so the plan is auditable).
+
+        epochs_g         = min(max_epochs, budget·mix_weight_g / tokens_g)
+        planned_tokens_g = floor(epochs_g · tokens_g)
+
+    Everything reuses mixture_plan's single corpus scan + groups-sized
+    window; the only floats (mix_weight, epochs) derive from the same
+    grp-sorted sequential fold, so the oracle compare stays exact.
+    """
+    plan = mixture_plan(docs, alpha=alpha, group_col=group_col, text_col=text_col)
+    epochs = F.least(
+        F.lit(float(max_epochs)),
+        F.lit(float(token_budget)) * F.col("mix_weight") / F.col("tokens").cast("double"),
+    )
+    return (
+        plan.select(group_col, "n_docs", "tokens", "mix_weight")
+        .withColumn("epochs", epochs)
+        .withColumn(
+            "planned_tokens",
+            F.floor(F.col("epochs") * F.col("tokens").cast("double")).cast("long"),
+        )
+    )

@@ -2074,3 +2074,77 @@ SELECT fs.cohort_week, date_trunc('week', e.ts) AS active_week,
 FROM events e JOIN fs ON e.user_id = fs.user_id
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------- round 4
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity boundary
+
+
+def ev7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): split each user's event
+    stream at >30-min inactivity gaps and aggregate per session — the
+    batch complement of st2's streaming session windows, and the
+    canonical two-window shape (boundary flag via lag, session index
+    via running sum over the same sort).
+
+    Scale: both window functions share one (user_id) partitioning and
+    one (ts, event_id) sort — a single exchange + sort serves both
+    (EnsureRequirements skips the second); the per-session aggregate
+    then shuffles (user, session) — AQE coalesces. Gap math in exact
+    epoch-micros so both engines agree bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    # the running sum orders by (us, event_id) — identical order to the
+    # lag window (us is injective-monotone in ts at micro precision),
+    # expressed over the projected columns
+    run = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.select("user_id", "event_id", us.alias("us"), new_sess.alias("ns"))
+        .withColumn("session_idx", F.sum("ns").over(run))
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+        )
+    )
+
+
+EV7_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                   > {SESSION_GAP_US}
+              OR lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                   IS NULL
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+),
+s AS (
+  SELECT user_id, us,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(us) AS start_us,
+       max(us) AS end_us,
+       max(us) - min(us) AS duration_us
+FROM s
+GROUP BY user_id, session_idx
+"""

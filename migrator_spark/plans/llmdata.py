@@ -1452,3 +1452,80 @@ WHERE n_inter > 0
 ORDER BY jaccard DESC, doc_id
 LIMIT {TA9_K}
 """
+
+
+DD10_WINDOW_WORDS = 8
+
+
+def dd10_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated text spans (dedup.dup_spans): maximal
+    runs of 8-word rolling windows shared verbatim with another
+    document — the distributed stand-in for suffix-array substring
+    dedup."""
+    return dd.dup_spans(
+        load_table(spark, sf_dir, "documents"), window_words=DD10_WINDOW_WORDS
+    )
+
+
+_DD10_W = DD10_WINDOW_WORDS
+DD10_ORACLE = f"""
+WITH {DOCS_CTE},
+wins AS (
+  SELECT doc_id, t.j AS j,
+         {H.format(x=f"array_to_string(w[t.j:t.j+{_DD10_W - 1}], ' ')")} AS h
+  FROM docs,
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_DD10_W - 1}, 1))) AS t(j)
+),
+flagged AS (
+  SELECT doc_id, j FROM (
+    SELECT doc_id, j,
+           min(doc_id) OVER (PARTITION BY h) <> max(doc_id) OVER (PARTITION BY h) AS dup
+    FROM wins
+  ) WHERE dup
+),
+isl AS (
+  SELECT doc_id, j,
+         j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(j) AS BIGINT) AS span_start_word,
+       CAST(max(j) + {_DD10_W - 1} AS BIGINT) AS span_end_word,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl
+GROUP BY doc_id, grp
+"""
+
+
+MX2_TOKEN_BUDGET, MX2_MAX_EPOCHS = 2_000_000, 4.0
+
+
+def mx2_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped mixture realization (mixture.epoch_plan): turn mx1's
+    temperature-flattened target mix into per-source epoch counts under
+    a fixed total token budget, capped at 4 epochs per source."""
+    return mx.epoch_plan(
+        load_table(spark, sf_dir, "documents"),
+        token_budget=MX2_TOKEN_BUDGET,
+        max_epochs=MX2_MAX_EPOCHS,
+    )
+
+
+MX2_ORACLE = f"""
+WITH {DOCS_CTE},
+per AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS tokens
+  FROM docs GROUP BY source
+),
+wtd AS (SELECT source, n_docs, tokens, sqrt(tokens::DOUBLE) AS wt FROM per),
+tot AS (SELECT list_sum(list(wt ORDER BY source)) AS total_wt FROM wtd),
+ep AS (
+  SELECT source, n_docs, tokens, wt / total_wt AS mix_weight,
+         least({MX2_MAX_EPOCHS},
+               {float(MX2_TOKEN_BUDGET)} * (wt / total_wt) / tokens::DOUBLE) AS epochs
+  FROM wtd, tot
+)
+SELECT source, n_docs, tokens, mix_weight, epochs,
+       CAST(floor(epochs * tokens::DOUBLE) AS BIGINT) AS planned_tokens
+FROM ep
+"""

@@ -56,6 +56,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # query-by-document text similarity search ---
     "cur3_neardup_mix": QuerySpec(llmdata.cur3_neardup_mix, llmdata.CUR3_ORACLE),
     "ta9_similar_docs": QuerySpec(llmdata.ta9_similar_docs, llmdata.TA9_ORACLE),
+    "dd10_dup_spans": QuerySpec(llmdata.dd10_dup_spans, llmdata.DD10_ORACLE),
+    "mx2_epoch_plan": QuerySpec(llmdata.mx2_epoch_plan, llmdata.MX2_ORACLE),
+    "ev7_sessionize": QuerySpec(analytics.ev7_sessionize, analytics.EV7_ORACLE),
     # --- r1-only family: last green before the round-3 read-path
     # change (tables.py NTZ conf); re-validated under it here ---
     "q2w_top_supplier_per_nation": QuerySpec(
@@ -101,9 +104,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "f1_scalar_suite": QuerySpec(cdc.f1_scalar_suite, cdc.F1_ORACLE),
     "f2_json_props": QuerySpec(analytics.f2_json_props, analytics.F2_ORACLE),
     "f3_date_parts": QuerySpec(analytics.f3_date_parts, analytics.F3_ORACLE),
-    "f4_string_suite": QuerySpec(analytics.f4_string_suite, analytics.F4_ORACLE),
-    "f5_array_suite": QuerySpec(analytics.f5_array_suite, analytics.F5_ORACLE),
-    "f6_regex_suite": QuerySpec(analytics.f6_regex_suite, analytics.F6_ORACLE),
     "t2_rename_routing": QuerySpec(cdc.t2_rename_routing, cdc.T2_ORACLE),
     "st1_windowed_counts": QuerySpec(cdc.st1_windowed_counts, cdc.ST1_ORACLE),
     "st2_session_windows": QuerySpec(cdc.st2_session_windows, cdc.ST2_ORACLE),
@@ -123,8 +123,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim5_ivf_build": QuerySpec(llmdata.sim5_ivf_build, llmdata.SIM5_ORACLE),
     "sim3_pairwise_topk": QuerySpec(llmdata.sim3_pairwise_topk, llmdata.SIM3_ORACLE),
     # ============ past the 50-entry cut ============
-    # r2-green leftovers — first in line for the round-5 window (sim4 and
-    # ta1 displaced from the prefix by the two never-graded round-4 ops)
+    # r2-green leftovers — first in line for the round-5 window (sim4,
+    # ta1 and the f4/f5/f6 scalar suites displaced from the prefix by
+    # the five never-graded round-4 ops; the suites are pure scalar
+    # read-path queries, the least sensitive to this round's loader and
+    # plan changes, and stay pytest-checked)
+    "f4_string_suite": QuerySpec(analytics.f4_string_suite, analytics.F4_ORACLE),
+    "f5_array_suite": QuerySpec(analytics.f5_array_suite, analytics.F5_ORACLE),
+    "f6_regex_suite": QuerySpec(analytics.f6_regex_suite, analytics.F6_ORACLE),
     "sim4_incremental_topk": QuerySpec(
         llmdata.sim4_incremental_topk, llmdata.SIM4_ORACLE
     ),

@@ -523,3 +523,31 @@ def test_cur3_stays_jvm_side_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cur3_neardup_mix")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ev7_two_windows_share_one_sort_no_join(spark, sf_dir):
+    # boundary flag (lag) and session index (running sum) share one
+    # (user_id) partitioning and one (us, event_id) sort — a single
+    # exchange+sort serves both windows; the only other exchange is the
+    # per-session aggregate. No join anywhere.
+    plan = _plan(spark, sf_dir, "ev7_sessionize")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert plan.count("Window") >= 1, plan
+
+
+def test_dd10_no_join_single_window_pass(spark, sf_dir):
+    # the cross-doc dup flag is min!=max over the hash-keyed window —
+    # ONE pass over the rolling-window relation, never an aggregate
+    # joined back (which would evaluate the explode twice)
+    plan = _plan(spark, sf_dir, "dd10_dup_spans")
+    assert "Join" not in plan, plan
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), plan
+
+
+def test_mx2_single_corpus_scan(spark, sf_dir):
+    # epoch planning rides mx1's single scan + groups-sized window —
+    # adding the budget/cap math must not add a second corpus pass
+    plan = _plan(spark, sf_dir, "mx2_epoch_plan")
+    tree = plan[: plan.index("(1) Scan")]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
