@@ -2148,3 +2148,78 @@ SELECT user_id, session_idx,
 FROM s
 GROUP BY user_id, session_idx
 """
+
+
+def dq2_spend_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outlier audit with EXACT arithmetic: customers
+    whose lifetime spend deviates more than 2.5σ from the population
+    mean — the anomaly-detection complement of dq1's declarative
+    constraints, built so the outlier decision is bit-identical
+    cross-engine. Floats never enter the comparison: spends are fixed
+    to integer cents and the inequality
+
+        |spend − mean| > 2.5·σ   (sample σ)
+
+    is cross-multiplied into pure integer form
+
+        4·(N·sc − S)²·(N−1) > 25·N·(N·SS − S²)
+
+    evaluated in DECIMAL(38,0) (DuckDB: HUGEINT) — exact while the
+    accumulators fit 38 digits, which holds beyond 1e9 customers at
+    these price scales; past that, switch the comparison to doubles and
+    accept boundary drift.
+
+    Scale: one pruned scan → per-customer aggregate (map-side partials);
+    the per-customer relation feeds BOTH the 1-row population stats and
+    the filter probe, so it is checkpointed (one evaluation — the
+    cur2/dd9 discipline) and the 1-row stats broadcast back. The
+    population join is a broadcast of ONE row; nothing else shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("decimal(19,0)")
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).cast("decimal(14,0)").alias("sc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    st = per.agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("N"),
+        F.sum("sc").cast("decimal(19,0)").alias("S"),
+        F.sum(F.col("sc") * F.col("sc")).cast("decimal(38,0)").alias("SS"),
+    )
+    dev = F.col("N") * F.col("sc") - F.col("S")
+    lhs = dev * dev * (F.col("N") - F.lit(1)) * F.lit(4)
+    rhs = (F.col("N") * F.col("SS") - F.col("S") * F.col("S")) * F.col("N") * F.lit(25)
+    return (
+        per.join(F.broadcast(st))
+        .filter(lhs > rhs)
+        .select(
+            "o_custkey",
+            "n_orders",
+            (F.col("sc").cast("double") / F.lit(100.0)).alias("spend"),
+            F.when(dev > 0, F.lit("HIGH")).otherwise(F.lit("LOW")).alias("side"),
+        )
+    )
+
+
+DQ2_ORACLE = """
+WITH per AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS HUGEINT) AS sc
+  FROM orders GROUP BY o_custkey
+),
+st AS (
+  SELECT CAST(count(*) AS HUGEINT) AS N,
+         sum(sc) AS S,
+         sum(sc * sc) AS SS
+  FROM per
+)
+SELECT o_custkey, n_orders,
+       CAST(sc AS DOUBLE) / 100.0 AS spend,
+       CASE WHEN N * sc - S > 0 THEN 'HIGH' ELSE 'LOW' END AS side
+FROM per, st
+WHERE (N * sc - S) * (N * sc - S) * (N - 1) * 4 > (N * SS - S * S) * N * 25
+"""

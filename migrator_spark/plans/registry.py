@@ -59,6 +59,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dd10_dup_spans": QuerySpec(llmdata.dd10_dup_spans, llmdata.DD10_ORACLE),
     "mx2_epoch_plan": QuerySpec(llmdata.mx2_epoch_plan, llmdata.MX2_ORACLE),
     "ev7_sessionize": QuerySpec(analytics.ev7_sessionize, analytics.EV7_ORACLE),
+    "dq2_spend_outliers": QuerySpec(
+        analytics.dq2_spend_outliers, analytics.DQ2_ORACLE
+    ),
     # --- r1-only family: last green before the round-3 read-path
     # change (tables.py NTZ conf); re-validated under it here ---
     "q2w_top_supplier_per_nation": QuerySpec(
@@ -121,8 +124,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim1_cosine_topk": QuerySpec(llmdata.sim1_cosine_topk, llmdata.SIM1_ORACLE),
     "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),
     "sim5_ivf_build": QuerySpec(llmdata.sim5_ivf_build, llmdata.SIM5_ORACLE),
-    "sim3_pairwise_topk": QuerySpec(llmdata.sim3_pairwise_topk, llmdata.SIM3_ORACLE),
     # ============ past the 50-entry cut ============
+    "sim3_pairwise_topk": QuerySpec(llmdata.sim3_pairwise_topk, llmdata.SIM3_ORACLE),
     # r2-green leftovers — first in line for the round-5 window (sim4,
     # ta1 and the f4/f5/f6 scalar suites displaced from the prefix by
     # the five never-graded round-4 ops; the suites are pure scalar

@@ -551,3 +551,14 @@ def test_mx2_single_corpus_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mx2_epoch_plan")
     tree = plan[: plan.index("(1) Scan")]
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+
+
+def test_dq2_single_aggregate_pass_broadcast_stats(spark, sf_dir):
+    # the per-customer aggregate is checkpointed and feeds BOTH the
+    # 1-row population stats and the filter probe — the final plan must
+    # contain no parquet rescan, and the stats side joins as a 1-row
+    # broadcast (nested-loop on a single row, never a shuffle)
+    plan = _plan(spark, sf_dir, "dq2_spend_outliers")
+    assert "Scan parquet" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
