@@ -718,23 +718,20 @@ def dup_spans(
     Hot boilerplate windows skew the hash partitions; if that dominates
     at scale, the dd9 alternative applies: two-phase distinct aggregate
     over a checkpointed window relation.
+
+    The window strings build via ``word_shingles`` (k−1 chained
+    zip_with concats), NOT per-element slice+array_join inside a
+    transform — the interpreted-HOF shape SCALE.md §4 measured at ~11×
+    slower; ``posexplode`` recovers the 1-based window index.
     """
-    w = words(text_col)
-    n_wins = F.greatest(F.size(w) - F.lit(window_words - 1), F.lit(1))
     wins = docs.select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), n_wins),
-                lambda j: F.struct(
-                    j.alias("j"),
-                    stable_hash64(
-                        F.array_join(F.slice(w, j, window_words), " ")
-                    ).alias("h"),
-                ),
-            )
-        ).alias("c"),
-    ).select(id_col, F.col("c.j").alias("j"), F.col("c.h").alias("h"))
+        F.posexplode(word_shingles(text_col, window_words)).alias("p", "win"),
+    ).select(
+        id_col,
+        (F.col("p") + 1).alias("j"),
+        stable_hash64(F.col("win")).alias("h"),
+    )
     byh = Window.partitionBy("h")
     flagged = wins.withColumn(
         "dup", F.min(id_col).over(byh) != F.max(id_col).over(byh)
