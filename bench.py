@@ -47,6 +47,12 @@ HEADLINE = [
     # round-3 flagship: the five-stage curation composition (holdout ->
     # decontaminate -> LM gate -> dedup -> mixture-rate sample)
     "cur2_training_mix",
+    # round-4 flagships: near-dup CLUSTER curation (LSH pairs -> star
+    # contraction -> representative manifest) and cross-document
+    # duplicated-span detection — tracked so their scale behavior gets
+    # round-over-round numbers like dd2/sim5/cur2 before them
+    "cur3_neardup_mix",
+    "dd10_dup_spans",
 ]
 
 REPEATS = 3  # median-of-3: one cold run can no longer swing the number 2x
