@@ -2223,3 +2223,44 @@ SELECT o_custkey, n_orders,
 FROM per, st
 WHERE (N * sc - S) * (N * sc - S) * (N - 1) * 4 > (N * SS - S * S) * N * 25
 """
+
+
+def fo2_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 from a change stream: each event
+    in a user's stream opens a validity interval that the NEXT event
+    closes — (version_no, valid_from, valid_to, is_current) per row,
+    open intervals marked current. This is how a migrator materializes
+    history tables from CDC instead of overwriting state (the warehouse
+    counterpart of l2's last-write-wins).
+
+    One window family over a single (user_id) partitioning and
+    (ts, event_id) sort serves row_number AND lead — one exchange, one
+    sort, no join, no shuffle of anything but the event rows themselves.
+    Interval math in exact epoch-micros.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    valid_to = F.lead(us).over(w)
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version_no"),
+        F.col("event_type").alias("state"),
+        us.alias("valid_from_us"),
+        valid_to.alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+FO2_ORACLE = """
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version_no,
+       event_type AS state,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER w AS valid_to_us,
+       lead(epoch_us(ts)) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""

@@ -62,6 +62,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dq2_spend_outliers": QuerySpec(
         analytics.dq2_spend_outliers, analytics.DQ2_ORACLE
     ),
+    "fo2_scd2_history": QuerySpec(analytics.fo2_scd2_history, analytics.FO2_ORACLE),
     # --- r1-only family: last green before the round-3 read-path
     # change (tables.py NTZ conf); re-validated under it here ---
     "q2w_top_supplier_per_nation": QuerySpec(
@@ -123,8 +124,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "sim1_cosine_topk": QuerySpec(llmdata.sim1_cosine_topk, llmdata.SIM1_ORACLE),
     "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),
-    "sim5_ivf_build": QuerySpec(llmdata.sim5_ivf_build, llmdata.SIM5_ORACLE),
     # ============ past the 50-entry cut ============
+    "sim5_ivf_build": QuerySpec(llmdata.sim5_ivf_build, llmdata.SIM5_ORACLE),
     "sim3_pairwise_topk": QuerySpec(llmdata.sim3_pairwise_topk, llmdata.SIM3_ORACLE),
     # r2-green leftovers — first in line for the round-5 window (sim4,
     # ta1 and the f4/f5/f6 scalar suites displaced from the prefix by

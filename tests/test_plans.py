@@ -532,7 +532,7 @@ def test_ev7_two_windows_share_one_sort_no_join(spark, sf_dir):
     # per-session aggregate. No join anywhere.
     plan = _plan(spark, sf_dir, "ev7_sessionize")
     assert "Join" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) <= 2, plan
     assert plan.count("Window") >= 1, plan
 
 
@@ -562,3 +562,12 @@ def test_dq2_single_aggregate_pass_broadcast_stats(spark, sf_dir):
     assert "Scan parquet" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_fo2_one_window_family_no_join(spark, sf_dir):
+    # row_number and lead share one (user_id) partitioning and one
+    # (ts, event_id) sort — a single exchange serves the whole history
+    # build; no join anywhere
+    plan = _plan(spark, sf_dir, "fo2_scd2_history")
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
