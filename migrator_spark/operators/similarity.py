@@ -326,6 +326,15 @@ def kmeans_assign(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    cents = _fit_centroids(pts, k, iters, id_col)
+    return _assign_cells(pts, cents, id_col).select(id_col, "cell")
+
+
+def _fit_centroids(pts: DataFrame, k: int, iters: int, id_col: str) -> DataFrame:
+    """The codebook half of kmeans_assign: md5-rank seeds + fixed Lloyd
+    iterations, returning the final (cell, c) centroids — exposed so PQ
+    (pq_encode / pq_adc_topk) can reuse one deterministic build per
+    subspace. ``pts`` must carry (id_col, v: array<double>)."""
     hkey = F.md5(F.col(id_col).cast("string"))
     seeds = pts.orderBy(hkey.asc(), F.col(id_col).asc()).limit(k)
     wseed = Window.orderBy(
@@ -336,4 +345,131 @@ def kmeans_assign(
     )
     for _ in range(iters):
         cents = _mean_centroids(_assign_cells(pts, cents, id_col))
-    return _assign_cells(pts, cents, id_col).select(id_col, "cell")
+    return cents
+
+
+def pq_encode(
+    emb: DataFrame,
+    dim: int,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook encode: split each ``dim``-vector
+    into ``m`` contiguous subvectors, run the deterministic Lloyd's
+    build (kmeans_assign — md5 seeds, fixed iterations) independently
+    per subspace, and emit each vector's code — one centroid id per
+    subspace plus the packed single-integer code. PQ is the
+    memory-compressed ANN representation (Jégou et al., TPAMI 2011):
+    ``dim`` floats collapse to m·log2(k) bits, and asymmetric-distance
+    scans read codes, not vectors.
+
+    Integer-only output, so the oracle comparison is drift-proof (same
+    property as sim5). Scale shape: each subspace build is the sim5
+    plan over a column-pruned slice (map-only broadcast-centroid
+    assignment passes; the only shuffle is the k·(dim/m) mean); the m
+    per-subspace assignments then join on the id — at 100 TB the build
+    runs offline on a hash sample and the final encode pass is one
+    map-only broadcast of all m codebooks. The m separate scans here
+    keep each build independently pinnable; a fused single-scan encode
+    is the production variant.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    out = None
+    for s in range(m):
+        piece = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col)
+        )
+        a = kmeans_assign(piece, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        a = a.select(F.col(id_col), F.col("cell").cast("long").alias(f"code_{s}"))
+        out = a if out is None else out.join(a, on=id_col)
+    packed = out[f"code_0"]
+    for s in range(1, m):
+        packed = packed * k + out[f"code_{s}"]
+    return out.withColumn("packed_code", packed)
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    dim: int,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 1,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "qe",
+) -> DataFrame:
+    """Asymmetric-distance PQ scan (Jégou et al.): candidates are
+    represented ONLY by their per-subspace centroid codes; the query
+    computes one k-row distance table per subspace and each vector's
+    approximate distance is the sum of m table lookups — the scan reads
+    m small ints per vector instead of ``dim`` floats, the point of PQ
+    at 100 TB (codes for a billion vectors fit in executor memory).
+
+    Plan shape: per subspace, the codebook build is sim5's map-only
+    broadcast-centroid plan over a column-pruned slice, and the query's
+    distance to every centroid is precomputed INTO the packed broadcast
+    row (cell, centroid, qdist). The scan is then a single map-only
+    pass: per row and subspace, argmin over the broadcast structs picks
+    the cell (identical tie-break to _assign_cells) and reads its
+    qdist — no join of per-subspace partials on the id (which would be
+    a corpus-sized sort-merge join), no shuffle of the candidate set at
+    all. Distances fold in index order and the m partial distances add
+    in subspace order, so every double matches the oracle bit-for-bit;
+    top-k is TakeOrderedAndProject on (approx_dist, id).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    scan = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    approx = None
+    for s in range(m):
+        pts = emb.select(
+            F.col(id_col),
+            F.transform(
+                F.slice(F.col(vec_col), s * sub + 1, sub), lambda x: x.cast("double")
+            ).alias("v"),
+        )
+        cents = _fit_centroids(pts, k, iters, id_col)
+        qv = query.select(
+            F.transform(
+                F.slice(F.col(query_col), s * sub + 1, sub), lambda x: x.cast("double")
+            ).alias("qv")
+        )
+        packed = (
+            cents.crossJoin(F.broadcast(qv))
+            .select(
+                F.col("cell"), F.col("c"), _sq_l2(F.col("qv"), F.col("c")).alias("qd")
+            )
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("cell", "c", "qd"))
+                ).alias(f"cs_{s}")
+            )
+        )
+        scan = scan.crossJoin(F.broadcast(packed))
+        sub_v = F.slice(F.col("v"), s * sub + 1, sub)
+        dists = F.transform(
+            F.col(f"cs_{s}"),
+            lambda x: F.struct(
+                _sq_l2(sub_v, x.getField("c")).alias("d"),
+                x.getField("cell").alias("cell"),
+                x.getField("qd").alias("qd"),
+            ),
+        )
+        qd_s = F.array_min(dists).getField("qd")
+        approx = qd_s if approx is None else approx + qd_s
+    return (
+        scan.select(F.col(id_col), approx.alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+        .limit(topk)
+    )

@@ -1529,3 +1529,122 @@ SELECT source, n_docs, tokens, mix_weight, epochs,
        CAST(floor(epochs * tokens::DOUBLE) AS BIGINT) AS planned_tokens
 FROM ep
 """
+
+
+PQ_M, PQ_K, PQ_ITERS, PQ_DIM = 2, 8, 1, 64
+
+
+def _pq_kmeans_cte(sfx: str, k: int, iters: int, lo: int, hi: int) -> str:
+    """Per-subspace variant of _kmeans_cte: same md5-seeded fixed-
+    iteration Lloyd's unroll and the same index-order _sq_l2 fold, but
+    over the vector slice [lo:hi] (1-based inclusive, DuckDB slice
+    semantics = Spark F.slice) and with every CTE name suffixed so m
+    subspace builds coexist in one WITH clause. Terminates in
+    ``assign_final_{sfx}`` = (vec_id, cell)."""
+    sq = (
+        "list_sum(list_transform(list_zip({a},{b}),"
+        " x -> (x[1]-x[2]) * (x[1]-x[2])))"
+    )
+    parts = [
+        f"pts_{sfx} AS (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v FROM embeddings)",
+        f"""seedord_{sfx} AS (
+  SELECT vec_id, v FROM pts_{sfx} ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k})""",
+        f"""cents0_{sfx} AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
+         v AS c FROM seedord_{sfx})""",
+    ]
+    for i in range(iters):
+        parts.append(f"""assign{i}_{sfx} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT p.vec_id, p.v, c.cell,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY {sq.format(a="p.v", b="c.c")} ASC, c.cell ASC) AS rn
+    FROM pts_{sfx} p CROSS JOIN cents{i}_{sfx} c) WHERE rn = 1)""")
+        parts.append(f"""cents{i + 1}_{sfx} AS (
+  SELECT cell, list(val ORDER BY pos) AS c FROM (
+    SELECT cell, pos, avg(val) AS val FROM (
+      SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+      FROM assign{i}_{sfx})
+    GROUP BY cell, pos) GROUP BY cell)""")
+    parts.append(f"""assign_final_{sfx} AS (
+  SELECT vec_id, cell FROM (
+    SELECT p.vec_id, c.cell,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY {sq.format(a="p.v", b="c.c")} ASC, c.cell ASC) AS rn
+    FROM pts_{sfx} p CROSS JOIN cents{iters}_{sfx} c) WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+def sim7_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (similarity.pq_encode): 64-dim
+    vectors -> 2 subspace centroid ids + the packed code. Integer-only
+    output, drift-proof oracle (sim5's property, per subspace)."""
+    return sim.pq_encode(
+        load_table(spark, sf_dir, "embeddings"),
+        dim=PQ_DIM,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+    )
+
+
+_PQ_SUB = PQ_DIM // PQ_M
+_PQ_CTES = ",\n".join(
+    _pq_kmeans_cte(str(s), PQ_K, PQ_ITERS, s * _PQ_SUB + 1, (s + 1) * _PQ_SUB)
+    for s in range(PQ_M)
+)
+SIM7_ORACLE = f"""
+WITH {_PQ_CTES}
+SELECT a0.vec_id,
+       CAST(a0.cell AS BIGINT) AS code_0,
+       CAST(a1.cell AS BIGINT) AS code_1,
+       CAST(a0.cell * {PQ_K} + a1.cell AS BIGINT) AS packed_code
+FROM assign_final_0 a0 JOIN assign_final_1 a1 USING (vec_id)
+"""
+
+
+def sim8_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 against vec 0
+    (similarity.pq_adc_topk): candidates scored by code-table lookup
+    only — the memory-compressed complement of sim1 (exact), sim2
+    (IVF-pruned) and sim6 (hyperplane LSH)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_adc_topk(
+        emb.filter(F.col("vec_id") != 0),
+        _query_vec(spark, sf_dir),
+        dim=PQ_DIM,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        topk=10,
+    )
+
+
+_PQ_SQ = (
+    "list_sum(list_transform(list_zip({a},{b}),"
+    " x -> (x[1]-x[2]) * (x[1]-x[2])))"
+)
+_PQ_CAND_CTES = ",\n".join(
+    _pq_kmeans_cte(f"c{s}", PQ_K, PQ_ITERS, s * _PQ_SUB + 1, (s + 1) * _PQ_SUB)
+    for s in range(PQ_M)
+).replace("FROM embeddings", "FROM embeddings WHERE vec_id <> 0")
+_PQ_QDS = ",\n".join(
+    f"""q_{s} AS (
+  SELECT (embedding::DOUBLE[])[{s * _PQ_SUB + 1}:{(s + 1) * _PQ_SUB}] AS qv
+  FROM embeddings WHERE vec_id = 0),
+qd_{s} AS (
+  SELECT cell, {_PQ_SQ.format(a="qv", b="c")} AS qd
+  FROM cents{PQ_ITERS}_c{s}, q_{s})"""
+    for s in range(PQ_M)
+)
+SIM8_ORACLE = f"""
+WITH {_PQ_CAND_CTES},
+{_PQ_QDS}
+SELECT a0.vec_id, qd_0.qd + qd_1.qd AS approx_dist
+FROM assign_final_c0 a0
+JOIN qd_0 ON qd_0.cell = a0.cell
+JOIN assign_final_c1 a1 ON a1.vec_id = a0.vec_id
+JOIN qd_1 ON qd_1.cell = a1.cell
+ORDER BY approx_dist ASC, a0.vec_id ASC
+LIMIT 10
+"""

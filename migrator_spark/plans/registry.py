@@ -30,15 +30,17 @@ class QuerySpec:
 # window as its newest driver-green row ages, so no query's driver
 # validation can go permanently stale after a read-path or loader
 # change. Round-4 window composition:
-#   1. pr6 (never driver-graded) and pr3 (rows-only since r1) — with
-#      these, all 111 entries have a driver row of some kind.
+#   1. pr6 (never driver-graded), pr3 (rows-only since r1), and the
+#      nine NEW round-4 operators (cur3/ta9/dd10/mx2/ev7/dq2/fo2/
+#      sim7/sim8) — never graded, so stalest by definition.
 #   2. The r1-only family (q2w/q2/q16/q11/q22, p6/p7/p8/a1): their only
 #      green rows predate the round-3 tables.py read-path change.
 #   3. The r2-green entries most sensitive to the round-3/4 loader and
 #      merge-sink work (l0/l2/l3/w1/st4/st5/dd2, VERDICT r3 #8), plus
 #      the r3-green queries whose plans changed this round (cur2/l4).
 #   4. The rest of the r2-green family, original order, through the cut.
-# Tail: the 13 remaining r2-green entries head the queue for round 5's
+# Tail: the remaining r2-green entries (sim5/sim3/w2/w3/f4-f6/sim4/ta1/
+# ta2-ta6/pr2/fts1/dq1/sm1-sm3/cur1/mm1) head the queue for round 5's
 # window; the r3-green family follows and re-enters in rounds 5-6.
 # bench.py resolves HEADLINE queries by name, so reorders are
 # bench-neutral.
@@ -52,8 +54,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "pr3_approx_profile": QuerySpec(
         analytics.pr3_approx_profile, None, note="HLL sketch, rows-only"
     ),
-    # --- NEW round 4 (never graded): near-dup cluster curation and
-    # query-by-document text similarity search ---
+    # --- NEW round 4 (never graded): near-dup cluster curation,
+    # query-by-document similarity search, duplicated-span detection,
+    # epoch-capped mixture, sessionization, exact-integer outlier
+    # audit, SCD2 history, and product quantization (encode + ADC) ---
     "cur3_neardup_mix": QuerySpec(llmdata.cur3_neardup_mix, llmdata.CUR3_ORACLE),
     "ta9_similar_docs": QuerySpec(llmdata.ta9_similar_docs, llmdata.TA9_ORACLE),
     "dd10_dup_spans": QuerySpec(llmdata.dd10_dup_spans, llmdata.DD10_ORACLE),
@@ -63,6 +67,8 @@ REGISTRY: dict[str, QuerySpec] = {
         analytics.dq2_spend_outliers, analytics.DQ2_ORACLE
     ),
     "fo2_scd2_history": QuerySpec(analytics.fo2_scd2_history, analytics.FO2_ORACLE),
+    "sim7_pq_encode": QuerySpec(llmdata.sim7_pq_encode, llmdata.SIM7_ORACLE),
+    "sim8_pq_adc_topk": QuerySpec(llmdata.sim8_pq_adc_topk, llmdata.SIM8_ORACLE),
     # --- r1-only family: last green before the round-3 read-path
     # change (tables.py NTZ conf); re-validated under it here ---
     "q2w_top_supplier_per_nation": QuerySpec(
@@ -103,8 +109,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "a3_coalesce_offset": QuerySpec(cdc.a3_coalesce_offset, cdc.A3_ORACLE),
     "a5_group_by_method": QuerySpec(cdc.a5_group_by_method, cdc.A5_ORACLE),
     "s1_queue_topk": QuerySpec(cdc.s1_queue_topk, cdc.S1_ORACLE),
-    "w2_window_suite": QuerySpec(analytics.w2_window_suite, analytics.W2_ORACLE),
-    "w3_rolling_frames": QuerySpec(analytics.w3_rolling_frames, analytics.W3_ORACLE),
     "f1_scalar_suite": QuerySpec(cdc.f1_scalar_suite, cdc.F1_ORACLE),
     "f2_json_props": QuerySpec(analytics.f2_json_props, analytics.F2_ORACLE),
     "f3_date_parts": QuerySpec(analytics.f3_date_parts, analytics.F3_ORACLE),
@@ -127,11 +131,13 @@ REGISTRY: dict[str, QuerySpec] = {
     # ============ past the 50-entry cut ============
     "sim5_ivf_build": QuerySpec(llmdata.sim5_ivf_build, llmdata.SIM5_ORACLE),
     "sim3_pairwise_topk": QuerySpec(llmdata.sim3_pairwise_topk, llmdata.SIM3_ORACLE),
-    # r2-green leftovers — first in line for the round-5 window (sim4,
-    # ta1 and the f4/f5/f6 scalar suites displaced from the prefix by
-    # the five never-graded round-4 ops; the suites are pure scalar
-    # read-path queries, the least sensitive to this round's loader and
-    # plan changes, and stay pytest-checked)
+    # r2-green leftovers — first in line for the round-5 window (sim5,
+    # sim4, ta1, w2/w3 and the f4/f5/f6 suites were displaced from the
+    # prefix by the nine never-graded round-4 ops; all are read-path
+    # queries untouched by this round's loader/plan changes and stay
+    # pytest-checked)
+    "w2_window_suite": QuerySpec(analytics.w2_window_suite, analytics.W2_ORACLE),
+    "w3_rolling_frames": QuerySpec(analytics.w3_rolling_frames, analytics.W3_ORACLE),
     "f4_string_suite": QuerySpec(analytics.f4_string_suite, analytics.F4_ORACLE),
     "f5_array_suite": QuerySpec(analytics.f5_array_suite, analytics.F5_ORACLE),
     "f6_regex_suite": QuerySpec(analytics.f6_regex_suite, analytics.F6_ORACLE),

@@ -571,3 +571,17 @@ def test_fo2_one_window_family_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "fo2_scd2_history")
     assert "Join" not in plan, plan
     assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_sim8_adc_scan_is_broadcast_only_with_topk(spark, sf_dir):
+    # the ADC scan is MAP-ONLY over the candidates: per-subspace packed
+    # (cell, centroid, qdist) rows broadcast in, argmin+lookup happen in
+    # the scan projection, and top-k is TakeOrderedAndProject. The
+    # candidate set is never shuffled — no sort-merge join, no shuffled
+    # hash join, no exchange except the codebook builds' k·(dim/m)
+    # means and the final k-row merge
+    plan = _plan(spark, sf_dir, "sim8_pq_adc_topk")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
