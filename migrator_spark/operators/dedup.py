@@ -749,3 +749,66 @@ def dup_spans(
         )
         .drop("grp")
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    window_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the cross-document duplicated spans :func:`dup_spans`
+    detects: every word position covered by a duplicated span is
+    dropped and the survivors are reassembled in order — the REMOVAL
+    half of suffix-array substring dedup (detect = dd10, remove =
+    here), which keeps the unique prose of a page while cutting the
+    boilerplate it shares verbatim with other pages.
+
+    Shapes on top of dup_spans' two shuffles: spans aggregate to one
+    array per affected doc (span counts per doc are tiny — they merged
+    from islands), then join back to the corpus id-keyed WITHOUT a
+    broadcast hint (span-bearing doc count is corpus-dependent — the
+    dd9 rule, AQE decides) and the per-word keep test is a HOF filter
+    against the row's own span array. Docs with no spans pass through
+    with text unchanged.
+    """
+    spans = (
+        dup_spans(docs, window_words=window_words, id_col=id_col, text_col=text_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start_word").alias("s"),
+                    F.col("span_end_word").alias("e"),
+                )
+            ).alias("spans")
+        )
+    )
+    w = words(text_col)
+    joined = docs.join(spans, on=id_col, how="left").withColumn(
+        "spans", F.coalesce(F.col("spans"), F.array())
+    )
+    idx = F.zip_with(
+        w,
+        F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1))),
+        lambda word, i: F.struct(word.alias("word"), i.alias("i")),
+    )
+    kept = F.filter(
+        idx,
+        lambda x: ~F.exists(
+            F.col("spans"),
+            lambda sp: (sp.getField("s") <= x.getField("i"))
+            & (x.getField("i") <= sp.getField("e")),
+        ),
+    )
+    n_words = F.size(w)
+    # output text is the NORMALIZED (lowercased, whitespace-collapsed)
+    # word stream uniformly — span-free docs rebuild identically, so the
+    # operator's output form doesn't depend on whether a doc had spans
+    clean = F.array_join(F.transform(kept, lambda x: x.getField("word")), " ")
+    return joined.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_words.cast("long").alias("n_words"),
+        (n_words - F.size(kept)).cast("long").alias("n_removed_words"),
+    )

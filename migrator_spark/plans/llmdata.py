@@ -1648,3 +1648,59 @@ JOIN qd_1 ON qd_1.cell = a1.cell
 ORDER BY approx_dist ASC, a0.vec_id ASC
 LIMIT 10
 """
+
+
+def dd11_despan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove dd10's cross-document duplicated spans from every
+    document (dedup.remove_dup_spans): the REMOVAL half of substring
+    dedup — unique prose survives, verbatim-shared boilerplate is cut,
+    counts report the damage."""
+    return dd.remove_dup_spans(
+        load_table(spark, sf_dir, "documents"), window_words=DD10_WINDOW_WORDS
+    )
+
+
+DD11_ORACLE = f"""
+WITH {DOCS_CTE},
+wins AS (
+  SELECT doc_id, t.j AS j,
+         {H.format(x=f"array_to_string(w[t.j:t.j+{_DD10_W - 1}], ' ')")} AS h
+  FROM docs,
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_DD10_W - 1}, 1))) AS t(j)
+),
+flagged AS (
+  SELECT doc_id, j FROM (
+    SELECT doc_id, j,
+           min(doc_id) OVER (PARTITION BY h) <> max(doc_id) OVER (PARTITION BY h) AS dup
+    FROM wins
+  ) WHERE dup
+),
+isl AS (
+  SELECT doc_id, j,
+         j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, min(j) AS s, max(j) + {_DD10_W - 1} AS e
+  FROM isl GROUP BY doc_id, grp
+),
+sp AS (SELECT doc_id, list([s, e]) AS spans FROM spans GROUP BY doc_id),
+base AS (
+  SELECT d.doc_id, d.w, coalesce(sp.spans, []) AS spans
+  FROM docs d LEFT JOIN sp ON sp.doc_id = d.doc_id
+)
+SELECT doc_id,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(
+             list_zip(w, generate_series(1, greatest(len(w), 1))),
+             x -> len(list_filter(spans, r -> r[1] <= x[2] AND x[2] <= r[2])) = 0
+           ),
+           x -> x[1]
+         ), ' '), '') AS clean_text,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(list_filter(list_zip(w, generate_series(1, greatest(len(w), 1))),
+                 x -> len(list_filter(spans, r -> r[1] <= x[2] AND x[2] <= r[2])) > 0))
+            AS BIGINT) AS n_removed_words
+FROM base
+"""

@@ -69,6 +69,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "fo2_scd2_history": QuerySpec(analytics.fo2_scd2_history, analytics.FO2_ORACLE),
     "sim7_pq_encode": QuerySpec(llmdata.sim7_pq_encode, llmdata.SIM7_ORACLE),
     "sim8_pq_adc_topk": QuerySpec(llmdata.sim8_pq_adc_topk, llmdata.SIM8_ORACLE),
+    "dd11_despan": QuerySpec(llmdata.dd11_despan, llmdata.DD11_ORACLE),
     # --- r1-only family: last green before the round-3 read-path
     # change (tables.py NTZ conf); re-validated under it here ---
     "q2w_top_supplier_per_nation": QuerySpec(
@@ -126,9 +127,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dd9_chunk_boilerplate": QuerySpec(
         llmdata.dd9_chunk_boilerplate, llmdata.DD9_ORACLE
     ),
-    "sim1_cosine_topk": QuerySpec(llmdata.sim1_cosine_topk, llmdata.SIM1_ORACLE),
     "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),
     # ============ past the 50-entry cut ============
+    "sim1_cosine_topk": QuerySpec(llmdata.sim1_cosine_topk, llmdata.SIM1_ORACLE),
     "sim5_ivf_build": QuerySpec(llmdata.sim5_ivf_build, llmdata.SIM5_ORACLE),
     "sim3_pairwise_topk": QuerySpec(llmdata.sim3_pairwise_topk, llmdata.SIM3_ORACLE),
     # r2-green leftovers — first in line for the round-5 window (sim5,

@@ -585,3 +585,16 @@ def test_sim8_adc_scan_is_broadcast_only_with_topk(spark, sf_dir):
     assert "ShuffledHashJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_dd11_stays_jvm_side_no_cartesian(spark, sf_dir):
+    # span detection (window passes, no join) + span-list join back +
+    # HOF keep-filter: no Python evaluation, no cartesian, and the
+    # span join carries no forced broadcast hint (corpus-dependent —
+    # the dd9 rule)
+    df = REGISTRY["dd11_despan"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt, opt
+    plan = _plan(spark, sf_dir, "dd11_despan")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

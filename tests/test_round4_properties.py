@@ -119,3 +119,26 @@ def test_similar_docs_ranks_verbatim_copy_first(spark):
     assert [r["jaccard"] for r in got] == sorted(
         (r["jaccard"] for r in got), reverse=True
     )
+
+
+def test_remove_dup_spans_cuts_planted_block_keeps_unique_prose(spark):
+    """The planted shared block disappears from both docs; every word
+    outside it survives in order; a span-free doc passes through as its
+    normalized word stream with zero removals."""
+    from migrator_spark.operators.dedup import remove_dup_spans
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} epsilon zeta eta theta iota kappa"),
+            (3, "Unique   Words Only in THIS doc right here"),
+        ],
+        DOC_SCHEMA,
+    )
+    got = {r["doc_id"]: r for r in remove_dup_spans(docs, window_words=8).collect()}
+    assert got[1]["clean_text"] == "alpha beta gamma delta"
+    assert got[1]["n_removed_words"] == 8
+    assert got[2]["clean_text"] == "epsilon zeta eta theta iota kappa"
+    assert got[3]["clean_text"] == "unique words only in this doc right here"
+    assert got[3]["n_removed_words"] == 0
