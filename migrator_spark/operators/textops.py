@@ -343,3 +343,61 @@ def similar_docs_topk(
         .orderBy(F.col("jaccard").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def gopher_quality_gate(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1): the
+    published rule-of-thumb filters as one boolean audit — word count in
+    range, mean word length 3-10, symbol-to-word ratio < 0.1 (hash and
+    ellipsis), >= 80% of words contain a letter, and >= 2 stopword
+    hits. Complements ta2's continuous quality SCORE with the
+    paper-shaped hard GATE.
+
+    Every rule is evaluated in cross-multiplied integer arithmetic
+    (3·n_words <= n_chars <= 10·n_words, 10·n_symbols < n_words,
+    5·n_alpha >= 4·n_words) so the booleans are bit-identical
+    cross-engine — no float ever enters a threshold comparison. One
+    pass over (id, text), all JVM column expressions; the only
+    per-element work is two array filters over the word array.
+    """
+    w = words(text_col)
+    n_words = F.size(w)
+    # total characters across words (whitespace excluded) — the exact
+    # numerator of mean word length
+    n_chars = F.length(F.array_join(w, ""))
+    n_hash = _regex_count(F.col(text_col), "#")
+    ellipsis = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / F.lit(3)
+    n_symbols = (n_hash + ellipsis).cast("long")
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
+    r_word_count = (n_words >= min_words) & (n_words <= max_words)
+    r_mean_word_len = (F.lit(3) * n_words <= n_chars) & (n_chars <= F.lit(10) * n_words)
+    r_symbol_ratio = F.lit(10) * n_symbols < n_words
+    r_alpha_words = F.lit(5) * n_alpha >= F.lit(4) * n_words
+    r_stopwords = n_stop >= 2
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars"),
+        n_symbols.alias("n_symbols"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        n_stop.cast("long").alias("n_stop_hits"),
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_symbol_ratio.alias("r_symbol_ratio"),
+        r_alpha_words.alias("r_alpha_words"),
+        r_stopwords.alias("r_stopwords"),
+        (
+            r_word_count & r_mean_word_len & r_symbol_ratio & r_alpha_words & r_stopwords
+        ).alias("passes_gate"),
+    )

@@ -1704,3 +1704,41 @@ SELECT doc_id,
             AS BIGINT) AS n_removed_words
 FROM base
 """
+
+
+def ta10_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-of-thumb quality gate (textops.gopher_quality_gate):
+    the published hard filters as a per-document boolean audit, every
+    threshold in exact cross-multiplied integer form."""
+    return tx.gopher_quality_gate(load_table(spark, sf_dir, "documents"))
+
+
+_TA10_STOP = ", ".join(f"'{s}'" for s in tx.STOPWORDS["en"])
+TA10_ORACLE = f"""
+WITH {DOCS_CTE},
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(length(array_to_string(w, '')) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+           AS n_alpha_words,
+         CAST(len(list_filter(w, x -> list_contains([{_TA10_STOP}], x))) AS BIGINT)
+           AS n_stop_hits
+  FROM docs
+)
+SELECT doc_id, n_words, n_chars, n_symbols, n_alpha_words, n_stop_hits,
+       n_words >= 50 AND n_words <= 100000 AS r_word_count,
+       3 * n_words <= n_chars AND n_chars <= 10 * n_words AS r_mean_word_len,
+       10 * n_symbols < n_words AS r_symbol_ratio,
+       5 * n_alpha_words >= 4 * n_words AS r_alpha_words,
+       n_stop_hits >= 2 AS r_stopwords,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (3 * n_words <= n_chars AND n_chars <= 10 * n_words)
+         AND (10 * n_symbols < n_words)
+         AND (5 * n_alpha_words >= 4 * n_words)
+         AND (n_stop_hits >= 2) AS passes_gate
+FROM m
+"""

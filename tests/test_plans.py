@@ -598,3 +598,18 @@ def test_dd11_stays_jvm_side_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dd11_despan")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_registry_source_has_no_duplicate_keys():
+    # a dict literal silently keeps the LAST duplicate key — a rotation
+    # edit that leaves a query in two places would shrink the registry
+    # without any error. Parse the source, not the dict.
+    import re as _re
+    from pathlib import Path
+
+    src = Path("migrator_spark/plans/registry.py").read_text()
+    body = src[src.index("REGISTRY: dict") :]
+    keys = _re.findall(r'^    "(\w+)": QuerySpec', body, _re.M)
+    dupes = {k for k in keys if keys.count(k) > 1}
+    assert not dupes, f"duplicate registry keys: {dupes}"
+    assert len(keys) == len(REGISTRY)
