@@ -116,7 +116,14 @@ def from_dict(raw: dict[str, Any]) -> MigratorConfig:
         "compact_every": params.get("compact-every", 0),
         "max_replays": params.get("max-replays", 20),
     }
-    extra = {k: v for k, v in params.items() if k.replace("-", "_") not in known}
+    # extra keys normalize hyphens to underscores so YAML spelling
+    # ("seed-files") and programmatic spelling ("seed_files") reach the
+    # same consumer lookup
+    extra = {
+        k.replace("-", "_"): v
+        for k, v in params.items()
+        if k.replace("-", "_") not in known
+    }
     migrations = []
     for mig in raw.get("migrations", []):
         # reference YAML nests one iteration inline in the migration

@@ -161,7 +161,9 @@ def extract_queue(
     row_count (reference counts only lookups, so pure-delete batches
     under-report ``more``).
     """
-    queue_table = params.extra.get("queue-table", QUEUE_TABLE)
+    queue_table = params.extra.get(
+        "queue_table", params.extra.get("queue-table", QUEUE_TABLE)
+    )
     queue = source.table(spark, queue_table)
     key_cols = [c.strip() for c in it.source_key.split(",")]
 

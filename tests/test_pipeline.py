@@ -716,3 +716,22 @@ def test_abandoned_transformer_threads_are_capped(monkeypatch):
         time.sleep(0.05)
     assert tr._abandoned_count == 0
     assert tr._call_with_timeout(lambda: 42, (), 1.0) == 42
+
+
+def test_extra_parameter_keys_normalize_hyphens():
+    """YAML spelling ('seed-files') and programmatic spelling
+    ('seed_files') must reach the same consumer lookup — the pruned
+    loader reads extra['seed_files'], the queue extractor
+    extra['queue_table']."""
+    from migrator_spark.pipeline.config import from_dict
+
+    cfg = from_dict(
+        {
+            "parameters": {"seed-files": 16, "queue-table": "MyQueue", "batch-size": 7},
+            "migrations": [],
+        }
+    )
+    assert cfg.parameters.extra["seed_files"] == 16
+    assert cfg.parameters.extra["queue_table"] == "MyQueue"
+    assert cfg.parameters.batch_size == 7
+    assert "seed-files" not in cfg.parameters.extra
