@@ -378,8 +378,7 @@ def gopher_quality_gate(
     ) / F.lit(3)
     n_symbols = (n_hash + ellipsis).cast("long")
     n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
-    stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
+    n_stop = _stop_hits(w, "en")
     r_word_count = (n_words >= min_words) & (n_words <= max_words)
     r_mean_word_len = (F.lit(3) * n_words <= n_chars) & (n_chars <= F.lit(10) * n_words)
     r_symbol_ratio = F.lit(10) * n_symbols < n_words

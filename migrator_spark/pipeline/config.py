@@ -73,11 +73,15 @@ class Parameters:
     # scan-planning problem (operators/maintenance.py).
     compact_every: int = 0
     # continuous mode: consecutive failed cycles of one iteration before
-    # its worker gives up permanently (0 = retry forever, the
-    # reference's log-and-continue, migrator.go:350-380). Failed cycles
-    # back off exponentially up to sleep_between_runs so a
-    # deterministically-failing batch can't hot-loop replays.
-    max_replays: int = 20
+    # its worker gives up permanently. DEFAULT 0 = retry forever — the
+    # reference's log-and-continue (migrator.go:350-380), and the right
+    # default because a transient outage (unreachable database for a few
+    # minutes) must not permanently kill the worker while the process
+    # looks healthy. Opt in to a finite limit for deterministically-
+    # failing batches (e.g. a transform that always times out). Failed
+    # cycles always back off exponentially up to sleep_between_runs, so
+    # even retry-forever cannot hot-loop replays.
+    max_replays: int = 0
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -114,7 +118,7 @@ def from_dict(raw: dict[str, Any]) -> MigratorConfig:
         "sleep_between_runs": params.get("sleep-between-runs", 5.0),
         "only_past": params.get("only-past", False),
         "compact_every": params.get("compact-every", 0),
-        "max_replays": params.get("max-replays", 20),
+        "max_replays": params.get("max-replays", 0),
     }
     # extra keys normalize hyphens to underscores so YAML spelling
     # ("seed-files") and programmatic spelling ("seed_files") reach the

@@ -238,10 +238,11 @@ class Migrator:
                 # replays. Back off exponentially (a deterministically-
                 # failing batch — e.g. a transform that always times out
                 # — must not hot-loop, leaking one abandoned worker
-                # thread per replay), and give up permanently after
-                # max_replays consecutive failures instead of livelocking
-                # (ADVICE r3; 0 = the reference's retry-forever,
-                # migrator.go:350-380).
+                # thread per replay). max_replays is an OPT-IN permanent
+                # give-up for such deterministic failures (ADVICE r3);
+                # the default 0 retries forever like the reference
+                # (migrator.go:350-380) so a transient outage can't
+                # permanently kill the worker.
                 consecutive_failures += 1
                 if params.max_replays and consecutive_failures >= params.max_replays:
                     self._error(

@@ -48,6 +48,14 @@ class TransformTimeout(Exception):
 # replay backoff + max_replays bounds how often that happens; this cap
 # is the defense-in-depth backstop — once this many abandoned threads
 # are still alive, new timed calls fail fast instead of stacking more.
+# Scope notes: the cap is process-GLOBAL (abandoned threads are a
+# process resource), so one iteration's runaway makes other iterations'
+# timed transforms fail fast too — with the default retry-forever
+# replay policy they stall and recover once the runaways return, they
+# are not killed. The entry check races the timeout increment, so the
+# live count can overshoot by at most the number of concurrently-timed
+# calls (one per iteration thread) — a bounded overshoot, accepted to
+# keep the common path to one short critical section.
 ABANDONED_THREAD_CAP = 8
 _abandoned_count = 0
 _abandoned_guard = threading.Lock()

@@ -2165,9 +2165,14 @@ def dq2_spend_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         4·(N·sc − S)²·(N−1) > 25·N·(N·SS − S²)
 
     evaluated in DECIMAL(38,0) (DuckDB: HUGEINT) — exact while the
-    accumulators fit 38 digits, which holds beyond 1e9 customers at
-    these price scales; past that, switch the comparison to doubles and
-    accept boundary drift.
+    accumulators fit 38 digits. The binding term is 25·N·(N·SS − S²) ~
+    25·N³·E[sc²]: at these spend scales (sc ~ 1e8 cents) that holds to
+    roughly 5e6 customers, NOT unbounded — and past it Spark's non-ANSI
+    decimal overflow yields NULL, which a bare filter would silently
+    treat as "not an outlier". The filter therefore RAISES on a NULL
+    comparison operand (DuckDB's HUGEINT symmetrically errors on
+    overflow), so outgrowing the exact range is loud; the scale path
+    beyond it is the float z-score with boundary tolerance.
 
     Scale: one pruned scan → per-customer aggregate (map-side partials);
     the per-customer relation feeds BOTH the 1-row population stats and
@@ -2193,9 +2198,16 @@ def dq2_spend_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = F.col("N") * F.col("sc") - F.col("S")
     lhs = dev * dev * (F.col("N") - F.lit(1)) * F.lit(4)
     rhs = (F.col("N") * F.col("SS") - F.col("S") * F.col("S")) * F.col("N") * F.lit(25)
+    is_outlier = F.when(
+        lhs.isNull() | rhs.isNull(),
+        F.raise_error(
+            "dq2_spend_outliers: DECIMAL(38,0) overflow in the exact "
+            "comparison — population too large for the integer path"
+        ).cast("boolean"),
+    ).otherwise(lhs > rhs)
     return (
         per.join(F.broadcast(st))
-        .filter(lhs > rhs)
+        .filter(is_outlier)
         .select(
             "o_custkey",
             "n_orders",
