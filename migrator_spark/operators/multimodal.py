@@ -165,3 +165,27 @@ def extract_features(payloads: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "dim", "value"])
 
     return payloads.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def payload_dedup(payloads: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact multimodal dedup: group identical binary payloads by
+    content hash — the image/audio counterpart of text dd1 (web-scale
+    image corpora are first deduped by raw bytes before any perceptual
+    hashing). Returns (payload_hash, keep_doc_id = min id, n_copies,
+    n_bytes).
+
+    One shuffle on the 60-bit hash of the bytes; payloads themselves
+    never shuffle (the hash projects in the scan) — at 100 TB of media
+    the exchange carries 8-byte hashes, not images.
+    """
+    h = F.conv(F.substring(F.md5(F.col("payload")), 1, 15), 16, 10).cast("long")
+    return (
+        payloads.select(F.col(id_col), h.alias("payload_hash"),
+                        F.length("payload").alias("nb"))
+        .groupBy("payload_hash")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("nb").alias("n_bytes"),
+        )
+    )

@@ -1742,3 +1742,23 @@ SELECT doc_id, n_words, n_chars, n_symbols, n_alpha_words, n_stop_hits,
          AND (n_stop_hits >= 2) AS passes_gate
 FROM m
 """
+
+
+def mm5_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-payload dedup (multimodal.payload_dedup): identical
+    media bytes collapse to one representative — the byte-level dedup
+    step ahead of any perceptual hashing."""
+    payloads = mm.to_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.payload_dedup(payloads)
+
+
+MM5_ORACLE = f"""
+-- DuckDB md5() is VARCHAR-only; hashing the text hashes its UTF-8
+-- bytes, which are exactly the payload bytes (same equivalence mm1 uses)
+SELECT {H.format(x="text")} AS payload_hash,
+       min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes
+FROM documents
+GROUP BY 1
+"""

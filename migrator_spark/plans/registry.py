@@ -31,8 +31,8 @@ class QuerySpec:
 # validation can go permanently stale after a read-path or loader
 # change. Round-4 window composition:
 #   1. pr6 (never driver-graded), pr3 (rows-only since r1), and the
-#      eleven NEW round-4 operators (cur3/ta9/dd10/dd11/mx2/ev7/dq2/
-#      fo2/sim7/sim8/ta10) — never graded, so stalest by definition.
+#      twelve NEW round-4 operators (cur3/ta9/dd10/dd11/mx2/ev7/dq2/
+#      fo2/sim7/sim8/ta10/mm5) — never graded, so stalest by definition.
 #   2. The r1-only family (q2w/q2/q16/q11/q22, p6/p7/p8/a1): their only
 #      green rows predate the round-3 tables.py read-path change.
 #   3. The r2-green entries most sensitive to the round-3/4 loader and
@@ -71,6 +71,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim8_pq_adc_topk": QuerySpec(llmdata.sim8_pq_adc_topk, llmdata.SIM8_ORACLE),
     "dd11_despan": QuerySpec(llmdata.dd11_despan, llmdata.DD11_ORACLE),
     "ta10_gopher_gate": QuerySpec(llmdata.ta10_gopher_gate, llmdata.TA10_ORACLE),
+    "mm5_payload_dedup": QuerySpec(llmdata.mm5_payload_dedup, llmdata.MM5_ORACLE),
     # --- r1-only family: last green before the round-3 read-path
     # change (tables.py NTZ conf); re-validated under it here ---
     "q2w_top_supplier_per_nation": QuerySpec(
@@ -122,13 +123,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "dd3_simhash": QuerySpec(llmdata.dd3_simhash, llmdata.DD3_ORACLE),
     "dd4_ngram_jaccard_pairs": QuerySpec(llmdata.dd4_ngram_jaccard_pairs, llmdata.DD4_ORACLE),
     "dd5_embedding_neardup": QuerySpec(llmdata.dd5_embedding_neardup, llmdata.DD5_ORACLE),
-    "dd6_dup_clusters": QuerySpec(llmdata.dd6_dup_clusters, llmdata.DD6_ORACLE),
     "dd7_simhash_pairs": QuerySpec(llmdata.dd7_simhash_pairs, llmdata.DD7_ORACLE),
     "dd9_chunk_boilerplate": QuerySpec(
         llmdata.dd9_chunk_boilerplate, llmdata.DD9_ORACLE
     ),
     "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),
     # ============ past the 50-entry cut ============
+    "dd6_dup_clusters": QuerySpec(llmdata.dd6_dup_clusters, llmdata.DD6_ORACLE),
     "dd8_incremental_lsh": QuerySpec(llmdata.dd8_incremental_lsh, llmdata.DD8_ORACLE),
     "sim1_cosine_topk": QuerySpec(llmdata.sim1_cosine_topk, llmdata.SIM1_ORACLE),
     "sim5_ivf_build": QuerySpec(llmdata.sim5_ivf_build, llmdata.SIM5_ORACLE),
