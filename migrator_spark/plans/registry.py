@@ -47,7 +47,7 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {
     # ======== graded prefix (round 4): stalest-first round-robin ========
     # never-driver-graded sketch + the r1 rows-only sketch: every one of
-    # the 111 entries now gets a driver row (VERDICT r3 #2)
+    # the 123 entries now has a driver row of some kind (VERDICT r3 #2)
     "pr6_approx_percentiles": QuerySpec(
         llmdata.pr6_approx_percentiles, None, note="KLL-style sketch, rows-only"
     ),
