@@ -1762,3 +1762,30 @@ SELECT {H.format(x="text")} AS payload_hash,
 FROM documents
 GROUP BY 1
 """
+
+
+def sm4_three_way_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: every document lands in
+    exactly one split by its md5(doc_id) bucket (~90/5/5) — the
+    reproducible, shuffle-free split every training pipeline pins
+    before a release (same auditability property as sm1; a document's
+    split never changes across reruns, engines or cluster sizes, and
+    the assignment is a pushdown-friendly projection, not a filter).
+
+    The first two hex chars give 256 uniform buckets: < e6 (230) →
+    train, < f3 (243) → val, else test."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "e6", "train").when(bucket < "f3", "val").otherwise("test")
+    )
+    return docs.select("doc_id", "lang", "source", split.alias("split"))
+
+
+SM4_ORACLE = """
+SELECT doc_id, lang, source,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

@@ -129,6 +129,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),
     # ============ past the 50-entry cut ============
+    # sm4 landed after the round-4 window settled; it heads the round-5
+    # never-graded queue alongside the displaced r2 entries below
+    "sm4_three_way_split": QuerySpec(
+        llmdata.sm4_three_way_split, llmdata.SM4_ORACLE
+    ),
     "dd6_dup_clusters": QuerySpec(llmdata.dd6_dup_clusters, llmdata.DD6_ORACLE),
     "dd8_incremental_lsh": QuerySpec(llmdata.dd8_incremental_lsh, llmdata.DD8_ORACLE),
     "sim1_cosine_topk": QuerySpec(llmdata.sim1_cosine_topk, llmdata.SIM1_ORACLE),
