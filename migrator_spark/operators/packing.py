@@ -1,0 +1,96 @@
+"""Deterministic sequence packing for training-data assembly.
+
+After curation/mixing, pretraining pipelines concatenate documents into
+a token stream and chop it into fixed-budget training sequences (the
+"packing" step of GPT-style data loaders). Done naively that is a
+global, order-dependent operation — a single serial stream — which is
+exactly what a distributed engine must avoid.
+
+The distributed form used here: documents are first routed to one of
+``n_buckets`` independent streams by a stable content-free hash of
+their id, then packed greedily WITHIN each bucket in hash order. Each
+bucket is an independent serial stream, so the plan is one partitioned
+window (cumulative token sum) — no global sort, no single reducer, and
+the assignment is invariant to cluster size, input partitioning and
+reruns (the same auditability property as the hash-sampling split
+operators). At 100 TB the bucket count scales with the corpus
+(tokens_per_bucket ~ total/n_buckets) while every per-bucket window
+state stays bounded.
+
+Every output column is exact integer arithmetic (integer division, no
+floats), so the DuckDB differential oracle matches bit-for-bit.
+
+Reference scope note: the reference engine (jbuchbinder/migrator) has
+no training-data surface; this module is part of the LLM-pipeline layer
+the blueprint (SURVEY.md §7) adds on top of the CDC core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from migrator_spark.functions.hashing import stable_hash64, words
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_budget: int,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document a position in a packed token stream.
+
+    Returns one row per document:
+
+    - ``bucket``        — which independent stream (0..n_buckets-1)
+    - ``n_tokens``      — whitespace token count of the document
+    - ``start_offset``  — token offset of the document within its
+      bucket's concatenated stream
+    - ``chunk_id``      — index of the fixed-size training sequence the
+      document STARTS in (``start_offset div token_budget``)
+    - ``crosses_chunk`` — whether the document straddles a sequence
+      boundary (its tail lands in a later chunk); packing-aware loaders
+      use this to decide where attention masks reset
+
+    The within-bucket order is (hash(id), id) — deterministic,
+    uniformly shuffled, and reproducible on any engine. The whole plan
+    is one partitioned window over (bucket) ordered by that key: the
+    cumulative sum is computed per bucket in parallel, shuffle volume
+    is one row per document, and no stage sees more than one bucket's
+    stream.
+    """
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    hkey = stable_hash64(F.col(id_col).cast("string"))
+    base = docs.select(
+        F.col(id_col),
+        (hkey % F.lit(n_buckets)).cast("long").alias("bucket"),
+        hkey.alias("hkey"),
+        F.size(words(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("hkey").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    budget = int(token_budget)
+    offsets = base.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_offset"),
+    )
+    # `div` (not floor of a float division): exact at any stream length
+    chunk = F.expr(f"start_offset div {budget}")
+    last_chunk = F.expr(f"(start_offset + n_tokens - 1) div {budget}")
+    return offsets.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        "start_offset",
+        chunk.alias("chunk_id"),
+        (last_chunk > chunk).alias("crosses_chunk"),
+    )

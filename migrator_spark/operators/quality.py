@@ -103,3 +103,50 @@ def audit(checks: list[DataFrame]) -> DataFrame:
     is already an aggregate, so the union moves a handful of rows — the
     heavy lifting stayed distributed inside each check."""
     return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+def replica_checksum(
+    df: DataFrame,
+    bucket_col: str,
+    row_cols: list[Column | str],
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Bucketed order-independent table fingerprint for replication
+    audits.
+
+    The migration-validation question — "does the destination hold
+    exactly the rows of the source?" — must not be answered by shipping
+    either table anywhere. Run this on BOTH sides and diff the tiny
+    (n_buckets rows) results: matching buckets are proven equal
+    (modulo 60-bit hash collisions), mismatched buckets narrow the
+    repair to 1/n_buckets of the key space — a one-level Merkle tree,
+    with deeper levels just re-runs at higher n_buckets over the
+    mismatched range.
+
+    Per bucket (``bucket_col % n_buckets``): row count and the XOR of
+    every row's stable 60-bit hash over ``row_cols`` (joined with '|').
+    XOR is the right fold at scale: commutative/associative (partials
+    combine map-side in any order) and can't overflow, so the result is
+    identical on any engine, any partitioning, any cluster size —
+    unlike a SUM of hashes, which needs 128-bit headroom and
+    engine-specific wide-decimal types.
+
+    NULL handling follows concat_ws (both Spark and DuckDB skip NULLs),
+    so '|'-adjacent columns with NULL vs empty-string collide; include
+    a NOT-NULL audit alongside when that distinction matters.
+    """
+    from migrator_spark.functions.hashing import stable_hash64
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in row_cols]
+    rh = stable_hash64(F.concat_ws("|", *cols))
+    return (
+        df.select(
+            (F.col(bucket_col) % F.lit(n_buckets)).cast("long").alias("bucket"),
+            rh.alias("_rh"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(_rh)").alias("xor_hash"),
+        )
+    )

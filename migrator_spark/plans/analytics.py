@@ -2276,3 +2276,164 @@ SELECT user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 """
+
+
+FO3_ASOF_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC, mid-stream
+FO3_ASOF_TS = "2024-01-16 00:00:00"
+
+
+def fo3_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state reconstruction ("time travel") from the
+    change stream: each user's latest event at-or-before T, plus how
+    many versions preceded it — the read-side complement of fo2's SCD2
+    materialization (fo2 builds the full history; fo3 answers one
+    AS OF query against the raw stream without building it).
+
+    The cutoff is a plain ``ts <= T`` literal predicate — pushed to the
+    scan, so a time-partitioned 100 TB event log prunes every partition
+    after T before anything runs. Latest-state and version-depth are
+    ONE ``max_by``/``max``/``count`` aggregate (not a window): map-side
+    partials reduce each task to one row per user, no sort, and the
+    single exchange moves pre-combined rows. The max_by ordering key
+    (us, event_id) is unique per user, so the pick is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    upto = ev.filter(F.col("ts") <= F.lit(FO3_ASOF_TS).cast("timestamp")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    return upto.groupBy("user_id").agg(
+        F.max_by(
+            F.col("event_type"), F.struct(F.col("us"), F.col("event_id"))
+        ).alias("state"),
+        F.max("us").alias("as_of_us"),
+        F.count(F.lit(1)).cast("long").alias("version_no"),
+    )
+
+
+FO3_ORACLE = f"""
+WITH upto AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+  FROM events WHERE epoch_us(ts) <= {FO3_ASOF_US}
+),
+r AS (
+  SELECT user_id, event_type, us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY us DESC, event_id DESC) AS rn,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS version_no
+  FROM upto
+)
+SELECT user_id, event_type AS state, us AS as_of_us, version_no
+FROM r WHERE rn = 1
+"""
+
+
+def ev8_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over per-user streams:
+    count every consecutive (from -> to) pair and its share of the
+    from-state's outgoing edges — the Markov-chain summary behind
+    funnel/path analysis (ev5 checks ONE path; this profiles all of
+    them).
+
+    lead() over the (user_id) partitioning = one exchange + sort; the
+    pair aggregate reduces to |event_types|^2 rows with map-side
+    partials, and the probability denominator is a whole-frame window
+    over that tiny aggregate — nothing after the first shuffle touches
+    more than 25 rows. The share division is one IEEE op on identical
+    integer operands, so the oracle compare is exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(tot).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+EV8_ORACLE = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+),
+agg AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+         AS p_transition
+FROM agg
+"""
+
+
+DQ3_BUCKETS = 16
+
+
+def dq3_replica_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed order-independent fingerprint of the orders table
+    (quality.replica_checksum): the migration-validation primitive —
+    run on source and destination, diff 16 rows instead of 10^12, and
+    a mismatched bucket narrows the repair to 1/16 of the key space
+    (one-level Merkle; recurse with more buckets to narrow further).
+
+    Everything is exact: money as integer cents, timestamps as
+    epoch-micros, the row hash a 60-bit md5 fold, and the bucket
+    aggregate an XOR (commutative, overflow-free — identical under any
+    partitioning or combine order, which a SUM of hashes is not without
+    128-bit headroom). One scan, one 16-group aggregate with map-side
+    partials; nothing else moves.
+    """
+    from migrator_spark.operators.quality import replica_checksum
+
+    o = load_table(spark, sf_dir, "orders")
+    return replica_checksum(
+        o,
+        bucket_col="o_orderkey",
+        row_cols=[
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+            .cast("long")
+            .cast("string"),
+            F.unix_micros(F.col("o_orderdate")).cast("string"),
+            F.col("o_orderpriority"),
+        ],
+        n_buckets=DQ3_BUCKETS,
+    )
+
+
+DQ3_ORACLE = f"""
+SELECT CAST(o_orderkey % {DQ3_BUCKETS} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       bit_xor(('0x' || substr(md5(concat_ws('|',
+           CAST(o_orderkey AS VARCHAR),
+           CAST(o_custkey AS VARCHAR),
+           o_orderstatus,
+           CAST(CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS VARCHAR),
+           CAST(epoch_us(o_orderdate) AS VARCHAR),
+           o_orderpriority)), 1, 15))::BIGINT) AS xor_hash
+FROM orders
+GROUP BY 1
+"""

@@ -1789,3 +1789,111 @@ SELECT doc_id, lang, source,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+# ------------------------------------------- sequence packing (pk)
+
+PK1_TOKEN_BUDGET, PK1_BUCKETS = 512, 8
+
+
+def pk1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing (packing.pack_sequences): route
+    every document to one of 8 hash buckets, concatenate each bucket's
+    stream in hash order, and report where each document lands in the
+    fixed-512-token training sequences — the data-loader "packing" step
+    executed as one partitioned window, all integer arithmetic."""
+    from migrator_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        token_budget=PK1_TOKEN_BUDGET,
+        n_buckets=PK1_BUCKETS,
+    )
+
+
+PK1_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         {H.format(x="CAST(doc_id AS VARCHAR)")} % {PK1_BUCKETS} AS bucket,
+         {H.format(x="CAST(doc_id AS VARCHAR)")} AS hkey,
+         CAST(len(string_split_regex({_NORM}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY hkey ASC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM base
+)
+SELECT doc_id, bucket, n_tokens, start_offset,
+       start_offset // {PK1_TOKEN_BUDGET} AS chunk_id,
+       (start_offset + n_tokens - 1) // {PK1_TOKEN_BUDGET}
+         > start_offset // {PK1_TOKEN_BUDGET} AS crosses_chunk
+FROM cum
+"""
+
+
+# ------------------------------------- ANN quality evaluation (sim9)
+
+
+def sim9_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH ANN path (sim6) against the
+    exact brute-force top-10 (sim1), as one audited row — the
+    measure-don't-guess harness for the approximate index: a recall
+    regression after retuning bits/bands shows up as a driver-graded
+    value change, not a silent quality drift.
+
+    Both top-k sides are 10-row relations (TakeOrderedAndProject each),
+    so the intersection join and the final count are driver-trivial;
+    the heavy scans underneath keep their own audited shapes (sim1's
+    single corpus scan, sim6's banded index probe)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf_dir)
+    exact = sim.cosine_topk(emb, q, k=10).select("vec_id")
+    ann = sim.hyperplane_lsh_topk(
+        emb, q, bits=SIM6_BITS, bands=SIM6_BANDS, k=10, dim=EMB_DIM
+    ).select("vec_id")
+    return exact.join(ann, on="vec_id", how="inner").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        (F.count(F.lit(1)).cast("double") / F.lit(10.0)).alias("recall"),
+    )
+
+
+SIM9_ORACLE = f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT vec_id,
+         [{", ".join(_hp_code_sql(b) for b in range(SIM6_BANDS))}] AS codes
+  FROM pts
+),
+banded AS (
+  SELECT vec_id, band, codes[band + 1] AS code
+  FROM sig, LATERAL unnest(generate_series(0, {SIM6_BANDS - 1})) AS t(band)
+),
+qb AS (SELECT band, code FROM banded WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM banded b JOIN qb ON b.band = qb.band AND b.code = qb.code
+  WHERE b.vec_id <> 0
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+ann AS (
+  SELECT e.vec_id
+  FROM cand JOIN embeddings e USING (vec_id), q
+  ORDER BY {COS_EXPR.format(a="e.embedding", b="qe")} DESC, e.vec_id ASC
+  LIMIT 10
+),
+exact AS (
+  SELECT vec_id
+  FROM embeddings, q
+  WHERE vec_id <> 0
+  ORDER BY {COS_EXPR.format(a="embedding", b="qe")} DESC, vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(*) AS DOUBLE) / 10.0 AS recall
+FROM exact JOIN ann USING (vec_id)
+"""

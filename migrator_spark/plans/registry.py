@@ -129,10 +129,22 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),
     # ============ past the 50-entry cut ============
-    # sm4 landed after the round-4 window settled; it heads the round-5
-    # never-graded queue alongside the displaced r2 entries below
+    # sm4 and the five late-round-4 ops below landed after the round-4
+    # window settled; they head the round-5 never-graded queue alongside
+    # the displaced r2 entries below
     "sm4_three_way_split": QuerySpec(
         llmdata.sm4_three_way_split, llmdata.SM4_ORACLE
+    ),
+    "pk1_sequence_packing": QuerySpec(
+        llmdata.pk1_sequence_packing, llmdata.PK1_ORACLE
+    ),
+    "sim9_recall_eval": QuerySpec(llmdata.sim9_recall_eval, llmdata.SIM9_ORACLE),
+    "fo3_asof_snapshot": QuerySpec(analytics.fo3_asof_snapshot, analytics.FO3_ORACLE),
+    "ev8_transition_matrix": QuerySpec(
+        analytics.ev8_transition_matrix, analytics.EV8_ORACLE
+    ),
+    "dq3_replica_checksum": QuerySpec(
+        analytics.dq3_replica_checksum, analytics.DQ3_ORACLE
     ),
     "dd6_dup_clusters": QuerySpec(llmdata.dd6_dup_clusters, llmdata.DD6_ORACLE),
     "dd8_incremental_lsh": QuerySpec(llmdata.dd8_incremental_lsh, llmdata.DD8_ORACLE),

@@ -613,3 +613,43 @@ def test_registry_source_has_no_duplicate_keys():
     dupes = {k for k in keys if keys.count(k) > 1}
     assert not dupes, f"duplicate registry keys: {dupes}"
     assert len(keys) == len(REGISTRY)
+
+
+def test_pk1_one_partitioned_window_no_global_sort(spark, sf_dir):
+    # packing is ONE window partitioned by bucket: a single exchange
+    # (hashpartitioning on bucket), no global-range Sort (which would
+    # mean the serial-stream formulation), no join, narrow scan
+    plan = _plan(spark, sf_dir, "pk1_sequence_packing")
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+    assert "rangepartitioning" not in plan, plan
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), plan
+
+
+def test_dq3_single_scan_partial_agg(spark, sf_dir):
+    # the checksum is scan -> partial agg -> one exchange -> final agg:
+    # no join, no window, map-side partials carry 16 rows per task
+    plan = _plan(spark, sf_dir, "dq3_replica_checksum")
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\n\(\d+\) HashAggregate", plan)) == 2, plan
+
+
+def test_fo3_cutoff_pushed_single_aggregate_no_window(spark, sf_dir):
+    # the AS OF cutoff is a plain ts predicate — pushed to the scan
+    # (time-partitioned logs prune whole partitions); latest-state +
+    # version-depth are ONE max_by/count aggregate with map-side
+    # partials — no window, no sort, one exchange
+    plan = _plan(spark, sf_dir, "fo3_asof_snapshot")
+    pushed = " ".join(_pushed_filters(plan))
+    assert "LessThanOrEqual(ts" in pushed, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_sim9_both_topk_sides_bounded(spark, sf_dir):
+    # both the exact and ANN sides end in TakeOrderedAndProject (10-row
+    # relations) before the intersection join — the join input is never
+    # the corpus
+    plan = _plan(spark, sf_dir, "sim9_recall_eval")
+    assert len(re.findall(r"\n\(\d+\) TakeOrderedAndProject", plan)) == 2, plan

@@ -1,0 +1,133 @@
+"""Property tests for the late-round-4 operators: invariants the fixed
+oracle corpus can't express — packing covers every token exactly once,
+the replica checksum is order/partitioning-invariant yet detects a
+single changed row in the right bucket, the as-of snapshot agrees with
+the SCD2 history it shortcuts, and transition probabilities are a
+proper distribution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from migrator_spark.operators.packing import pack_sequences
+from migrator_spark.operators.quality import replica_checksum
+
+
+def test_pack_sequences_partitions_the_stream(spark):
+    """Every doc appears once; within each bucket the offsets tile the
+    concatenated stream with no gaps or overlaps; chunk assignment is
+    consistent with the offsets."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(3 + i % 7))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, token_budget=10, n_buckets=4).collect()
+    assert len(rows) == 60 and len({r["doc_id"] for r in rows}) == 60
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) <= set(range(4))
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: r["start_offset"])
+        pos = 0
+        for r in rs:
+            assert r["start_offset"] == pos  # contiguous, no gaps
+            assert r["chunk_id"] == pos // 10
+            end = pos + r["n_tokens"] - 1
+            assert r["crosses_chunk"] == (end // 10 > pos // 10)
+            pos += r["n_tokens"]
+
+
+def test_pack_sequences_deterministic_under_repartition(spark):
+    """The assignment is a pure function of doc ids — shuffling the
+    input partitioning must not move a single document."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, pack_sequences(docs, 16, n_buckets=4).collect()))
+    b = sorted(
+        map(tuple, pack_sequences(docs.repartition(13), 16, n_buckets=4).collect())
+    )
+    assert a == b
+
+
+def test_replica_checksum_order_invariant_and_localizes_change(spark):
+    """Checksums of the same rows under different partitionings are
+    identical; mutating ONE row flips exactly that row's bucket."""
+    rows = [(i, f"name_{i}", i * 10) for i in range(100)]
+    schema = "id long, name string, amount long"
+    src = spark.createDataFrame(rows, schema)
+    cols = [F.col("id").cast("string"), "name", F.col("amount").cast("string")]
+    base = {
+        r["bucket"]: (r["n_rows"], r["xor_hash"])
+        for r in replica_checksum(src, "id", cols, n_buckets=8).collect()
+    }
+    shuffled = {
+        r["bucket"]: (r["n_rows"], r["xor_hash"])
+        for r in replica_checksum(
+            spark.createDataFrame(rows[::-1], schema).repartition(7),
+            "id",
+            cols,
+            n_buckets=8,
+        ).collect()
+    }
+    assert base == shuffled
+    mutated = [(i, f"name_{i}", i * 10 if i != 42 else 999) for i in range(100)]
+    diff = {
+        r["bucket"]: (r["n_rows"], r["xor_hash"])
+        for r in replica_checksum(
+            spark.createDataFrame(mutated, schema), "id", cols, n_buckets=8
+        ).collect()
+    }
+    changed = {b for b in base if base[b] != diff[b]}
+    assert changed == {42 % 8}
+    assert all(base[b][0] == diff[b][0] for b in base)  # counts unchanged
+
+
+def test_asof_snapshot_agrees_with_scd2_history(spark, sf_dir):
+    """fo3 (direct as-of read) must equal fo2's SCD2 history evaluated
+    at the same instant: the interval containing T per user, with
+    version_no = that interval's version."""
+    from migrator_spark.plans.analytics import (
+        FO3_ASOF_US,
+        fo2_scd2_history,
+        fo3_asof_snapshot,
+    )
+
+    snap = {
+        r["user_id"]: (r["state"], r["as_of_us"], r["version_no"])
+        for r in fo3_asof_snapshot(spark, sf_dir).collect()
+    }
+    hist = (
+        fo2_scd2_history(spark, sf_dir)
+        .filter(
+            (F.col("valid_from_us") <= FO3_ASOF_US)
+            & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > FO3_ASOF_US))
+        )
+        .collect()
+    )
+    via_hist = {
+        r["user_id"]: (r["state"], r["valid_from_us"], r["version_no"]) for r in hist
+    }
+    assert snap == via_hist
+
+
+def test_transition_matrix_is_distribution(spark, sf_dir):
+    """Outgoing probabilities sum to 1 per from-state and transition
+    count equals n_events - n_users (each user stream of length n
+    yields n-1 edges)."""
+    from migrator_spark.plans.analytics import ev8_transition_matrix
+    from migrator_spark.tables import load_table
+
+    rows = ev8_transition_matrix(spark, sf_dir).collect()
+    per_from: dict[str, float] = {}
+    total = 0
+    for r in rows:
+        per_from[r["from_type"]] = per_from.get(r["from_type"], 0.0) + r["p_transition"]
+        total += r["n_transitions"]
+    assert all(abs(s - 1.0) < 1e-9 for s in per_from.values())
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
