@@ -150,3 +150,31 @@ def replica_checksum(
             F.expr("bit_xor(_rh)").alias("xor_hash"),
         )
     )
+
+
+def checksum_diff(
+    source: DataFrame,
+    destination: DataFrame,
+    bucket_col: str,
+    row_cols: list[Column | str],
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Compare two replicas bucket-by-bucket: full-outer join of their
+    ``replica_checksum`` fingerprints, returning ONLY the buckets that
+    disagree (empty result = replicas proven equal modulo hash
+    collisions). Each side's heavy work is its own scan+aggregate; the
+    join moves 2×n_buckets rows. Columns report both sides' counts and
+    hashes so the operator doubles as the drill-down report (a NULL
+    side means the bucket has rows in one replica only)."""
+    a = replica_checksum(source, bucket_col, row_cols, n_buckets).withColumnsRenamed(
+        {"n_rows": "src_rows", "xor_hash": "src_hash"}
+    )
+    b = replica_checksum(
+        destination, bucket_col, row_cols, n_buckets
+    ).withColumnsRenamed({"n_rows": "dst_rows", "xor_hash": "dst_hash"})
+    return a.join(b, on="bucket", how="full_outer").filter(
+        ~(
+            F.col("src_rows").eqNullSafe(F.col("dst_rows"))
+            & F.col("src_hash").eqNullSafe(F.col("dst_hash"))
+        )
+    )

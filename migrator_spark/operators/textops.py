@@ -345,6 +345,52 @@ def similar_docs_topk(
     )
 
 
+def _gopher_metrics(
+    text_col: str, min_words: int, max_words: int
+) -> tuple[list, list]:
+    """The Gopher rule metrics and booleans as Column expressions —
+    shared by the batch audit (gopher_quality_gate) and the streaming
+    gate predicate (gopher_passes) so there is exactly one definition
+    of the thresholds. Returns ([n_words, n_chars, n_symbols, n_alpha,
+    n_stop], [r_word_count, r_mean_word_len, r_symbol_ratio,
+    r_alpha_words, r_stopwords])."""
+    w = words(text_col)
+    n_words = F.size(w)
+    # total characters across words (whitespace excluded) — the exact
+    # numerator of mean word length
+    n_chars = F.length(F.array_join(w, ""))
+    n_hash = _regex_count(F.col(text_col), "#")
+    ellipsis = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / F.lit(3)
+    n_symbols = (n_hash + ellipsis).cast("long")
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    n_stop = _stop_hits(w, "en")
+    r_word_count = (n_words >= min_words) & (n_words <= max_words)
+    r_mean_word_len = (F.lit(3) * n_words <= n_chars) & (n_chars <= F.lit(10) * n_words)
+    r_symbol_ratio = F.lit(10) * n_symbols < n_words
+    r_alpha_words = F.lit(5) * n_alpha >= F.lit(4) * n_words
+    r_stopwords = n_stop >= 2
+    return (
+        [n_words, n_chars, n_symbols, n_alpha, n_stop],
+        [r_word_count, r_mean_word_len, r_symbol_ratio, r_alpha_words, r_stopwords],
+    )
+
+
+def gopher_passes(
+    text_col: str = "text", min_words: int = 50, max_words: int = 100_000
+) -> F.Column:
+    """The Gopher gate as a single boolean Column — usable as a
+    stateless filter predicate in batch OR streaming plans (the audit
+    frame below can't filter a stream without a join)."""
+    _, rules = _gopher_metrics(text_col, min_words, max_words)
+    out = rules[0]
+    for r in rules[1:]:
+        out = out & r
+    return out
+
+
 def gopher_quality_gate(
     docs: DataFrame,
     min_words: int = 50,
@@ -366,24 +412,9 @@ def gopher_quality_gate(
     pass over (id, text), all JVM column expressions; the only
     per-element work is two array filters over the word array.
     """
-    w = words(text_col)
-    n_words = F.size(w)
-    # total characters across words (whitespace excluded) — the exact
-    # numerator of mean word length
-    n_chars = F.length(F.array_join(w, ""))
-    n_hash = _regex_count(F.col(text_col), "#")
-    ellipsis = (
-        F.length(F.col(text_col))
-        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
-    ) / F.lit(3)
-    n_symbols = (n_hash + ellipsis).cast("long")
-    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
-    n_stop = _stop_hits(w, "en")
-    r_word_count = (n_words >= min_words) & (n_words <= max_words)
-    r_mean_word_len = (F.lit(3) * n_words <= n_chars) & (n_chars <= F.lit(10) * n_words)
-    r_symbol_ratio = F.lit(10) * n_symbols < n_words
-    r_alpha_words = F.lit(5) * n_alpha >= F.lit(4) * n_words
-    r_stopwords = n_stop >= 2
+    metrics, rules = _gopher_metrics(text_col, min_words, max_words)
+    n_words, n_chars, n_symbols, n_alpha, n_stop = metrics
+    r_word_count, r_mean_word_len, r_symbol_ratio, r_alpha_words, r_stopwords = rules
     return docs.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),

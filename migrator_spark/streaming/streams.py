@@ -22,7 +22,7 @@ the watermark horizon.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
@@ -254,3 +254,81 @@ def dedup_within_watermark(
             .select(*key_cols)
         )
     return df.select(*key_cols).distinct()
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state(spark: SparkSession, changelog: bool = True) -> None:
+    """Switch stateful streaming to the RocksDB state store.
+
+    The default (HDFSBackedStateStoreProvider) keeps every key's state
+    as JVM heap objects — fine for the bounded key spaces in these
+    tests, a hard wall at 100 TB scale where watermark/dedup/session
+    state reaches billions of keys per executor. RocksDB (bundled with
+    Spark, rocksdbjni jar) spills state to local disk with a
+    block-cache working set, and changelog checkpointing uploads only
+    per-batch deltas instead of full snapshots — the production
+    configuration for large-state queries.
+
+    Must be set BEFORE a query first starts; the provider is baked into
+    the query's checkpoint at creation (switching providers on an
+    existing checkpoint is not supported — plan it per pipeline, not
+    per restart).
+    """
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true" if changelog else "false",
+    )
+
+
+def curation_ingest_stream(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    watermark: str = "1 day",
+    min_words: int = 50,
+) -> DataFrame:
+    """Continuous crawl-shard intake: the curation pipeline's front two
+    stages as ONE streaming plan — stateless Gopher quality gate, then
+    exact content dedup within the watermark horizon. New shards land
+    as files/Kafka offsets; only quality-passing, first-seen documents
+    flow out (append mode), ready for the downstream batch stages
+    (decontaminate / mixture / packing) to run per ingest window.
+
+    State discipline at 100 TB: the gate is a pure filter (no state at
+    all); dedup state is one entry per distinct content hash INSIDE the
+    watermark — `dropDuplicatesWithinWatermark`, so an unbounded
+    document stream cannot grow state without bound (plain
+    dropDuplicates would). Pair with `enable_rocksdb_state` for
+    billions of in-horizon hashes. A duplicate arriving AFTER its
+    original aged out re-emits — the usual trade: cross-horizon exact
+    dedup belongs to the periodic batch dd1 pass over the curated
+    store, which this stream's output feeds.
+
+    Works unchanged on a batch frame (gate filter + hash-distinct) —
+    the dual-mode property the stream/batch parity tests exploit.
+    """
+    from migrator_spark.operators.dedup import normalized_text
+    from migrator_spark.operators.textops import gopher_passes
+    from migrator_spark.functions.hashing import stable_hash64
+
+    gated = docs.filter(gopher_passes(text_col, min_words=min_words)).withColumn(
+        "text_hash", stable_hash64(normalized_text(text_col))
+    )
+    if docs.isStreaming:
+        return (
+            gated.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["text_hash"])
+            .select(id_col, ts_col, text_col, "text_hash")
+        )
+    w = Window.partitionBy("text_hash").orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    return (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, ts_col, text_col, "text_hash")
+    )

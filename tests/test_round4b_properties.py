@@ -131,3 +131,56 @@ def test_transition_matrix_is_distribution(spark, sf_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert total == n_events - n_users
+
+
+def test_checksum_diff_empty_on_equal_flags_divergence(spark, tmp_path):
+    """Equal replicas produce an EMPTY diff; a dropped row and a
+    mutated row each surface as exactly their bucket, with NULL-side
+    semantics for count mismatches handled by the null-safe compare."""
+    from migrator_spark.operators.quality import checksum_diff
+
+    rows = [(i, f"v{i}") for i in range(64)]
+    schema = "id long, val string"
+    src = spark.createDataFrame(rows, schema)
+    same = spark.createDataFrame(list(rows), schema).repartition(5)
+    cols = [F.col("id").cast("string"), "val"]
+    assert checksum_diff(src, same, "id", cols, n_buckets=8).count() == 0
+
+    # destination lost row 9 (bucket 1) and corrupted row 20 (bucket 4)
+    broken = spark.createDataFrame(
+        [(i, "XX" if i == 20 else f"v{i}") for i in range(64) if i != 9], schema
+    )
+    bad = {
+        r["bucket"]: r for r in checksum_diff(src, broken, "id", cols, 8).collect()
+    }
+    assert set(bad) == {1, 4}
+    assert bad[1]["src_rows"] == bad[1]["dst_rows"] + 1
+    assert bad[4]["src_rows"] == bad[4]["dst_rows"]
+
+
+def test_checksum_audit_cli_roundtrip(spark, tmp_path):
+    """The CLI exits 0 on identical tables and 1 with a bucket report
+    when the destination diverges."""
+    import subprocess
+    import sys
+
+    rows = [(i, f"v{i}") for i in range(32)]
+    schema = "id long, val string"
+    a, b, c = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "c")
+    spark.createDataFrame(rows, schema).write.parquet(a)
+    spark.createDataFrame(rows, schema).write.parquet(b)
+    spark.createDataFrame(rows[:-1], schema).write.parquet(c)
+    env = {"SPARK_GRAFT_CPUS": "4"}
+    import os
+
+    env = {**os.environ, **env}
+    ok = subprocess.run(
+        [sys.executable, "tools/checksum_audit.py", a, b, "id", "8"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert ok.returncode == 0, ok.stdout + ok.stderr
+    bad = subprocess.run(
+        [sys.executable, "tools/checksum_audit.py", a, c, "id", "8"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert bad.returncode == 1 and "MISMATCH" in bad.stdout, bad.stdout + bad.stderr

@@ -332,3 +332,104 @@ def test_cdc_stream_survives_forced_restart_exactly_once(spark, tmp_path):
     assert got == expected
     final_ids = {r[0] for r in got}
     assert final_ids == ({i for i in range(1, 11)} - {6, 7, 8}) | {11, 12}
+
+
+def test_windowed_counts_with_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """The watermarked windowed aggregation runs unchanged on the
+    RocksDB state store (the 100 TB-state configuration — disk-backed
+    state, changelog checkpoints) and matches the batch result; the
+    query's state-operator metrics prove the provider was actually
+    RocksDB, not the default heap store."""
+    from migrator_spark.streaming.streams import enable_rocksdb_state
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    enable_rocksdb_state(spark)
+    try:
+        events = load_table(spark, sf_dir, "events")
+        batch_out = {
+            (r["window_start"], r["event_type"]): r["cnt"]
+            for r in windowed_event_counts(events).collect()
+        }
+        stage_dir = str(tmp_path / "events_dir")
+        events.write.parquet(stage_dir)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        ops = (q.lastProgress or {}).get("stateOperators", [])
+        metrics = ops[0].get("customMetrics", {}) if ops else {}
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+        stream_out = {
+            (r["window_start"], r["event_type"]): r["cnt"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        # append mode emits only watermark-closed windows; every emitted
+        # window must match the batch result exactly (same contract as
+        # the default-provider test above)
+        assert stream_out
+        for k, v in stream_out.items():
+            assert batch_out.get(k) == v
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+
+
+def test_curation_ingest_stream_gates_and_dedups_across_batches(spark, tmp_path):
+    """Two crawl shards arrive as separate micro-batches: low-quality
+    docs never emit, the duplicate of a wave-1 doc arriving in wave 2
+    is suppressed by watermark state, and the streamed result equals
+    the batch-mode run over the union (dual-mode parity)."""
+    import time
+
+    from migrator_spark.streaming.streams import curation_ingest_stream
+
+    good_a = "the " + " ".join(f"clear useful word{i} and" for i in range(20))
+    good_b = "a " + " ".join(f"different sound text{i} the" for i in range(20))
+    short_junk = "too short"
+    schema = "doc_id long, ingest_ts timestamp, text string"
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    wave1 = [(1, t0, good_a), (2, t0, short_junk)]
+    wave2 = [(3, datetime(2024, 3, 1, 11, 0, 0), good_a),  # dup of 1
+             (4, datetime(2024, 3, 1, 11, 0, 0), good_b)]
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)  # distinct mtimes -> deterministic file->batch order
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        curation_ingest_stream(stream, min_words=20)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1, 4}  # 2 gated out, 3 deduped against 1
+
+    batch = curation_ingest_stream(
+        spark.createDataFrame(wave1 + wave2, schema), min_words=20
+    )
+    assert {r["doc_id"] for r in batch.collect()} == {1, 4}
