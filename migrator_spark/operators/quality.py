@@ -123,12 +123,15 @@ def replica_checksum(
     with deeper levels just re-runs at higher n_buckets over the
     mismatched range.
 
-    Per bucket (``bucket_col % n_buckets``): row count and the XOR of
-    every row's stable 60-bit hash over ``row_cols`` (joined with '|').
-    XOR is the right fold at scale: commutative/associative (partials
-    combine map-side in any order) and can't overflow, so the result is
-    identical on any engine, any partitioning, any cluster size —
-    unlike a SUM of hashes, which needs 128-bit headroom and
+    Per bucket (stable 60-bit hash of ``bucket_col`` mod ``n_buckets``
+    — hashing rather than raw modulo so string/UUID/timestamp keys
+    bucket the same way as integers, and skewed key ranges spread
+    uniformly; NULL keys land in their own bucket -1): row count and
+    the XOR of every row's stable 60-bit hash over ``row_cols`` (joined
+    with '|'). XOR is the right fold at scale: commutative/associative
+    (partials combine map-side in any order) and can't overflow, so the
+    result is identical on any engine, any partitioning, any cluster
+    size — unlike a SUM of hashes, which needs 128-bit headroom and
     engine-specific wide-decimal types.
 
     NULL handling follows concat_ws (both Spark and DuckDB skip NULLs),
@@ -139,11 +142,12 @@ def replica_checksum(
 
     cols = [F.col(c) if isinstance(c, str) else c for c in row_cols]
     rh = stable_hash64(F.concat_ws("|", *cols))
+    bucket = F.coalesce(
+        stable_hash64(F.col(bucket_col).cast("string")) % F.lit(n_buckets),
+        F.lit(-1),
+    )
     return (
-        df.select(
-            (F.col(bucket_col) % F.lit(n_buckets)).cast("long").alias("bucket"),
-            rh.alias("_rh"),
-        )
+        df.select(bucket.cast("long").alias("bucket"), rh.alias("_rh"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

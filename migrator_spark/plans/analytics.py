@@ -2425,7 +2425,8 @@ def dq3_replica_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DQ3_ORACLE = f"""
-SELECT CAST(o_orderkey % {DQ3_BUCKETS} AS BIGINT) AS bucket,
+SELECT CAST(coalesce(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                     % {DQ3_BUCKETS}, -1) AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_rows,
        bit_xor(('0x' || substr(md5(concat_ws('|',
            CAST(o_orderkey AS VARCHAR),

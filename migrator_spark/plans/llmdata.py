@@ -1836,6 +1836,8 @@ FROM cum
 
 # ------------------------------------- ANN quality evaluation (sim9)
 
+SIM9_K = 10
+
 
 def sim9_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the hyperplane-LSH ANN path (sim6) against the
@@ -1850,14 +1852,14 @@ def sim9_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     single corpus scan, sim6's banded index probe)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     q = _query_vec(spark, sf_dir)
-    exact = sim.cosine_topk(emb, q, k=10).select("vec_id")
+    exact = sim.cosine_topk(emb, q, k=SIM9_K).select("vec_id")
     ann = sim.hyperplane_lsh_topk(
-        emb, q, bits=SIM6_BITS, bands=SIM6_BANDS, k=10, dim=EMB_DIM
+        emb, q, bits=SIM6_BITS, bands=SIM6_BANDS, k=SIM9_K, dim=EMB_DIM
     ).select("vec_id")
     return exact.join(ann, on="vec_id", how="inner").agg(
-        F.lit(10).cast("long").alias("k"),
+        F.lit(SIM9_K).cast("long").alias("k"),
         F.count(F.lit(1)).cast("long").alias("n_hits"),
-        (F.count(F.lit(1)).cast("double") / F.lit(10.0)).alias("recall"),
+        (F.count(F.lit(1)).cast("double") / F.lit(float(SIM9_K))).alias("recall"),
     )
 
 
@@ -1883,17 +1885,17 @@ ann AS (
   SELECT e.vec_id
   FROM cand JOIN embeddings e USING (vec_id), q
   ORDER BY {COS_EXPR.format(a="e.embedding", b="qe")} DESC, e.vec_id ASC
-  LIMIT 10
+  LIMIT {SIM9_K}
 ),
 exact AS (
   SELECT vec_id
   FROM embeddings, q
   WHERE vec_id <> 0
   ORDER BY {COS_EXPR.format(a="embedding", b="qe")} DESC, vec_id ASC
-  LIMIT 10
+  LIMIT {SIM9_K}
 )
-SELECT CAST(10 AS BIGINT) AS k,
+SELECT CAST({SIM9_K} AS BIGINT) AS k,
        CAST(count(*) AS BIGINT) AS n_hits,
-       CAST(count(*) AS DOUBLE) / 10.0 AS recall
+       CAST(count(*) AS DOUBLE) / {float(SIM9_K)} AS recall
 FROM exact JOIN ann USING (vec_id)
 """

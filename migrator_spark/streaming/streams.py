@@ -310,8 +310,15 @@ def curation_ingest_stream(
     dedup belongs to the periodic batch dd1 pass over the curated
     store, which this stream's output feeds.
 
-    Works unchanged on a batch frame (gate filter + hash-distinct) —
-    the dual-mode property the stream/batch parity tests exploit.
+    Also works on a batch frame: the same gate, then one copy per
+    content hash. The batch pick is the MIN-(ts, id) copy (a
+    deterministic, rerun-stable choice); streaming necessarily keeps
+    the FIRST-ARRIVED copy, so the two modes select the same
+    representative only when shards arrive in event-time order (the
+    parity test's setup) — under out-of-order backfill the surviving
+    doc_id may differ while the surviving CONTENT is identical either
+    way. Downstream stages key on content, so the trade is the usual
+    streaming one, stated rather than hidden.
     """
     from migrator_spark.operators.dedup import normalized_text
     from migrator_spark.operators.textops import gopher_passes

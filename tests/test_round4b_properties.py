@@ -81,8 +81,34 @@ def test_replica_checksum_order_invariant_and_localizes_change(spark):
         ).collect()
     }
     changed = {b for b in base if base[b] != diff[b]}
-    assert changed == {42 % 8}
+    assert changed == {_key_bucket(42, 8)}
     assert all(base[b][0] == diff[b][0] for b in base)  # counts unchanged
+
+
+def _key_bucket(key, n_buckets: int) -> int:
+    """Mirror of replica_checksum's hash bucketing (60-bit md5 mod n)."""
+    import hashlib
+
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def test_replica_checksum_null_and_string_keys(spark):
+    """NULL keys land in bucket -1 and string keys bucket like their
+    text — identical replicas diff empty even with NULLable/non-numeric
+    key columns (the CLI's arbitrary-KEY_COL contract)."""
+    from migrator_spark.operators.quality import checksum_diff
+
+    rows = [("u1", "a"), ("u2", "b"), (None, "c"), (None, "d")]
+    schema = "uid string, val string"
+    src = spark.createDataFrame(rows, schema)
+    dst = spark.createDataFrame(rows[::-1], schema).repartition(3)
+    cols = ["uid", "val"]
+    assert checksum_diff(src, dst, "uid", cols, n_buckets=4).count() == 0
+    by_bucket = {
+        r["bucket"]: r["n_rows"]
+        for r in replica_checksum(src, "uid", cols, n_buckets=4).collect()
+    }
+    assert by_bucket[-1] == 2  # both NULL-keyed rows, one bucket
 
 
 def test_asof_snapshot_agrees_with_scd2_history(spark, sf_dir):
@@ -146,16 +172,19 @@ def test_checksum_diff_empty_on_equal_flags_divergence(spark, tmp_path):
     cols = [F.col("id").cast("string"), "val"]
     assert checksum_diff(src, same, "id", cols, n_buckets=8).count() == 0
 
-    # destination lost row 9 (bucket 1) and corrupted row 20 (bucket 4)
+    # destination lost row 9 and corrupted row 20 — each flips exactly
+    # its key's hash bucket
+    b9, b20 = _key_bucket(9, 8), _key_bucket(20, 8)
+    assert b9 != b20  # fixture sanity: distinct buckets
     broken = spark.createDataFrame(
         [(i, "XX" if i == 20 else f"v{i}") for i in range(64) if i != 9], schema
     )
     bad = {
         r["bucket"]: r for r in checksum_diff(src, broken, "id", cols, 8).collect()
     }
-    assert set(bad) == {1, 4}
-    assert bad[1]["src_rows"] == bad[1]["dst_rows"] + 1
-    assert bad[4]["src_rows"] == bad[4]["dst_rows"]
+    assert set(bad) == {b9, b20}
+    assert bad[b9]["src_rows"] == bad[b9]["dst_rows"] + 1
+    assert bad[b20]["src_rows"] == bad[b20]["dst_rows"]
 
 
 def test_checksum_audit_cli_roundtrip(spark, tmp_path):
@@ -170,17 +199,18 @@ def test_checksum_audit_cli_roundtrip(spark, tmp_path):
     spark.createDataFrame(rows, schema).write.parquet(a)
     spark.createDataFrame(rows, schema).write.parquet(b)
     spark.createDataFrame(rows[:-1], schema).write.parquet(c)
-    env = {"SPARK_GRAFT_CPUS": "4"}
     import os
 
-    env = {**os.environ, **env}
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cli = os.path.join(repo, "tools", "checksum_audit.py")
     ok = subprocess.run(
-        [sys.executable, "tools/checksum_audit.py", a, b, "id", "8"],
-        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+        [sys.executable, cli, a, b, "id", "8"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300,
     )
     assert ok.returncode == 0, ok.stdout + ok.stderr
     bad = subprocess.run(
-        [sys.executable, "tools/checksum_audit.py", a, c, "id", "8"],
-        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+        [sys.executable, cli, a, c, "id", "8"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300,
     )
     assert bad.returncode == 1 and "MISMATCH" in bad.stdout, bad.stdout + bad.stderr
