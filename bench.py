@@ -53,6 +53,9 @@ HEADLINE = [
     # round-over-round numbers like dd2/sim5/cur2 before them
     "cur3_neardup_mix",
     "dd10_dup_spans",
+    # late round 4: deterministic sequence packing (the training-data
+    # loader's packing step as one partitioned window)
+    "pk1_sequence_packing",
 ]
 
 REPEATS = 3  # median-of-3: one cold run can no longer swing the number 2x
