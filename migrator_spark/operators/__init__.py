@@ -16,5 +16,9 @@ layout     Hive-partitioned writes (directory pruning), range-clustered
            and Z-order-clustered writes (parquet min/max file skipping,
            multi-dimensional for Z-order)
 quality    declarative constraint audit (unique/fk/accepted/range/null)
+           + bucketed replica checksums / source-vs-dest diff
+mixture    temperature-flattened dataset mixture + epoch planning
+packing    deterministic GPT-style sequence packing (hash-bucketed
+           streams, per-bucket cumulative-token windows)
 maintenance small-file compaction + incremental rollup upkeep
 """

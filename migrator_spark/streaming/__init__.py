@@ -6,6 +6,16 @@ Structured Streaming — checkpointed offsets and exactly-once-per-batch
 sink commits come from the engine instead of hand-rolled tracking.
 """
 
-from migrator_spark.streaming.streams import cdc_apply_stream, windowed_event_counts
+from migrator_spark.streaming.streams import (
+    cdc_apply_stream,
+    curation_ingest_stream,
+    enable_rocksdb_state,
+    windowed_event_counts,
+)
 
-__all__ = ["cdc_apply_stream", "windowed_event_counts"]
+__all__ = [
+    "cdc_apply_stream",
+    "curation_ingest_stream",
+    "enable_rocksdb_state",
+    "windowed_event_counts",
+]

@@ -38,7 +38,17 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 @lru_cache(maxsize=256)
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects ([PARQUET_TYPE_ILLEGAL]). Footer-only read, driver-side."""
+    rejects ([PARQUET_TYPE_ILLEGAL]). Footer-only read, driver-side.
+    Accepts either a single parquet file (the driver layout) or a
+    Spark-written directory (first part file speaks for the schema)."""
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not parts:
+            return ()
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
 

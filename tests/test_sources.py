@@ -180,3 +180,17 @@ def test_pipeline_csv_source_to_parquet_target(spark, tmp_path):
     m.run_until_drained()
     got = ParquetSource(f"{tmp_path}/dst").table(spark, "x")
     assert sorted(map(tuple, got.collect())) == rows
+
+
+def test_load_table_accepts_spark_written_directory(spark, sf_dir, tmp_path):
+    """load_table handles both the driver's single-file layout and a
+    Spark-written directory table (as tools/scaling_probe.py builds):
+    the footer probe picks a part file instead of failing on the dir."""
+    from migrator_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = str(tmp_path)
+    docs.write.parquet(d + "/documents.parquet")
+    again = load_table(spark, d, "documents")
+    assert again.count() == docs.count()
+    assert again.schema == docs.schema

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Measured scaling curves: run selected corpus operators at k× the
+sf0.1 corpus (k in 1,2,4,8 by default) and report wall time per scale,
+so SCALE.md's "near-linear at 100 TB" claims carry numbers instead of
+reasoning alone. Usage:
+
+    python tools/scaling_probe.py [sf_dir] [scales csv] [query csv]
+
+Scaled corpora are built once under /tmp/spark_graft_scale/<k>/ in the
+driver-table layout (documents.parquet, embeddings.parquet) and passed
+to the normal registry callables as their sf_dir. Replication is
+DECORRELATED so candidate spaces grow like k fresh crawls, not k
+verbatim copies: replica i suffixes every word with a replica tag, so
+its shingle space is disjoint from every other replica's (word
+PERMUTATION is not enough — the synthetic vocabulary is so small that
+any reordering is still a genuine near-dup of half the corpus, and a
+first probe measured dd2 94x at 2x from exactly that clique-depth
+blowup, i.e. the data's intrinsic duplication, not the engine).
+Within a replica the original near-dup structure is preserved
+unchanged. Replica i of an embedding circularly shifts the vector by
+i positions (norm-preserving, decorrelated). Replica 0 is the
+original corpus, so fixed-id queries (query doc 0 / query vec 0) stay
+valid.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from migrator_spark.plans.registry import REGISTRY  # noqa: E402
+from migrator_spark.session import get_spark  # noqa: E402
+from migrator_spark.tables import load_table  # noqa: E402
+
+DEFAULT_QUERIES = [
+    "dd2_minhash_lsh_pairs",
+    "dd7_simhash_pairs",
+    "dd10_dup_spans",
+    "cur3_neardup_mix",
+    "pk1_sequence_packing",
+    "sim5_ivf_build",
+    "ta7_lm_quality",
+]
+BASE = Path("/tmp/spark_graft_scale")
+
+
+def _replicate_documents(docs: DataFrame, k: int) -> DataFrame:
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    parts = [docs]
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    for i in range(1, k):
+        # replica-tagged vocabulary: word order and duplication
+        # structure preserved, shingle space disjoint across replicas
+        tagged = F.array_join(
+            F.transform(words, lambda w: F.concat(w, F.lit(f"r{i}"))), " "
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                tagged.alias("text"),
+                "lang",
+                "source",
+                F.length(tagged).alias("n_chars"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _replicate_embeddings(emb: DataFrame, k: int) -> DataFrame:
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim = len(emb.first()["embedding"])
+    parts = [emb]
+    for i in range(1, k):
+        shift = i % dim or 1
+        rolled = F.concat(
+            F.slice(F.col("embedding"), shift + 1, dim - shift),
+            F.slice(F.col("embedding"), 1, shift),
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                rolled.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_scale(spark, sf_dir: str, k: int) -> str:
+    d = BASE / str(k)
+    if (d / "_DONE").exists():
+        return str(d)
+    shutil.rmtree(d, ignore_errors=True)
+    d.mkdir(parents=True)
+    _replicate_documents(load_table(spark, sf_dir, "documents"), k).write.parquet(
+        str(d / "documents.parquet")
+    )
+    _replicate_embeddings(load_table(spark, sf_dir, "embeddings"), k).write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    (d / "_DONE").touch()
+    return str(d)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scales = [int(s) for s in (sys.argv[2].split(",") if len(sys.argv) > 2 else [1, 2, 4, 8])] if len(sys.argv) > 2 else [1, 2, 4, 8]
+    names = sys.argv[3].split(",") if len(sys.argv) > 3 else DEFAULT_QUERIES
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = {k: build_scale(spark, sf_dir, k) for k in scales}
+    out: dict[str, dict[int, float]] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        out[name] = {}
+        for k in scales:
+            fn(spark, dirs[k]).write.format("noop").mode("overwrite").save()  # warm
+            runs = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                fn(spark, dirs[k]).write.format("noop").mode("overwrite").save()
+                runs.append(time.monotonic() - t0)
+            out[name][k] = round(min(runs), 3)
+        base = out[name][scales[0]]
+        curve = " ".join(f"{k}x={out[name][k]}s({out[name][k] / base:.1f})" for k in scales)
+        print(f"{name:28s} {curve}", flush=True)
+    print(json.dumps({"sf_dir": sf_dir, "scales": scales, "times": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
