@@ -94,3 +94,85 @@ def pack_sequences(
         chunk.alias("chunk_id"),
         (last_chunk > chunk).alias("crosses_chunk"),
     )
+
+
+def bucket_totals(
+    docs: DataFrame,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-bucket token totals of an already-packed corpus — the
+    O(n_buckets) state a continuous packing pipeline persists between
+    batches (bucket, tokens_packed). One scan, one tiny aggregate."""
+    hkey = stable_hash64(F.col(id_col).cast("string"))
+    return (
+        docs.select(
+            (hkey % F.lit(n_buckets)).cast("long").alias("bucket"),
+            F.size(words(text_col)).cast("long").alias("tk"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("tk").alias("tokens_packed"))
+    )
+
+
+def pack_sequences_incremental(
+    new_docs: DataFrame,
+    totals: DataFrame,
+    token_budget: int,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Append a new batch of documents to an existing packed stream
+    WITHOUT re-packing the corpus — the incremental maintenance form of
+    ``pack_sequences`` for continuous ingest (dd8's cost-class story,
+    applied to packing): each bucket's new docs are packed in hash
+    order starting at that bucket's persisted end offset
+    (``totals``: bucket, tokens_packed — from ``bucket_totals`` or the
+    previous batch's running state).
+
+    Cost is O(batch) + a broadcast of the n_buckets-row totals; the
+    packed corpus itself is never touched. Already-assigned documents
+    keep their offsets forever (training resumability); the price of
+    incrementality is that a batch's docs always land AFTER everything
+    packed before them, so the global hash-order interleave of a
+    from-scratch repack is not reproduced — assignments are stable
+    per-history, not history-independent.
+    """
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    hkey = stable_hash64(F.col(id_col).cast("string"))
+    base = new_docs.select(
+        F.col(id_col),
+        (hkey % F.lit(n_buckets)).cast("long").alias("bucket"),
+        hkey.alias("hkey"),
+        F.size(words(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("hkey").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    budget = int(token_budget)
+    offsets = base.join(
+        F.broadcast(totals.select("bucket", "tokens_packed")), on="bucket", how="left"
+    ).select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        (
+            F.coalesce(F.col("tokens_packed"), F.lit(0)) + cum - F.col("n_tokens")
+        ).alias("start_offset"),
+    )
+    chunk = F.expr(f"start_offset div {budget}")
+    last_chunk = F.expr(f"(start_offset + n_tokens - 1) div {budget}")
+    return offsets.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        "start_offset",
+        chunk.alias("chunk_id"),
+        (last_chunk > chunk).alias("crosses_chunk"),
+    )

@@ -1899,3 +1899,60 @@ SELECT CAST({SIM9_K} AS BIGINT) AS k,
        CAST(count(*) AS DOUBLE) / {float(SIM9_K)} AS recall
 FROM exact JOIN ann USING (vec_id)
 """
+
+
+PK2_SPLIT_ID = 250  # docs below = already-packed corpus; above = new batch
+
+
+def pk2_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental packing (packing.pack_sequences_incremental): docs
+    with id < 250 stand for the already-packed corpus (only their
+    per-bucket token totals are read — the O(n_buckets) persisted
+    state); the rest arrive as a new batch and are appended to each
+    bucket's stream at its saved end offset. The packed corpus is never
+    rescanned row-wise at assignment time — the batch's cost class is
+    O(batch) + a broadcast of 8 total rows."""
+    from migrator_spark.operators.packing import (
+        bucket_totals,
+        pack_sequences_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = docs.filter(F.col("doc_id") < PK2_SPLIT_ID)
+    new = docs.filter(F.col("doc_id") >= PK2_SPLIT_ID)
+    totals = bucket_totals(packed, n_buckets=PK1_BUCKETS)
+    return pack_sequences_incremental(
+        new, totals, token_budget=PK1_TOKEN_BUDGET, n_buckets=PK1_BUCKETS
+    )
+
+
+PK2_ORACLE = f"""
+WITH allb AS (
+  SELECT doc_id,
+         {H.format(x="CAST(doc_id AS VARCHAR)")} % {PK1_BUCKETS} AS bucket,
+         {H.format(x="CAST(doc_id AS VARCHAR)")} AS hkey,
+         CAST(len(string_split_regex({_NORM}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+totals AS (
+  SELECT bucket, CAST(sum(n_tokens) AS BIGINT) AS tokens_packed
+  FROM allb WHERE doc_id < {PK2_SPLIT_ID} GROUP BY bucket
+),
+cum AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY hkey ASC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS rel_offset
+  FROM allb WHERE doc_id >= {PK2_SPLIT_ID}
+),
+off AS (
+  SELECT c.doc_id, c.bucket, c.n_tokens,
+         coalesce(t.tokens_packed, 0) + c.rel_offset AS start_offset
+  FROM cum c LEFT JOIN totals t ON t.bucket = c.bucket
+)
+SELECT doc_id, bucket, n_tokens, start_offset,
+       start_offset // {PK1_TOKEN_BUDGET} AS chunk_id,
+       (start_offset + n_tokens - 1) // {PK1_TOKEN_BUDGET}
+         > start_offset // {PK1_TOKEN_BUDGET} AS crosses_chunk
+FROM off
+"""

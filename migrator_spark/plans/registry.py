@@ -138,6 +138,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "pk1_sequence_packing": QuerySpec(
         llmdata.pk1_sequence_packing, llmdata.PK1_ORACLE
     ),
+    "pk2_incremental_packing": QuerySpec(
+        llmdata.pk2_incremental_packing, llmdata.PK2_ORACLE
+    ),
     "sim9_recall_eval": QuerySpec(llmdata.sim9_recall_eval, llmdata.SIM9_ORACLE),
     "fo3_asof_snapshot": QuerySpec(analytics.fo3_asof_snapshot, analytics.FO3_ORACLE),
     "ev8_transition_matrix": QuerySpec(

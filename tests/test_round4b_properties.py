@@ -214,3 +214,51 @@ def test_checksum_audit_cli_roundtrip(spark, tmp_path):
         capture_output=True, text=True, cwd=repo, env=env, timeout=300,
     )
     assert bad.returncode == 1 and "MISMATCH" in bad.stdout, bad.stdout + bad.stderr
+
+
+def test_incremental_packing_continues_the_stream(spark):
+    """Appending a batch continues each bucket exactly where the packed
+    corpus ended: first new doc per bucket starts at tokens_packed, the
+    batch tiles contiguously, and updated totals equal old + batch."""
+    from migrator_spark.operators.packing import (
+        bucket_totals,
+        pack_sequences,
+        pack_sequences_incremental,
+    )
+
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(4 + i % 5))) for i in range(30)], schema
+    )
+    new = spark.createDataFrame(
+        [(i, " ".join(f"n{i}_{j}" for j in range(3 + i % 4))) for i in range(30, 50)],
+        schema,
+    )
+    totals = {r["bucket"]: r["tokens_packed"] for r in bucket_totals(old, 4).collect()}
+    inc = pack_sequences_incremental(new, bucket_totals(old, 4), 16, n_buckets=4).collect()
+    assert len(inc) == 20
+    by_bucket: dict[int, list] = {}
+    for r in inc:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bkt, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["start_offset"])
+        pos = totals.get(bkt, 0)
+        for r in rs:
+            assert r["start_offset"] == pos
+            assert r["chunk_id"] == pos // 16
+            pos += r["n_tokens"]
+    # old assignments are untouched by construction (never recomputed);
+    # the persisted state for the next batch is old + batch totals
+    both = spark.createDataFrame(
+        old.collect() + new.collect(), schema
+    )
+    merged = {r["bucket"]: r["tokens_packed"] for r in bucket_totals(both, 4).collect()}
+    ends = dict(totals)
+    for r in inc:
+        ends[r["bucket"]] = max(ends.get(r["bucket"], 0), r["start_offset"] + r["n_tokens"])
+    assert merged == ends
+    # full-batch path agrees with itself when there is no history
+    empty_totals = bucket_totals(old.filter("doc_id < 0"), 4)
+    fresh = sorted(map(tuple, pack_sequences_incremental(new, empty_totals, 16, n_buckets=4).collect()))
+    scratch = sorted(map(tuple, pack_sequences(new, 16, n_buckets=4).collect()))
+    assert fresh == scratch
