@@ -136,3 +136,49 @@ def split_by_method(batch: DataFrame) -> dict[str, DataFrame]:
     """
     methods = [r[0] for r in batch.select(METHOD_COL).distinct().collect()]
     return {m: batch.filter(F.col(METHOD_COL) == m) for m in methods}
+
+
+def align_schemas(
+    target: DataFrame, batch: DataFrame, meta_cols: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame]:
+    """Additive schema evolution for CDC merges: make ``target`` and
+    ``batch`` column-compatible before set-algebra.
+
+    The reference is schema-free (rows are ``map[string]any``,
+    types.go:58-61; generated INSERTs list whatever keys a row has), so
+    a source gaining a column flows through it transparently. Typed
+    DataFrames need the alignment made explicit:
+
+    - column only in ``batch``  -> target rows get it as NULL (the
+      evolved table; existing history has no value)
+    - column only in ``target`` -> batch rows get it as NULL (source
+    dropped or never sent it; MySQL would apply the column default)
+    - column in both with DIFFERENT types -> loud ValueError; silent
+      casts corrupt replicas, a human decides (the reference would
+      instead fail statement-by-statement at the destination)
+
+    ``meta_cols`` (method/order/tiebreak) ride along on the batch side
+    untouched. Purely a projection: no shuffle, no data movement.
+    """
+    tcols = {f.name: f.dataType for f in target.schema.fields}
+    bcols = {
+        f.name: f.dataType for f in batch.schema.fields if f.name not in meta_cols
+    }
+    conflicts = {
+        c: (str(tcols[c]), str(bcols[c]))
+        for c in tcols
+        if c in bcols and tcols[c] != bcols[c]
+    }
+    if conflicts:
+        raise ValueError(
+            f"schema evolution type conflict (target vs batch): {conflicts}"
+        )
+    new_in_batch = [c for c in batch.columns if c not in tcols and c not in meta_cols]
+    missing_in_batch = [c for c in target.columns if c not in bcols]
+    t2 = target.select(
+        "*", *[F.lit(None).cast(bcols[c]).alias(c) for c in new_in_batch]
+    )
+    b2 = batch.select(
+        "*", *[F.lit(None).cast(tcols[c]).alias(c) for c in missing_in_batch]
+    )
+    return t2, b2

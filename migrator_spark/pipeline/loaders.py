@@ -60,11 +60,6 @@ def load_default(
     key_cols = [c for c in it.merge_key_cols if c in batch.columns]
     data_cols = [c for c in batch.columns if c not in META_COLS]
 
-    methods = {r[0] for r in batch.select(ex.METHOD_COL).distinct().collect()}
-    if methods <= {ex.M_INSERT} and target.exists(spark, table):
-        target.write(batch.select(*data_cols), table, mode="append")
-        return
-
     if not target.exists(spark, table):
         final = ld.latest_by_key(batch, key_cols, "_order", "_tie")
         target.write(
@@ -75,6 +70,18 @@ def load_default(
         return
 
     current = target.table(spark, table)
+    drift = set(data_cols) != set(current.columns)
+    if not drift:
+        methods = {r[0] for r in batch.select(ex.METHOD_COL).distinct().collect()}
+        if methods <= {ex.M_INSERT}:
+            target.write(batch.select(*data_cols), table, mode="append")
+            return
+    else:
+        # additive schema evolution (the reference's schema-free rows do
+        # this implicitly): align both sides, merge, and REWRITE so the
+        # stored table carries one uniform evolved schema — appending a
+        # differently-shaped batch would leave mixed part-file schemas
+        current, batch = ld.align_schemas(current, batch, META_COLS)
     merged = ld.apply_cdc_batch(
         current, batch.select(*current.columns, ex.METHOD_COL, "_order", "_tie"),
         key_cols, "_order", "_tie",
@@ -169,6 +176,16 @@ def load_pruned(
         or not key_cols
         or not isinstance(batch.schema[key_cols[0]].dataType, _PRUNABLE_KEY_TYPES)
     ):
+        load_default(spark, target, table, batch, it, params)
+        return
+    if target.exists(spark, table) and set(data_cols) != set(
+        target.table(spark, table).columns
+    ):
+        # schema drift: the evolved table needs one uniform schema, so
+        # the (rare) evolving batch takes the full-rewrite path. The
+        # rewrite is not range-clustered, so pruning effectiveness
+        # degrades until the next compaction/recluster — correctness is
+        # unaffected (footer stats of wide files simply prune less).
         load_default(spark, target, table, batch, it, params)
         return
     key = key_cols[0]

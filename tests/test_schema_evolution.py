@@ -1,0 +1,102 @@
+"""Additive schema evolution through the CDC loaders: a source gaining
+or dropping a column mid-stream must evolve the target (the reference's
+schema-free map rows do this implicitly; typed DataFrames need it made
+explicit), and conflicting type changes must fail loudly rather than
+silently cast."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from migrator_spark.operators import extract as ex
+from migrator_spark.operators.load import align_schemas
+from migrator_spark.pipeline.config import IterationSpec, Parameters
+from migrator_spark.pipeline.registries import LOADERS
+import migrator_spark.pipeline.loaders  # noqa: F401  (populates LOADERS)
+from migrator_spark.sources.parquet import ParquetSource
+
+
+def _batch(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return (
+        df.withColumn(ex.METHOD_COL, F.col("_m"))
+        .drop("_m")
+        .withColumn("_order", F.col("id"))
+        .withColumn("_tie", F.lit(0))
+    )
+
+
+IT = IterationSpec(source_table="x", source_key="id", target_table="x")
+PARAMS = Parameters()
+
+
+@pytest.mark.parametrize("loader", ["default", "pruned"])
+def test_batch_with_new_column_evolves_target(spark, tmp_path, loader):
+    """A REPLACE batch carrying a brand-new column widens the target:
+    merged rows carry the value, untouched history rows read NULL."""
+    tgt = ParquetSource(str(tmp_path))
+    tgt.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"), "x"
+    )
+    batch = _batch(
+        spark,
+        [(2, "b2", "nl", "REPLACE"), (3, "c", "en", "REPLACE")],
+        "id long, name string, lang string, _m string",
+    )
+    LOADERS[loader](spark, tgt, "x", batch, IT, PARAMS)
+    out = {r["id"]: (r["name"], r["lang"]) for r in tgt.table(spark, "x").collect()}
+    assert out == {1: ("a", None), 2: ("b2", "nl"), 3: ("c", "en")}
+
+
+def test_batch_missing_column_fills_null(spark, tmp_path):
+    """A batch missing a target column (source dropped it / partial
+    event) merges with NULL for that column instead of failing."""
+    tgt = ParquetSource(str(tmp_path))
+    tgt.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, name string, score long"
+        ),
+        "x",
+    )
+    batch = _batch(
+        spark, [(2, "b2", "REPLACE")], "id long, name string, _m string"
+    )
+    LOADERS["default"](spark, tgt, "x", batch, IT, PARAMS)
+    out = {r["id"]: (r["name"], r["score"]) for r in tgt.table(spark, "x").collect()}
+    assert out == {1: ("a", 10), 2: ("b2", None)}
+
+
+def test_type_conflict_raises_loudly(spark):
+    """Same column name, different type: no silent cast — ValueError."""
+    t = spark.createDataFrame([(1, "a")], "id long, v string")
+    b = spark.createDataFrame([(1, 2.5)], "id long, v double")
+    with pytest.raises(ValueError, match="type conflict"):
+        align_schemas(t, b)
+
+
+def test_evolution_then_pruned_merge_still_correct(spark, tmp_path):
+    """After an evolving rewrite, the next same-schema batch goes back
+    through the pruned fast path and merges correctly."""
+    tgt = ParquetSource(str(tmp_path))
+    seed = _batch(
+        spark,
+        [(i, f"n{i}", "INSERT") for i in range(1, 9)],
+        "id long, name string, _m string",
+    )
+    LOADERS["pruned"](spark, tgt, "x", seed, IT, PARAMS)
+    evolve = _batch(
+        spark,
+        [(2, "b2", "nl", "REPLACE")],
+        "id long, name string, lang string, _m string",
+    )
+    LOADERS["pruned"](spark, tgt, "x", evolve, IT, PARAMS)
+    follow = _batch(
+        spark,
+        [(3, "c3", "en", "REPLACE"), (9, "i9", "de", "INSERT")],
+        "id long, name string, lang string, _m string",
+    )
+    LOADERS["pruned"](spark, tgt, "x", follow, IT, PARAMS)
+    out = {r["id"]: (r["name"], r["lang"]) for r in tgt.table(spark, "x").collect()}
+    assert out[2] == ("b2", "nl") and out[3] == ("c3", "en") and out[9] == ("i9", "de")
+    assert out[1] == ("n1", None) and len(out) == 9
