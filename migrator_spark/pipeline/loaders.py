@@ -113,6 +113,16 @@ def load_jdbc(
     key_cols = [c for c in it.merge_key_cols if c in batch.columns]
     data_cols = [c for c in batch.columns if c not in META_COLS]
 
+    if target.exists(spark, table):
+        current = target.table(spark, table)
+        if set(data_cols) != set(current.columns):
+            # additive evolution on the live table: type conflicts
+            # raise here (align_schemas guard) BEFORE any DDL runs;
+            # new columns become ALTER TABLE ADD COLUMN in one txn;
+            # batch-missing columns need no DDL (MERGE leaves them)
+            ld.align_schemas(current, batch, META_COLS)
+            target.evolve_schema(spark, table, batch.select(*data_cols))
+
     methods = {r[0] for r in batch.select(ex.METHOD_COL).distinct().collect()}
     if methods <= {ex.M_INSERT} and target.exists(spark, table):
         # staged single-transaction append, NOT Spark's per-task-commit

@@ -231,3 +231,38 @@ class JdbcSource:
                 self.execute(spark, f"DROP TABLE {_qt(stage)}", transactional=False)
             except Exception:
                 pass
+
+    def evolve_schema(self, spark: SparkSession, table: str, batch: DataFrame) -> list[str]:
+        """Additive schema evolution on the live table: ALTER TABLE ADD
+        COLUMN for every batch column the table lacks, typed exactly as
+        Spark's own JDBC writer would create it (the dialect's type
+        mapping, falling back to the common JDBC type) so evolved and
+        freshly-created columns are indistinguishable server-side.
+        Existing rows read NULL/DEFAULT. Returns the added column names.
+
+        Dropped/missing batch columns need no DDL — the MERGE/INSERT
+        simply doesn't set them. Type CHANGES are not handled here;
+        operators/load.align_schemas raises on those before any SQL
+        runs (destructive retypes are a human decision).
+        """
+        existing = {f.name for f in self.table(spark, table).schema.fields}
+        to_add = [f for f in batch.schema.fields if f.name not in existing]
+        if not to_add:
+            return []
+        jvm = spark._jvm
+        dialect = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(self.url)
+        stmts = []
+        for f in to_add:
+            jdt = jvm.org.apache.spark.sql.types.DataType.fromJson(f.dataType.json())
+            opt = dialect.getJDBCType(jdt)
+            jt = (
+                opt.get()
+                if opt.isDefined()
+                else jvm.org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils.getCommonJDBCType(jdt).get()
+            )
+            stmts.append(
+                f"ALTER TABLE {_qt(table)} ADD COLUMN {_q(f.name)} {jt.databaseTypeDefinition()}"
+            )
+        # one transaction: either the table gains all columns or none
+        self.execute(spark, *stmts, transactional=True)
+        return [f.name for f in to_add]

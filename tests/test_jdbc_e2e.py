@@ -204,3 +204,56 @@ def test_identifier_rendering_mixed_case_and_exotic(spark, derby):
     )
     got = {r["id"]: r["v"] for r in derby.table(spark, exotic).collect()}
     assert got == {0: 999, 1: 2, 2: 4, 10: 20, 11: 22}
+
+
+def test_jdbc_schema_evolution_end_to_end(spark, derby):
+    """A CDC batch carrying a new column evolves the LIVE table: one
+    transactional ALTER TABLE ADD COLUMN (typed via the dialect's own
+    mapping), then the usual staged MERGE — history rows read NULL,
+    merged rows carry values; a type conflict raises before any DDL."""
+    import pytest
+
+    from migrator_spark.pipeline.config import IterationSpec, Parameters
+    from migrator_spark.pipeline.registries import LOADERS
+    import migrator_spark.pipeline.loaders  # noqa: F401
+
+    derby.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"), "evt"
+    )
+    batch = (
+        spark.createDataFrame(
+            [(2, "b2", 2.5, "REPLACE"), (3, "c", 9.9, "INSERT")],
+            "id long, name string, score double, _m string",
+        )
+        .withColumnRenamed("_m", "_method")
+        .withColumn("_order", F.col("id"))
+        .withColumn("_tie", F.lit(0))
+    )
+    it = IterationSpec(source_table="evt", source_key="id", target_table="evt")
+    LOADERS["jdbc"](spark, derby, "evt", batch, it, Parameters())
+    got = {
+        r["id"]: (r["name"], r["score"]) for r in derby.table(spark, "evt").collect()
+    }
+    assert got == {1: ("a", None), 2: ("b2", 2.5), 3: ("c", 9.9)}
+
+    # a later batch missing the evolved column merges fine (MERGE
+    # leaves the column untouched on UPDATE targets, NULL on INSERT)
+    batch2 = (
+        spark.createDataFrame([(4, "d", "INSERT")], "id long, name string, _m string")
+        .withColumnRenamed("_m", "_method")
+        .withColumn("_order", F.col("id"))
+        .withColumn("_tie", F.lit(0))
+    )
+    LOADERS["jdbc"](spark, derby, "evt", batch2, it, Parameters())
+    got = {r["id"]: r["name"] for r in derby.table(spark, "evt").collect()}
+    assert got == {1: "a", 2: "b2", 3: "c", 4: "d"}
+
+    # retyping an existing column is refused loudly, before any DDL
+    bad = (
+        spark.createDataFrame([(5, 7, "INSERT")], "id long, name long, _m string")
+        .withColumnRenamed("_m", "_method")
+        .withColumn("_order", F.col("id"))
+        .withColumn("_tie", F.lit(0))
+    )
+    with pytest.raises(ValueError, match="type conflict"):
+        LOADERS["jdbc"](spark, derby, "evt", bad, it, Parameters())
