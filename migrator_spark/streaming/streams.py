@@ -91,6 +91,13 @@ def cdc_apply_stream(
         cdc = updates.select(*cols).unionByName(removes.select(*cols))
         if target.exists(spark, target_table):
             current = target.table(spark, target_table)
+            if set(src_df.columns) != set(current.columns):
+                # additive schema evolution mid-stream (same contract
+                # as the batch loaders): the source gained or dropped
+                # a column between micro-batches; align and rewrite
+                current, cdc = ld.align_schemas(
+                    current, cdc, (ex.METHOD_COL, "_order", "_tie")
+                )
             merged = ld.apply_cdc_batch(
                 current,
                 cdc.select(*current.columns, ex.METHOD_COL, "_order", "_tie"),

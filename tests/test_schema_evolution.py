@@ -100,3 +100,53 @@ def test_evolution_then_pruned_merge_still_correct(spark, tmp_path):
     out = {r["id"]: (r["name"], r["lang"]) for r in tgt.table(spark, "x").collect()}
     assert out[2] == ("b2", "nl") and out[3] == ("c3", "en") and out[9] == ("i9", "de")
     assert out[1] == ("n1", None) and len(out) == 9
+
+
+def test_streaming_cdc_evolves_target_mid_stream(spark, tmp_path):
+    """The foreachBatch CDC merge applies the same additive-evolution
+    contract: after the SOURCE table gains a column between waves, the
+    next micro-batch widens the target (history rows NULL)."""
+    from datetime import datetime
+
+    from migrator_spark.streaming.streams import cdc_apply_stream
+    from .test_pipeline import Q_SCHEMA
+
+    d = str(tmp_path)
+    src = ParquetSource(d + "/a")
+    src.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"), "x"
+    )
+    tgt = ParquetSource(d + "/b")
+    tgt.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"), "x")
+
+    qdir = d + "/queue"
+    spark.createDataFrame(
+        [("a", "x", "id", "2", datetime(2024, 1, 1, 12, 0, 1), "UPDATE")], Q_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(qdir)
+
+    def run():
+        q = cdc_apply_stream(
+            spark, qdir, Q_SCHEMA, src, "x", tgt, "x", ["id"],
+            checkpoint_dir=d + "/ckpt", available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert set(tgt.table(spark, "x").columns) == {"id", "name"}
+
+    # source evolves: gains a column; row 2 updated again with it
+    src.write(
+        spark.createDataFrame(
+            [(1, "a", None), (2, "b2", "nl")], "id long, name string, lang string"
+        ),
+        "x",
+    )
+    import time
+
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [("a", "x", "id", "2", datetime(2024, 1, 1, 12, 0, 2), "UPDATE")], Q_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(qdir)
+    run()
+    out = {r["id"]: (r["name"], r["lang"]) for r in tgt.table(spark, "x").collect()}
+    assert out == {1: ("a", None), 2: ("b2", "nl")}
