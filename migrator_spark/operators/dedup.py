@@ -37,7 +37,6 @@ from migrator_spark.functions.hashing import (
     word_shingles,
     words,
 )
-from migrator_spark.functions.vectors import cosine_similarity
 
 
 def normalized_text(col: str = "text") -> F.Column:

@@ -36,7 +36,7 @@ from migrator_spark.pipeline.config import (
     db_name_from_dsn,
 )
 from migrator_spark.pipeline.registries import resolve
-from migrator_spark.pipeline.tracking import TrackingStatus, TrackingStore
+from migrator_spark.pipeline.tracking import TrackingStore
 from migrator_spark.pipeline.transformers import TransformContext
 from migrator_spark.sources.base import Source, open_source
 
