@@ -73,3 +73,70 @@ class TrackingStore:
                 with open(os.path.join(self.root, fn)) as f:
                     out.append(TrackingStatus(**json.load(f)))
         return out
+
+
+def bootstrap_from_target(
+    store: TrackingStore,
+    spark,
+    target,
+    db: str,
+    table: str,
+    key_col: str,
+    timestamp_col: str | None = None,
+) -> TrackingStatus:
+    """Seed tracking from a PRE-EXISTING destination: start replication
+    at the destination's MAX(key) instead of 0, so pointing the
+    pipeline at an already-populated replica resumes instead of
+    re-copying the table (the reference always starts at position 0
+    unless an EtlPosition row exists, tracking.go:33-45 — bootstrapping
+    a primed replica means hand-writing that row).
+
+    An existing tracking row always wins (it is the committed truth;
+    the destination may legitimately be AHEAD of it mid-crash). For
+    parquet targets the max comes from part-file FOOTER statistics only
+    (sources.parquet._file_key_range) — no data pages are read, so
+    bootstrapping against a 100 TB destination costs one metadata pass,
+    not a table scan; other sources fall back to a distributed
+    ``agg(max(key))`` (map-side partial max, single-row result).
+    """
+    existing = store.get(db, table, key_col)
+    if existing.last_run is not None:
+        return existing
+    from migrator_spark.sources.parquet import ParquetSource, _file_key_range
+
+    pos = None
+    ts_pos = None
+    if not target.exists(spark, table):
+        return existing
+    if isinstance(target, ParquetSource) and timestamp_col is None:
+        import os
+
+        d = target._path(table)
+        root = d if os.path.isdir(d) else os.path.dirname(d)
+        files = (
+            [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+            if os.path.isdir(d)
+            else [d]
+        )
+        ranges = [_file_key_range(f, key_col) for f in files]
+        if all(r is not None for r in ranges) and ranges:
+            pos = max(hi for _, hi in ranges)
+    if pos is None:
+        from pyspark.sql import functions as F
+
+        agg = [F.max(key_col).alias("k")]
+        if timestamp_col is not None:
+            agg.append(F.max(timestamp_col).alias("t"))
+        row = target.table(spark, table).agg(*agg).first()
+        pos = row["k"]
+        if timestamp_col is not None and row["t"] is not None:
+            ts_pos = row["t"].isoformat()
+    seeded = TrackingStatus(
+        source_database=db,
+        source_table=table,
+        column_name=key_col,
+        sequential_position=int(pos) if pos is not None and ts_pos is None else 0,
+        timestamp_position=ts_pos,
+    )
+    store.put(seeded)
+    return seeded
