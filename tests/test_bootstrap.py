@@ -58,3 +58,25 @@ def test_bootstrap_on_missing_target_stays_zero(spark, tmp_path):
     tgt = ParquetSource(str(tmp_path / "b"))
     got = bootstrap_from_target(store, spark, tgt, "a", "x", "id")
     assert got.sequential_position == 0 and got.last_run is None
+
+
+def test_bootstrap_timestamp_position(spark, tmp_path):
+    """Timestamp-extractor bootstrap: the destination's MAX(ts) becomes
+    the timestamp position (sequential stays 0)."""
+    from datetime import datetime
+
+    tgt_dir, trk = str(tmp_path / "b"), str(tmp_path / "trk")
+    tgt = ParquetSource(tgt_dir)
+    tgt.write(
+        spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, 10)), (2, datetime(2024, 1, 2, 12))],
+            "id long, updated timestamp",
+        ),
+        "x",
+    )
+    store = TrackingStore(trk)
+    got = bootstrap_from_target(
+        store, spark, tgt, "a", "x", "id", timestamp_col="updated"
+    )
+    assert got.sequential_position == 0
+    assert got.timestamp_position_dt == datetime(2024, 1, 2, 12)
