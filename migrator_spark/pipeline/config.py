@@ -47,6 +47,10 @@ class IterationSpec:
     # DefaultLoader, main.go:99-100)
     loader: str = "default"
     transformer_parameters: dict[str, Any] = field(default_factory=dict)
+    # seed tracking from a pre-populated destination's MAX(key) on
+    # startup (tracking.bootstrap_from_target); a committed tracking
+    # row always wins over the bootstrap
+    bootstrap: bool = False
 
     @property
     def merge_key_cols(self) -> list[str]:
@@ -106,6 +110,7 @@ def _iteration_from_dict(mig: dict[str, Any], it: dict[str, Any]) -> IterationSp
         transformer=it.get("transformer", "default"),
         loader=it.get("loader", "default"),
         transformer_parameters=dict(it.get("transformer-parameters") or {}),
+        bootstrap=bool(it.get("bootstrap", False)),
     )
 
 

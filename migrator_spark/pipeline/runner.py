@@ -121,6 +121,39 @@ class Migrator:
             db = db_name_from_dsn(mig.source_dsn)
             for it in mig.iterations:
                 self.iterations.append(BoundIteration(src, tgt, db, it))
+                if it.bootstrap:
+                    self._bootstrap(src=tgt, db=db, it=it)
+
+    def _bootstrap(self, src: Source, db: str, it: IterationSpec) -> None:
+        """Seed tracking from the pre-populated destination (config
+        ``bootstrap: true``). Sequential scans bootstrap the MAX of the
+        position key; timestamp scans the MAX of the timestamp column.
+        Coalesced-fallback scans have no single orderable column and
+        are skipped with a warning (hand-seed tracking instead)."""
+        from migrator_spark.pipeline.tracking import bootstrap_from_target
+
+        if it.extractor == "sequential":
+            seeded = bootstrap_from_target(
+                self.store, self.spark, src, db, it.source_table,
+                it.source_key.split(",")[0].strip(),
+                target_table=it.target_table,
+            )
+        elif it.extractor == "timestamp":
+            seeded = bootstrap_from_target(
+                self.store, self.spark, src, db, it.source_table,
+                it.merge_key_cols[0], timestamp_col=it.source_key,
+                target_table=it.target_table,
+            )
+        else:
+            self.log.warning(
+                "bootstrap unsupported for extractor %r (table %s); starting at 0",
+                it.extractor, it.source_table,
+            )
+            return
+        self.log.info(
+            "bootstrapped %s.%s at seq=%s ts=%s", db, it.source_table,
+            seeded.sequential_position, seeded.timestamp_position,
+        )
 
     # ---------------------------------------------------------- cycle
 

@@ -83,6 +83,7 @@ def bootstrap_from_target(
     table: str,
     key_col: str,
     timestamp_col: str | None = None,
+    target_table: str | None = None,
 ) -> TrackingStatus:
     """Seed tracking from a PRE-EXISTING destination: start replication
     at the destination's MAX(key) instead of 0, so pointing the
@@ -104,14 +105,15 @@ def bootstrap_from_target(
         return existing
     from migrator_spark.sources.parquet import ParquetSource, _file_key_range
 
+    tgt_table = target_table or table  # tracking keys on SOURCE table
     pos = None
     ts_pos = None
-    if not target.exists(spark, table):
+    if not target.exists(spark, tgt_table):
         return existing
     if isinstance(target, ParquetSource) and timestamp_col is None:
         import os
 
-        d = target._path(table)
+        d = target._path(tgt_table)
         root = d if os.path.isdir(d) else os.path.dirname(d)
         files = (
             [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
@@ -127,7 +129,7 @@ def bootstrap_from_target(
         agg = [F.max(key_col).alias("k")]
         if timestamp_col is not None:
             agg.append(F.max(timestamp_col).alias("t"))
-        row = target.table(spark, table).agg(*agg).first()
+        row = target.table(spark, tgt_table).agg(*agg).first()
         pos = row["k"]
         if timestamp_col is not None and row["t"] is not None:
             ts_pos = row["t"].isoformat()

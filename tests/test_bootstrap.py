@@ -80,3 +80,44 @@ def test_bootstrap_timestamp_position(spark, tmp_path):
     )
     assert got.sequential_position == 0
     assert got.timestamp_position_dt == datetime(2024, 1, 2, 12)
+
+
+def test_runner_bootstrap_flag_end_to_end(spark, tmp_path):
+    """`bootstrap: true` on an iteration seeds tracking from the
+    destination before the first cycle — the primed-replica resume as
+    one config line."""
+    from migrator_spark.pipeline.config import (
+        IterationSpec,
+        MigrationSpec,
+        MigratorConfig,
+        Parameters,
+    )
+
+    src_dir, tgt_dir, trk = (str(tmp_path / d) for d in ("a", "b", "trk"))
+    schema = "id long, name string"
+    ParquetSource(src_dir).write(
+        spark.createDataFrame([(i, f"n{i}") for i in range(1, 61)], schema), "x"
+    )
+    ParquetSource(tgt_dir).write(
+        spark.createDataFrame([(i, f"n{i}") for i in range(1, 41)], schema), "x"
+    )
+    cfg = MigratorConfig(
+        migrations=[
+            MigrationSpec(
+                source_dsn=src_dir,
+                target_dsn=tgt_dir,
+                iterations=[
+                    IterationSpec(
+                        source_table="x", source_key="id", target_table="x",
+                        bootstrap=True,
+                    )
+                ],
+            )
+        ],
+        parameters=Parameters(batch_size=25),
+    )
+    m = Migrator(spark, cfg, trk)
+    assert m.store.get("a", "x").sequential_position == 40  # seeded pre-run
+    m.run_until_drained()
+    out = sorted(r["id"] for r in ParquetSource(tgt_dir).table(spark, "x").collect())
+    assert out == list(range(1, 61))
