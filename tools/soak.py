@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Full-registry soak: execute every registered query at a chosen SF
 (default sf0.1 — 10x the driver's correctness scale) and report wall
-time per query, slowest first. Catches scale cliffs the 17-query
+time per query, slowest first. Catches scale cliffs the 18-query
 headline bench can't see. Usage:
 
     python tools/soak.py [sf_dir] [--repeat]
