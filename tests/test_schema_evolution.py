@@ -150,3 +150,37 @@ def test_streaming_cdc_evolves_target_mid_stream(spark, tmp_path):
     run()
     out = {r["id"]: (r["name"], r["lang"]) for r in tgt.table(spark, "x").collect()}
     assert out == {1: ("a", None), 2: ("b2", "nl")}
+
+
+def test_align_schemas_property(spark):
+    """Hypothesis-style sweep (deterministic enumeration): for random
+    column partitions, aligned frames always union cleanly, preserve
+    every original value, and NULL-fill exactly the missing cells."""
+    import itertools
+
+    all_cols = ["a", "b", "c", "d"]
+    for t_extra, b_extra in itertools.product(
+        itertools.combinations(all_cols, 2), repeat=2
+    ):
+        t_cols = ["id"] + [c for c in all_cols if c in t_extra]
+        b_cols = ["id"] + [c for c in all_cols if c in b_extra]
+        t = spark.createDataFrame(
+            [tuple([1] + [10 + i for i in range(len(t_cols) - 1)])],
+            ", ".join(f"{c} long" for c in t_cols),
+        )
+        b = spark.createDataFrame(
+            [tuple([2] + [20 + i for i in range(len(b_cols) - 1)])],
+            ", ".join(f"{c} long" for c in b_cols),
+        )
+        t2, b2 = align_schemas(t, b)
+        assert set(t2.columns) == set(b2.columns) == set(t_cols) | set(b_cols)
+        u = t2.unionByName(b2.select(*t2.columns))
+        rows = {r["id"]: r.asDict() for r in u.collect()}
+        for c in t_cols:
+            assert rows[1][c] is not None
+        for c in set(b_cols) - set(t_cols):
+            assert rows[1][c] is None  # target NULL-filled
+        for c in b_cols:
+            assert rows[2][c] is not None
+        for c in set(t_cols) - set(b_cols):
+            assert rows[2][c] is None  # batch NULL-filled
