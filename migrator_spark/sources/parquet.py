@@ -302,3 +302,40 @@ class ParquetSource:
         others = [v for v in versions if os.path.abspath(v) != current]
         for stale in others[keep:]:
             shutil.rmtree(stale, ignore_errors=True)
+
+    # ---------------------------------------------------- time travel
+
+    def versions(self, name: str) -> list[dict]:
+        """Retained versions of ``name``, newest first: ``{version,
+        mtime, is_current}``. The versioned layout keeps the current
+        target plus KEEP_VERSIONS predecessors (GC'd on swap), so every
+        CDC merge leaves a short audit trail of table states for free —
+        the dependency-free slice of Delta's DESCRIBE HISTORY."""
+        vdir = self._versions(name)
+        if not os.path.isdir(vdir):
+            return []
+        current = os.path.realpath(self._path(name))
+        out = [
+            {
+                "version": os.path.basename(e.path),
+                "mtime": os.path.getmtime(e.path),
+                "is_current": os.path.abspath(e.path) == current,
+            }
+            for e in os.scandir(vdir)
+            if e.is_dir()
+        ]
+        return sorted(out, key=lambda v: v["mtime"], reverse=True)
+
+    def table_at(self, spark: SparkSession, name: str, version: str) -> DataFrame:
+        """Read a RETAINED historical version (time travel): what did
+        this table hold before the last N merges? Raises KeyError for
+        unknown/GC'd versions — history is bounded by KEEP_VERSIONS,
+        deliberately (unbounded history is a storage policy, not a
+        default)."""
+        vpath = f"{self._versions(name)}/{version}"
+        if not os.path.isdir(vpath):
+            raise KeyError(
+                f"version {version!r} of table {name!r} not retained "
+                f"(KEEP_VERSIONS={KEEP_VERSIONS})"
+            )
+        return spark.read.parquet(vpath)

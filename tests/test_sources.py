@@ -194,3 +194,29 @@ def test_load_table_accepts_spark_written_directory(spark, sf_dir, tmp_path):
     again = load_table(spark, d, "documents")
     assert again.count() == docs.count()
     assert again.schema == docs.schema
+
+
+def test_versioned_time_travel(spark, tmp_path):
+    """Each overwrite retains the predecessor: versions() lists newest
+    first with the current flagged, table_at() reads the pre-merge
+    state, and GC'd versions raise KeyError instead of reading junk."""
+    import pytest
+
+    from migrator_spark.sources.parquet import KEEP_VERSIONS, ParquetSource
+
+    src = ParquetSource(str(tmp_path))
+    src.write(spark.createDataFrame([(1, "a")], "id long, v string"), "t")
+    src.write(spark.createDataFrame([(1, "b"), (2, "c")], "id long, v string"), "t")
+    vs = src.versions("t")
+    assert len(vs) == 2 and vs[0]["is_current"] and not vs[1]["is_current"]
+    old = src.table_at(spark, "t", vs[1]["version"])
+    assert {r["v"] for r in old.collect()} == {"a"}
+    assert {r["v"] for r in src.table(spark, "t").collect()} == {"b", "c"}
+
+    # burn through the retention window; the oldest version is GC'd
+    first_version = vs[1]["version"]
+    for i in range(KEEP_VERSIONS + 1):
+        src.write(spark.createDataFrame([(i, "x")], "id long, v string"), "t")
+    with pytest.raises(KeyError, match="not retained"):
+        src.table_at(spark, "t", first_version)
+    assert len(src.versions("t")) == KEEP_VERSIONS + 1  # current + keep
