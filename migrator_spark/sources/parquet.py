@@ -339,3 +339,53 @@ class ParquetSource:
                 f"(KEEP_VERSIONS={KEEP_VERSIONS})"
             )
         return spark.read.parquet(vpath)
+
+    def diff_versions(
+        self,
+        spark: SparkSession,
+        name: str,
+        old_version: str,
+        new_version: str | None,
+        key_cols: list[str],
+    ) -> DataFrame:
+        """What changed between two retained versions — the merge-audit
+        read ("what did last night's CDC apply actually do?"). Returns
+        one row per changed key with ``_change`` ∈ INSERT/REMOVE/UPDATE.
+        ``new_version=None`` means the current table.
+
+        Full outer join on the key, change classification by presence
+        and row-hash inequality (60-bit stable hash over the non-key
+        columns, the replica-checksum fold) — unchanged rows never
+        leave the join, so output is proportional to the delta, and at
+        scale both sides prune to the joined key ranges.
+        """
+        from migrator_spark.functions.hashing import stable_hash64
+
+        old = self.table_at(spark, name, old_version)
+        new = (
+            self.table(spark, name)
+            if new_version is None
+            else self.table_at(spark, name, new_version)
+        )
+        non_keys = [c for c in new.columns if c not in key_cols]
+        def hashed(df: DataFrame, tag: str) -> DataFrame:
+            row_hash = stable_hash64(
+                F.concat_ws("|", *[F.col(c).cast("string") for c in non_keys])
+            )
+            return df.select(
+                *key_cols,
+                row_hash.alias(f"_h_{tag}"),
+                F.lit(True).alias(f"_in_{tag}"),
+            )
+
+        j = hashed(old, "old").join(hashed(new, "new"), on=key_cols, how="full_outer")
+        change = (
+            F.when(F.col("_in_old").isNull(), F.lit("INSERT"))
+            .when(F.col("_in_new").isNull(), F.lit("REMOVE"))
+            .when(F.col("_h_old") != F.col("_h_new"), F.lit("UPDATE"))
+        )
+        return (
+            j.withColumn("_change", change)
+            .filter(F.col("_change").isNotNull())
+            .select(*key_cols, "_change")
+        )

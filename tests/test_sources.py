@@ -220,3 +220,30 @@ def test_versioned_time_travel(spark, tmp_path):
     with pytest.raises(KeyError, match="not retained"):
         src.table_at(spark, "t", first_version)
     assert len(src.versions("t")) == KEEP_VERSIONS + 1  # current + keep
+
+
+def test_diff_versions_classifies_changes(spark, tmp_path):
+    """The merge audit between two retained versions reports exactly
+    the delta: inserted, removed, and updated keys — unchanged rows
+    never appear."""
+    from migrator_spark.sources.parquet import ParquetSource
+
+    src = ParquetSource(str(tmp_path))
+    src.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, v string, n long"
+        ),
+        "t",
+    )
+    src.write(
+        spark.createDataFrame(
+            [(2, "b", 20), (3, "c2", 30), (4, "d", 40)], "id long, v string, n long"
+        ),
+        "t",
+    )
+    old = src.versions("t")[1]["version"]
+    got = {
+        r["id"]: r["_change"]
+        for r in src.diff_versions(spark, "t", old, None, ["id"]).collect()
+    }
+    assert got == {1: "REMOVE", 3: "UPDATE", 4: "INSERT"}  # 2 unchanged, absent
