@@ -39,6 +39,7 @@ def pack_sequences(
     n_buckets: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    totals: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every document a position in a packed token stream.
 
@@ -60,6 +61,11 @@ def pack_sequences(
     cumulative sum is computed per bucket in parallel, shuffle volume
     is one row per document, and no stage sees more than one bucket's
     stream.
+
+    With ``totals`` (bucket, tokens_packed — see ``bucket_totals``),
+    each bucket's stream starts at its persisted end offset instead of
+    0: the incremental-append form (one broadcast of n_buckets rows on
+    top of the same single-window plan).
     """
     if token_budget <= 0:
         raise ValueError("token_budget must be positive")
@@ -77,11 +83,19 @@ def pack_sequences(
     )
     cum = F.sum("n_tokens").over(w)
     budget = int(token_budget)
+    start = cum - F.col("n_tokens")
+    if totals is not None:
+        base = base.join(
+            F.broadcast(totals.select("bucket", "tokens_packed")),
+            on="bucket",
+            how="left",
+        )
+        start = F.coalesce(F.col("tokens_packed"), F.lit(0)) + start
     offsets = base.select(
         id_col,
         "bucket",
         "n_tokens",
-        (cum - F.col("n_tokens")).alias("start_offset"),
+        start.alias("start_offset"),
     )
     # `div` (not floor of a float division): exact at any stream length
     chunk = F.expr(f"start_offset div {budget}")
@@ -139,40 +153,16 @@ def pack_sequences_incremental(
     packed before them, so the global hash-order interleave of a
     from-scratch repack is not reproduced — assignments are stable
     per-history, not history-independent.
+
+    Thin wrapper over ``pack_sequences(totals=...)`` — ONE copy of the
+    hash/window/chunk arithmetic keeps the no-history == from-scratch
+    invariant structurally true instead of test-enforced.
     """
-    if token_budget <= 0:
-        raise ValueError("token_budget must be positive")
-    hkey = stable_hash64(F.col(id_col).cast("string"))
-    base = new_docs.select(
-        F.col(id_col),
-        (hkey % F.lit(n_buckets)).cast("long").alias("bucket"),
-        hkey.alias("hkey"),
-        F.size(words(text_col)).cast("long").alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy(F.col("hkey").asc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum("n_tokens").over(w)
-    budget = int(token_budget)
-    offsets = base.join(
-        F.broadcast(totals.select("bucket", "tokens_packed")), on="bucket", how="left"
-    ).select(
-        id_col,
-        "bucket",
-        "n_tokens",
-        (
-            F.coalesce(F.col("tokens_packed"), F.lit(0)) + cum - F.col("n_tokens")
-        ).alias("start_offset"),
-    )
-    chunk = F.expr(f"start_offset div {budget}")
-    last_chunk = F.expr(f"(start_offset + n_tokens - 1) div {budget}")
-    return offsets.select(
-        id_col,
-        "bucket",
-        "n_tokens",
-        "start_offset",
-        chunk.alias("chunk_id"),
-        (last_chunk > chunk).alias("crosses_chunk"),
+    return pack_sequences(
+        new_docs,
+        token_budget,
+        n_buckets=n_buckets,
+        id_col=id_col,
+        text_col=text_col,
+        totals=totals,
     )

@@ -70,17 +70,27 @@ def load_default(
         return
 
     current = target.table(spark, table)
-    drift = set(data_cols) != set(current.columns)
-    if not drift:
+    extra_in_batch = set(data_cols) - set(current.columns)
+    missing_in_batch = set(current.columns) - set(data_cols)
+    if not extra_in_batch:
         methods = {r[0] for r in batch.select(ex.METHOD_COL).distinct().collect()}
         if methods <= {ex.M_INSERT}:
-            target.write(batch.select(*data_cols), table, mode="append")
+            # append fast path survives a batch MISSING target columns
+            # (a permanently dropped source column must not demote every
+            # later insert batch to a table rewrite): NULL-fill the
+            # missing columns so appended part-files keep the target's
+            # uniform schema
+            ins = batch
+            if missing_in_batch:
+                _, ins = ld.align_schemas(current, batch, META_COLS)
+            target.write(ins.select(*current.columns), table, mode="append")
             return
-    else:
+    if extra_in_batch or missing_in_batch:
         # additive schema evolution (the reference's schema-free rows do
-        # this implicitly): align both sides, merge, and REWRITE so the
-        # stored table carries one uniform evolved schema — appending a
-        # differently-shaped batch would leave mixed part-file schemas
+        # this implicitly): align both sides, merge, and REWRITE when the
+        # batch WIDENS the table so the stored files carry one uniform
+        # evolved schema — appending a wider batch would leave mixed
+        # part-file schemas
         current, batch = ld.align_schemas(current, batch, META_COLS)
     merged = ld.apply_cdc_batch(
         current, batch.select(*current.columns, ex.METHOD_COL, "_order", "_tie"),
@@ -139,6 +149,11 @@ def load_jdbc(
             mode="overwrite",
         )
         return
+    dropped = (
+        [c for c in target.table(spark, table).columns if c not in data_cols]
+        if target.exists(spark, table)
+        else []
+    )
     target.apply_cdc_txn(
         spark,
         table,
@@ -146,6 +161,7 @@ def load_jdbc(
         key_cols,
         method_col=ex.METHOD_COL,
         remove_method=ex.M_REMOVE,
+        null_cols=dropped,
     )
 
 
@@ -188,16 +204,25 @@ def load_pruned(
     ):
         load_default(spark, target, table, batch, it, params)
         return
-    if target.exists(spark, table) and set(data_cols) != set(
-        target.table(spark, table).columns
-    ):
-        # schema drift: the evolved table needs one uniform schema, so
-        # the (rare) evolving batch takes the full-rewrite path. The
-        # rewrite is not range-clustered, so pruning effectiveness
-        # degrades until the next compaction/recluster — correctness is
-        # unaffected (footer stats of wide files simply prune less).
-        load_default(spark, target, table, batch, it, params)
-        return
+    if target.exists(spark, table):
+        cur_cols = target.table(spark, table).columns
+        if set(data_cols) - set(cur_cols):
+            # batch WIDENS the table: the evolved table needs one
+            # uniform schema, so the (rare) evolving batch takes the
+            # full-rewrite path. The rewrite is not range-clustered, so
+            # pruning effectiveness degrades until the next
+            # compaction/recluster — correctness is unaffected (footer
+            # stats of wide files simply prune less).
+            load_default(spark, target, table, batch, it, params)
+            return
+        if set(cur_cols) - set(data_cols):
+            # batch MISSING target columns (dropped source column):
+            # NULL-fill and stay on the pruned fast path — a permanent
+            # drop must not permanently disable pruning
+            _, batch = ld.align_schemas(
+                target.table(spark, table), batch, META_COLS
+            )
+            data_cols = [c for c in batch.columns if c not in META_COLS]
     key = key_cols[0]
 
     methods = {r[0] for r in batch.select(ex.METHOD_COL).distinct().collect()}

@@ -114,7 +114,6 @@ def bootstrap_from_target(
         import os
 
         d = target._path(tgt_table)
-        root = d if os.path.isdir(d) else os.path.dirname(d)
         files = (
             [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
             if os.path.isdir(d)

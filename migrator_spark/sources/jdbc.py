@@ -179,9 +179,19 @@ class JdbcSource:
         key_cols: list[str],
         method_col: str = "_method",
         remove_method: str = "REMOVE",
+        null_cols: list[str] | None = None,
     ) -> None:
         """Apply a per-key-resolved CDC batch (data columns +
         ``method_col``) to a live JDBC table.
+
+        ``null_cols``: target columns the batch no longer carries
+        (dropped source columns). REPLACE semantics are full-row
+        replacement (MySQL REPLACE INTO = delete + reinsert,
+        batched_queries.go:21-23), so matched updates SET these to NULL
+        — without this, a replica loaded via JDBC would retain stale
+        pre-drop values where the parquet loaders (which rebuild the
+        full row) null them, and the two replicas of one CDC stream
+        would diverge by loader.
 
         1. stage: executors write the batch to a throwaway table with
            batched INSERTs (parallel, ``batchsize``-chunked);
@@ -200,8 +210,12 @@ class JdbcSource:
         self.write(batch, stage, mode="overwrite")
         data_cols = [c for c in batch.columns if c != method_col]
         non_keys = [c for c in data_cols if c not in key_cols]
+        dropped = [c for c in (null_cols or []) if c not in data_cols]
         on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
-        set_clause = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in non_keys)
+        set_clause = ", ".join(
+            [f"{_q(c)} = s.{_q(c)}" for c in non_keys]
+            + [f"{_q(c)} = NULL" for c in dropped]
+        )
         ins_cols = ", ".join(_q(c) for c in data_cols)
         ins_vals = ", ".join(f"s.{_q(c)}" for c in data_cols)
         # table names render via _qt: plain names pass through unquoted
@@ -218,7 +232,7 @@ class JdbcSource:
             f"WHEN MATCHED AND {is_remove} THEN DELETE "
             + (
                 f"WHEN MATCHED AND {not_remove} THEN UPDATE SET {set_clause} "
-                if non_keys
+                if set_clause
                 else ""
             )
             + f"WHEN NOT MATCHED AND {not_remove} "

@@ -299,7 +299,7 @@ class ParquetSource:
             key=os.path.getmtime,
             reverse=True,
         )
-        others = [v for v in versions if os.path.abspath(v) != current]
+        others = [v for v in versions if os.path.realpath(v) != current]
         for stale in others[keep:]:
             shutil.rmtree(stale, ignore_errors=True)
 
@@ -319,7 +319,7 @@ class ParquetSource:
             {
                 "version": os.path.basename(e.path),
                 "mtime": os.path.getmtime(e.path),
-                "is_current": os.path.abspath(e.path) == current,
+                "is_current": os.path.realpath(e.path) == current,
             }
             for e in os.scandir(vdir)
             if e.is_dir()
@@ -355,11 +355,21 @@ class ParquetSource:
 
         Full outer join on the key, change classification by presence
         and row-hash inequality (60-bit stable hash over the non-key
-        columns, the replica-checksum fold) — unchanged rows never
-        leave the join, so output is proportional to the delta, and at
-        scale both sides prune to the joined key ranges.
+        columns) — unchanged rows never leave the join, so output is
+        proportional to the delta, and at scale both sides prune to the
+        joined key ranges. Versions separated by a SCHEMA-EVOLVED merge
+        diff fine: both sides are aligned first (evolution-added
+        columns read NULL on the old side, so every pre-evolution row
+        whose new version now carries a value reports UPDATE — which is
+        the truth of what the merge wrote). The row hash NULL-tags each
+        column before folding (a NULL and an empty string hash
+        differently, and values cannot shift across column boundaries),
+        unlike replica_checksum's documented concat_ws trade — this is
+        a per-row change classifier, where a false "unchanged" defeats
+        the audit.
         """
         from migrator_spark.functions.hashing import stable_hash64
+        from migrator_spark.operators.load import align_schemas
 
         old = self.table_at(spark, name, old_version)
         new = (
@@ -367,14 +377,21 @@ class ParquetSource:
             if new_version is None
             else self.table_at(spark, name, new_version)
         )
-        non_keys = [c for c in new.columns if c not in key_cols]
+        old, new = align_schemas(old, new)
+        non_keys = sorted(c for c in new.columns if c not in key_cols)
+
         def hashed(df: DataFrame, tag: str) -> DataFrame:
-            row_hash = stable_hash64(
-                F.concat_ws("|", *[F.col(c).cast("string") for c in non_keys])
-            )
+            cells = [
+                F.concat_ws(
+                    "\x02",
+                    F.col(c).isNull().cast("string"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("")),
+                )
+                for c in non_keys
+            ]
             return df.select(
                 *key_cols,
-                row_hash.alias(f"_h_{tag}"),
+                stable_hash64(F.concat_ws("\x01", *cells)).alias(f"_h_{tag}"),
                 F.lit(True).alias(f"_in_{tag}"),
             )
 

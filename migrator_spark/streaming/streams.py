@@ -95,9 +95,9 @@ def cdc_apply_stream(
                 # additive schema evolution mid-stream (same contract
                 # as the batch loaders): the source gained or dropped
                 # a column between micro-batches; align and rewrite
-                current, cdc = ld.align_schemas(
-                    current, cdc, (ex.METHOD_COL, "_order", "_tie")
-                )
+                from migrator_spark.pipeline.loaders import META_COLS
+
+                current, cdc = ld.align_schemas(current, cdc, META_COLS)
             merged = ld.apply_cdc_batch(
                 current,
                 cdc.select(*current.columns, ex.METHOD_COL, "_order", "_tie"),

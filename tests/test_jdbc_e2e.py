@@ -236,17 +236,29 @@ def test_jdbc_schema_evolution_end_to_end(spark, derby):
     }
     assert got == {1: ("a", None), 2: ("b2", 2.5), 3: ("c", 9.9)}
 
-    # a later batch missing the evolved column merges fine (MERGE
-    # leaves the column untouched on UPDATE targets, NULL on INSERT)
+    # a later batch missing the evolved column: REPLACE semantics are
+    # full-row replacement (parquet-loader parity), so the replaced
+    # row's absent column goes NULL, inserts start NULL, and untouched
+    # rows keep their values
     batch2 = (
-        spark.createDataFrame([(4, "d", "INSERT")], "id long, name string, _m string")
+        spark.createDataFrame(
+            [(4, "d", "INSERT"), (3, "c9", "REPLACE")],
+            "id long, name string, _m string",
+        )
         .withColumnRenamed("_m", "_method")
         .withColumn("_order", F.col("id"))
         .withColumn("_tie", F.lit(0))
     )
     LOADERS["jdbc"](spark, derby, "evt", batch2, it, Parameters())
-    got = {r["id"]: r["name"] for r in derby.table(spark, "evt").collect()}
-    assert got == {1: "a", 2: "b2", 3: "c", 4: "d"}
+    got = {
+        r["id"]: (r["name"], r["score"]) for r in derby.table(spark, "evt").collect()
+    }
+    assert got == {
+        1: ("a", None),
+        2: ("b2", 2.5),   # untouched: keeps its value
+        3: ("c9", None),  # REPLACE without score -> NULLed (full-row)
+        4: ("d", None),
+    }
 
     # retyping an existing column is refused loudly, before any DDL
     bad = (

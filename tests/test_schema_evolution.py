@@ -184,3 +184,87 @@ def test_align_schemas_property(spark):
             assert rows[2][c] is not None
         for c in set(t_cols) - set(b_cols):
             assert rows[2][c] is None  # batch NULL-filled
+
+
+def test_dropped_column_keeps_append_fast_path(spark, tmp_path):
+    """After a source permanently drops a column, later all-INSERT
+    batches still APPEND (no table rewrite): the version count stays
+    flat while rows accumulate, and appended rows read NULL for the
+    dropped column."""
+    tgt = ParquetSource(str(tmp_path))
+    tgt.write(
+        spark.createDataFrame(
+            [(1, "a", 10)], "id long, name string, score long"
+        ),
+        "x",
+    )
+    v0 = len(tgt.versions("x"))
+    for wave in range(2):
+        batch = _batch(
+            spark,
+            [(10 + wave, f"w{wave}", "INSERT")],
+            "id long, name string, _m string",
+        )
+        LOADERS["default"](spark, tgt, "x", batch, IT, PARAMS)
+    assert len(tgt.versions("x")) == v0  # appended, never rewritten
+    out = {r["id"]: r["score"] for r in tgt.table(spark, "x").collect()}
+    assert out == {1: 10, 10: None, 11: None}
+
+
+def test_dropped_column_keeps_pruned_path(spark, tmp_path, monkeypatch):
+    """The pruned loader must NOT permanently fall back to full rewrite
+    for batches missing a dropped column: load_default is never called
+    once the key is prunable and only drops are involved."""
+    import migrator_spark.pipeline.loaders as L
+
+    tgt = ParquetSource(str(tmp_path))
+    seed = _batch(
+        spark,
+        [(i, f"n{i}", i * 10, "INSERT") for i in range(1, 9)],
+        "id long, name string, score long, _m string",
+    )
+    L.load_pruned(spark, tgt, "x", seed, IT, PARAMS)
+
+    calls = []
+    monkeypatch.setattr(
+        L, "load_default", lambda *a, **k: calls.append(1) or (_ for _ in ()).throw(
+            AssertionError("fell back to load_default")
+        )
+    )
+    batch = _batch(
+        spark, [(3, "c3", "REPLACE")], "id long, name string, _m string"
+    )
+    L.load_pruned(spark, tgt, "x", batch, IT, PARAMS)
+    assert not calls
+    out = {r["id"]: (r["name"], r["score"]) for r in tgt.table(spark, "x").collect()}
+    assert out[3] == ("c3", None) and out[1] == ("n1", 10) and len(out) == 8
+
+
+def test_diff_versions_across_evolution_and_null_shift(spark, tmp_path):
+    """diff_versions must survive a schema-evolved history (old version
+    lacks the new column) and must NOT report 'unchanged' when values
+    merely shift between columns or swap with NULLs."""
+    from migrator_spark.sources.parquet import ParquetSource as PS
+
+    src = PS(str(tmp_path))
+    src.write(
+        spark.createDataFrame(
+            [(1, "x", None), (2, "keep", "k")], "id long, a string, b string"
+        ),
+        "t",
+    )
+    # evolved + value-shifted: row 1 moves 'x' from a to b; row 2 same;
+    # new column c appears with a value for row 2
+    src.write(
+        spark.createDataFrame(
+            [(1, None, "x", None), (2, "keep", "k", "new")],
+            "id long, a string, b string, c string",
+        ),
+        "t",
+    )
+    old = src.versions("t")[1]["version"]
+    got = {
+        r["id"]: r["_change"]
+        for r in src.diff_versions(spark, "t", old, None, ["id"]).collect()
+    }
+    assert got == {1: "UPDATE", 2: "UPDATE"}

@@ -103,7 +103,10 @@ def _replicate_embeddings(emb: DataFrame, k: int) -> DataFrame:
 
 def build_scale(spark, sf_dir: str, k: int) -> str:
     d = BASE / str(k)
-    if (d / "_DONE").exists():
+    marker = d / "_DONE"
+    # cache keyed by SOURCE corpus too: a probe against a different
+    # sf_dir must not silently reuse replicas built from another one
+    if marker.exists() and marker.read_text() == sf_dir:
         return str(d)
     shutil.rmtree(d, ignore_errors=True)
     d.mkdir(parents=True)
@@ -113,7 +116,7 @@ def build_scale(spark, sf_dir: str, k: int) -> str:
     _replicate_embeddings(load_table(spark, sf_dir, "embeddings"), k).write.parquet(
         str(d / "embeddings.parquet")
     )
-    (d / "_DONE").touch()
+    marker.write_text(sf_dir)
     return str(d)
 
 
