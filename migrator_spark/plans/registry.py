@@ -129,7 +129,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),
     # ============ past the 50-entry cut ============
-    # sm4 and the five late-round-4 ops below landed after the round-4
+    # sm4 and the six late-round-4 ops below landed after the round-4
     # window settled; they head the round-5 never-graded queue alongside
     # the displaced r2 entries below
     "sm4_three_way_split": QuerySpec(
