@@ -1956,3 +1956,69 @@ SELECT doc_id, bucket, n_tokens, start_offset,
          > start_offset // {PK1_TOKEN_BUDGET} AS crosses_chunk
 FROM off
 """
+
+
+def cur4_pack_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's actual deliverable, end-to-end as ONE Catalyst
+    plan: quality gate (ta10's Gopher rules as a stateless filter) ->
+    deterministic sequence packing (pk1) — curated documents land in
+    fixed-512-token training sequences, junk never enters a stream.
+    cur1/cur2/cur3 end at a curated manifest; cur4 ends at what the
+    training job consumes.
+
+    Scale shape: the gate fuses into the scan projection (filter before
+    any shuffle), then packing's single bucket-partitioned window —
+    one exchange total, the dd9/cur2 no-extra-pass discipline."""
+    from migrator_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").filter(tx.gopher_passes())
+    return pack_sequences(
+        docs, token_budget=PK1_TOKEN_BUDGET, n_buckets=PK1_BUCKETS
+    )
+
+
+CUR4_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(len(string_split_regex({_NORM}, ' ')) AS BIGINT) AS n_words,
+         CAST(length(array_to_string(string_split_regex({_NORM}, ' '), ''))
+              AS BIGINT) AS n_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(string_split_regex({_NORM}, ' '),
+                              x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+           AS n_alpha_words,
+         CAST(len(list_filter(string_split_regex({_NORM}, ' '),
+                              x -> list_contains([{_TA10_STOP}], x))) AS BIGINT)
+           AS n_stop_hits
+  FROM documents
+),
+curated AS (
+  SELECT doc_id, n_words FROM m
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+    AND 10 * n_symbols < n_words
+    AND 5 * n_alpha_words >= 4 * n_words
+    AND n_stop_hits >= 2
+),
+base AS (
+  SELECT doc_id,
+         {H.format(x="CAST(doc_id AS VARCHAR)")} % {PK1_BUCKETS} AS bucket,
+         {H.format(x="CAST(doc_id AS VARCHAR)")} AS hkey,
+         n_words AS n_tokens
+  FROM curated
+),
+cum AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY hkey ASC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM base
+)
+SELECT doc_id, bucket, n_tokens, start_offset,
+       start_offset // {PK1_TOKEN_BUDGET} AS chunk_id,
+       (start_offset + n_tokens - 1) // {PK1_TOKEN_BUDGET}
+         > start_offset // {PK1_TOKEN_BUDGET} AS crosses_chunk
+FROM cum
+"""

@@ -129,7 +129,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "sim2_ivf_topk": QuerySpec(llmdata.sim2_ivf_topk, llmdata.SIM2_ORACLE),
     # ============ past the 50-entry cut ============
-    # sm4 and the six late-round-4 ops below landed after the round-4
+    # sm4 and the seven late-round-4 ops below landed after the round-4
     # window settled; they head the round-5 never-graded queue alongside
     # the displaced r2 entries below
     "sm4_three_way_split": QuerySpec(
@@ -141,6 +141,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pk2_incremental_packing": QuerySpec(
         llmdata.pk2_incremental_packing, llmdata.PK2_ORACLE
     ),
+    "cur4_pack_curated": QuerySpec(llmdata.cur4_pack_curated, llmdata.CUR4_ORACLE),
     "sim9_recall_eval": QuerySpec(llmdata.sim9_recall_eval, llmdata.SIM9_ORACLE),
     "fo3_asof_snapshot": QuerySpec(analytics.fo3_asof_snapshot, analytics.FO3_ORACLE),
     "ev8_transition_matrix": QuerySpec(

@@ -653,3 +653,13 @@ def test_sim9_both_topk_sides_bounded(spark, sf_dir):
     # the corpus
     plan = _plan(spark, sf_dir, "sim9_recall_eval")
     assert len(re.findall(r"\n\(\d+\) TakeOrderedAndProject", plan)) == 2, plan
+
+
+def test_cur4_gate_fuses_into_scan_one_exchange(spark, sf_dir):
+    # the quality gate is a stateless filter evaluated before any
+    # shuffle; packing adds the single bucket-partitioned window —
+    # one exchange in the whole curate-and-pack plan, no join
+    plan = _plan(spark, sf_dir, "cur4_pack_curated")
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 1, plan
