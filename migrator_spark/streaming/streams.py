@@ -346,3 +346,83 @@ def curation_ingest_stream(
         .filter(F.col("_rn") == 1)
         .select(id_col, ts_col, text_col, "text_hash")
     )
+
+
+def continuous_packing_stream(
+    spark: SparkSession,
+    curated: DataFrame,
+    manifest_dir: str,
+    state_root: str,
+    checkpoint_dir: str,
+    token_budget: int,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous training-data production: pack each curated
+    micro-batch incrementally into the running token streams — the
+    last pipeline stage after ``curation_ingest_stream``, so crawl
+    shards flow in and packed-sequence manifests flow out without ever
+    re-packing the corpus.
+
+    Exactly-once across crashes, by construction rather than hope:
+
+    - the per-batch manifest writes to a DETERMINISTIC partition
+      (``manifest_dir/batch_id=N``, mode=overwrite) — a replayed batch
+      rewrites the same partition byte-for-byte instead of appending a
+      duplicate;
+    - per-bucket totals + the applied batch id live in ONE versioned-
+      parquet state table (atomic symlink swap, ParquetSource), written
+      AFTER the manifest: a crash between the two writes replays the
+      batch, which re-derives the same offsets from the same pre-batch
+      totals and overwrites the same partition;
+    - a replayed batch whose id is already recorded in the state is
+      skipped outright (both writes are known complete).
+
+    Per batch the work is O(batch) + an n_buckets-row state read/write
+    (pack_sequences' single partitioned window with the totals
+    broadcast); the packed history is never rescanned.
+    """
+    from migrator_spark.operators.packing import pack_sequences
+    from migrator_spark.sources.parquet import ParquetSource
+
+    state = ParquetSource(state_root)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        totals = None
+        if state.exists(spark, "pack_state"):
+            st = state.table(spark, "pack_state")
+            last = st.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and batch_id <= last:
+                return  # both writes of this batch are known complete
+            totals = st.select("bucket", "tokens_packed")
+        packed = pack_sequences(
+            batch.select(id_col, text_col),
+            token_budget,
+            n_buckets=n_buckets,
+            id_col=id_col,
+            text_col=text_col,
+            totals=totals,
+        )
+        packed.write.mode("overwrite").parquet(f"{manifest_dir}/batch_id={batch_id}")
+        ends = packed.groupBy("bucket").agg(
+            F.max(F.col("start_offset") + F.col("n_tokens")).alias("tokens_packed")
+        )
+        if totals is not None:
+            carried = totals.join(ends.select("bucket"), on="bucket", how="left_anti")
+            ends = ends.unionByName(carried)
+        state.write(
+            ends.withColumn("last_batch_id", F.lit(batch_id)), "pack_state"
+        )
+
+    writer = (
+        curated.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

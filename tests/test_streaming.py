@@ -433,3 +433,125 @@ def test_curation_ingest_stream_gates_and_dedups_across_batches(spark, tmp_path)
         spark.createDataFrame(wave1 + wave2, schema), min_words=20
     )
     assert {r["doc_id"] for r in batch.collect()} == {1, 4}
+
+
+def test_continuous_packing_stream_exactly_once_across_batches(spark, tmp_path):
+    """Curate-and-pack as a running stream: two shard waves pack
+    incrementally (each bucket's offsets continue where the previous
+    batch ended), every doc lands exactly once, a RESTART with a third
+    wave appends without disturbing or duplicating earlier sequences,
+    and the state table carries the exact per-bucket token totals."""
+    import time
+
+    from migrator_spark.streaming.streams import continuous_packing_stream
+
+    schema = "doc_id long, text string"
+    in_dir = str(tmp_path / "in")
+    man_dir, st_dir, ckpt = (str(tmp_path / d) for d in ("man", "st", "ck"))
+
+    def docs(lo, hi):
+        return [(i, " ".join(f"w{i}_{j}" for j in range(3 + i % 5))) for i in range(lo, hi)]
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = continuous_packing_stream(
+            spark, stream, man_dir, st_dir, ckpt, token_budget=16, n_buckets=4
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(docs(0, 30), schema).coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)
+    spark.createDataFrame(docs(30, 50), schema).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    manifest = spark.read.parquet(man_dir).collect()
+    assert len(manifest) == 50 and len({r["doc_id"] for r in manifest}) == 50
+    # per-bucket offsets tile contiguously ACROSS micro-batches
+    by_bucket: dict[int, list] = {}
+    for r in manifest:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    totals = {}
+    for bkt, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["start_offset"])
+        pos = 0
+        for r in rs:
+            assert r["start_offset"] == pos, (bkt, pos, r)
+            pos += r["n_tokens"]
+        totals[bkt] = pos
+    from migrator_spark.sources.parquet import ParquetSource
+
+    st = {
+        r["bucket"]: r["tokens_packed"]
+        for r in ParquetSource(st_dir).table(spark, "pack_state").collect()
+    }
+    assert st == totals
+
+    # restart with a third wave: strictly additive
+    spark.createDataFrame(docs(50, 60), schema).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    after = spark.read.parquet(man_dir).collect()
+    assert len(after) == 60 and len({r["doc_id"] for r in after}) == 60
+    prev = {r["doc_id"]: (r["bucket"], r["start_offset"]) for r in manifest}
+    now = {r["doc_id"]: (r["bucket"], r["start_offset"]) for r in after}
+    assert all(now[d] == prev[d] for d in prev)  # history untouched
+
+
+def test_continuous_packing_replay_is_idempotent(spark, tmp_path):
+    """Forced crash-replay: deleting the last checkpoint commit makes
+    Spark re-run that micro-batch on restart — the deterministic
+    manifest partition is rewritten, not duplicated, and the state
+    skip-guard leaves totals unchanged."""
+    import os
+    import time
+
+    from migrator_spark.sources.parquet import ParquetSource
+    from migrator_spark.streaming.streams import continuous_packing_stream
+
+    schema = "doc_id long, text string"
+    in_dir = str(tmp_path / "in")
+    man_dir, st_dir, ckpt = (str(tmp_path / d) for d in ("man", "st", "ck"))
+    spark.createDataFrame(
+        [(i, f"a b c d{i}") for i in range(20)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(i, f"x y z{i}") for i in range(20, 35)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = continuous_packing_stream(
+            spark, stream, man_dir, st_dir, ckpt, token_budget=8, n_buckets=2
+        )
+        q.awaitTermination(180)
+
+    run()
+    before = sorted(
+        (r["doc_id"], r["bucket"], r["start_offset"])
+        for r in spark.read.parquet(man_dir).collect()
+    )
+    state_before = sorted(
+        map(tuple, ParquetSource(st_dir).table(spark, "pack_state").collect())
+    )
+    # simulate a crash AFTER the sink writes but BEFORE the engine
+    # commits: drop the newest commit marker -> that batch replays
+    commits = sorted(
+        f for f in os.listdir(ckpt + "/commits") if not f.startswith(".")
+    )
+    os.remove(ckpt + "/commits/" + commits[-1])
+    crc = ckpt + "/commits/." + commits[-1] + ".crc"
+    if os.path.exists(crc):  # local-FS checksum shadow of the commit
+        os.remove(crc)
+    run()
+    after = sorted(
+        (r["doc_id"], r["bucket"], r["start_offset"])
+        for r in spark.read.parquet(man_dir).collect()
+    )
+    state_after = sorted(
+        map(tuple, ParquetSource(st_dir).table(spark, "pack_state").collect())
+    )
+    assert after == before and state_after == state_before
