@@ -134,3 +134,62 @@ def epoch_plan(
             F.floor(F.col("epochs") * F.col("tokens").cast("double")).cast("long"),
         )
     )
+
+
+def select_token_budget(
+    scored: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Quality-ranked data selection under a token budget: order docs
+    by (score DESC, id ASC) and keep the maximal prefix whose running
+    token sum stays <= ``token_budget`` — the "take the best N tokens"
+    step every budgeted pretraining mix ends with (mx2 plans epochs per
+    SOURCE; this selects individual DOCUMENTS against the budget).
+
+    Semantics (exact, integer): doc d is kept iff
+    cumsum(tokens, over (score DESC, id ASC), through d) <= budget.
+
+    Scale: a single global running sum would serialize the corpus
+    through ONE window partition, so the cumsum is split two-level —
+    (1) groupBy(score) token subtotals (one partial-aggregated shuffle
+    of |distinct scores| rows) plus a groups-sized window for each
+    score group's running START, then (2) one broadcast join maps away
+    every group that starts at or past the budget BEFORE any shuffle,
+    so the per-doc window (partitioned by score, ordered by id) only
+    ever moves the candidate groups — a volume bounded by the budget
+    itself plus the boundary group's remainder, independent of corpus
+    size. Groups that fit entirely pass the uniform predicate
+    start + running <= budget trivially; the boundary group keeps its
+    prefix. Exactly two corpus scans (subtotal pass + output pass),
+    the same discipline as mixture_plan; the skew ceiling is one score
+    value's candidate token mass in one window partition.
+    """
+    pd = scored.select(
+        F.col(id_col), F.col(score_col).alias("_s"), F.col(tokens_col).alias("_t")
+    )
+    wg = Window.orderBy(F.col("_s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grp = (
+        pd.groupBy("_s")
+        .agg(F.sum("_t").alias("_gt"))
+        .withColumn("_before", F.sum("_gt").over(wg) - F.col("_gt"))
+        .filter(F.col("_before") < token_budget)
+        .select("_s", "_before")
+    )
+    wd = Window.partitionBy("_s").orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        pd.join(F.broadcast(grp), "_s")
+        .withColumn("_cum", F.col("_before") + F.sum("_t").over(wd))
+        .filter(F.col("_cum") <= token_budget)
+        .select(
+            F.col(id_col),
+            F.col("_s").cast("long").alias(score_col),
+            F.col("_t").cast("long").alias(tokens_col),
+        )
+    )

@@ -431,3 +431,108 @@ def gopher_quality_gate(
             r_word_count & r_mean_word_len & r_symbol_ratio & r_alpha_words & r_stopwords
         ).alias("passes_gate"),
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ranked keyword search under BM25 (Robertson/Spärck Jones), the
+    production upgrade of ``keyword_search``'s plain TF-IDF: per-term
+
+        idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    with the log-free rational IDF  (N − df + 0.5)/(df + 0.5)  — a
+    monotone transform of the classic log-IDF (same ordering) chosen,
+    exactly as in ``keyword_search``, because every step is then a
+    single IEEE add/multiply/divide on identical operands in any
+    engine: no log(), so the oracle checks scores bit-for-bit.
+    Determinism details: avgdl is an exact-integer sum divided once
+    (never a float mean, whose summation order varies by engine), and
+    the per-term parts accumulate left-to-right in query order.
+
+    Scale shape identical to keyword_search: corpus stats (N, Σdl,
+    per-term df) are ONE aggregate row broadcast back over the pruned
+    (id, text) scan — no shuffle of documents, top-k via
+    TakeOrderedAndProject.
+    """
+    w = words(text_col)
+    dl = F.size(w)
+    stats = docs.select(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dl.cast("long")).alias("_sumdl"),
+        *[
+            F.count_if(F.array_contains(w, t)).alias(f"_df{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    # 1 − b and k1 + 1 are pre-folded in PYTHON so both engines see one
+    # double literal each (folding them engine-side could round-trip
+    # through a different intermediate)
+    norm = F.lit(1.0 - b) + F.lit(b) * (dl.cast("double") / avgdl)
+    def term_freq(term: str) -> Column:
+        # closure, not a default arg: a 2-arg lambda would make
+        # F.filter pass the element *index* as the second argument
+        return F.size(F.filter(w, lambda x: x == F.lit(term)))
+
+    score = None
+    for i, t in enumerate(terms):
+        tf = term_freq(t).cast("double")
+        idf = (
+            F.col("_n").cast("double") - F.col(f"_df{i}").cast("double") + F.lit(0.5)
+        ) / (F.col(f"_df{i}").cast("double") + F.lit(0.5))
+        part = idf * ((tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm))
+        score = part if score is None else score + part
+    return (
+        docs.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def chunk_overlap(
+    docs: DataFrame,
+    window: int = 40,
+    stride: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style sliding-window chunking: overlapping ``window``-word
+    chunks every ``stride`` words (overlap = window − stride), the
+    retrieval-corpus complement of dd9's NON-overlapping boilerplate
+    chunks. Chunk count is 1 + ceil(max(len − window, 0)/stride) so the
+    final chunk always reaches the document's last word and short docs
+    yield exactly one chunk; ceil is exact-integer ((x + stride−1) div
+    stride — no float enters any boundary decision).
+
+    Scale: one narrow explode per document — output rows ≈ len/stride
+    per doc, each carrying ~window words; no shuffle at all (the
+    explode is map-side), so this composes with downstream embed /
+    index stages as a pure scan transform.
+    """
+    w = words(text_col)
+    extra = F.greatest(F.size(w) - F.lit(window), F.lit(0))
+    n_chunks = (
+        F.floor((extra + F.lit(stride - 1)).cast("double") / F.lit(float(stride)))
+    ).cast("long") + F.lit(1).cast("long")
+    base = docs.select(F.col(id_col), w.alias("_w"), n_chunks.alias("_nc"))
+    j = F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nc") - 1)).alias(
+        "chunk_id"
+    )
+    piece = F.slice(F.col("_w"), (F.col("chunk_id") * stride + 1).cast("int"), window)
+    return (
+        base.select(F.col(id_col), F.col("_w"), j)
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.array_join(piece, " ").alias("chunk"),
+            F.size(piece).cast("long").alias("n_words"),
+        )
+    )

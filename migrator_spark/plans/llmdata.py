@@ -2022,3 +2022,123 @@ SELECT doc_id, bucket, n_tokens, start_offset,
          > start_offset // {PK1_TOKEN_BUDGET} AS crosses_chunk
 FROM cum
 """
+
+
+# ------------------------------------------- BM25 search (fts2)
+
+FTS2_K1, FTS2_B = 1.2, 0.75
+
+
+def fts2_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked search (textops.bm25_search): top-15 docs for the
+    same 3-term query as fts1, scored under BM25 with the log-free
+    rational IDF — scores differentially checked bit-for-bit (see the
+    operator docstring for the determinism argument: no log(), exact
+    integer Σdl, fixed per-term accumulation order)."""
+    return tx.bm25_search(
+        load_table(spark, sf_dir, "documents"), FTS_TERMS, k=15, k1=FTS2_K1, b=FTS2_B
+    )
+
+
+_FTS2_DFS = ", ".join(
+    f"CAST(count_if(list_contains(w, '{t}')) AS DOUBLE) AS df{i}"
+    for i, t in enumerate(FTS_TERMS)
+)
+# literals pre-folded in Python (repr round-trips the exact double) so
+# the SQL parses to bit-identical constants to the Spark F.lit()s
+_FTS2_NORM = f"({1.0 - FTS2_B!r} + ({FTS2_B!r} * (CAST(len(w) AS DOUBLE) / avgdl)))"
+_FTS2_SCORE = " + ".join(
+    f"(((n - df{i} + 0.5) / (df{i} + 0.5))"
+    f" * ((CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE) * {FTS2_K1 + 1.0!r})"
+    f" / (CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE)"
+    f" + ({FTS2_K1!r} * {_FTS2_NORM}))))"
+    for i, t in enumerate(FTS_TERMS)
+)
+
+FTS2_ORACLE = f"""
+WITH {DOCS_CTE},
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(len(w)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {_FTS2_DFS}
+  FROM docs
+)
+SELECT doc_id, {_FTS2_SCORE} AS score
+FROM docs, stats
+ORDER BY score DESC, doc_id ASC
+LIMIT 15
+"""
+
+
+# ------------------------------------------- overlapping chunks (ch1)
+
+CH1_WINDOW, CH1_STRIDE = 40, 30
+
+
+def ch1_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking (textops.chunk_overlap): 40-word windows every 30
+    words (10-word overlap) over the documents table — the
+    retrieval-corpus preparation step; exact string equality against
+    the oracle's slice arithmetic."""
+    return tx.chunk_overlap(
+        load_table(spark, sf_dir, "documents"), window=CH1_WINDOW, stride=CH1_STRIDE
+    )
+
+
+CH1_ORACLE = f"""
+WITH {DOCS_CTE},
+base AS (
+  SELECT doc_id, w,
+         CAST(floor((greatest(len(w) - {CH1_WINDOW}, 0) + {CH1_STRIDE - 1})
+                    / {float(CH1_STRIDE)!r}) AS BIGINT) + 1 AS nc
+  FROM docs
+)
+SELECT doc_id, j AS chunk_id,
+       array_to_string(w[j*{CH1_STRIDE}+1 : j*{CH1_STRIDE}+{CH1_WINDOW}], ' ') AS chunk,
+       CAST(len(w[j*{CH1_STRIDE}+1 : j*{CH1_STRIDE}+{CH1_WINDOW}]) AS BIGINT) AS n_words
+FROM base, LATERAL unnest(generate_series(0, nc - 1)) AS t(j)
+"""
+
+
+# ------------------------------------------- token-budget selection (cur5)
+
+CUR5_BUDGET = 6000  # tokens; a strict subset at every test SF
+
+
+def cur5_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted data selection (mixture.select_token_budget): rank docs
+    by English-stopword hits (integer naturalness proxy, the Gopher
+    rule's counting leg) and keep the maximal (score DESC, doc_id)
+    prefix whose token sum fits CUR5_BUDGET. The oracle states the
+    semantics as ONE global window cumsum; the Spark plan is the
+    two-level decomposition (group subtotals + boundary-group-only
+    per-doc window) that avoids serializing the corpus through a
+    single window partition — same rows either way, all-integer."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words("text")
+    scored = docs.select(
+        F.col("doc_id"),
+        F.size(F.filter(w, lambda x: F.array_contains(
+            F.array(*[F.lit(s) for s in tx.STOPWORDS["en"]]), x))).alias("score"),
+        F.size(w).alias("n_tokens"),
+    )
+    return mx.select_token_budget(scored, CUR5_BUDGET)
+
+
+CUR5_ORACLE = f"""
+WITH {DOCS_CTE},
+pd AS (
+  SELECT doc_id,
+         CAST(len(list_filter(w, x -> list_contains([{{stop}}], x))) AS BIGINT)
+           AS score,
+         CAST(len(w) AS BIGINT) AS n_tokens
+  FROM docs
+),
+c AS (
+  SELECT doc_id, score, n_tokens,
+         sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pd
+)
+SELECT doc_id, score, n_tokens FROM c WHERE cum <= {CUR5_BUDGET}
+""".replace("{stop}", _TA10_STOP)

@@ -46,8 +46,10 @@ class QuerySpec:
 # bench-neutral.
 REGISTRY: dict[str, QuerySpec] = {
     # ======== graded prefix (round 4): stalest-first round-robin ========
-    # never-driver-graded sketch + the r1 rows-only sketch: every one of
-    # the 123 entries now has a driver row of some kind (VERDICT r3 #2)
+    # never-driver-graded sketch + the r1 rows-only sketch: every entry
+    # that existed when this window was composed (123 at the time) gets
+    # a driver row of some kind after round 4 (VERDICT r3 #2); the ops
+    # added later this round sit at the tail awaiting round 5's window
     "pr6_approx_percentiles": QuerySpec(
         llmdata.pr6_approx_percentiles, None, note="KLL-style sketch, rows-only"
     ),
@@ -278,6 +280,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "dd6b_dup_clusters_star": QuerySpec(
         llmdata.dd6b_dup_clusters_star, llmdata.DD6_ORACLE
     ),
+    # --- late round-4 additions (never graded): appended at the tail
+    # per the rotation policy — they head round 5's window together
+    # with the r2-green queue above ---
+    "fts2_bm25_search": QuerySpec(llmdata.fts2_bm25_search, llmdata.FTS2_ORACLE),
+    "ch1_overlap_chunks": QuerySpec(llmdata.ch1_overlap_chunks, llmdata.CH1_ORACLE),
+    "cur5_token_budget": QuerySpec(llmdata.cur5_token_budget, llmdata.CUR5_ORACLE),
 }
 
 

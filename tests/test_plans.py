@@ -663,3 +663,39 @@ def test_cur4_gate_fuses_into_scan_one_exchange(spark, sf_dir):
     assert "Join" not in plan, plan
     assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
     assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_fts2_stats_broadcast_and_topk(spark, sf_dir):
+    # BM25 inherits fts1's shape: the one-row corpus stats (N, Σdl,
+    # per-term df) broadcast over the scoring scan; top-15 via
+    # TakeOrderedAndProject, never a global sort of all scores
+    plan = _plan(spark, sf_dir, "fts2_bm25_search")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Broadcast" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_ch1_chunking_is_mapside_only(spark, sf_dir):
+    # overlapping chunking is a pure scan transform (generate + slice);
+    # ANY exchange here would mean the explode shuffles the corpus
+    plan = _plan(spark, sf_dir, "ch1_overlap_chunks")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+    # reads only (id, text)
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), plan
+
+
+def test_cur5_candidate_groups_broadcast_before_window(spark, sf_dir):
+    # the per-doc window must see only candidate score-groups: the
+    # groups-side (subtotal + running-start, filtered to start<budget)
+    # broadcasts back onto the corpus scan, so the only corpus-sized
+    # exchange is the window's hash partitioning of the CANDIDATE rows
+    # — never a sort-merge join, never a global (empty-key) window over
+    # the corpus (the only unpartitioned window is on the groups side)
+    plan = _plan(spark, sf_dir, "cur5_token_budget")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the per-doc running sum is partitioned (hashpartitioning on the
+    # score key feeds it); the single unpartitioned window lives on the
+    # groups-sized subtotal side only
+    assert "Window" in plan and "hashpartitioning" in plan, plan
