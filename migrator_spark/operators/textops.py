@@ -441,6 +441,7 @@ def bm25_search(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_id_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Ranked keyword search under BM25 (Robertson/Spärck Jones), the
     production upgrade of ``keyword_search``'s plain TF-IDF: per-term
@@ -459,7 +460,9 @@ def bm25_search(
     Scale shape identical to keyword_search: corpus stats (N, Σdl,
     per-term df) are ONE aggregate row broadcast back over the pruned
     (id, text) scan — no shuffle of documents, top-k via
-    TakeOrderedAndProject.
+    TakeOrderedAndProject. ``extra_id_cols`` ride through unscored
+    (deterministic tiebreak order), letting the same operator rank any
+    unit with a composite identity — e.g. (doc_id, chunk_id) passages.
     """
     w = words(text_col)
     dl = F.size(w)
@@ -489,10 +492,11 @@ def bm25_search(
         ) / (F.col(f"_df{i}").cast("double") + F.lit(0.5))
         part = idf * ((tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm))
         score = part if score is None else score + part
+    extras = [F.col(c) for c in extra_id_cols]
     return (
         docs.crossJoin(F.broadcast(stats))
-        .select(F.col(id_col), score.alias("score"))
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .select(F.col(id_col), *extras, score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc(), *extras)
         .limit(k)
     )
 

@@ -2142,3 +2142,70 @@ c AS (
 )
 SELECT doc_id, score, n_tokens FROM c WHERE cum <= {CUR5_BUDGET}
 """.replace("{stop}", _TA10_STOP)
+
+
+# ------------------------------------------- passage retrieval (fts3)
+
+
+def fts3_passage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG passage retrieval: ch1's overlapping chunks ranked by BM25
+    (fts2's scorer over the CHUNK corpus — chunk-level N/df/avgdl, so a
+    term rare across passages but dense in one scores that passage
+    high). Pure composition: chunk_overlap |> bm25_search with the
+    (doc_id, chunk_id) composite identity riding through — the
+    retrieval step a RAG stack runs per query, here differentially
+    checked bit-for-bit end-to-end through BOTH operators."""
+    chunks = tx.chunk_overlap(
+        load_table(spark, sf_dir, "documents"), window=CH1_WINDOW, stride=CH1_STRIDE
+    )
+    return tx.bm25_search(
+        chunks,
+        FTS_TERMS,
+        k=10,
+        k1=FTS2_K1,
+        b=FTS2_B,
+        id_col="doc_id",
+        text_col="chunk",
+        extra_id_cols=("chunk_id",),
+    )
+
+
+# chunk word array: the ch1 slice itself (chunks are already
+# normalized, so re-splitting the joined string is the identity)
+_FTS3_CW = f"w[j*{CH1_STRIDE}+1 : j*{CH1_STRIDE}+{CH1_WINDOW}]"
+_FTS3_DFS = ", ".join(
+    f"CAST(count_if(list_contains(cw, '{t}')) AS DOUBLE) AS df{i}"
+    for i, t in enumerate(FTS_TERMS)
+)
+_FTS3_SCORE = " + ".join(
+    f"(((n - df{i} + 0.5) / (df{i} + 0.5))"
+    f" * ((CAST(len(list_filter(cw, x -> x = '{t}')) AS DOUBLE) * {FTS2_K1 + 1.0!r})"
+    f" / (CAST(len(list_filter(cw, x -> x = '{t}')) AS DOUBLE)"
+    f" + ({FTS2_K1!r} * ({1.0 - FTS2_B!r} + ({FTS2_B!r} *"
+    f" (CAST(len(cw) AS DOUBLE) / avgdl)))))))"
+    for i, t in enumerate(FTS_TERMS)
+)
+
+FTS3_ORACLE = f"""
+WITH {DOCS_CTE},
+base AS (
+  SELECT doc_id, w,
+         CAST(floor((greatest(len(w) - {CH1_WINDOW}, 0) + {CH1_STRIDE - 1})
+                    / {float(CH1_STRIDE)!r}) AS BIGINT) + 1 AS nc
+  FROM docs
+),
+ch AS (
+  SELECT doc_id, j AS chunk_id, {_FTS3_CW} AS cw
+  FROM base, LATERAL unnest(generate_series(0, nc - 1)) AS t(j)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(len(cw)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {_FTS3_DFS}
+  FROM ch
+)
+SELECT doc_id, chunk_id, {_FTS3_SCORE} AS score
+FROM ch, stats
+ORDER BY score DESC, doc_id ASC, chunk_id ASC
+LIMIT 10
+"""

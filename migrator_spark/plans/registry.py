@@ -286,6 +286,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "fts2_bm25_search": QuerySpec(llmdata.fts2_bm25_search, llmdata.FTS2_ORACLE),
     "ch1_overlap_chunks": QuerySpec(llmdata.ch1_overlap_chunks, llmdata.CH1_ORACLE),
     "cur5_token_budget": QuerySpec(llmdata.cur5_token_budget, llmdata.CUR5_ORACLE),
+    "fts3_passage_search": QuerySpec(
+        llmdata.fts3_passage_search, llmdata.FTS3_ORACLE
+    ),
 }
 
 

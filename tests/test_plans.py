@@ -699,3 +699,16 @@ def test_cur5_candidate_groups_broadcast_before_window(spark, sf_dir):
     # score key feeds it); the single unpartitioned window lives on the
     # groups-sized subtotal side only
     assert "Window" in plan and "hashpartitioning" in plan, plan
+
+
+def test_fts3_passage_search_no_corpus_shuffle(spark, sf_dir):
+    # chunking is map-side (Generate), chunk-corpus stats broadcast
+    # back, top-10 via TakeOrderedAndProject — the ONLY exchanges in
+    # the whole two-operator composition are the one-row stats
+    # aggregate's; no exchange ever carries chunk rows
+    plan = _plan(spark, sf_dir, "fts3_passage_search")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Generate" in plan, plan
+    assert "Broadcast" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), plan

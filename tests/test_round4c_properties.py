@@ -116,3 +116,22 @@ def test_select_token_budget_edge_budgets(spark):
     assert select_token_budget(scored, 0).count() == 0
     assert select_token_budget(scored, 49).count() == 0  # best doc too big
     assert select_token_budget(scored, 1_000_000).count() == 2  # all fit
+
+
+def test_fts3_ranks_term_dense_passage_first(spark):
+    # one doc hides a query-term-dense span deep inside filler; passage
+    # retrieval must surface THAT chunk, not chunk 0 of any doc
+    filler = " ".join(f"f{i}" for i in range(60))
+    hot = " ".join(["needle haystack"] * 5)
+    docs = spark.createDataFrame(
+        [(0, f"{filler} {hot} {filler}"), (1, filler), (2, filler)],
+        "doc_id long, text string",
+    )
+    from migrator_spark.operators.textops import bm25_search, chunk_overlap
+
+    chunks = chunk_overlap(docs, window=10, stride=10)
+    top = bm25_search(
+        chunks, ["needle"], k=1, id_col="doc_id", text_col="chunk",
+        extra_id_cols=("chunk_id",),
+    ).collect()[0]
+    assert top["doc_id"] == 0 and top["chunk_id"] == 6  # the hot span
