@@ -811,3 +811,45 @@ def remove_dup_spans(
         n_words.cast("long").alias("n_words"),
         (n_words - F.size(kept)).cast("long").alias("n_removed_words"),
     )
+
+
+def source_dup_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source duplication report: the table a curation run reads to
+    decide which SOURCES to keep, not which documents — (n_docs,
+    distinct contents, within-source duplicate copies, and docs whose
+    content also appears in at least one OTHER source). High
+    within-source duplication means a crawler re-fetching itself;
+    high cross-source counts mean a mirror/aggregator whose mass is
+    already covered elsewhere (the dataset-level complement of dd1's
+    per-document keep/drop).
+
+    Shape: hash each doc once (dd1's stable 60-bit hash), one
+    groupBy(hash) computing each content's distinct-source span, join
+    that span back on the hash (uniform key, skew-free — never on raw
+    text), then one partial-aggregated groupBy(source) for the report.
+    Two shuffles on the uniform hash + one on the tiny source key; all
+    exact integer counts, no text ever moves after the hash pass.
+    """
+    h = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        stable_hash64(normalized_text(text_col)).alias("th"),
+    )
+    span = h.groupBy("th").agg(
+        F.countDistinct(group_col).alias("_ns")
+    )
+    return (
+        h.join(span, "th")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("th").alias("n_unique_texts"),
+            (F.count(F.lit(1)) - F.countDistinct("th")).alias("n_dup_copies"),
+            F.count_if(F.col("_ns") > 1).alias("n_cross_source_docs"),
+        )
+    )

@@ -2209,3 +2209,29 @@ FROM ch, stats
 ORDER BY score DESC, doc_id ASC, chunk_id ASC
 LIMIT 10
 """
+
+
+# ------------------------------------------- per-source dup report (dr1)
+
+
+def dr1_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report (dedup.source_dup_report): doc
+    counts, distinct contents, within-source duplicate copies, and
+    cross-source content leakage, one row per source — the
+    source-level decision table in front of dd1's doc-level dedup."""
+    return dd.source_dup_report(load_table(spark, sf_dir, "documents"))
+
+
+DR1_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, source, {H_NORM} AS th FROM documents
+),
+x AS (SELECT th, count(DISTINCT source) AS ns FROM h GROUP BY th)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT th) AS BIGINT) AS n_unique_texts,
+       CAST(count(*) - count(DISTINCT th) AS BIGINT) AS n_dup_copies,
+       CAST(count_if(ns > 1) AS BIGINT) AS n_cross_source_docs
+FROM h JOIN x USING (th)
+GROUP BY source
+"""

@@ -289,6 +289,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "fts3_passage_search": QuerySpec(
         llmdata.fts3_passage_search, llmdata.FTS3_ORACLE
     ),
+    "dr1_source_dup_report": QuerySpec(
+        llmdata.dr1_source_dup_report, llmdata.DR1_ORACLE
+    ),
 }
 
 

@@ -135,3 +135,27 @@ def test_fts3_ranks_term_dense_passage_first(spark):
         extra_id_cols=("chunk_id",),
     ).collect()[0]
     assert top["doc_id"] == 0 and top["chunk_id"] == 6  # the hot span
+
+
+def test_source_dup_report_counts(spark):
+    # src a: 3 docs, one within-source dup pair; its 'shared' content
+    # also lives in src b (cross-source for BOTH sides); src b adds a
+    # unique doc. Hand-checked expectations per source.
+    from migrator_spark.operators.dedup import source_dup_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "shared text"),
+            (1, "a", "shared text"),   # within-a duplicate of 0
+            (2, "a", "only in a"),
+            (3, "b", "shared text"),   # cross-source copy
+            (4, "b", "only in b"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rep = {r["source"]: r for r in source_dup_report(docs).collect()}
+    a, b = rep["a"], rep["b"]
+    assert (a["n_docs"], a["n_unique_texts"], a["n_dup_copies"]) == (3, 2, 1)
+    assert a["n_cross_source_docs"] == 2  # doc 0 and 1 both leak to b
+    assert (b["n_docs"], b["n_unique_texts"], b["n_dup_copies"]) == (2, 2, 0)
+    assert b["n_cross_source_docs"] == 1
