@@ -24,26 +24,18 @@ class QuerySpec:
     note: str = ""
 
 
-# Ordering policy (round 4, per ADVICE r3 #1): the driver grades a
-# bounded 50-entry prefix in insertion order. The window is now a strict
+# Ordering policy (since round 4, per ADVICE r3 #1): the driver grades a
+# bounded 50-entry prefix in insertion order. The window is a strict
 # STALEST-FIRST ROUND-ROBIN — every entry rotates back through the
 # window as its newest driver-green row ages, so no query's driver
 # validation can go permanently stale after a read-path or loader
-# change. Round-4 window composition:
-#   1. pr6 (never driver-graded), pr3 (rows-only since r1), and the
-#      twelve NEW round-4 operators (cur3/ta9/dd10/dd11/mx2/ev7/dq2/
-#      fo2/sim7/sim8/ta10/mm5) — never graded, so stalest by definition.
-#   2. The r1-only family (q2w/q2/q16/q11/q22, p6/p7/p8/a1): their only
-#      green rows predate the round-3 tables.py read-path change.
-#   3. The r2-green entries most sensitive to the round-3/4 loader and
-#      merge-sink work (l0/l2/l3/w1/st4/st5/dd2, VERDICT r3 #8), plus
-#      the r3-green queries whose plans changed this round (cur2/l4).
-#   4. The rest of the r2-green family, original order, through the cut.
-# Tail: the remaining r2-green entries (sim5/sim3/w2/w3/f4-f6/sim4/ta1/
-# ta2-ta6/pr2/fts1/dq1/sm1-sm3/cur1/mm1) head the queue for round 5's
-# window; the r3-green family follows and re-enters in rounds 5-6.
-# bench.py resolves HEADLINE queries by name, so reorders are
-# bench-neutral.
+# change.
+#
+# Since round 5 the dict below keeps its LOGICAL (round-4) grouping and
+# the graded window is composed explicitly by ``_GRADED_WINDOW`` after
+# the literal — rotating the window is a one-list edit, not a 136-entry
+# dict shuffle. bench.py resolves HEADLINE queries by name, so reorders
+# are bench-neutral.
 REGISTRY: dict[str, QuerySpec] = {
     # ======== graded prefix (round 4): stalest-first round-robin ========
     # never-driver-graded sketch + the r1 rows-only sketch: every entry
@@ -292,6 +284,89 @@ REGISTRY: dict[str, QuerySpec] = {
     "dr1_source_dup_report": QuerySpec(
         llmdata.dr1_source_dup_report, llmdata.DR1_ORACLE
     ),
+}
+
+
+# ---------------------------------------------------------------------------
+# Round-5 graded window (stalest-first round-robin, ADVICE r3 #1).
+#
+# Composition, stalest first by newest driver-green row (CORRECTNESS_r0*):
+#   1. The 13 never-driver-graded operators (late r4 tail: sm4/pk1/pk2/
+#      cur4/sim9/fo3/ev8/dq3 and the post-window block fts2/ch1/cur5/
+#      fts3/dr1), plus any NEW round-5 operators appended to this list
+#      as they land.
+#   2. The 25 entries whose newest green row is round 2 (registry tail
+#      comment of round 4), original order.
+#   3. The oldest r3-green entries (mm2..q6) through the 50-entry cut.
+# pr3/pr6 stay OUT of graded slots: they already hold their declared
+# rows-only rows (r4) and a graded slot buys them nothing (no oracle).
+# Tail queue for round 6: the remaining r3-green family, then r4-green.
+_GRADED_WINDOW: list[str] = [
+    # -- never driver-graded (late round 4) --
+    "sm4_three_way_split",
+    "pk1_sequence_packing",
+    "pk2_incremental_packing",
+    "cur4_pack_curated",
+    "sim9_recall_eval",
+    "fo3_asof_snapshot",
+    "ev8_transition_matrix",
+    "dq3_replica_checksum",
+    "fts2_bm25_search",
+    "ch1_overlap_chunks",
+    "cur5_token_budget",
+    "fts3_passage_search",
+    "dr1_source_dup_report",
+    # -- NEW round 5 (never graded) --
+    # -- r2-green family (stalest driver rows in the registry) --
+    "dd6_dup_clusters",
+    "dd8_incremental_lsh",
+    "sim1_cosine_topk",
+    "sim5_ivf_build",
+    "sim3_pairwise_topk",
+    "w2_window_suite",
+    "w3_rolling_frames",
+    "f4_string_suite",
+    "f5_array_suite",
+    "f6_regex_suite",
+    "sim4_incremental_topk",
+    "ta1_token_stats",
+    "ta2_quality_score",
+    "ta3_lang_guess",
+    "ta4_fingerprint",
+    "ta5_repetition",
+    "ta6_pii_scrub",
+    "pr2_length_percentiles",
+    "fts1_keyword_search",
+    "dq1_constraint_audit",
+    "sm1_hash_sample",
+    "sm2_stratified_sample",
+    "sm3_weighted_sample",
+    "cur1_curation_pipeline",
+    "mm1_decode_metadata",
+    # -- oldest r3-green entries, through the 50-entry cut --
+    "mm2_frame_sample",
+    "mm3_resize_plan",
+    "mm4_extract_features",
+    "dc1_decontaminate",
+    "ta7_lm_quality",
+    "sim6_hyperplane_topk",
+    "mx1_mixture_plan",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+]
+
+assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
+assert len(set(_GRADED_WINDOW)) == 50
+_missing = [n for n in _GRADED_WINDOW if n not in REGISTRY]
+assert not _missing, f"window names not in registry: {_missing}"
+
+# Recompose: graded window first, remainder in definition order. Same
+# 136 entries — only iteration order changes.
+REGISTRY = {n: REGISTRY[n] for n in _GRADED_WINDOW} | {
+    n: s for n, s in REGISTRY.items() if n not in set(_GRADED_WINDOW)
 }
 
 
