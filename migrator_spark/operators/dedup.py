@@ -545,9 +545,13 @@ def simhash_pairs(
         a.join(b, on=["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "_ha", "_hb")
-        .dropDuplicates(["doc_a", "doc_b"])
+        # The Hamming verify is a pure per-row function of the two
+        # fingerprints, so it commutes with the pair dedup — filter
+        # FIRST so the dropDuplicates shuffle carries only true
+        # near-dups (<< banded candidates; VERDICT r4 #1).
         .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
 

@@ -188,8 +188,11 @@ def select_token_budget(
         .withColumn("_cum", F.col("_before") + F.sum("_t").over(wd))
         .filter(F.col("_cum") <= token_budget)
         .select(
+            # report the score in its ORIGINAL dtype — a cast("long")
+            # here would silently truncate fractional quality scores
+            # (ADVICE r4 #1); selection order already used exact values
             F.col(id_col),
-            F.col("_s").cast("long").alias(score_col),
+            F.col("_s").alias(score_col),
             F.col("_t").cast("long").alias(tokens_col),
         )
     )

@@ -2118,8 +2118,10 @@ def cur5_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = words("text")
     scored = docs.select(
         F.col("doc_id"),
+        # cast at the PLAN layer: select_token_budget preserves the
+        # score column's dtype (ADVICE r4 #1) and the oracle says BIGINT
         F.size(F.filter(w, lambda x: F.array_contains(
-            F.array(*[F.lit(s) for s in tx.STOPWORDS["en"]]), x))).alias("score"),
+            F.array(*[F.lit(s) for s in tx.STOPWORDS["en"]]), x))).cast("long").alias("score"),
         F.size(w).alias("n_tokens"),
     )
     return mx.select_token_budget(scored, CUR5_BUDGET)

@@ -378,7 +378,12 @@ def continuous_packing_stream(
       batch, which re-derives the same offsets from the same pre-batch
       totals and overwrites the same partition;
     - a replayed batch whose id is already recorded in the state is
-      skipped outright (both writes are known complete).
+      skipped outright (both writes are known complete). The skip is
+      guarded by CHECKPOINT IDENTITY (ADVICE r4 #2): batch ids restart
+      at 0 under a fresh checkpoint dir, so a restart pointed at an
+      existing ``state_root`` but a new ``checkpoint_dir`` would
+      otherwise silently drop every new batch — that mismatch raises
+      instead of skipping.
 
     Per batch the work is O(batch) + an n_buckets-row state read/write
     (pack_sequences' single partitioned window with the totals
@@ -395,8 +400,24 @@ def continuous_packing_stream(
         totals = None
         if state.exists(spark, "pack_state"):
             st = state.table(spark, "pack_state")
-            last = st.agg(F.max("last_batch_id")).first()[0]
+            first = st.select(
+                F.max("last_batch_id").alias("last"),
+                F.max("checkpoint_id").alias("ckpt")
+                if "checkpoint_id" in st.columns
+                else F.lit(None).cast("string").alias("ckpt"),
+            ).first()
+            last, ckpt = first["last"], first["ckpt"]
             if last is not None and batch_id <= last:
+                if ckpt is not None and ckpt != checkpoint_dir:
+                    raise RuntimeError(
+                        "continuous_packing_stream: state at "
+                        f"{state_root!r} was written by checkpoint "
+                        f"{ckpt!r} (last_batch_id={last}) but this "
+                        f"stream runs from {checkpoint_dir!r} — batch "
+                        f"ids restarted (got {batch_id}); refusing to "
+                        "silently drop batches. Reuse the original "
+                        "checkpoint dir or point at a fresh state_root."
+                    )
                 return  # both writes of this batch are known complete
             totals = st.select("bucket", "tokens_packed")
         packed = pack_sequences(
@@ -415,7 +436,10 @@ def continuous_packing_stream(
             carried = totals.join(ends.select("bucket"), on="bucket", how="left_anti")
             ends = ends.unionByName(carried)
         state.write(
-            ends.withColumn("last_batch_id", F.lit(batch_id)), "pack_state"
+            ends.withColumn("last_batch_id", F.lit(batch_id)).withColumn(
+                "checkpoint_id", F.lit(checkpoint_dir)
+            ),
+            "pack_state",
         )
 
     writer = (

@@ -109,6 +109,19 @@ def test_select_token_budget_is_maximal_prefix(spark):
         assert total + nxt[2] > budget
 
 
+def test_select_token_budget_double_scores_survive(spark):
+    # ADVICE r4 #1: the reported score must come back in the input
+    # column's dtype — double-valued quality scores (the typical input
+    # for quality-ranked selection) must not be truncated to long.
+    rows = [(1, 0.9, 50), (2, 0.75, 60), (3, 0.7, 40), (4, 0.1, 30)]
+    scored = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    out = select_token_budget(scored, 150)
+    assert dict(out.dtypes)["score"] == "double"
+    got = sorted((r["doc_id"], r["score"], r["n_tokens"]) for r in out.collect())
+    # rank order 0.9, 0.75, 0.7, 0.1 -> cumsum 50, 110, 150, (180)
+    assert got == [(1, 0.9, 50), (2, 0.75, 60), (3, 0.7, 40)]
+
+
 def test_select_token_budget_edge_budgets(spark):
     scored = spark.createDataFrame(
         [(1, 2, 50), (2, 1, 60)], "doc_id long, score long, n_tokens long"

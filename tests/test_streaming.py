@@ -555,3 +555,45 @@ def test_continuous_packing_replay_is_idempotent(spark, tmp_path):
         map(tuple, ParquetSource(st_dir).table(spark, "pack_state").collect())
     )
     assert after == before and state_after == state_before
+
+
+def test_continuous_packing_fresh_checkpoint_against_state_raises(spark, tmp_path):
+    """ADVICE r4 #2: a restart pointed at an EXISTING state_root but a
+    FRESH checkpoint dir restarts batch ids at 0; the old skip-guard
+    (batch_id <= last) would silently drop every new batch from the
+    manifest. The state now records its checkpoint identity and the
+    mismatch fails loudly instead."""
+    import time
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from migrator_spark.streaming.streams import continuous_packing_stream
+
+    schema = "doc_id long, text string"
+    in_dir = str(tmp_path / "in")
+    man_dir, st_dir = str(tmp_path / "man"), str(tmp_path / "st")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = continuous_packing_stream(
+            spark, stream, man_dir, st_dir, ckpt, token_budget=8, n_buckets=2
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(i, f"a b c d{i}") for i in range(10)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run(str(tmp_path / "ck1"))
+    assert spark.read.parquet(man_dir).count() == 10
+
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(i, f"p q r{i}") for i in range(10, 18)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    with pytest.raises(StreamingQueryException, match="refusing to"):
+        run(str(tmp_path / "ck2"))  # fresh checkpoint, batch ids restart at 0
+    # nothing was silently dropped-and-committed: manifest untouched
+    assert spark.read.parquet(man_dir).count() == 10
