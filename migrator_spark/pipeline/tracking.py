@@ -131,7 +131,15 @@ def bootstrap_from_target(
         row = target.table(spark, tgt_table).agg(*agg).first()
         pos = row["k"]
         if timestamp_col is not None and row["t"] is not None:
-            ts_pos = row["t"].isoformat()
+            # Seed one microsecond BELOW the destination max: extraction
+            # filters strictly ts > position, and timestamps need not be
+            # unique — seeding at the exact max would permanently skip
+            # any source rows sharing it that never reached a partially
+            # loaded replica. Re-copying the boundary tie is free:
+            # REPLACE-merge is idempotent (ADVICE r4 #3).
+            from datetime import timedelta
+
+            ts_pos = (row["t"] - timedelta(microseconds=1)).isoformat()
     seeded = TrackingStatus(
         source_database=db,
         source_table=table,

@@ -258,6 +258,16 @@ class JdbcSource:
         simply doesn't set them. Type CHANGES are not handled here;
         operators/load.align_schemas raises on those before any SQL
         runs (destructive retypes are a human decision).
+
+        Atomicity (ADVICE r4 #4): DDL auto-commits on MySQL/MariaDB —
+        wrapping several ALTERs in a transaction does NOT make them
+        all-or-nothing there. For those dialects we emit ONE statement
+        with multiple ADD COLUMN clauses (natively atomic: one ALTER =
+        one table rebuild). Elsewhere the per-statement transactional
+        path is all-or-nothing only on engines with transactional DDL
+        (Derby, Postgres); a mid-sequence failure on a non-transactional
+        engine can leave a column subset, which a retry heals because
+        the column diff is recomputed from the live table each call.
         """
         existing = {f.name for f in self.table(spark, table).schema.fields}
         to_add = [f for f in batch.schema.fields if f.name not in existing]
@@ -277,6 +287,12 @@ class JdbcSource:
             stmts.append(
                 f"ALTER TABLE {_qt(table)} ADD COLUMN {_q(f.name)} {jt.databaseTypeDefinition()}"
             )
-        # one transaction: either the table gains all columns or none
+        if self.url.startswith(("jdbc:mysql:", "jdbc:mariadb:")) and len(stmts) > 1:
+            # MySQL/MariaDB: DDL auto-commits, so collapse to ONE
+            # multi-clause ALTER — natively all-or-nothing
+            adds = ", ".join(
+                "ADD COLUMN " + s.split(" ADD COLUMN ", 1)[1] for s in stmts
+            )
+            stmts = [f"ALTER TABLE {_qt(table)} {adds}"]
         self.execute(spark, *stmts, transactional=True)
         return [f.name for f in to_add]

@@ -35,12 +35,30 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
-@lru_cache(maxsize=256)
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
     rejects ([PARQUET_TYPE_ILLEGAL]). Footer-only read, driver-side.
     Accepts either a single parquet file (the driver layout) or a
-    Spark-written directory (first part file speaks for the schema)."""
+    Spark-written directory (first part file speaks for the schema).
+
+    Cached on (path, mtime), not path alone: with schema evolution a
+    directory's schema can change within one process lifetime, and a
+    long-lived driver must not act on a stale nanos-column set
+    (ADVICE r4 #5). A rewrite touches the file/directory mtime, which
+    invalidates the entry; a vanished path bypasses the cache."""
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return _nanos_cols_uncached(path)
+    return _nanos_cols_cached(path, mtime)
+
+
+@lru_cache(maxsize=256)
+def _nanos_cols_cached(path: str, _mtime_ns: int) -> tuple[str, ...]:
+    return _nanos_cols_uncached(path)
+
+
+def _nanos_cols_uncached(path: str) -> tuple[str, ...]:
     if os.path.isdir(path):
         parts = sorted(
             f for f in os.listdir(path)

@@ -61,9 +61,14 @@ def test_bootstrap_on_missing_target_stays_zero(spark, tmp_path):
 
 
 def test_bootstrap_timestamp_position(spark, tmp_path):
-    """Timestamp-extractor bootstrap: the destination's MAX(ts) becomes
-    the timestamp position (sequential stays 0)."""
-    from datetime import datetime
+    """Timestamp-extractor bootstrap: the position seeds 1 microsecond
+    BELOW the destination's MAX(ts) (sequential stays 0) — extraction
+    filters strictly ts > position and timestamps need not be unique,
+    so seeding at the exact max would permanently skip source rows
+    that share it but never reached a partially-loaded replica
+    (ADVICE r4 #3); the boundary tie re-copies through the idempotent
+    REPLACE merge instead."""
+    from datetime import datetime, timedelta
 
     tgt_dir, trk = str(tmp_path / "b"), str(tmp_path / "trk")
     tgt = ParquetSource(tgt_dir)
@@ -79,7 +84,9 @@ def test_bootstrap_timestamp_position(spark, tmp_path):
         store, spark, tgt, "a", "x", "id", timestamp_col="updated"
     )
     assert got.sequential_position == 0
-    assert got.timestamp_position_dt == datetime(2024, 1, 2, 12)
+    assert got.timestamp_position_dt == datetime(2024, 1, 2, 12) - timedelta(
+        microseconds=1
+    )
 
 
 def test_runner_bootstrap_flag_end_to_end(spark, tmp_path):

@@ -269,3 +269,47 @@ def test_jdbc_schema_evolution_end_to_end(spark, derby):
     )
     with pytest.raises(ValueError, match="type conflict"):
         LOADERS["jdbc"](spark, derby, "evt", bad, it, Parameters())
+
+
+def test_evolve_schema_mysql_emits_one_multi_add_alter(spark):
+    """ADVICE r4 #4: DDL auto-commits on MySQL/MariaDB, so a multi-
+    column evolution must be ONE multi-clause ALTER (natively atomic),
+    not N statements in a doomed transaction. Statement text is
+    asserted via a captured execute — no MySQL server in the container,
+    but the dialect's type mapping is pure JVM."""
+    src = JdbcSource("jdbc:mysql://example.invalid:3306/db")
+    captured: list[str] = []
+    src.execute = lambda _spark, *stmts, transactional=True: captured.extend(stmts)
+    src.table = lambda _spark, _name: spark.createDataFrame([], "id long")
+    added = src.evolve_schema(
+        spark,
+        "evt",
+        spark.createDataFrame([], "id long, name string, score double"),
+    )
+    assert added == ["name", "score"]
+    assert len(captured) == 1, captured
+    stmt = captured[0]
+    assert stmt.upper().startswith("ALTER TABLE")
+    assert stmt.count("ADD COLUMN") == 2, stmt
+
+
+def test_evolve_schema_derby_stays_per_statement(spark, derby):
+    """Non-MySQL dialects keep one ALTER per column inside the
+    transactional execute (Derby has transactional DDL and does not
+    accept multi-ADD syntax)."""
+    derby.write(spark.createDataFrame([(1,)], "id long"), "evo")
+    captured: list[str] = []
+    orig = derby.execute
+
+    def spy(_spark, *stmts, transactional=True):
+        captured.extend(stmts)
+        return orig(_spark, *stmts, transactional=transactional)
+
+    derby.execute = spy
+    added = derby.evolve_schema(
+        spark, "evo", spark.createDataFrame([], "id long, a string, b double")
+    )
+    assert added == ["a", "b"] and len(captured) == 2
+    assert {f.name for f in derby.table(spark, "evo").schema.fields} >= {"A", "B"} or {
+        f.name for f in derby.table(spark, "evo").schema.fields
+    } >= {"a", "b"}

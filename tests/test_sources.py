@@ -247,3 +247,28 @@ def test_diff_versions_classifies_changes(spark, tmp_path):
         for r in src.diff_versions(spark, "t", old, None, ["id"]).collect()
     }
     assert got == {1: "REMOVE", 3: "UPDATE", 4: "INSERT"}  # 2 unchanged, absent
+
+
+def test_nanos_cols_cache_invalidates_on_rewrite(spark, tmp_path):
+    """ADVICE r4 #5: the footer-schema cache must be keyed by mtime,
+    not path alone — a directory whose schema evolves during one
+    process lifetime must not serve a stale nanos-column set."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from migrator_spark.tables import _nanos_timestamp_cols
+
+    p = str(tmp_path / "t.parquet")
+    pq_.write_table(
+        pa.table({"ts": pa.array([1], type=pa.timestamp("ns"))}), p
+    )
+    assert _nanos_timestamp_cols(p) == ("ts",)
+    time.sleep(0.01)
+    pq_.write_table(
+        pa.table({"ts": pa.array([1], type=pa.timestamp("us"))}), p
+    )
+    os.utime(p)  # ensure mtime_ns moves even on coarse filesystems
+    assert _nanos_timestamp_cols(p) == ()
