@@ -7,11 +7,13 @@ upperBound) so a 100 TB table scans in parallel; writes use JDBC
 and isolation NONE for idempotent append targets.
 
 ``apply_cdc_txn`` is the live-database merge: the resolved batch is
-staged via parallel batched INSERTs, then a server-side ANSI MERGE
-(upserts) + key DELETE (removes) run inside ONE driver-held JDBC
-transaction — the BEGIN/COMMIT-per-batch semantics of
-/root/reference/loader_default.go:30-34 with MySQL's REPLACE INTO
-(batched_queries.go:21-23) generalized to standard SQL MERGE. A failure
+staged via parallel batched INSERTs, then the dialect's merge runs
+inside ONE driver-held JDBC transaction — the BEGIN/COMMIT-per-batch
+semantics of /root/reference/loader_default.go:30-34. On MySQL/MariaDB
+(the reference's actual target, no ANSI MERGE) the statements are the
+reference's own pair: multi-table DELETE for removes + ``REPLACE INTO
+... SELECT`` for the rest (batched_queries.go:21-23,28-74); everywhere
+else they generalize to one standard SQL ``MERGE INTO``. A failure
 rolls back, the runner never commits offsets, the batch replays.
 
 Exercised end-to-end against embedded Apache Derby (bundled with
@@ -36,6 +38,13 @@ def _q(ident: str) -> str:
     return '"' + ident.replace('"', '""') + '"'
 
 
+def _q_my(ident: str) -> str:
+    """Backtick-quote an identifier — MySQL/MariaDB's default quoting
+    (ANSI double quotes need sql_mode=ANSI_QUOTES there), matching what
+    Spark's MySQL dialect writer creates."""
+    return "`" + ident.replace("`", "``") + "`"
+
+
 _SAFE_TABLE = re.compile(r"^[A-Za-z0-9_.]+$")
 
 
@@ -54,6 +63,14 @@ def _qt(table: str) -> str:
     if _SAFE_TABLE.match(table):
         return table
     return ".".join(_q(p) for p in table.split("."))
+
+
+def _qt_my(table: str) -> str:
+    """MySQL-dialect table rendering: plain names pass through, exotic
+    names are backtick-quoted per dotted part (see ``_qt``)."""
+    if _SAFE_TABLE.match(table):
+        return table
+    return ".".join(_q_my(p) for p in table.split("."))
 
 
 class JdbcSource:
@@ -208,9 +225,71 @@ class JdbcSource:
         """
         stage = f"{table}_stg_{uuid.uuid4().hex[:8]}"
         self.write(batch, stage, mode="overwrite")
-        data_cols = [c for c in batch.columns if c != method_col]
+        stmts = self.cdc_statements(
+            table,
+            stage,
+            list(batch.columns),
+            key_cols,
+            method_col=method_col,
+            remove_method=remove_method,
+            null_cols=null_cols,
+        )
+        try:
+            self.execute(spark, *stmts, transactional=True)
+        finally:
+            try:
+                self.execute(spark, f"DROP TABLE {_qt(stage)}", transactional=False)
+            except Exception:
+                pass
+
+    @property
+    def _is_mysql(self) -> bool:
+        return self.url.startswith(("jdbc:mysql:", "jdbc:mariadb:"))
+
+    def cdc_statements(
+        self,
+        table: str,
+        stage: str,
+        batch_cols: list[str],
+        key_cols: list[str],
+        method_col: str = "_method",
+        remove_method: str = "REMOVE",
+        null_cols: list[str] | None = None,
+    ) -> list[str]:
+        """The per-batch CDC SQL, dialect-refracted (pure text — unit
+        testable without a server).
+
+        ANSI arm (default; proven live vs Derby): one ``MERGE INTO``
+        whose refined WHEN clauses DELETE matched REMOVE rows, UPDATE
+        matched others, INSERT unmatched non-REMOVE rows.
+
+        MySQL/MariaDB arm: the server has no MERGE — emit the
+        reference's OWN statement pair (batched_queries.go:21-23,
+        28-74): a multi-table ``DELETE t FROM ... JOIN stage`` for the
+        REMOVE rows, then ``REPLACE INTO ... SELECT`` for the rest.
+        REPLACE's delete-then-reinsert is exactly full-row replacement,
+        so dropped source columns (``null_cols``) revert to column
+        defaults (NULL) with no explicit SET — semantics identical to
+        the MERGE arm's ``SET col = NULL``. Both statements run inside
+        the caller's single transaction (InnoDB DML is transactional;
+        only DDL auto-commits). Identifiers use backticks — MySQL's
+        default quoting, matching what Spark's MySQL dialect writer
+        creates — via ``_q_my``.
+        """
+        data_cols = [c for c in batch_cols if c != method_col]
         non_keys = [c for c in data_cols if c not in key_cols]
         dropped = [c for c in (null_cols or []) if c not in data_cols]
+        if self._is_mysql:
+            on = " AND ".join(f"t.{_q_my(k)} = s.{_q_my(k)}" for k in key_cols)
+            cols = ", ".join(_q_my(c) for c in data_cols)
+            m = f"s.{_q_my(method_col)}"
+            return [
+                f"DELETE t FROM {_qt_my(table)} t JOIN {_qt_my(stage)} s ON {on} "
+                f"WHERE {m} = '{remove_method}'",
+                f"REPLACE INTO {_qt_my(table)} ({cols}) "
+                f"SELECT {cols} FROM {_qt_my(stage)} s "
+                f"WHERE {m} <> '{remove_method}'",
+            ]
         on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
         set_clause = ", ".join(
             [f"{_q(c)} = s.{_q(c)}" for c in non_keys]
@@ -227,7 +306,7 @@ class JdbcSource:
         mcol = f"CAST(s.{_q(method_col)} AS VARCHAR(32))"
         not_remove = f"{mcol} <> '{remove_method}'"
         is_remove = f"{mcol} = '{remove_method}'"
-        merge = (
+        return [
             f"MERGE INTO {_qt(table)} t USING {_qt(stage)} s ON {on} "
             f"WHEN MATCHED AND {is_remove} THEN DELETE "
             + (
@@ -237,14 +316,7 @@ class JdbcSource:
             )
             + f"WHEN NOT MATCHED AND {not_remove} "
             f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
-        )
-        try:
-            self.execute(spark, merge, transactional=True)
-        finally:
-            try:
-                self.execute(spark, f"DROP TABLE {_qt(stage)}", transactional=False)
-            except Exception:
-                pass
+        ]
 
     def evolve_schema(self, spark: SparkSession, table: str, batch: DataFrame) -> list[str]:
         """Additive schema evolution on the live table: ALTER TABLE ADD
@@ -285,14 +357,16 @@ class JdbcSource:
                 else jvm.org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils.getCommonJDBCType(jdt).get()
             )
             stmts.append(
-                f"ALTER TABLE {_qt(table)} ADD COLUMN {_q(f.name)} {jt.databaseTypeDefinition()}"
+                f"ALTER TABLE {(_qt_my if self._is_mysql else _qt)(table)} "
+                f"ADD COLUMN {(_q_my if self._is_mysql else _q)(f.name)} "
+                f"{jt.databaseTypeDefinition()}"
             )
-        if self.url.startswith(("jdbc:mysql:", "jdbc:mariadb:")) and len(stmts) > 1:
+        if self._is_mysql and len(stmts) > 1:
             # MySQL/MariaDB: DDL auto-commits, so collapse to ONE
             # multi-clause ALTER — natively all-or-nothing
             adds = ", ".join(
                 "ADD COLUMN " + s.split(" ADD COLUMN ", 1)[1] for s in stmts
             )
-            stmts = [f"ALTER TABLE {_qt(table)} {adds}"]
+            stmts = [f"ALTER TABLE {_qt_my(table)} {adds}"]
         self.execute(spark, *stmts, transactional=True)
         return [f.name for f in to_add]
