@@ -20,9 +20,14 @@ def get_spark(app_name: str = "migrator_spark", cpus: int | None = None) -> Spar
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # SPARK_GRAFT_MASTER overrides the single-JVM default — the
+    # cluster smoke lane (tools/cluster_smoke.py) sets
+    # local-cluster[2,2,1024] to run the same plans through real
+    # executor processes, serialized closures, and network exchanges.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         # Runtime re-planning: coalesce small shuffles, split skewed
         # partitions, convert sort-merge to broadcast when a side turns
         # out small. At 100 TB these are the difference between a plan

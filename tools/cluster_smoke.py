@@ -1,0 +1,93 @@
+"""Multi-executor smoke lane (VERDICT r4 missing #5).
+
+Everything else in this repo runs ``local[N]`` — one JVM, where closure
+serialization bugs, non-serializable state, and exchange wire formats
+can hide. This lane re-runs a representative slice of the registry on
+``local-cluster[2,2,1024]``: two REAL executor processes with 1 GiB
+each, so every shuffle is a genuine network exchange, every task
+closure round-trips through serialization, and every Python stage
+spawns worker processes on the executors — the closest thing to a
+cluster a single box can host, with results still differentially
+checked against DuckDB.
+
+The slice covers one representative of each execution shape:
+aggregation, shuffle join + broadcast join, window functions, banded
+LSH self-join, IVF ANN probe, JVM text analysis, Arrow mapInPandas,
+the CDC merge flagship, and the as-of join.
+
+Usage: python tools/cluster_smoke.py [sf_dir]
+Prints per-query OK/MISMATCH lines and a final
+``CLUSTER-SMOKE DONE mismatches=0 of=N`` line; exit code 1 on any
+mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+os.environ.setdefault("SPARK_GRAFT_MASTER", "local-cluster[2,2,1024]")
+# local-cluster executors get 1 GiB each; keep the driver modest too so
+# the lane fits beside a running pytest session.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "2g")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from migrator_spark.plans.registry import REGISTRY  # noqa: E402
+from migrator_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# one representative per execution shape — see module docstring
+SMOKE_QUERIES = [
+    "q1_pricing_summary",       # scan + hash aggregate
+    "q5_nation_revenue",        # multi-way shuffle/broadcast join
+    "q2_min_cost_supplier",     # broadcast dims + top-k
+    "w2_window_suite",          # window functions over a shuffle
+    "dd2_minhash_lsh_pairs",    # banded LSH self-join (dedup family)
+    "sim2_ivf_topk",            # IVF ANN probe (similarity family)
+    "ta1_token_stats",          # JVM-side text expressions
+    "mm2_frame_sample",         # Arrow mapInPandas on executors
+    "l0_apply_cdc_batch",       # the CDC merge flagship
+    "ev2_asof_join",            # as-of join composition
+]
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("cluster-smoke")
+    assert spark.sparkContext.master.startswith("local-cluster"), (
+        spark.sparkContext.master
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    bad = 0
+    for name in SMOKE_QUERIES:
+        spec = REGISTRY[name]
+        sp = spec.fn(spark, sf).toPandas()
+        dp = con.sql(spec.oracle).df()
+        cols = sorted(sp.columns)
+        ok = (
+            sorted(dp.columns) == cols
+            and len(sp) == len(dp)
+            and sorted(map(repr, sp[cols].itertuples(index=False, name=None)))
+            == sorted(map(repr, dp[cols].itertuples(index=False, name=None)))
+        )
+        print("OK" if ok else "MISMATCH", name, len(sp), flush=True)
+        bad += 0 if ok else 1
+    print(f"CLUSTER-SMOKE DONE mismatches={bad} of={len(SMOKE_QUERIES)}")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
