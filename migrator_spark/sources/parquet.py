@@ -13,20 +13,36 @@ per-table lock — a ``threading.Lock`` within a driver process plus an
 insert-fast-path append can't land in a version directory a concurrent
 swap (from this process or another one) is about to retire.
 
-(Delta/Iceberg would give true MVCC commits with optimistic
-multi-writer conflict detection; this is the dependency-free mutual-
-exclusion equivalent at table-replacement granularity, per SURVEY.md
-§7.4 — single-host scope, since flock doesn't span NFS reliably. At
-cluster scale the parquet sink is swapped for the Delta sink in
-sources/delta.py.)
+Multi-writer safety is two-level. Within one HOST, appends and swaps
+on the same table are serialized by a per-table ``threading.Lock`` +
+``fcntl.flock`` pair (cheap mutual exclusion — conflicting work never
+starts). ACROSS hosts — where flock doesn't span NFS reliably — every
+version publication goes through an OPTIMISTIC COMMIT LOG
+(``<root>/.v/<table>/_commits/<N>.json``), Delta-style: a writer
+claims commit N+1 by hardlink-publishing a temp file at the
+deterministic name (the portable atomic-claim primitive that works on
+NFS, where O_EXCL historically doesn't); exactly one claimant wins,
+and a read-modify-write that loses re-runs its transform against the
+winner's table state and retries at N+2 (``rmw``/``merge_pruned``
+rebase; blind overwrites just advance). The commit log is the source
+of truth for readers; the ``<table>.parquet`` symlink is kept
+repointed as a human-friendly cache of the current version.
+
+(Delta/Iceberg add conflict detection at FILE granularity plus a
+catalog; this is the dependency-free equivalent at table-replacement
+granularity, per SURVEY.md §7.4. At cluster scale the parquet sink is
+swapped for the Delta sink in sources/delta.py.)
 """
 
 from __future__ import annotations
 
 import fcntl
+import json
 import os
 import shutil
+import socket
 import threading
+import time
 import uuid
 from bisect import bisect_left
 from dataclasses import dataclass
@@ -38,6 +54,11 @@ from pyspark.sql import functions as F
 # old versions kept after a swap; bounds how long an in-flight reader
 # holding a resolved version dir stays valid (N further overwrites)
 KEEP_VERSIONS = 3
+
+
+class CommitConflict(RuntimeError):
+    """Another writer claimed the commit this writer raced for, and the
+    caller's work was computed against a now-stale table state."""
 
 
 @dataclass(frozen=True)
@@ -146,11 +167,82 @@ class ParquetSource:
     def _versions(self, name: str) -> str:
         return f"{self.root}/.v/{name}"
 
+    def _log_dir(self, name: str) -> str:
+        return f"{self._versions(name)}/_commits"
+
+    # ------------------------------------------- optimistic commit log
+
+    def current_commit(self, name: str) -> tuple[int, str | None]:
+        """Newest committed (number, version-dir basename); (-1, None)
+        before the first logged commit. A stale read here (NFS attribute
+        caching) is safe: it only makes a subsequent claim fail and
+        retry."""
+        d = self._log_dir(name)
+        best, best_file = -1, None
+        try:
+            for fn in os.listdir(d):
+                if fn.endswith(".json") and fn[:-5].isdigit():
+                    n = int(fn[:-5])
+                    if n > best:
+                        best, best_file = n, os.path.join(d, fn)
+        except FileNotFoundError:
+            return (-1, None)
+        if best_file is None:
+            return (-1, None)
+        with open(best_file) as f:
+            return best, json.load(f)["version"]
+
+    def _try_commit(self, name: str, new_version: str, commit_n: int) -> bool:
+        """Atomically claim commit ``commit_n`` for ``new_version``.
+        Exactly one concurrent claimant returns True.
+
+        The claim is ``os.link(tmp, '<N>.json')`` — write the payload to
+        a private temp file, then hardlink it at the deterministic
+        commit name. link(2) is atomic and fails if the name exists, and
+        unlike O_CREAT|O_EXCL it is dependable over NFS; the classic
+        lost-reply case (the server linked but the reply vanished, so
+        the client sees an error) is disambiguated by ``st_nlink == 2``
+        on the temp file."""
+        d = self._log_dir(name)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f"._claim-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "version": os.path.basename(new_version),
+                        "writer": f"{socket.gethostname()}:{os.getpid()}",
+                        "ts": time.time(),
+                    }
+                )
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            try:
+                os.link(tmp, os.path.join(d, f"{commit_n}.json"))
+                return True
+            except OSError:
+                return os.stat(tmp).st_nlink == 2
+        finally:
+            os.unlink(tmp)
+
+    def _current_dir(self, name: str) -> str:
+        """The current table state: the commit log's newest version if
+        one exists (source of truth), else the symlink target (legacy
+        tables written before the log)."""
+        _n, v = self.current_commit(name)
+        if v is not None:
+            p = f"{self._versions(name)}/{v}"
+            if os.path.isdir(p):
+                return p
+        return os.path.realpath(self._path(name))
+
     def table(self, spark: SparkSession, name: str) -> DataFrame:
-        # resolve the symlink here so Spark reads a pinned version dir:
-        # a concurrent swap repoints the link but never mutates the
-        # files this DataFrame will list
-        return spark.read.parquet(os.path.realpath(self._path(name)))
+        # resolve to a pinned version dir here: a concurrent commit
+        # publishes a NEW dir but never mutates the files this
+        # DataFrame will list
+        return spark.read.parquet(self._current_dir(name))
 
     def exists(self, spark: SparkSession, name: str) -> bool:
         return os.path.exists(self._path(name))
@@ -160,26 +252,45 @@ class ParquetSource:
         final = self._path(name)
         lock = _lock_for(final)
         if mode == "append" and os.path.isdir(final):
-            # insert-only fast path: add part-files, no rewrite. Lock so
-            # the resolved target can't be retired mid-append by a swap.
+            # insert-only fast path: add part-files to the CURRENT
+            # version, no rewrite, no commit. Lock so the resolved
+            # target can't be retired mid-append by a same-host swap.
+            # Cross-host this trades safety for speed (an append racing
+            # a remote overwrite can land in a retired version) — the
+            # safe cross-host path is rmw/merge_pruned, which rebase.
             with lock:
-                df.write.mode("append").parquet(os.path.realpath(final))
+                df.write.mode("append").parquet(self._current_dir(name))
             return
-        # materialize fully before repointing; if df reads this same
+        # materialize fully before publishing; if df reads this same
         # table, it reads the still-intact current version
         new_version = self._materialize(df, name)
         with lock:
             self._swap(name, new_version)
 
-    def rmw(self, spark: SparkSession, name: str, fn) -> None:
-        """Replace ``name`` with ``fn(current_df)``, holding the table
-        lock across the fresh file listing AND the swap — a concurrent
-        ``write(mode='append')`` either lands before the listing (and is
-        seen by ``fn``) or after the swap (and survives it); it can never
-        fall in between and be silently dropped by the rewrite."""
+    def rmw(self, spark: SparkSession, name: str, fn, max_attempts: int = 6) -> None:
+        """Replace ``name`` with ``fn(current_df)`` under optimistic
+        concurrency. The flock serializes same-host writers (their
+        conflicting work never starts); across hosts the commit claim
+        detects a racing writer, and the loser REBASES — re-runs ``fn``
+        against the winner's table state — and retries at the next
+        commit number, so no update is ever silently lost. A concurrent
+        ``write(mode='append')`` on the same host either lands before
+        the listing (and is seen by ``fn``) or after the swap (and
+        survives it)."""
         with _lock_for(self._path(name)):
-            df = fn(spark.read.parquet(os.path.realpath(self._path(name))))
-            self._swap(name, self._materialize(df, name))
+            for _ in range(max_attempts):
+                expected, _v = self.current_commit(name)
+                df = fn(spark.read.parquet(self._current_dir(name)))
+                new_version = self._materialize(df, name)
+                try:
+                    self._swap(name, new_version, expected=expected)
+                    return
+                except CommitConflict:
+                    shutil.rmtree(new_version, ignore_errors=True)
+            raise CommitConflict(
+                f"rmw on table {name!r}: lost the commit race "
+                f"{max_attempts} times; giving up"
+            )
 
     def merge_pruned(
         self,
@@ -225,49 +336,66 @@ class ParquetSource:
 
         The rewritten slice is re-range-clustered on ``cluster_cols``
         (default ``[key_col]``) so repeated merges keep the layout
-        prunable. Runs under the table lock; the symlink swap is atomic,
-        concurrent readers see the complete old or new version.
+        prunable. Same-host writers serialize on the table lock; across
+        hosts the commit claim detects a racing writer and the merge
+        REBASES — re-prunes and re-merges against the winner's state —
+        so concurrent merges of disjoint batches both land.
         """
         cluster = [F.col(c) for c in (cluster_cols or [key_col])]
         final = self._path(name)
+        max_attempts = 6
         with _lock_for(final):
-            current = os.path.realpath(final)
-            parts = sorted(
-                e.path
-                for e in os.scandir(current)
-                if e.is_file() and e.name.endswith(".parquet")
-            )
             keys = sorted(
                 r[0]
                 for r in batch_keys.select(key_col).distinct().collect()
                 if r[0] is not None
             )
-            touched, kept = [], []
-            for p in parts:
-                rng = _file_key_range(p, key_col)
-                if rng is None or _any_key_in(keys, rng[0], rng[1]):
-                    touched.append(p)
-                else:
-                    kept.append(p)
-            if touched:
-                tdf = spark.read.parquet(*touched)
-            else:
-                tdf = spark.createDataFrame([], spark.read.parquet(current).schema)
-            merged = merge_fn(tdf)
-            n_out = max(1, len(touched))
-            merged = merged.repartitionByRange(n_out, *cluster).sortWithinPartitions(
-                *cluster
-            )
-            vdir = self._versions(name)
-            os.makedirs(vdir, exist_ok=True)
-            new_version = f"{vdir}/{uuid.uuid4().hex[:12]}"
-            merged.write.mode("overwrite").parquet(new_version)
-            for p in kept:
-                os.link(
-                    p, f"{new_version}/keep-{uuid.uuid4().hex[:8]}-{os.path.basename(p)}"
+            for _ in range(max_attempts):
+                expected, _v = self.current_commit(name)
+                current = self._current_dir(name)
+                parts = sorted(
+                    e.path
+                    for e in os.scandir(current)
+                    if e.is_file() and e.name.endswith(".parquet")
                 )
-            self._swap(name, new_version)
-            return MergeStats(total_files=len(parts), touched_files=len(touched))
+                touched, kept = [], []
+                for p in parts:
+                    rng = _file_key_range(p, key_col)
+                    if rng is None or _any_key_in(keys, rng[0], rng[1]):
+                        touched.append(p)
+                    else:
+                        kept.append(p)
+                if touched:
+                    tdf = spark.read.parquet(*touched)
+                else:
+                    tdf = spark.createDataFrame(
+                        [], spark.read.parquet(current).schema
+                    )
+                merged = merge_fn(tdf)
+                n_out = max(1, len(touched))
+                merged = merged.repartitionByRange(
+                    n_out, *cluster
+                ).sortWithinPartitions(*cluster)
+                vdir = self._versions(name)
+                os.makedirs(vdir, exist_ok=True)
+                new_version = f"{vdir}/{uuid.uuid4().hex[:12]}"
+                merged.write.mode("overwrite").parquet(new_version)
+                for p in kept:
+                    os.link(
+                        p,
+                        f"{new_version}/keep-{uuid.uuid4().hex[:8]}-{os.path.basename(p)}",
+                    )
+                try:
+                    self._swap(name, new_version, expected=expected)
+                    return MergeStats(
+                        total_files=len(parts), touched_files=len(touched)
+                    )
+                except CommitConflict:
+                    shutil.rmtree(new_version, ignore_errors=True)
+            raise CommitConflict(
+                f"merge_pruned on table {name!r}: lost the commit race "
+                f"{max_attempts} times; giving up"
+            )
 
     def _materialize(self, df: DataFrame, name: str) -> str:
         vdir = self._versions(name)
@@ -276,32 +404,116 @@ class ParquetSource:
         df.write.mode("overwrite").parquet(new_version)
         return new_version
 
-    def _swap(self, name: str, new_version: str) -> None:
-        """Atomically repoint the table symlink. Called under the lock."""
+    def _swap(self, name: str, new_version: str, expected: int | None = None) -> None:
+        """Publish ``new_version`` as the next table state: claim the
+        next commit number in the log, then repoint the symlink (the
+        human-friendly cache of the current version).
+
+        ``expected``: the commit number the caller's work was computed
+        against (read-modify-write). If the log has moved past it, or
+        another claimant wins the race for ``expected + 1``, raises
+        :class:`CommitConflict` so the caller rebases. ``None`` means a
+        blind overwrite — content independent of prior state — which
+        just advances to whatever the next free number is."""
         final = self._path(name)
         vdir = self._versions(name)
         if os.path.lexists(final) and not os.path.islink(final):
             # legacy plain directory: adopt it as a version so the
             # path can become a symlink
-            os.rename(final, f"{vdir}/{uuid.uuid4().hex[:12]}")
+            os.makedirs(vdir, exist_ok=True)
+            adopted = f"{vdir}/{uuid.uuid4().hex[:12]}"
+            os.rename(final, adopted)
+            if self.current_commit(name)[0] == -1:
+                self._try_commit(name, adopted, 0)
+        elif os.path.lexists(final) and self.current_commit(name)[0] == -1:
+            # legacy symlink-only table: record its current state as
+            # commit 0 so histories agree across writers (losing this
+            # bootstrap race is fine — someone recorded a commit 0)
+            cur = os.path.realpath(final)
+            if os.path.isdir(cur):
+                self._try_commit(name, cur, 0)
+        n, _v = self.current_commit(name)
+        if expected is not None:
+            if expected == -1 and n <= 0:
+                # the caller read a pre-log table; the bootstrap above
+                # recorded that same state as commit 0
+                expected = n
+            if n != expected:
+                raise CommitConflict(
+                    f"table {name!r}: computed against commit {expected}, "
+                    f"log is at {n}"
+                )
+        while not self._try_commit(name, new_version, n + 1):
+            if expected is not None:
+                raise CommitConflict(
+                    f"table {name!r}: lost the claim race for commit {n + 1}"
+                )
+            n, _v = self.current_commit(name)
         tmp_link = f"{self.root}/.{name}.{uuid.uuid4().hex[:8]}.lnk"
         os.symlink(os.path.abspath(new_version), tmp_link)
         os.replace(tmp_link, final)  # atomic repoint
         self._gc(name, keep=KEEP_VERSIONS)
 
     def _gc(self, name: str, keep: int) -> None:
-        """Drop all but the current target and the `keep` newest other
-        versions. Called under the table lock."""
+        """Bound retained history: keep every version referenced by the
+        newest ``keep + 1`` commits (plus the current target), drop the
+        rest — except the 2 newest-by-mtime unreferenced dirs, which may
+        be a concurrent writer's not-yet-committed materialization.
+        Commit files older than the retained window are pruned with
+        their versions. Called under the table lock."""
         vdir = self._versions(name)
+        log = self._log_dir(name)
         current = os.path.realpath(self._path(name))
+        referenced: set[str] = set()  # by the retained commit window
+        ever_committed: set[str] = set()  # by ANY commit file
+        commit_files: list[tuple[int, str]] = []
+        if os.path.isdir(log):
+            for fn in os.listdir(log):
+                if fn.endswith(".json") and fn[:-5].isdigit():
+                    commit_files.append((int(fn[:-5]), os.path.join(log, fn)))
+            commit_files.sort(reverse=True)
+            for i, (_n, p) in enumerate(commit_files):
+                try:
+                    with open(p) as f:
+                        v = json.load(f)["version"]
+                except (OSError, ValueError):
+                    continue
+                ever_committed.add(v)
+                if i <= keep:
+                    referenced.add(v)
         versions = sorted(
-            (e.path for e in os.scandir(vdir) if e.is_dir()),
+            (
+                e.path
+                for e in os.scandir(vdir)
+                if e.is_dir() and e.name != "_commits"
+            ),
             key=os.path.getmtime,
             reverse=True,
         )
-        others = [v for v in versions if os.path.realpath(v) != current]
-        for stale in others[keep:]:
-            shutil.rmtree(stale, ignore_errors=True)
+        if not commit_files:
+            # legacy table without a log: keep the newest N by mtime
+            others = [v for v in versions if os.path.realpath(v) != current]
+            for stale in others[keep:]:
+                shutil.rmtree(stale, ignore_errors=True)
+            return
+        # dirs no commit has EVER referenced may be a concurrent
+        # writer's in-flight materialization — grace the 2 newest;
+        # dirs referenced only by commits beyond the window are
+        # retired history and go
+        unreferenced_grace = 2
+        for v in versions:
+            base = os.path.basename(v)
+            if os.path.realpath(v) == current or base in referenced:
+                continue
+            if base not in ever_committed and unreferenced_grace > 0:
+                unreferenced_grace -= 1
+                continue
+            shutil.rmtree(v, ignore_errors=True)
+        for _n, p in commit_files[keep + 1 :]:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
 
     # ---------------------------------------------------- time travel
 
@@ -314,7 +526,7 @@ class ParquetSource:
         vdir = self._versions(name)
         if not os.path.isdir(vdir):
             return []
-        current = os.path.realpath(self._path(name))
+        current = os.path.realpath(self._current_dir(name))
         out = [
             {
                 "version": os.path.basename(e.path),
@@ -322,7 +534,7 @@ class ParquetSource:
                 "is_current": os.path.realpath(e.path) == current,
             }
             for e in os.scandir(vdir)
-            if e.is_dir()
+            if e.is_dir() and e.name != "_commits"
         ]
         return sorted(out, key=lambda v: v["mtime"], reverse=True)
 
