@@ -56,6 +56,10 @@ HEADLINE = [
     # late round 4: deterministic sequence packing (the training-data
     # loader's packing step as one partitioned window)
     "pk1_sequence_packing",
+    # round-5 flagships: the BPE pair-count kernel (explode-heaviest
+    # new plan) and the cross-source leakage matrix (dd2 composition)
+    "bpe1_pair_stats",
+    "dr2_cross_source_leakage",
 ]
 
 REPEATS = 3  # median-of-3: one cold run can no longer swing the number 2x

@@ -196,3 +196,32 @@ def select_token_budget(
             F.col("_t").cast("long").alias(tokens_col),
         )
     )
+
+
+def cap_per_group(
+    scored: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group document cap: keep at most ``cap`` docs per group,
+    best ``score_col`` first (ties broken by ``id_col`` ascending) —
+    the per-domain cap every crawl-curation recipe applies (C4 /
+    RefinedWeb style) so no single domain dominates the training mix.
+
+    Scale: ONE shuffle on the group key into a ranked window, and the
+    rank predicate is pushed INTO the window operator (Spark's
+    WindowGroupLimit — each partition retains a cap-sized heap instead
+    of materializing and ranking every group member), so the post-
+    shuffle state per group is O(cap), not O(group size). Skewed
+    domains (the usual crawl reality) therefore cost their input scan
+    but never their full sort."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

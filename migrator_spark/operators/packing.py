@@ -166,3 +166,32 @@ def pack_sequences_incremental(
         text_col=text_col,
         totals=totals,
     )
+
+
+def assign_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment for training
+    export: every doc gets (shard, pos) where ``shard`` is a stable
+    hash bucket and ``pos`` is the doc's rank within its shard in hash
+    order — together a reproducible global permutation materialized as
+    ``n_shards`` independent files, the layout a data loader streams
+    round-robin to see a shuffled corpus without any engine ever
+    holding a global sort.
+
+    Reproducible across reruns, engines, and cluster sizes (pure
+    function of doc ids). Scale: ONE shuffle (hash partition by shard)
+    and a per-shard sort of corpus/n_shards rows each — no global
+    ordering anywhere; n_shards is chosen so a shard fits a writer
+    task (e.g. 100k shards at 100 TB = 1 GB each).
+    """
+    h = stable_hash64(F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        docs.select(F.col(id_col), h.alias("_h"))
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

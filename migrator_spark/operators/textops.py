@@ -540,3 +540,80 @@ def chunk_overlap(
             F.size(piece).cast("long").alias("n_words"),
         )
     )
+
+
+def token_pair_counts(
+    docs: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-token-pair frequencies — the counting kernel of one BPE
+    training round (which repeatedly merges the most frequent adjacent
+    pair): top ``top_k`` pairs by corpus count, ties broken by pair
+    string ascending so the ranking is deterministic.
+
+    Scale: pairs explode map-side from each doc's token array and
+    partial-aggregate BEFORE the shuffle (hash aggregate with map-side
+    combine), so the exchange carries |distinct pairs| partial counts,
+    not |corpus tokens| rows; the final top-k is TakeOrderedAndProject
+    (per-partition heaps, no global sort). This is exactly how you'd
+    run the first BPE iteration over 100 TB — subsequent iterations
+    re-count only pairs touched by the previous merge.
+    """
+    pairs = F.expr(
+        "transform(slice(_w, 1, greatest(size(_w) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', element_at(_w, i + 2)))"
+    )
+    return (
+        docs.select(words(text_col).alias("_w"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group n-gram diversity: distinct n-grams / total n-grams —
+    the type-token ratio generalized to n-grams, the standard corpus
+    diversity metric for curation decisions (a low ratio flags
+    templated / machine-generated / boilerplate-heavy sources that
+    near-dup detectors miss because no two docs repeat exactly).
+
+    Scale: n-grams explode from the token array and both counts come
+    from ONE aggregation pass per level — total via map-side partial
+    count, distinct via a (group, ngram) pre-aggregate that shuffles
+    each distinct n-gram once per group rather than every occurrence.
+    For a quick profile at 100 TB swap the exact distinct for
+    approx_count_distinct and the shuffle drops to HLL sketches; the
+    exact form here is what the differential oracle checks.
+    """
+    sh = word_shingles(text_col, k=n)
+    grams = docs.select(
+        F.col(group_col).alias("grp"), F.explode(sh).alias("g")
+    )
+    per_gram = grams.groupBy("grp", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_ngrams"),
+            F.sum("c").alias("total_ngrams"),
+        )
+        .withColumn(
+            "diversity",
+            F.col("distinct_ngrams").cast("double")
+            / F.col("total_ngrams").cast("double"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "distinct_ngrams",
+            "total_ngrams",
+            "diversity",
+        )
+    )

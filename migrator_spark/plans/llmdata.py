@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from migrator_spark.operators import dedup as dd
 from migrator_spark.operators import mixture as mx
 from migrator_spark.operators import multimodal as mm
+from migrator_spark.operators import packing as pk
 from migrator_spark.operators import similarity as sim
 from migrator_spark.operators import textops as tx
 from migrator_spark.functions.hashing import (
@@ -2236,4 +2237,181 @@ SELECT source,
        CAST(count_if(ns > 1) AS BIGINT) AS n_cross_source_docs
 FROM h JOIN x USING (th)
 GROUP BY source
+"""
+
+
+# ======================================================= round-5 ops
+# per-domain cap, export sharding, BPE pair counts, n-gram diversity,
+# cross-source near-dup leakage — the curation/export operations a
+# training-data pipeline runs after dedup/quality and before packing.
+
+CUR6_CAP = 20
+
+
+def cur6_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (mixture.cap_per_group): keep the top
+    CUR6_CAP docs per source by length (quality proxy), ties by doc_id
+    — the C4/RefinedWeb-style guard against any one domain dominating
+    the mix. The rank predicate pushes into the window operator
+    (WindowGroupLimit: per-partition cap-sized heaps, pinned in
+    tests), so skewed domains never pay a full group sort."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return mx.cap_per_group(
+        docs, CUR6_CAP, group_col="source", score_col="n_chars"
+    )
+
+
+CUR6_ORACLE = f"""
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+) WHERE rk <= {CUR6_CAP}
+"""
+
+
+SH1_N_SHARDS = 8
+
+
+def sh1_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment
+    (packing.assign_shards): (doc_id, shard, pos) — a reproducible
+    global permutation materialized as SH1_N_SHARDS independent
+    hash-ordered streams, the export layout a training loader reads
+    round-robin to see a shuffled corpus. One hash-partition shuffle,
+    per-shard local sort, no global ordering anywhere."""
+    return pk.assign_shards(
+        load_table(spark, sf_dir, "documents"), SH1_N_SHARDS
+    )
+
+
+SH1_ORACLE = f"""
+SELECT doc_id,
+       CAST(h % {SH1_N_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {SH1_N_SHARDS}
+                               ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+FROM (SELECT doc_id, {H.format(x="CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents)
+"""
+
+
+BPE1_TOP_K = 50
+
+
+def bpe1_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair frequencies (textops.token_pair_counts):
+    the counting kernel of one BPE tokenizer-training round — top-50
+    pairs by corpus count, deterministic tie-break. Pairs partial-
+    aggregate map-side before the shuffle; the top-k is
+    TakeOrderedAndProject (pinned in tests), never a global sort."""
+    return tx.token_pair_counts(
+        load_table(spark, sf_dir, "documents"), top_k=BPE1_TOP_K
+    )
+
+
+BPE1_ORACLE = f"""
+WITH {DOCS_CTE},
+p AS (
+  SELECT array_to_string(w[j:j+1], ' ') AS pair
+  FROM docs, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(j)
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {BPE1_TOP_K}
+"""
+
+
+def dv1_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trigram diversity (textops.ngram_diversity):
+    distinct/total n-gram ratio — the type-token ratio generalized to
+    n-grams, flagging templated or boilerplate-heavy sources that
+    exact/near dedup miss. Exact two-level aggregate (each distinct
+    gram shuffles once per source); the documented 100 TB quick-profile
+    swap is approx_count_distinct."""
+    return tx.ngram_diversity(load_table(spark, sf_dir, "documents"), n=3)
+
+
+DV1_ORACLE = f"""
+WITH {DOCS_CTE},
+sh3s AS (
+  SELECT source,
+         list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                        j -> array_to_string(w[j:j+2], ' ')) AS sh
+  FROM docs
+),
+g AS (SELECT source, s FROM sh3s, LATERAL unnest(sh) AS t(s))
+SELECT source,
+       CAST(count(DISTINCT s) AS BIGINT) AS distinct_ngrams,
+       CAST(count(*) AS BIGINT) AS total_ngrams,
+       CAST(count(DISTINCT s) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS diversity
+FROM g GROUP BY source
+"""
+
+
+def dr2_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup leakage matrix: dd2's verified MinHash-LSH
+    pairs labeled with each side's source, aggregated per unordered
+    source pair — the provenance overlap report (how much of crawl A
+    is already in crawl B) that decides whether ingesting a new source
+    is worth its storage. Composition: the banded-LSH pair generator's
+    sub-quadratic candidate set, two broadcast-friendly id->source
+    joins (AQE decides), one tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESH,
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+DR2_ORACLE = f"""
+WITH {DOCS_CTE}, {SH_CTE},
+{SIG_CTE},
+banded AS (
+  SELECT doc_id, sh, band,
+         {H.format(x="array_to_string(list_transform(sig[band*3+1:band*3+3], v -> v::VARCHAR), ',')")} AS band_hash
+  FROM sig, LATERAL unnest(generate_series(0, {MINHASH_BANDS - 1})) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_distinct(list_intersect(sa.sh, sb.sh)))::DOUBLE
+           / len(list_distinct(sa.sh || sb.sh))::DOUBLE AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+),
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM verified v
+  JOIN documents da ON da.doc_id = v.doc_a
+  JOIN documents db ON db.doc_id = v.doc_b
+  WHERE v.jaccard >= {MINHASH_THRESH}
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY source_a, source_b
 """

@@ -284,6 +284,18 @@ REGISTRY: dict[str, QuerySpec] = {
     "dr1_source_dup_report": QuerySpec(
         llmdata.dr1_source_dup_report, llmdata.DR1_ORACLE
     ),
+    # --- NEW round 5: curation/export ops — per-domain cap, training
+    # shard assignment, BPE pair counting, n-gram diversity, and the
+    # cross-source near-dup leakage matrix ---
+    "cur6_domain_cap": QuerySpec(llmdata.cur6_domain_cap, llmdata.CUR6_ORACLE),
+    "sh1_train_shards": QuerySpec(llmdata.sh1_train_shards, llmdata.SH1_ORACLE),
+    "bpe1_pair_stats": QuerySpec(llmdata.bpe1_pair_stats, llmdata.BPE1_ORACLE),
+    "dv1_ngram_diversity": QuerySpec(
+        llmdata.dv1_ngram_diversity, llmdata.DV1_ORACLE
+    ),
+    "dr2_cross_source_leakage": QuerySpec(
+        llmdata.dr2_cross_source_leakage, llmdata.DR2_ORACLE
+    ),
 }
 
 
@@ -297,7 +309,7 @@ REGISTRY: dict[str, QuerySpec] = {
 #      as they land.
 #   2. The 25 entries whose newest green row is round 2 (registry tail
 #      comment of round 4), original order.
-#   3. The oldest r3-green entries (mm2..q6) through the 50-entry cut.
+#   3. The oldest r3-green entries (mm2..mx1) through the 50-entry cut.
 # pr3/pr6 stay OUT of graded slots: they already hold their declared
 # rows-only rows (r4) and a graded slot buys them nothing (no oracle).
 # Tail queue for round 6: the remaining r3-green family, then r4-green.
@@ -317,6 +329,11 @@ _GRADED_WINDOW: list[str] = [
     "fts3_passage_search",
     "dr1_source_dup_report",
     # -- NEW round 5 (never graded) --
+    "cur6_domain_cap",
+    "sh1_train_shards",
+    "bpe1_pair_stats",
+    "dv1_ngram_diversity",
+    "dr2_cross_source_leakage",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -351,11 +368,6 @@ _GRADED_WINDOW: list[str] = [
     "ta7_lm_quality",
     "sim6_hyperplane_topk",
     "mx1_mixture_plan",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q4_order_priority",
-    "q6_forecast_revenue",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

@@ -712,3 +712,33 @@ def test_fts3_passage_search_no_corpus_shuffle(spark, sf_dir):
     assert "Broadcast" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), plan
+
+
+def test_cur6_window_group_limit_both_sides(spark, sf_dir):
+    # the per-domain cap must push the rank predicate INTO the window:
+    # a Partial WindowGroupLimit BEFORE the exchange (map-side cap-sized
+    # heaps) and a Final one after — skewed domains never full-sort
+    plan = _plan(spark, sf_dir, "cur6_domain_cap")
+    assert len(re.findall(r"\n\(\d+\) WindowGroupLimit", plan)) == 2, plan
+    assert "Partial" in plan and "Final" in plan, plan
+    # pruned scan: only the three needed columns
+    assert "struct<doc_id:bigint,source:string,n_chars:bigint>" in plan, plan
+
+
+def test_sh1_single_exchange_no_global_sort(spark, sf_dir):
+    # shard assignment is ONE hash partition + per-shard local sort;
+    # a global permutation must never become a rangepartitioning sort
+    plan = _plan(spark, sf_dir, "sh1_train_shards")
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan  # 1-col scan
+
+
+def test_bpe1_partial_agg_and_topk(spark, sf_dir):
+    # pair counting partial-aggregates map-side (the shuffle carries
+    # distinct-pair partials, not corpus tokens) and the top-k is
+    # TakeOrderedAndProject, never a global sort
+    plan = _plan(spark, sf_dir, "bpe1_pair_stats")
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "ReadSchema: struct<text:string>" in plan, plan
