@@ -10,7 +10,7 @@ oracles match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from migrator_spark.functions.hashing import stable_hash64, word_shingles, words
@@ -80,9 +80,10 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def lang_guess(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: CJK codepoint share, else argmax of
-    per-language stopword hits (deterministic precedence en>de>es>fr)."""
+def _lang_guess_parts(text_col: str):
+    """(hit columns dict, guess column) for the heuristic language ID:
+    CJK codepoint share, else argmax of per-language stopword hits
+    (deterministic precedence en>de>es>fr)."""
     t = F.col(text_col)
     w = words(text_col)
     cjk = _regex_count(t, r"[一-鿿]")
@@ -94,6 +95,14 @@ def lang_guess(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         .when(es >= fr, F.lit("es"))
         .otherwise(F.lit("fr"))
     )
+    return {"en": en, "de": de, "es": es, "fr": fr}, guess
+
+
+def lang_guess(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK codepoint share, else argmax of
+    per-language stopword hits (deterministic precedence en>de>es>fr)."""
+    hits, guess = _lang_guess_parts(text_col)
+    en, de, es, fr = hits["en"], hits["de"], hits["es"], hits["fr"]
     return docs.select(
         F.col(id_col),
         en.alias("hits_en"),
@@ -615,5 +624,76 @@ def ngram_diversity(
             "distinct_ngrams",
             "total_ngrams",
             "diversity",
+        )
+    )
+
+
+def lang_confusion(
+    docs: DataFrame,
+    declared_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Declared-vs-guessed language confusion matrix: one row per
+    (declared, guessed) pair with doc counts — the metadata-trust audit
+    run before using a crawl's self-reported language tags for
+    filtering or mixture planning (off-diagonal mass = mislabeled or
+    code-mixed sources).
+
+    Scale: the guess is a pure column expression evaluated in the scan
+    projection (no join back to the corpus, no second pass), and the
+    aggregate partial-combines map-side into a |langs|^2-row result."""
+    _hits, guess = _lang_guess_parts(text_col)
+    return (
+        docs.select(
+            F.col(declared_col).alias("declared_lang"),
+            guess.alias("guessed_lang"),
+        )
+        .groupBy("declared_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    top_k: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cumulative corpus coverage of the top-k token types — the curve
+    behind every tokenizer vocab-size decision ("how many types cover
+    99% of tokens?"). Returns (rank, tok, n, cum_frac), rank ordered by
+    (count DESC, token ASC) so the curve is deterministic.
+
+    Scale: ONE corpus scan into a map-side-combined (token, count)
+    aggregate; the top-k is TakeOrderedAndProject (per-partition heaps)
+    and the running sum's single-partition window moves only the
+    TOP-K rows (bounded by the parameter, not the vocabulary). The
+    total-token normalizer is a 1-row aggregate of the same counts
+    relation, broadcast — integer cumsums, one double division per
+    output row, so the differential oracle is exact."""
+    counts = (
+        docs.select(F.explode(words(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # both the top-k and the total read this relation; checkpoint
+        # so the corpus explode+aggregate runs ONCE (vocab-sized
+        # materialization, plan-scoped — the cur2/dd9 discipline)
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    topk = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("cum", F.sum("n").over(w))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "tok",
+            "n",
+            (F.col("cum").cast("double") / F.col("_total").cast("double")).alias(
+                "cum_frac"
+            ),
         )
     )

@@ -2415,3 +2415,70 @@ lab AS (
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
 FROM lab GROUP BY source_a, source_b
 """
+
+
+def ta11_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-guessed language confusion matrix
+    (textops.lang_confusion): the metadata-trust audit run before using
+    a crawl's self-reported language tags for filtering or mixture
+    planning — off-diagonal mass is mislabeled or code-mixed content.
+    The guess is ta3's pure column expression evaluated in the scan
+    projection (no join, no second pass); the aggregate partial-
+    combines map-side into a |langs|^2-row result."""
+    return tx.lang_confusion(load_table(spark, sf_dir, "documents"))
+
+
+TA11_ORACLE = f"""
+WITH {DOCS_CTE},
+m AS (
+  SELECT lang,
+         length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+         length(text) AS n,
+         {_HITS.format(lst=_SW["en"])} AS hits_en,
+         {_HITS.format(lst=_SW["de"])} AS hits_de,
+         {_HITS.format(lst=_SW["es"])} AS hits_es,
+         {_HITS.format(lst=_SW["fr"])} AS hits_fr
+  FROM docs
+)
+SELECT lang AS declared_lang,
+       CASE WHEN cjk * 4 > n THEN 'zh'
+            WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+            WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+            WHEN hits_es >= hits_fr THEN 'es'
+            ELSE 'fr' END AS guessed_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m GROUP BY 1, 2
+"""
+
+
+VB1_TOP_K = 200
+
+
+def vb1_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary coverage curve (textops.vocab_coverage):
+    (rank, token, count, cumulative corpus fraction) — the curve
+    behind tokenizer vocab-size decisions. One corpus scan into
+    map-side-combined token counts; the top-k is
+    TakeOrderedAndProject and the running-sum window moves only
+    VB1_TOP_K rows; the normalizer is a broadcast 1-row aggregate."""
+    return tx.vocab_coverage(
+        load_table(spark, sf_dir, "documents"), top_k=VB1_TOP_K
+    )
+
+
+VB1_ORACLE = f"""
+WITH {DOCS_CTE},
+t AS (SELECT unnest(w) AS tok FROM docs),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY tok),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+top AS (SELECT tok, n FROM c ORDER BY n DESC, tok ASC LIMIT {VB1_TOP_K}),
+r AS (
+  SELECT tok, n,
+         CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rank,
+         CAST(sum(n) OVER (ORDER BY n DESC, tok ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM top
+)
+SELECT rank, tok, n, CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_frac
+FROM r, tot
+"""

@@ -296,6 +296,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "dr2_cross_source_leakage": QuerySpec(
         llmdata.dr2_cross_source_leakage, llmdata.DR2_ORACLE
     ),
+    "ta11_lang_confusion": QuerySpec(
+        llmdata.ta11_lang_confusion, llmdata.TA11_ORACLE
+    ),
+    "vb1_vocab_coverage": QuerySpec(
+        llmdata.vb1_vocab_coverage, llmdata.VB1_ORACLE
+    ),
 }
 
 
@@ -309,7 +315,7 @@ REGISTRY: dict[str, QuerySpec] = {
 #      as they land.
 #   2. The 25 entries whose newest green row is round 2 (registry tail
 #      comment of round 4), original order.
-#   3. The oldest r3-green entries (mm2..mx1) through the 50-entry cut.
+#   3. The oldest r3-green entries (mm2..ta7) through the 50-entry cut.
 # pr3/pr6 stay OUT of graded slots: they already hold their declared
 # rows-only rows (r4) and a graded slot buys them nothing (no oracle).
 # Tail queue for round 6: the remaining r3-green family, then r4-green.
@@ -334,6 +340,8 @@ _GRADED_WINDOW: list[str] = [
     "bpe1_pair_stats",
     "dv1_ngram_diversity",
     "dr2_cross_source_leakage",
+    "ta11_lang_confusion",
+    "vb1_vocab_coverage",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -366,8 +374,6 @@ _GRADED_WINDOW: list[str] = [
     "mm4_extract_features",
     "dc1_decontaminate",
     "ta7_lm_quality",
-    "sim6_hyperplane_topk",
-    "mx1_mixture_plan",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

@@ -742,3 +742,21 @@ def test_bpe1_partial_agg_and_topk(spark, sf_dir):
     assert "partial_count" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "ReadSchema: struct<text:string>" in plan, plan
+
+
+def test_ta11_single_scan_no_join(spark, sf_dir):
+    # the confusion matrix computes the guess in the scan projection:
+    # one corpus scan, no join back, one partial-combined aggregate
+    plan = _plan(spark, sf_dir, "ta11_lang_confusion")
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_vb1_single_corpus_pass_topk_broadcast(spark, sf_dir):
+    # token counts materialize once (checkpoint); top-k is
+    # TakeOrderedAndProject and the 1-row total broadcasts
+    plan = _plan(spark, sf_dir, "vb1_vocab_coverage")
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 0, plan  # checkpointed RDD scan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Broadcast" in plan, plan
