@@ -404,6 +404,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_col: str = "qe",
+    train: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance PQ scan (Jégou et al.): candidates are
     represented ONLY by their per-subspace centroid codes; the query
@@ -427,13 +428,17 @@ def pq_adc_topk(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
+    # codebooks may train on a WIDER set than the scanned candidates —
+    # the IVF+PQ composition (sim10) trains offline on the corpus and
+    # scans only the probed cells
+    train = emb if train is None else train
     scan = emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     approx = None
     for s in range(m):
-        pts = emb.select(
+        pts = train.select(
             F.col(id_col),
             F.transform(
                 F.slice(F.col(vec_col), s * sub + 1, sub), lambda x: x.cast("double")

@@ -2482,3 +2482,53 @@ r AS (
 SELECT rank, tok, n, CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_frac
 FROM r, tot
 """
+
+
+def sim10_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composition (FAISS IndexIVFPQ shape): the coarse
+    quantizer's probed cell prunes candidates to ~1/ncells of the
+    corpus BEFORE any distance math, then the PQ asymmetric-distance
+    scan scores only the survivors from m broadcast code tables — the
+    production billion-vector ANN layout, assembled from sim2's cell
+    semi-join and sim8's map-only ADC scan. Codebooks train on the
+    full corpus (the offline step), not the probed slice, exactly as a
+    served index would."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # offline artifacts, checkpointed like sim2's assignment table
+    assign = sim.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS).localCheckpoint(
+        eager=True
+    )
+    probe = assign.filter(F.col("vec_id") == 0).select("cell")
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(assign, on="vec_id")
+        .join(F.broadcast(probe), on="cell", how="leftsemi")
+        .select("vec_id", "embedding")
+    )
+    return sim.pq_adc_topk(
+        cand,
+        _query_vec(spark, sf_dir),
+        dim=PQ_DIM,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        topk=10,
+        train=emb.filter(F.col("vec_id") != 0),
+    )
+
+
+SIM10_ORACLE = f"""
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS)},
+{_PQ_CAND_CTES},
+{_PQ_QDS},
+qcell AS (SELECT cell FROM assign_final WHERE vec_id = 0)
+SELECT a0.vec_id, qd_0.qd + qd_1.qd AS approx_dist
+FROM assign_final_c0 a0
+JOIN qd_0 ON qd_0.cell = a0.cell
+JOIN assign_final_c1 a1 ON a1.vec_id = a0.vec_id
+JOIN qd_1 ON qd_1.cell = a1.cell
+JOIN assign_final f ON f.vec_id = a0.vec_id
+JOIN qcell ON f.cell = qcell.cell
+ORDER BY approx_dist ASC, a0.vec_id ASC
+LIMIT 10
+"""

@@ -302,6 +302,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "vb1_vocab_coverage": QuerySpec(
         llmdata.vb1_vocab_coverage, llmdata.VB1_ORACLE
     ),
+    "sim10_ivf_pq_topk": QuerySpec(
+        llmdata.sim10_ivf_pq_topk, llmdata.SIM10_ORACLE
+    ),
 }
 
 
@@ -342,6 +345,7 @@ _GRADED_WINDOW: list[str] = [
     "dr2_cross_source_leakage",
     "ta11_lang_confusion",
     "vb1_vocab_coverage",
+    "sim10_ivf_pq_topk",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -373,7 +377,6 @@ _GRADED_WINDOW: list[str] = [
     "mm3_resize_plan",
     "mm4_extract_features",
     "dc1_decontaminate",
-    "ta7_lm_quality",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
