@@ -245,7 +245,9 @@ class ParquetSource:
         return spark.read.parquet(self._current_dir(name))
 
     def exists(self, spark: SparkSession, name: str) -> bool:
-        return os.path.exists(self._path(name))
+        # the commit log also counts: a crash between the log claim and
+        # the symlink repoint must not make a committed table invisible
+        return os.path.exists(self._path(name)) or self.current_commit(name)[0] >= 0
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
         os.makedirs(self.root, exist_ok=True)

@@ -170,3 +170,23 @@ def test_gc_respects_log_references_and_inflight_grace(spark, tmp_path):
     names = {v["version"] for v in src.versions("t")}
     assert os.path.basename(inflight) in names
     assert len(names) == KEEP_VERSIONS + 2
+
+
+def test_crash_between_claim_and_symlink_recovers(spark, tmp_path):
+    """A writer that dies after winning the commit claim but before the
+    symlink repoint must leave a READABLE table: the log is the source
+    of truth, exists() consults it, and the next write heals the link."""
+    import os
+
+    src = ParquetSource(str(tmp_path))
+    schema = "id long"
+    src.write(spark.createDataFrame([(1,)], schema), "t")
+    # simulate the crash window: log is ahead, symlink is gone
+    v2 = src._materialize(spark.createDataFrame([(1,), (2,)], schema), "t")
+    assert src._try_commit("t", v2, src.current_commit("t")[0] + 1)
+    os.remove(src._path("t"))
+    assert src.exists(spark, "t")
+    assert src.table(spark, "t").count() == 2
+    src.write(spark.createDataFrame([(1,), (2,), (3,)], schema), "t")
+    assert os.path.islink(src._path("t"))  # healed
+    assert src.table(spark, "t").count() == 3
