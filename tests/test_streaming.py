@@ -597,3 +597,58 @@ def test_continuous_packing_fresh_checkpoint_against_state_raises(spark, tmp_pat
         run(str(tmp_path / "ck2"))  # fresh checkpoint, batch ids restart at 0
     # nothing was silently dropped-and-committed: manifest untouched
     assert spark.read.parquet(man_dir).count() == 10
+
+
+def test_stream_static_enrichment_sees_committed_dim_update(spark, tmp_path):
+    """Stream-static join against the versioned parquet sink: Spark
+    re-resolves the static side per micro-batch, and ParquetSource's
+    commit log pins each batch to a COMPLETE committed version — so a
+    dimension update committed mid-stream is picked up by later
+    micro-batches while in-flight batches keep their consistent
+    snapshot (the slowly-changing-dimension enrichment every CDC
+    pipeline runs)."""
+    import time
+
+    from migrator_spark.sources.parquet import ParquetSource
+
+    dims = ParquetSource(str(tmp_path / "dims"))
+    dims.write(
+        spark.createDataFrame([(1, "bronze"), (2, "bronze")], "uid long, tier string"),
+        "users",
+    )
+    in_dir = str(tmp_path / "in")
+    out: list[tuple] = []
+    schema = "event_id long, uid long"
+
+    def enrich(batch, batch_id):
+        joined = batch.join(dims.table(spark, "users"), on="uid")
+        out.extend(
+            (r["event_id"], r["uid"], r["tier"]) for r in joined.collect()
+        )
+
+    spark.createDataFrame([(100, 1)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    q = stream.writeStream.foreachBatch(enrich).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    # dimension updates BETWEEN runs via the committed rmw path
+    dims.rmw(
+        spark,
+        "users",
+        lambda df: df.replace("bronze", "gold", subset=["tier"]),
+    )
+    time.sleep(1.1)
+    spark.createDataFrame([(200, 1)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    q = stream.writeStream.foreachBatch(enrich).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert (100, 1, "bronze") in out and (200, 1, "gold") in out, out
