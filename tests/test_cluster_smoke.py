@@ -25,4 +25,4 @@ def test_cluster_smoke_lane_matches_oracles():
     )
     tail = "\n".join(proc.stdout.splitlines()[-12:])
     assert proc.returncode == 0, f"exit={proc.returncode}\n{tail}\n{proc.stderr[-2000:]}"
-    assert "CLUSTER-SMOKE DONE mismatches=0 of=10" in proc.stdout, tail
+    assert "CLUSTER-SMOKE DONE mismatches=0 of=13" in proc.stdout, tail

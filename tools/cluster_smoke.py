@@ -55,6 +55,9 @@ SMOKE_QUERIES = [
     "mm2_frame_sample",         # Arrow mapInPandas on executors
     "l0_apply_cdc_batch",       # the CDC merge flagship
     "ev2_asof_join",            # as-of join composition
+    "cur6_domain_cap",          # partial+final WindowGroupLimit over a real exchange
+    "bpe1_pair_stats",          # map-side partial agg + TakeOrderedAndProject
+    "sim10_ivf_pq_topk",        # IVF+PQ: checkpointed quantizer + broadcast code tables
 ]
 
 
