@@ -697,3 +697,40 @@ def vocab_coverage(
             ),
         )
     )
+
+
+def line_filter(
+    docs: DataFrame,
+    min_words: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style line-level cleaning: keep only lines that read like
+    prose — at least ``min_words`` whitespace words AND terminal
+    punctuation (. ! ? or a closing quote) — and drop brace-bearing
+    lines (leaked code/markup). Returns the reassembled text plus
+    kept/total line counts, docs with at least one surviving line.
+
+    The whole operator is ONE narrow map stage: the line array comes
+    from a split in the scan projection and the rules are a Catalyst
+    ``filter`` lambda over it — no explode, no shuffle, no reassembly
+    aggregation (the usual explode→filter→groupBy→array_join
+    formulation shuffles every LINE of the corpus; this shuffles
+    nothing). At 100 TB: a pure scan transform that fuses with
+    whatever runs next."""
+    lines = F.split(F.col(text_col), "\n")
+    keep = lambda ln: (  # noqa: E731 - Catalyst lambda, not a def
+        (F.size(F.split(F.trim(ln), " +")) >= min_words)
+        & ln.rlike('[.!?"]\\s*$')
+        & ~ln.contains("{")
+    )
+    kept = F.filter(lines, keep)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.array_join(kept, "\n").alias("clean_text"),
+            F.size(kept).alias("n_lines_kept"),
+            F.size(lines).alias("n_lines_total"),
+        )
+        .filter(F.col("n_lines_kept") > 0)
+    )

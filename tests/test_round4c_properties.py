@@ -172,3 +172,47 @@ def test_source_dup_report_counts(spark):
     assert a["n_cross_source_docs"] == 2  # doc 0 and 1 both leak to b
     assert (b["n_docs"], b["n_unique_texts"], b["n_dup_copies"]) == (2, 2, 0)
     assert b["n_cross_source_docs"] == 1
+
+
+def test_line_filter_c4_rules(spark):
+    # C4-style line cleaning: prose lines survive (>=3 words, terminal
+    # punctuation), nav/code fragments go; docs with zero surviving
+    # lines drop entirely. One map stage — verified on constructed
+    # multi-line docs (the driver corpus is single-line by design).
+    from migrator_spark.operators.textops import line_filter
+
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "This is a good sentence.\n"
+                "Home | About | Contact\n"
+                "Another fine line stands here!\n"
+                "if (x) { return; }\n"
+                'He said "stop".',
+            ),
+            (2, "ok.\nmenu\nfooter"),  # nothing survives -> doc dropped
+            (3, "Short tail?\nA perfectly normal third line."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_filter(docs).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["clean_text"] == (
+        "This is a good sentence.\n"
+        "Another fine line stands here!\n"
+        'He said "stop".'
+    )
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_total"]) == (3, 5)
+    # doc 3: "Short tail?" has only 2 words -> dropped; second line kept
+    assert out[3]["clean_text"] == "A perfectly normal third line."
+    assert (out[3]["n_lines_kept"], out[3]["n_lines_total"]) == (1, 2)
+
+
+def test_line_filter_is_shuffle_free(spark):
+    from migrator_spark.operators.textops import line_filter
+
+    docs = spark.createDataFrame([(1, "A b c.\nx")], "doc_id long, text string")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = line_filter(docs)._jdf.queryExecution().explainString(mode)
+    assert "Exchange" not in plan, plan
