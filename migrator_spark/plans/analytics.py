@@ -2438,3 +2438,92 @@ SELECT CAST(coalesce(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::
 FROM orders
 GROUP BY 1
 """
+
+
+def ev9_daily_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k over an aggregate: the 2 most frequent event
+    types per day — the trending/leaderboard query every product
+    analytics stack runs. One partial-combined (day, type) aggregate
+    (|days|x|types| rows), then the rank predicate pushes into a
+    WindowGroupLimit over that TINY relation — the corpus is scanned
+    once and nothing after the first exchange exceeds the aggregate's
+    cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("_d"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("_d").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        daily.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 2)
+        .select(F.date_format("_d", "yyyy-MM-dd").alias("day"), "event_type", "n")
+    )
+
+
+EV9_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(day AS VARCHAR) AS day, event_type, n FROM (
+  SELECT *, row_number() OVER (PARTITION BY day
+                               ORDER BY n DESC, event_type ASC) AS rk
+  FROM d
+) WHERE rk <= 2
+"""
+
+
+def ev10_top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first 5 events (by time) joined
+    into an ordered path string, then the 10 most common paths — the
+    "what do users actually do" query behind onboarding and funnel
+    design (ev5 checks ONE hypothesized path; this discovers them).
+
+    Shape: one user-partitioned ranking window caps each user at 5
+    rows BEFORE any path assembly (WindowGroupLimit — a power user's
+    million events never reach the aggregate), per-user assembly
+    sorts the <=5 collected (rank, type) structs inside the row
+    (array_sort — deterministic despite collect_list's arbitrary
+    arrival order), and the path frequency count partial-aggregates
+    into TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    first5 = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+    paths = first5.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+EV10_ORACLE = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 5 GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT 10
+"""

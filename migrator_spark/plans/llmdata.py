@@ -9,7 +9,7 @@ order, so results match Spark bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from migrator_spark.operators import dedup as dd
@@ -2531,4 +2531,62 @@ JOIN assign_final f ON f.vec_id = a0.vec_id
 JOIN qcell ON f.cell = qcell.cell
 ORDER BY approx_dist ASC, a0.vec_id ASC
 LIMIT 10
+"""
+
+
+def ta12_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: each doc's top-3 terms by the
+    log-free TF-IDF (tf · N / df, the fts1 rational form — exact
+    integer numerator, one double division) — the cheap unsupervised
+    labeling pass behind corpus browsing, topic bucketing, and weak
+    supervision.
+
+    Shape: one explode into (doc, term) counts; document frequency is
+    a second aggregate of the same relation joined back on the term
+    key (AQE picks broadcast when the vocab fits); the corpus size is
+    a broadcast 1-row aggregate; and the per-doc top-3 is a rank
+    predicate pushed into a WindowGroupLimit partitioned by doc — no
+    doc ever materializes more than its own candidate terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.col("doc_id"), F.explode(words("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.dropDuplicates(["doc_id", "term"]).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n")).cast("double") / F.col("df").cast("double"),
+        )
+        .select("doc_id", "term", "tf", "score")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 3)
+        .drop("_rk")
+    )
+
+
+TA12_ORACLE = f"""
+WITH {DOCS_CTE},
+t AS (SELECT doc_id, unnest(w) AS term FROM docs),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM t GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM t GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+s AS (
+  SELECT doc_id, term, tf,
+         CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) AS score
+  FROM tf JOIN df USING (term), nn
+)
+SELECT doc_id, term, tf, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rk
+  FROM s
+) WHERE rk <= 3
 """

@@ -305,6 +305,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim10_ivf_pq_topk": QuerySpec(
         llmdata.sim10_ivf_pq_topk, llmdata.SIM10_ORACLE
     ),
+    "ev9_daily_top_events": QuerySpec(
+        analytics.ev9_daily_top_events, analytics.EV9_ORACLE
+    ),
+    "ev10_top_user_paths": QuerySpec(
+        analytics.ev10_top_user_paths, analytics.EV10_ORACLE
+    ),
+    "ta12_doc_keywords": QuerySpec(
+        llmdata.ta12_doc_keywords, llmdata.TA12_ORACLE
+    ),
 }
 
 
@@ -346,6 +355,9 @@ _GRADED_WINDOW: list[str] = [
     "ta11_lang_confusion",
     "vb1_vocab_coverage",
     "sim10_ivf_pq_topk",
+    "ev9_daily_top_events",
+    "ev10_top_user_paths",
+    "ta12_doc_keywords",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -374,9 +386,6 @@ _GRADED_WINDOW: list[str] = [
     "mm1_decode_metadata",
     # -- oldest r3-green entries, through the 50-entry cut --
     "mm2_frame_sample",
-    "mm3_resize_plan",
-    "mm4_extract_features",
-    "dc1_decontaminate",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
