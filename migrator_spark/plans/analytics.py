@@ -2527,3 +2527,75 @@ FROM p GROUP BY path
 ORDER BY n_users DESC, path ASC
 LIMIT 10
 """
+
+
+def seg1_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days since
+    last order at the dataset's frontier), Frequency (order count) and
+    Monetary (exact DECIMAL total), each bucketed into quintiles by
+    ntile(5), concatenated into the classic 3-digit segment code — the
+    standard marketing/CRM segmentation every warehouse ships.
+
+    Shape: one partial-combined per-customer aggregate (the only
+    corpus-sized shuffle), then three whole-frame ntile windows over
+    the |customers| aggregate; the dataset frontier (max date) is a
+    1-row broadcast. All-integer output — ntile is rank-based, so no
+    float enters the compare. The deliberate ntile ordering includes
+    the customer key as the tiebreak, making bucket boundaries
+    deterministic cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_m"),
+    )
+    frontier = orders.agg(F.max("o_orderdate").alias("_frontier"))
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    wm = Window.orderBy(F.col("_m").desc(), F.col("o_custkey").asc())
+    return (
+        per_cust.crossJoin(F.broadcast(frontier))
+        .withColumn(
+            "recency_days", F.datediff(F.col("_frontier"), F.col("last_order")).cast("long")
+        )
+        .withColumn("r_score", F.ntile(5).over(wr).cast("long"))
+        .withColumn("f_score", F.ntile(5).over(wf).cast("long"))
+        .withColumn("m_score", F.ntile(5).over(wm).cast("long"))
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            F.col("_m").cast("double").alias("monetary"),
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat_ws("", "r_score", "f_score", "m_score").alias("segment"),
+        )
+    )
+
+
+SEG1_ORACLE = """
+WITH pc AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+  FROM orders GROUP BY o_custkey
+),
+f AS (SELECT max(o_orderdate) AS frontier FROM orders),
+s AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order, frontier) AS BIGINT) AS recency_days,
+         frequency, m,
+         CAST(ntile(5) OVER (ORDER BY date_diff('day', last_order, frontier) ASC,
+                             o_custkey ASC) AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS BIGINT)
+           AS f_score,
+         CAST(ntile(5) OVER (ORDER BY m DESC, o_custkey ASC) AS BIGINT) AS m_score
+  FROM pc, f
+)
+SELECT o_custkey, recency_days, frequency, CAST(m AS DOUBLE) AS monetary,
+       r_score, f_score, m_score,
+       r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+FROM s
+"""

@@ -314,6 +314,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ta12_doc_keywords": QuerySpec(
         llmdata.ta12_doc_keywords, llmdata.TA12_ORACLE
     ),
+    "seg1_rfm_segments": QuerySpec(
+        analytics.seg1_rfm_segments, analytics.SEG1_ORACLE
+    ),
 }
 
 
@@ -327,7 +330,8 @@ REGISTRY: dict[str, QuerySpec] = {
 #      as they land.
 #   2. The 25 entries whose newest green row is round 2 (registry tail
 #      comment of round 4), original order.
-#   3. The oldest r3-green entries (mm2..ta7) through the 50-entry cut.
+#   3. (The oldest r3-green entries were displaced as round-5 ops
+#      landed; the whole r3-green family heads round 6's queue.)
 # pr3/pr6 stay OUT of graded slots: they already hold their declared
 # rows-only rows (r4) and a graded slot buys them nothing (no oracle).
 # Tail queue for round 6: the remaining r3-green family, then r4-green.
@@ -358,6 +362,7 @@ _GRADED_WINDOW: list[str] = [
     "ev9_daily_top_events",
     "ev10_top_user_paths",
     "ta12_doc_keywords",
+    "seg1_rfm_segments",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -384,8 +389,6 @@ _GRADED_WINDOW: list[str] = [
     "sm3_weighted_sample",
     "cur1_curation_pipeline",
     "mm1_decode_metadata",
-    # -- oldest r3-green entries, through the 50-entry cut --
-    "mm2_frame_sample",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
