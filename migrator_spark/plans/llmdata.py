@@ -2492,7 +2492,14 @@ def sim10_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     production billion-vector ANN layout, assembled from sim2's cell
     semi-join and sim8's map-only ADC scan. Codebooks train on the
     full corpus (the offline step), not the probed slice, exactly as a
-    served index would."""
+    served index would.
+
+    The differential oracle checks the ARITHMETIC (cells, codes, and
+    distance-table sums match bit-for-bit); retrieval quality is
+    checked separately on data with planted cluster structure
+    (tests/test_similarity_properties.py) because on this RANDOM
+    synthetic corpus distance concentration collapses every sublinear
+    ANN's recall — a property of the data, not the index."""
     emb = load_table(spark, sf_dir, "embeddings")
     # offline artifacts, checkpointed like sim2's assignment table
     assign = sim.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS).localCheckpoint(
