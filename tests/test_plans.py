@@ -760,3 +760,27 @@ def test_vb1_single_corpus_pass_topk_broadcast(spark, sf_dir):
     assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 0, plan  # checkpointed RDD scan
     assert "TakeOrderedAndProject" in plan, plan
     assert "Broadcast" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ev9_daily_top_events", "ev10_top_user_paths", "ta12_doc_keywords"],
+)
+def test_round5_topk_plans_push_rank_into_window(spark, sf_dir, name):
+    # every round-5 top-k shape must carry the partial+final
+    # WindowGroupLimit pair (rank predicate evaluated map-side) and
+    # keep aggregates partial-combined; no sort-merge joins anywhere
+    plan = _plan(spark, sf_dir, name)
+    assert len(re.findall(r"\n\(\d+\) WindowGroupLimit", plan)) == 2, plan
+    assert "partial_" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_seg1_single_corpus_shuffle_broadcast_frontier(spark, sf_dir):
+    # one per-customer aggregate is the only corpus-sized exchange; the
+    # ntile windows run over the customers-sized relation and the
+    # dataset frontier joins as a broadcast 1-row cross
+    plan = _plan(spark, sf_dir, "seg1_rfm_segments")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "partial_" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
