@@ -26,6 +26,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -189,3 +190,87 @@ def payload_dedup(payloads: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.min("nb").alias("n_bytes"),
         )
     )
+
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def _parse_bmp(payload: bytes):
+    """Real BMP header parse (pure stdlib): BITMAPINFOHEADER width at
+    byte 18, height at 22 (signed; negative = top-down)."""
+    if len(payload) < 26 or payload[:2] != b"BM":
+        return None
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = abs(int.from_bytes(payload[22:26], "little", signed=True))
+    if width <= 0 or height <= 0:
+        return None
+    return ("image/bmp", width, height, None, None, None)
+
+
+def _parse_wav(payload: bytes):
+    """Real RIFF/WAVE chunk walk (pure stdlib): fmt chunk gives
+    channels + sample rate + byte rate; data chunk size gives
+    duration."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, channels, rate, byte_rate, data_size = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            byte_rate = int.from_bytes(body[8:12], "little")
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or not rate or not byte_rate or data_size is None:
+        return None
+    return ("audio/wav", None, None, channels, rate, data_size * 1000 // byte_rate)
+
+
+def decode_media(payloads: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL media decode for uncompressed container formats — BMP
+    image headers and RIFF/WAVE audio — parsed byte-by-byte with the
+    stdlib inside the same Arrow ``mapInPandas`` shape as
+    ``decode_metadata``. Unrecognized payloads (JPEG/PNG/MP4 need
+    PIL/ffmpeg, absent in this container) fall back to the
+    deterministic stub dimensions under ``media_type='unknown'``, or
+    raise when ``strict=True`` — so the line to extend for compressed
+    formats is exactly marked, and the two formats a pure-Python
+    parser CAN handle are handled for real, end-to-end through Spark.
+    """
+
+    def decode_one(doc_id: int, payload: bytes) -> tuple:
+        for parser in (_parse_bmp, _parse_wav):
+            got = parser(payload)
+            if got is not None:
+                mt, w, h, ch, sr, dur = got
+                return (doc_id, mt, len(payload), w, h, ch, sr, dur)
+        if strict:
+            raise NotImplementedError(
+                "compressed media decode requires PIL/ffmpeg (not in container)"
+            )
+        n, w, h, _ph = _fake_decode(payload)
+        return (doc_id, "unknown", n, w, h, None, None, None)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                decode_one(i, p) for i, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return payloads.mapInPandas(batches, schema=MEDIA_SCHEMA)
