@@ -274,3 +274,42 @@ def decode_media(payloads: DataFrame, strict: bool = False) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return payloads.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def synth_wav_payloads(
+    docs: DataFrame, rate: int = 8000, id_col: str = "doc_id", len_col: str = "n_chars"
+) -> DataFrame:
+    """Synthesize REAL mono 16-bit PCM WAV files (one sample per char
+    of the source doc, deterministic waveform from the sample index) —
+    the encode half of the decode_media round-trip, and the stand-in
+    for reading actual audio blobs from a parquet binary column.
+    Arrow mapInPandas, payload never touches the driver."""
+    import struct
+
+    def build(n: int) -> bytes:
+        data = struct.pack(
+            "<" + "h" * n, *(((i * 37) % 8191 - 4096) for i in range(n))
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = (
+            b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": pdf[len_col].map(lambda n: build(int(n)))}
+            )
+
+    return docs.mapInPandas(batches, schema=schema)

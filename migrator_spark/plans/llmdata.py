@@ -2597,3 +2597,33 @@ SELECT doc_id, term, tf, score FROM (
   FROM s
 ) WHERE rk <= 3
 """
+
+
+MM6_RATE = 8000
+
+
+def mm6_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, driver-graded: synthesize an actual mono
+    16-bit PCM WAV file per document (one sample per char,
+    multimodal.synth_wav_payloads) and decode it back through the
+    stdlib RIFF-chunk walker (multimodal.decode_media) — byte-real
+    container parsing through two Arrow mapInPandas stages, with the
+    oracle computing the expected header arithmetic (44-byte canonical
+    header + 2 bytes/sample; duration = data/byte_rate) from n_chars
+    alone. The proof that the decode path is not stub-only."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    decoded = mm.decode_media(mm.synth_wav_payloads(docs, rate=MM6_RATE))
+    return decoded.select(
+        "doc_id", "media_type", "n_bytes", "channels", "sample_rate", "duration_ms"
+    )
+
+
+MM6_ORACLE = f"""
+SELECT doc_id,
+       'audio/wav' AS media_type,
+       CAST(44 + 2 * n_chars AS BIGINT) AS n_bytes,
+       CAST(1 AS BIGINT) AS channels,
+       CAST({MM6_RATE} AS BIGINT) AS sample_rate,
+       CAST((2 * n_chars * 1000) // (2 * {MM6_RATE}) AS BIGINT) AS duration_ms
+FROM documents
+"""

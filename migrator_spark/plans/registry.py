@@ -317,6 +317,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "seg1_rfm_segments": QuerySpec(
         analytics.seg1_rfm_segments, analytics.SEG1_ORACLE
     ),
+    "mm6_wav_roundtrip": QuerySpec(
+        llmdata.mm6_wav_roundtrip, llmdata.MM6_ORACLE
+    ),
 }
 
 
@@ -363,6 +366,7 @@ _GRADED_WINDOW: list[str] = [
     "ev10_top_user_paths",
     "ta12_doc_keywords",
     "seg1_rfm_segments",
+    "mm6_wav_roundtrip",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -388,7 +392,6 @@ _GRADED_WINDOW: list[str] = [
     "sm2_stratified_sample",
     "sm3_weighted_sample",
     "cur1_curation_pipeline",
-    "mm1_decode_metadata",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
