@@ -857,3 +857,37 @@ def source_dup_report(
             F.count_if(F.col("_ns") > 1).alias("n_cross_source_docs"),
         )
     )
+
+
+def exact_dedup_best_copy(
+    docs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup with a QUALITY keep policy: one row per distinct
+    normalized text, keeping the highest-``quality_col`` copy (ties to
+    the smallest id) instead of ``exact_dedup``'s min-id — the policy
+    knob real curation wants, since duplicate crawls differ in
+    truncation, boilerplate, and capture quality.
+
+    Same cost class as exact_dedup: ONE partial-combined aggregate on
+    the uniform 60-bit hash; the argmax rides the aggregate as
+    ``max_by`` over the composite integer key quality*2^40 - id —
+    one sortable value both engines order identically, encoding the
+    (quality DESC, id ASC) policy exactly for ids < 2^40 (a trillion
+    docs; the oracle-portable alternative to struct-ordered max_by)."""
+    pick = F.col(quality_col) * F.lit(1 << 40) - F.col(id_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(quality_col),
+            stable_hash64(normalized_text(text_col)).alias("text_hash"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.max_by(id_col, pick).alias("keep_doc_id"),
+            F.max(quality_col).alias("keep_quality"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

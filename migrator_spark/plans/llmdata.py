@@ -2627,3 +2627,111 @@ SELECT doc_id,
        CAST((2 * n_chars * 1000) // (2 * {MM6_RATE}) AS BIGINT) AS duration_ms
 FROM documents
 """
+
+
+def cur8_best_copy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the BEST copy (dedup.exact_dedup_best_copy):
+    per distinct content, retain the longest copy (n_chars as the
+    quality proxy; ties to smallest id) — the keep-policy knob dd1's
+    min-id rule lacks, one max_by aggregate on the uniform hash key."""
+    return dd.exact_dedup_best_copy(
+        load_table(spark, sf_dir, "documents"), quality_col="n_chars"
+    )
+
+
+CUR8_ORACLE = f"""
+SELECT {H_NORM} AS text_hash,
+       arg_max(doc_id, n_chars * (1::BIGINT << 40) - doc_id) AS keep_doc_id,
+       max(n_chars) AS keep_quality,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def sm6_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split over the event stream: everything
+    before the cutoff timestamp trains, the rest evaluates — the split
+    discipline for any model predicting the future (sm4's hash split
+    would leak future events into train). The cutoff is the exact
+    80th-percentile event time, computed as one tiny sorted aggregate
+    and broadcast; assignment is then a pure scan projection."""
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    # exact 80th percentile by rank, no driver collect beyond the count:
+    # sort-free via ntile would need a global window; instead take the
+    # k-th smallest ts with a deterministic top-k (k = ceil(0.8 n))
+    k = (8 * n + 9) // 10
+    cutoff = (
+        ev.select("ts", "event_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .limit(k)
+        .agg(F.max("ts").alias("_cutoff"))
+    )
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("ts") <= F.col("_cutoff"), "train")
+            .otherwise("eval")
+            .alias("split"),
+        )
+    )
+
+
+SM6_ORACLE = """
+WITH k AS (
+  SELECT CAST(ceil(0.8 * count(*)) AS BIGINT) AS k FROM events
+),
+cut AS (
+  SELECT max(ts) AS cutoff FROM (
+    SELECT ts FROM events, k ORDER BY ts ASC, event_id ASC LIMIT (SELECT k FROM k)
+  )
+)
+SELECT event_id, user_id,
+       CASE WHEN ts <= cutoff THEN 'train' ELSE 'eval' END AS split
+FROM events, cut
+"""
+
+
+def vb2_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against vb1's top-k vocab:
+    the tokenizer-fit metric ("which sources will fragment into
+    bytes?") behind vocab-size and source-mix decisions. The vocab is
+    the broadcast top-k relation (bounded by the parameter), tokens
+    stream map-side through a broadcast LEFT SEMI-flag join, and the
+    per-source rates aggregate with partials — one corpus pass beyond
+    the counts vb1 already materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = tx.vocab_coverage(docs, top_k=VB1_TOP_K).select("tok")
+    toks = docs.select(F.col("source"), F.explode(words("text")).alias("tok"))
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), on="tok", how="left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+VB2_ORACLE = f"""
+WITH {DOCS_CTE},
+t AS (SELECT source, unnest(w) AS tok FROM docs),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(w) AS tok FROM docs) GROUP BY tok),
+v AS (SELECT tok FROM c ORDER BY n DESC, tok ASC LIMIT {VB1_TOP_K})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE t.tok NOT IN (SELECT tok FROM v)) AS BIGINT)
+         AS n_oov,
+       CAST(count(*) FILTER (WHERE t.tok NOT IN (SELECT tok FROM v)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS oov_rate
+FROM t GROUP BY source
+"""

@@ -320,6 +320,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "mm6_wav_roundtrip": QuerySpec(
         llmdata.mm6_wav_roundtrip, llmdata.MM6_ORACLE
     ),
+    "cur8_best_copy_dedup": QuerySpec(
+        llmdata.cur8_best_copy_dedup, llmdata.CUR8_ORACLE
+    ),
+    "sm6_temporal_split": QuerySpec(
+        llmdata.sm6_temporal_split, llmdata.SM6_ORACLE
+    ),
+    "vb2_oov_rate": QuerySpec(llmdata.vb2_oov_rate, llmdata.VB2_ORACLE),
 }
 
 
@@ -367,6 +374,9 @@ _GRADED_WINDOW: list[str] = [
     "ta12_doc_keywords",
     "seg1_rfm_segments",
     "mm6_wav_roundtrip",
+    "cur8_best_copy_dedup",
+    "sm6_temporal_split",
+    "vb2_oov_rate",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -388,9 +398,6 @@ _GRADED_WINDOW: list[str] = [
     "pr2_length_percentiles",
     "fts1_keyword_search",
     "dq1_constraint_audit",
-    "sm1_hash_sample",
-    "sm2_stratified_sample",
-    "sm3_weighted_sample",
     "cur1_curation_pipeline",
 ]
 
