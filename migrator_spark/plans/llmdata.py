@@ -2652,20 +2652,55 @@ def sm6_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe temporal split over the event stream: everything
     before the cutoff timestamp trains, the rest evaluates — the split
     discipline for any model predicting the future (sm4's hash split
-    would leak future events into train). The cutoff is the exact
-    80th-percentile event time, computed as one tiny sorted aggregate
-    and broadcast; assignment is then a pure scan projection."""
+    would leak future events into train).
+
+    The cutoff is the EXACT 80th-percentile event time (the ts at row
+    rank k = ceil(0.8 n)), found by distributed selection rather than a
+    global sort: the k-th row's ts is the smallest ts whose cumulative
+    row count reaches k, and ties at the cutoff land in train either
+    way, so no per-row tiebreak is ever needed. The cumulative count is
+    the cur5 two-level decomposition — per-ts counts shuffle once into
+    day partitions, each day's running count windows in PARALLEL, and a
+    broadcast days-sized relation supplies each day's global offset —
+    so nothing serializes through one partition (skew ceiling: one
+    day's distinct timestamps) and no 0.8·n-row top-k ever forms,
+    where a plain orderBy().limit(k) would sort-and-ship 80% of the
+    table at 100 TB. One lazy plan end-to-end: n itself is the
+    days-relation sum, so there is no separate count() action."""
     ev = load_table(spark, sf_dir, "events")
-    n = ev.count()
-    # exact 80th percentile by rank, no driver collect beyond the count:
-    # sort-free via ntile would need a global window; instead take the
-    # k-th smallest ts with a deterministic top-k (k = ceil(0.8 n))
-    k = (8 * n + 9) // 10
+    per_ts = (
+        ev.groupBy("ts")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_day", F.to_date("ts"))
+    )
+    days = (
+        per_ts.groupBy("_day")
+        .agg(F.sum("_c").alias("_dc"))
+        .withColumn(
+            "_before",
+            F.sum("_dc").over(
+                Window.orderBy("_day").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("_dc"),
+        )
+    )
+    # k = ceil(0.8 n) in pure integer arithmetic: (8n + 9) div 10
+    k = days.agg(F.expr("(8 * sum(_dc) + 9) div 10").alias("_k"))
+    cum = per_ts.join(F.broadcast(days.select("_day", "_before")), "_day").withColumn(
+        "_cum",
+        F.col("_before")
+        + F.sum("_c").over(
+            Window.partitionBy("_day")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
     cutoff = (
-        ev.select("ts", "event_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .limit(k)
-        .agg(F.max("ts").alias("_cutoff"))
+        cum.crossJoin(F.broadcast(k))
+        .filter(F.col("_cum") >= F.col("_k"))
+        .agg(F.min("ts").alias("_cutoff"))
     )
     return (
         ev.crossJoin(F.broadcast(cutoff))

@@ -784,3 +784,35 @@ def test_seg1_single_corpus_shuffle_broadcast_frontier(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "partial_" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cur8_single_aggregate_no_join(spark, sf_dir):
+    # best-copy exact dedup is ONE partial-combined max_by aggregate on
+    # the uniform hash key — one corpus scan, no join, no top-k
+    plan = _plan(spark, sf_dir, "cur8_best_copy_dedup")
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "partial_max_by" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_sm6_cutoff_is_distributed_selection(spark, sf_dir):
+    # the 80th-percentile cutoff must come from the two-level cumulative
+    # count (parallel per-day windows + broadcast day offsets), never
+    # from a 0.8*n-row global top-k; corpus-sized relations only ever
+    # join as broadcasts
+    plan = _plan(spark, sf_dir, "sm6_temporal_split")
+    assert "TakeOrderedAndProject" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_vb2_vocab_joins_broadcast(spark, sf_dir):
+    # the top-k vocab is a TakeOrderedAndProject bounded by the
+    # parameter and reaches the token stream as a broadcast flag join;
+    # the per-source rates aggregate with partials
+    plan = _plan(spark, sf_dir, "vb2_oov_rate")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_" in plan, plan
