@@ -25,10 +25,10 @@ The expensive pass is the token count scan — already column-pruned to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from migrator_spark.functions.hashing import words
+from migrator_spark.functions.hashing import stable_hash64, word_shingles, words
 
 
 def mixture_plan(
@@ -224,4 +224,92 @@ def cap_per_group(
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc in
+    the raw pool by how much its hashed-n-gram profile looks like the
+    ``target`` slice's, so selection can reshape the pool toward a
+    target domain without a trained classifier.
+
+    Model: unigram + bigram features hashed into ``n_buckets`` buckets
+    (the paper's hashed n-gram generative model); the weight of one
+    feature occurrence in bucket b is
+
+        log p_target(b) - log p_raw(b)
+
+    with add-one smoothing over the bucket vocabulary, and a doc's
+    importance is the sum over its feature occurrences. Both logs are
+    quantized to integer micro-nats (floor(ln(p) * 1e6)) per distinct
+    bucket BEFORE the per-doc sum, so the corpus aggregate is exact
+    integer arithmetic — order-independent and bit-identical in DuckDB
+    (the bigram_logprob_score discipline).
+
+    Scale: the bucket model is ONE pass over the exploded feature
+    stream — a conditional aggregate (count + count_if(target)) onto
+    n_buckets keys, so the shuffle after map-side partials is buckets-
+    sized, not corpus-sized. Totals are a 1-row aggregate of that tiny
+    relation. Scoring re-explodes the stream and joins the buckets-
+    sized weight table as a BROADCAST, then partial-aggregates per doc
+    — the only corpus-sized shuffle is |docs| partial rows. Nothing
+    quadratic, nothing driver-side; raising n_buckets (the paper uses
+    10k) only grows the broadcast."""
+    feats = docs.select(
+        F.col(id_col),
+        target.alias("_t"),
+        F.explode(
+            F.concat(words(text_col), word_shingles(text_col, 2))
+        ).alias("_f"),
+    ).withColumn("_b", F.pmod(stable_hash64(F.col("_f")), F.lit(n_buckets)))
+    # the bucket model is n_buckets rows but feeds BOTH the totals and
+    # the weight table — materialize it once (it IS the fitted model a
+    # real run would persist) so the corpus-sized feature explode runs
+    # exactly twice: the model pass and the scoring pass
+    buckets = feats.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.count_if(F.col("_t")).alias("_ct"),
+    ).localCheckpoint(eager=True)
+    tot = buckets.agg(
+        F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt")
+    )
+
+    def _lmicro(c: Column, n: Column) -> Column:
+        return F.floor(
+            F.log(
+                (c + F.lit(1)).cast("double")
+                / (n + F.lit(n_buckets)).cast("double")
+            )
+            * F.lit(1000000.0)
+        ).cast("long")
+
+    bw = (
+        buckets.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_lw",
+            _lmicro(F.col("_ct"), F.col("_nt"))
+            - _lmicro(F.col("_cr"), F.col("_nr")),
+        )
+        .select("_b", "_lw")
+    )
+    return (
+        feats.join(F.broadcast(bw), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("_lw").alias("logratio_micro"),
+        )
+        .withColumn(
+            "avg_logratio",
+            F.col("logratio_micro").cast("double")
+            / F.col("n_feats").cast("double")
+            / F.lit(1000000.0),
+        )
     )

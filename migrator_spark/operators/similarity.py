@@ -478,3 +478,87 @@ def pq_adc_topk(
         .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means the embedding
+    space, call two items semantic duplicates when their within-cluster
+    cosine reaches ``tau``, and keep ONE representative per duplicate
+    relation — the member with the LOWEST cosine to its cluster
+    centroid (the paper's keep-far-from-centroid rule), ties to the
+    smallest id. Returns (id, cell, n_dups, keep) for every vector.
+
+    Pipeline: the deterministic Lloyd build (_fit_centroids, shared
+    with sim5/PQ) → map-only cell assignment → centroid cosine via a
+    broadcast k-row join → within-cell pair scoring → one aggregate
+    deciding each member's fate. Every float comparison uses the same
+    index-order folds the sim oracles prove bit-identical in DuckDB.
+
+    Scale: the pair stage is quadratic ONLY within a cell — exactly the
+    trade SemDeDup itself makes; k is chosen so cells stay bounded (the
+    paper runs 50k clusters for LAION), making per-cell pair volume
+    (n/k)^2 and the whole stage one cell-keyed shuffle. The scored
+    relation (id, cell, centroid-cos, vector) is checkpointed once —
+    the clustered embedding table a 100 TB run would materialize
+    offline (it feeds both pair sides AND the output, so without
+    materialization the Lloyd build would execute three times) — and
+    embeddings reach the pair join by riding its cell shuffle, never an
+    id-keyed re-join."""
+    pts = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = _fit_centroids(pts, k, iters, id_col)
+    assigned = _assign_cells(pts, cents, id_col)
+    scored = (
+        assigned.join(F.broadcast(cents), "cell")
+        .withColumn("_cs", cosine_similarity(F.col("v"), F.col("c")))
+        .select(id_col, "cell", "v", "_cs")
+        .localCheckpoint(eager=True)
+    )
+    a = scored.select(
+        F.col(id_col).alias("_ia"),
+        "cell",
+        F.col("v").alias("_va"),
+        F.col("_cs").alias("_ca"),
+    )
+    b = scored.select(
+        F.col(id_col).alias("_ib"),
+        "cell",
+        F.col("v").alias("_vb"),
+        F.col("_cs").alias("_cb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("_ia") != F.col("_ib"))
+        .withColumn("_pc", cosine_similarity(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_pc") >= F.lit(tau))
+    )
+    fate = pairs.groupBy("_ia").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.max(
+            F.when(
+                (F.col("_cb") < F.col("_ca"))
+                | ((F.col("_cb") == F.col("_ca")) & (F.col("_ib") < F.col("_ia"))),
+                1,
+            ).otherwise(0)
+        ).alias("_rm"),
+    )
+    return (
+        scored.select(id_col, "cell")
+        .join(fate, scored[id_col] == fate["_ia"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+            (F.col("_rm").isNull() | (F.col("_rm") == 0)).alias("keep"),
+        )
+    )

@@ -2770,3 +2770,105 @@ SELECT source,
          / CAST(count(*) AS DOUBLE) AS oov_rate
 FROM t GROUP BY source
 """
+
+
+DS1_BUCKETS = 1024
+
+
+def ds1_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (mixture.dsir_importance): hashed
+    unigram+bigram bucket model, target = the English slice; every doc
+    scored by the exact integer micro-nat log-ratio of target vs raw
+    bucket probabilities — the classifier-free "make the pool look like
+    the target domain" selection signal."""
+    return mx.dsir_importance(
+        load_table(spark, sf_dir, "documents"),
+        target=F.col("lang") == "en",
+        n_buckets=DS1_BUCKETS,
+    )
+
+
+DS1_ORACLE = f"""
+WITH {DOCS_CTE},
+f AS (
+  SELECT doc_id, lang = 'en' AS t,
+         unnest(list_concat(
+           w,
+           list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                          j -> array_to_string(w[j:j+1], ' '))
+         )) AS f
+  FROM docs
+),
+fb AS (
+  SELECT doc_id, t,
+         (('0x' || substr(md5(f), 1, 15))::BIGINT) % {DS1_BUCKETS} AS b
+  FROM f
+),
+bk AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+         CAST(count(*) FILTER (WHERE t) AS BIGINT) AS ct
+  FROM fb GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+  FROM bk
+),
+bw AS (
+  SELECT b,
+         CAST(floor(ln((ct + 1)::DOUBLE / (nt + {DS1_BUCKETS})::DOUBLE)
+                    * 1000000.0) AS BIGINT)
+       - CAST(floor(ln((cr + 1)::DOUBLE / (nr + {DS1_BUCKETS})::DOUBLE)
+                    * 1000000.0) AS BIGINT) AS lw
+  FROM bk, tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(lw) AS BIGINT) AS logratio_micro,
+       CAST(sum(lw) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+         AS avg_logratio
+FROM fb JOIN bw USING (b)
+GROUP BY doc_id
+"""
+
+
+SD1_TAU = 0.4  # synthetic embeddings are near-orthogonal (see NEARDUP_COS)
+
+
+def sd1_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (similarity.semdedup): k-means cells via
+    the shared deterministic Lloyd build, within-cell cosine >= tau
+    marks semantic duplicates, and the keep-far-from-centroid rule
+    picks one representative per duplicate relation."""
+    return sim.semdedup(
+        load_table(spark, sf_dir, "embeddings"),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        tau=SD1_TAU,
+    )
+
+
+SD1_ORACLE = f"""
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS)},
+cs AS (
+  SELECT a.vec_id, a.cell, {COS_EXPR.format(a="p.v", b="c.c")} AS csim
+  FROM assign_final a
+  JOIN pts p ON p.vec_id = a.vec_id
+  JOIN cents{KMEANS_ITERS} c ON c.cell = a.cell
+),
+pr AS (
+  SELECT x.vec_id AS ia, y.vec_id AS ib, x.csim AS ca, y.csim AS cb
+  FROM cs x JOIN cs y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+  JOIN pts px ON px.vec_id = x.vec_id
+  JOIN pts py ON py.vec_id = y.vec_id
+  WHERE {COS_EXPR.format(a="px.v", b="py.v")} >= {SD1_TAU}
+),
+st AS (
+  SELECT ia, CAST(count(*) AS BIGINT) AS n_dups,
+         max(CASE WHEN cb < ca OR (cb = ca AND ib < ia) THEN 1 ELSE 0 END) AS rm
+  FROM pr GROUP BY ia
+)
+SELECT c.vec_id, c.cell,
+       CAST(coalesce(st.n_dups, 0) AS BIGINT) AS n_dups,
+       (st.rm IS NULL OR st.rm = 0) AS keep
+FROM cs c LEFT JOIN st ON st.ia = c.vec_id
+"""

@@ -327,6 +327,8 @@ REGISTRY: dict[str, QuerySpec] = {
         llmdata.sm6_temporal_split, llmdata.SM6_ORACLE
     ),
     "vb2_oov_rate": QuerySpec(llmdata.vb2_oov_rate, llmdata.VB2_ORACLE),
+    "ds1_dsir_weights": QuerySpec(llmdata.ds1_dsir_weights, llmdata.DS1_ORACLE),
+    "sd1_semdedup": QuerySpec(llmdata.sd1_semdedup, llmdata.SD1_ORACLE),
 }
 
 
@@ -377,6 +379,8 @@ _GRADED_WINDOW: list[str] = [
     "cur8_best_copy_dedup",
     "sm6_temporal_split",
     "vb2_oov_rate",
+    "ds1_dsir_weights",
+    "sd1_semdedup",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -397,8 +401,6 @@ _GRADED_WINDOW: list[str] = [
     "ta6_pii_scrub",
     "pr2_length_percentiles",
     "fts1_keyword_search",
-    "dq1_constraint_audit",
-    "cur1_curation_pipeline",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

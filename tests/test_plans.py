@@ -816,3 +816,24 @@ def test_vb2_vocab_joins_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "partial_" in plan, plan
+
+
+def test_ds1_bucket_model_broadcast_two_corpus_passes(spark, sf_dir):
+    # the fitted bucket model is checkpointed (scan-free in the final
+    # plan) and reaches the scoring stream as a broadcast; the corpus
+    # explode feeds partial-combined aggregates, never a sort-merge join
+    plan = _plan(spark, sf_dir, "ds1_dsir_weights")
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_" in plan, plan
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_sd1_pair_stage_is_cell_keyed(spark, sf_dir):
+    # the clustered-embedding relation is checkpointed (no parquet
+    # re-scan), centroids join as a broadcast, and the quadratic stage
+    # is keyed on cell — never a cartesian product
+    plan = _plan(spark, sf_dir, "sd1_semdedup")
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_" in plan, plan
