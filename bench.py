@@ -60,6 +60,11 @@ HEADLINE = [
     # new plan) and the cross-source leakage matrix (dd2 composition)
     "bpe1_pair_stats",
     "dr2_cross_source_leakage",
+    # late round 5: DSIR importance weighting (two-pass hashed-n-gram
+    # bucket model) and SemDeDup (k-means cells + within-cell cosine) —
+    # the two heaviest additions of the round's selection/dedup family
+    "ds1_dsir_weights",
+    "sd1_semdedup",
 ]
 
 REPEATS = 3  # median-of-3: one cold run can no longer swing the number 2x
