@@ -2599,3 +2599,133 @@ SELECT o_custkey, recency_days, frequency, CAST(m AS DOUBLE) AS monetary,
        r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
 FROM s
 """
+
+
+def ev11_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel view -> click -> purchase:
+    a user converts at step N only with an event AFTER their earliest
+    step-N-1 time — the product-analytics query (Amplitude/Mixpanel
+    "funnels") that ev5's single-path check doesn't generalize to.
+
+    Shape: each stage is one event_type-pruned scan (the predicate
+    pushes to parquet, so stage N reads only its own event type) into
+    a per-user min aggregate, joined to the previous stage's
+    users-sized frontier (AQE broadcasts it — |users| << |events|).
+    Nothing ever shuffles more than one row per user; the output is
+    three 1-row aggregates unioned. At 100 TB: three pruned scans +
+    three user-keyed partial aggregates, no window, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("_t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("_t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t3"))
+    )
+
+    def _step(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(n).cast("long").alias("step"),
+            F.lit(name).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        _step(s1, 1, "view")
+        .unionByName(_step(s2, 2, "click"))
+        .unionByName(_step(s3, 3, "purchase"))
+    )
+
+
+EV11_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+       CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
+"""
+
+
+def fo4_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users cohorted by first-activity week,
+    counted active per (cohort, week offset) — the retention triangle
+    behind every growth dashboard. "Week" is an epoch-aligned 7-day
+    bucket (days-since-1970 div 7) rather than an ISO week: pure
+    integer arithmetic, so no engine's week-numbering or locale
+    convention can enter the compare.
+
+    Shape: one per-user min aggregate (the cohort relation, one row
+    per user), one distinct (user, activity-week) aggregate (<= 52
+    rows per user per year), a users-sized join AQE broadcasts, and a
+    final tiny (cohort x offset) count. Two corpus scans, both
+    column-pruned to (user_id, ts); the distinct's shuffle carries
+    user-weeks, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def week_of(d):
+        return F.floor(F.datediff(d, epoch) / F.lit(7)).cast("long")
+
+    first = ev.groupBy("user_id").agg(
+        week_of(F.min(F.col("ts").cast("date"))).alias("_cw")
+    )
+    act = ev.select(
+        "user_id", week_of(F.col("ts").cast("date")).alias("_aw")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.date_format(
+                F.date_add(epoch, (F.col("_cw") * 7).cast("int")), "yyyy-MM-dd"
+            ).alias("cohort_week"),
+            (F.col("_aw") - F.col("_cw")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+FO4_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', min(CAST(ts AS DATE))) // 7 AS cw
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS aw
+  FROM events
+)
+SELECT strftime(DATE '1970-01-01' + INTERVAL (cw * 7) DAY, '%Y-%m-%d')
+         AS cohort_week,
+       CAST(aw - cw AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM a JOIN f USING (user_id)
+GROUP BY cw, week_offset
+"""

@@ -329,6 +329,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "vb2_oov_rate": QuerySpec(llmdata.vb2_oov_rate, llmdata.VB2_ORACLE),
     "ds1_dsir_weights": QuerySpec(llmdata.ds1_dsir_weights, llmdata.DS1_ORACLE),
     "sd1_semdedup": QuerySpec(llmdata.sd1_semdedup, llmdata.SD1_ORACLE),
+    "ev11_funnel": QuerySpec(analytics.ev11_funnel, analytics.EV11_ORACLE),
+    "fo4_retention_cohorts": QuerySpec(
+        analytics.fo4_retention_cohorts, analytics.FO4_ORACLE
+    ),
 }
 
 
@@ -381,6 +385,8 @@ _GRADED_WINDOW: list[str] = [
     "vb2_oov_rate",
     "ds1_dsir_weights",
     "sd1_semdedup",
+    "ev11_funnel",
+    "fo4_retention_cohorts",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -399,8 +405,6 @@ _GRADED_WINDOW: list[str] = [
     "ta4_fingerprint",
     "ta5_repetition",
     "ta6_pii_scrub",
-    "pr2_length_percentiles",
-    "fts1_keyword_search",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

@@ -837,3 +837,25 @@ def test_sd1_pair_stage_is_cell_keyed(spark, sf_dir):
     assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 0, plan
     assert "CartesianProduct" not in plan, plan
     assert "partial_" in plan, plan
+
+
+def test_ev11_stage_predicates_pushed_broadcast_frontiers(spark, sf_dir):
+    # each funnel stage reads ONLY its own event type (predicate at the
+    # parquet scan) and the previous stage's users-sized frontier joins
+    # as a broadcast — never a sort-merge join of two event scans
+    plan = _plan(spark, sf_dir, "ev11_funnel")
+    pushed = " ".join(_pushed_filters(plan))
+    for ev_type in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{ev_type})" in pushed, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_fo4_user_weeks_not_events_shuffle(spark, sf_dir):
+    # both corpus scans are column-pruned to (user_id, ts); the cohort
+    # relation joins as a broadcast and every aggregate partial-combines
+    plan = _plan(spark, sf_dir, "fo4_retention_cohorts")
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_" in plan, plan
+    for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert set(c.split(":")[0] for c in m.split(",")) <= {"user_id", "ts"}, m
