@@ -2872,3 +2872,81 @@ SELECT c.vec_id, c.cell,
        (st.rm IS NULL OR st.rm = 0) AS keep
 FROM cs c LEFT JOIN st ON st.ia = c.vec_id
 """
+
+
+CUR9_BUDGET = 6000  # tokens; a strict subset at every test SF
+
+
+def cur9_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DSIR recipe end-to-end: ds1's hashed-n-gram importance
+    weights rank the pool, then mixture.select_token_budget keeps the
+    maximal (weight DESC, doc_id) prefix that fits the token budget —
+    "make the selected tokens look like the target domain" as ONE
+    composed plan. The importance score stays an exact integer
+    (micro-nats), so selection order is engine-independent; the budget
+    window is the same two-level decomposition cur5 proves against a
+    global-cumsum oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = mx.dsir_importance(
+        docs, target=F.col("lang") == "en", n_buckets=DS1_BUCKETS
+    )
+    scored = docs.select(
+        "doc_id", F.size(words("text")).alias("n_tokens")
+    ).join(w.select("doc_id", "logratio_micro"), "doc_id")
+    return mx.select_token_budget(
+        scored,
+        CUR9_BUDGET,
+        score_col="logratio_micro",
+        tokens_col="n_tokens",
+    )
+
+
+CUR9_ORACLE = f"""
+WITH {DOCS_CTE},
+f AS (
+  SELECT doc_id, lang = 'en' AS t,
+         unnest(list_concat(
+           w,
+           list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                          j -> array_to_string(w[j:j+1], ' '))
+         )) AS f
+  FROM docs
+),
+fb AS (
+  SELECT doc_id, t,
+         (('0x' || substr(md5(f), 1, 15))::BIGINT) % {DS1_BUCKETS} AS b
+  FROM f
+),
+bk AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+         CAST(count(*) FILTER (WHERE t) AS BIGINT) AS ct
+  FROM fb GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+  FROM bk
+),
+bw AS (
+  SELECT b,
+         CAST(floor(ln((ct + 1)::DOUBLE / (nt + {DS1_BUCKETS})::DOUBLE)
+                    * 1000000.0) AS BIGINT)
+       - CAST(floor(ln((cr + 1)::DOUBLE / (nr + {DS1_BUCKETS})::DOUBLE)
+                    * 1000000.0) AS BIGINT) AS lw
+  FROM bk JOIN tot ON TRUE
+),
+wt AS (
+  SELECT doc_id, CAST(sum(lw) AS BIGINT) AS logratio_micro
+  FROM fb JOIN bw USING (b) GROUP BY doc_id
+),
+pd AS (
+  SELECT d.doc_id, wt.logratio_micro, CAST(len(d.w) AS BIGINT) AS n_tokens
+  FROM docs d JOIN wt USING (doc_id)
+),
+c AS (
+  SELECT doc_id, logratio_micro, n_tokens,
+         sum(n_tokens) OVER (ORDER BY logratio_micro DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pd
+)
+SELECT doc_id, logratio_micro, n_tokens FROM c WHERE cum <= {CUR9_BUDGET}
+"""

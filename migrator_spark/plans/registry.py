@@ -333,6 +333,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "fo4_retention_cohorts": QuerySpec(
         analytics.fo4_retention_cohorts, analytics.FO4_ORACLE
     ),
+    "cur9_dsir_select": QuerySpec(llmdata.cur9_dsir_select, llmdata.CUR9_ORACLE),
 }
 
 
@@ -387,6 +388,7 @@ _GRADED_WINDOW: list[str] = [
     "sd1_semdedup",
     "ev11_funnel",
     "fo4_retention_cohorts",
+    "cur9_dsir_select",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -404,7 +406,6 @@ _GRADED_WINDOW: list[str] = [
     "ta3_lang_guess",
     "ta4_fingerprint",
     "ta5_repetition",
-    "ta6_pii_scrub",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

@@ -1,0 +1,101 @@
+"""Behavioral properties of the late-round-5 operators — the claims
+the DuckDB oracles can't state (the oracle proves WHAT was computed
+matches; these prove the computation does what the method promises).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from migrator_spark.operators.similarity import semdedup
+from migrator_spark.plans import llmdata
+from migrator_spark.tables import load_table
+
+
+def test_dsir_selection_enriches_target_domain(spark, sf_dir):
+    # the whole point of importance resampling: the selected slice must
+    # look MORE like the target (lang='en') than the raw pool does
+    docs = load_table(spark, sf_dir, "documents")
+    pool = docs.agg(
+        (F.count_if(F.col("lang") == "en") / F.count(F.lit(1))).alias("r")
+    ).first()["r"]
+    sel = llmdata.cur9_dsir_select(spark, sf_dir).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    got = sel.agg(
+        (F.count_if(F.col("lang") == "en") / F.count(F.lit(1))).alias("r")
+    ).first()["r"]
+    assert got > pool, (got, pool)
+
+
+def test_dsir_weights_rank_target_docs_higher(spark, sf_dir):
+    # mean importance of target-language docs must exceed the others'
+    docs = load_table(spark, sf_dir, "documents")
+    w = llmdata.ds1_dsir_weights(spark, sf_dir).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    rows = {
+        r["is_en"]: r["m"]
+        for r in w.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("avg_logratio").alias("m"))
+        .collect()
+    }
+    assert rows[True] > rows[False], rows
+
+
+def test_semdedup_flags_planted_duplicates(spark):
+    # two identical vectors + one near-identical form ONE duplicate
+    # clique (cos(base, near) ~ 0.99995 >= tau): every member is
+    # flagged, exactly one survives; far-away vectors stay untouched
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far), (4, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semdedup(emb, k=2, iters=2, tau=0.99).collect()}
+    assert all(out[i]["n_dups"] == 2 for i in (0, 1, 2)), out
+    assert sum(out[i]["keep"] for i in (0, 1, 2)) == 1, out
+    # vectors with no near-dup partner are always kept
+    assert out[3]["keep"] and out[3]["n_dups"] == 0
+    assert out[4]["keep"] and out[4]["n_dups"] == 0
+
+
+def test_semdedup_keep_count_is_one_per_duplicate_clique(spark):
+    # a 3-clique of identical vectors keeps exactly one member
+    v = [0.5, 0.5, 0.5, 0.5]
+    emb = spark.createDataFrame(
+        [(i, v) for i in range(3)] + [(9, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semdedup(emb, k=1, iters=1, tau=0.999)
+    kept = out.filter(F.col("keep") & (F.col("n_dups") > 0)).count()
+    assert kept == 1, out.orderBy("vec_id").collect()
+
+
+def test_funnel_counts_are_monotone_nonincreasing(spark, sf_dir):
+    from migrator_spark.plans import analytics as an
+
+    rows = {r["step"]: r["n_users"] for r in an.ev11_funnel(spark, sf_dir).collect()}
+    assert rows[1] >= rows[2] >= rows[3], rows
+
+
+def test_retention_cohort_offsets_start_at_zero(spark, sf_dir):
+    from migrator_spark.plans import analytics as an
+
+    df = an.fo4_retention_cohorts(spark, sf_dir)
+    # every cohort is active in its own first week (offset 0 exists and
+    # is the cohort's maximum activity count)
+    agg = (
+        df.groupBy("cohort_week")
+        .agg(
+            F.min("week_offset").alias("lo"),
+            F.max_by("n_active", -F.col("week_offset")).alias("w0"),
+            F.max("n_active").alias("mx"),
+        )
+        .collect()
+    )
+    for r in agg:
+        assert r["lo"] == 0, r
+        assert r["w0"] == r["mx"], r
