@@ -58,6 +58,9 @@ SMOKE_QUERIES = [
     "cur6_domain_cap",          # partial+final WindowGroupLimit over a real exchange
     "bpe1_pair_stats",          # map-side partial agg + TakeOrderedAndProject
     "sim10_ivf_pq_topk",        # IVF+PQ: checkpointed quantizer + broadcast code tables
+    "ds1_dsir_weights",         # checkpointed bucket model broadcast back to executors
+    "sd1_semdedup",             # cell-keyed pair exchange + checkpointed Lloyd build
+    "ev11_funnel",              # staged per-user frontiers across real exchanges
 ]
 
 
