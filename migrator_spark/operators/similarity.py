@@ -562,3 +562,105 @@ def semdedup(
             (F.col("_rm").isNull() | (F.col("_rm") == 0)).alias("keep"),
         )
     )
+
+
+def semdedup_incremental(
+    emb: DataFrame,
+    new_ids: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup — the O(batch) maintenance form of
+    ``semdedup``, completing the incremental family (dd8's LSH probe,
+    sim4's top-k merge, pk2's packing append) for the semantic lane:
+    an arriving batch (``new_ids``) is judged against a FROZEN
+    quantizer trained on the existing corpus, so steady-state ingest
+    never re-runs the Lloyd build or re-pairs the corpus with itself.
+
+    Rule: a new vector is dropped if it duplicates ANY existing member
+    of its cell (the incumbent always wins — it is already kept), or a
+    fellow new arrival that the keep-far-from-centroid rule prefers.
+    Returns one row per NEW vector: (id, cell, n_dups_old, n_dups_new,
+    keep).
+
+    Scale: the build amortizes to zero (frozen centroids broadcast);
+    per batch the cost is one map-only assignment of the batch plus
+    two cell-keyed joins bounded by |batch| x cell occupancy — the
+    corpus is read once as the probe side and never self-joined.
+    Periodic re-clustering (when cells drift) is a full ``semdedup``
+    run — the same rebuild-vs-maintain trade the incremental rollup
+    documents."""
+    pts = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    old_pts = pts.join(new_ids, id_col, "left_anti")
+    cents = _fit_centroids(old_pts, k, iters, id_col)
+    scored = (
+        _assign_cells(pts, cents, id_col)
+        .join(F.broadcast(cents), "cell")
+        .withColumn("_cs", cosine_similarity(F.col("v"), F.col("c")))
+        .select(id_col, "cell", "v", "_cs")
+        .localCheckpoint(eager=True)
+    )
+    new = scored.join(new_ids, id_col, "leftsemi")
+    old = scored.join(new_ids, id_col, "left_anti")
+    a = new.select(
+        F.col(id_col).alias("_ia"),
+        "cell",
+        F.col("v").alias("_va"),
+        F.col("_cs").alias("_ca"),
+    )
+    vs_old = (
+        a.join(
+            old.select(F.col("cell"), F.col("v").alias("_vb")), "cell"
+        )
+        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= F.lit(tau))
+        .groupBy("_ia")
+        .agg(F.count(F.lit(1)).alias("n_dups_old"))
+    )
+    vs_new = (
+        a.join(
+            new.select(
+                F.col(id_col).alias("_ib"),
+                "cell",
+                F.col("v").alias("_vb"),
+                F.col("_cs").alias("_cb"),
+            ),
+            "cell",
+        )
+        .filter(F.col("_ia") != F.col("_ib"))
+        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= F.lit(tau))
+        .groupBy("_ia")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups_new"),
+            F.max(
+                F.when(
+                    (F.col("_cb") < F.col("_ca"))
+                    | (
+                        (F.col("_cb") == F.col("_ca"))
+                        & (F.col("_ib") < F.col("_ia"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("_rm"),
+        )
+    )
+    return (
+        new.select(id_col, "cell")
+        .join(vs_old.withColumnRenamed("_ia", id_col), id_col, "left")
+        .join(vs_new.withColumnRenamed("_ia", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.coalesce(F.col("n_dups_old"), F.lit(0)).cast("long").alias("n_dups_old"),
+            F.coalesce(F.col("n_dups_new"), F.lit(0)).cast("long").alias("n_dups_new"),
+            (
+                F.col("n_dups_old").isNull()
+                & (F.col("_rm").isNull() | (F.col("_rm") == 0))
+            ).alias("keep"),
+        )
+    )

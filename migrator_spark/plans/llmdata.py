@@ -2950,3 +2950,56 @@ c AS (
 )
 SELECT doc_id, logratio_micro, n_tokens FROM c WHERE cum <= {CUR9_BUDGET}
 """
+
+
+SD2_NEW_FROM = 400
+_SQ_EXPR = "list_sum(list_transform(list_zip({a},{b}), x -> (x[1]-x[2]) * (x[1]-x[2])))"
+
+
+def sd2_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(batch) SemDeDup maintenance (similarity.semdedup_incremental):
+    vecs with id >= 400 play the arriving batch, judged against a
+    quantizer FROZEN on the existing corpus — map-only assignment plus
+    cell-keyed probes, never a corpus self-join; the semantic-family
+    member of the incremental set (dd8 / sim4 / pk2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    new_ids = emb.filter(F.col("vec_id") >= SD2_NEW_FROM).select("vec_id")
+    return sim.semdedup_incremental(
+        emb, new_ids, k=KMEANS_K, iters=KMEANS_ITERS, tau=SD1_TAU
+    )
+
+
+SD2_ORACLE = f"""
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS).replace(
+    "FROM embeddings)", f"FROM embeddings WHERE vec_id < {SD2_NEW_FROM})")},
+ap AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+asg AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT p.vec_id, p.v, c.cell,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY {_SQ_EXPR.format(a="p.v", b="c.c")} ASC, c.cell ASC) AS rn
+    FROM ap p CROSS JOIN cents{KMEANS_ITERS} c) WHERE rn = 1),
+cs AS (
+  SELECT a.vec_id, a.cell, a.v, {COS_EXPR.format(a="a.v", b="c.c")} AS csim
+  FROM asg a JOIN cents{KMEANS_ITERS} c USING (cell)),
+nw AS (SELECT * FROM cs WHERE vec_id >= {SD2_NEW_FROM}),
+od AS (SELECT * FROM cs WHERE vec_id < {SD2_NEW_FROM}),
+po AS (
+  SELECT n.vec_id AS ia, CAST(count(*) AS BIGINT) AS n_dups_old
+  FROM nw n JOIN od o ON n.cell = o.cell
+  WHERE {COS_EXPR.format(a="n.v", b="o.v")} >= {SD1_TAU}
+  GROUP BY n.vec_id),
+pn AS (
+  SELECT x.vec_id AS ia, CAST(count(*) AS BIGINT) AS n_dups_new,
+         max(CASE WHEN y.csim < x.csim
+                    OR (y.csim = x.csim AND y.vec_id < x.vec_id)
+             THEN 1 ELSE 0 END) AS rm
+  FROM nw x JOIN nw y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+  WHERE {COS_EXPR.format(a="x.v", b="y.v")} >= {SD1_TAU}
+  GROUP BY x.vec_id)
+SELECT n.vec_id, n.cell,
+       CAST(coalesce(po.n_dups_old, 0) AS BIGINT) AS n_dups_old,
+       CAST(coalesce(pn.n_dups_new, 0) AS BIGINT) AS n_dups_new,
+       (po.ia IS NULL AND (pn.rm IS NULL OR pn.rm = 0)) AS keep
+FROM nw n LEFT JOIN po ON po.ia = n.vec_id LEFT JOIN pn ON pn.ia = n.vec_id
+"""

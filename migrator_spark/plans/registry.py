@@ -334,6 +334,9 @@ REGISTRY: dict[str, QuerySpec] = {
         analytics.fo4_retention_cohorts, analytics.FO4_ORACLE
     ),
     "cur9_dsir_select": QuerySpec(llmdata.cur9_dsir_select, llmdata.CUR9_ORACLE),
+    "sd2_incremental_semdedup": QuerySpec(
+        llmdata.sd2_incremental_semdedup, llmdata.SD2_ORACLE
+    ),
 }
 
 
@@ -389,6 +392,7 @@ _GRADED_WINDOW: list[str] = [
     "ev11_funnel",
     "fo4_retention_cohorts",
     "cur9_dsir_select",
+    "sd2_incremental_semdedup",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -405,7 +409,6 @@ _GRADED_WINDOW: list[str] = [
     "ta2_quality_score",
     "ta3_lang_guess",
     "ta4_fingerprint",
-    "ta5_repetition",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

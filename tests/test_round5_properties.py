@@ -99,3 +99,27 @@ def test_retention_cohort_offsets_start_at_zero(spark, sf_dir):
     for r in agg:
         assert r["lo"] == 0, r
         assert r["w0"] == r["mx"], r
+
+
+def test_incremental_semdedup_drops_arrival_matching_corpus(spark):
+    from migrator_spark.operators.similarity import semdedup_incremental
+
+    # corpus of two distinct directions; arrivals: one copies an
+    # existing vector (dropped, incumbent wins), one is novel (kept)
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    new_ids = emb.filter(F.col("vec_id") >= 10).select("vec_id")
+    out = {
+        r["vec_id"]: r
+        for r in semdedup_incremental(emb, new_ids, k=2, iters=1, tau=0.99).collect()
+    }
+    assert set(out) == {10, 11}, out  # only the batch is judged
+    assert out[10]["n_dups_old"] >= 1 and not out[10]["keep"], out
+    assert out[11]["n_dups_old"] == 0 and out[11]["keep"], out
