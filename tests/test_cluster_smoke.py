@@ -23,6 +23,14 @@ def test_cluster_smoke_lane_matches_oracles():
         timeout=900,
         cwd=str(REPO),
     )
-    tail = "\n".join(proc.stdout.splitlines()[-12:])
+    tail = "\n".join(proc.stdout.splitlines()[-20:])
     assert proc.returncode == 0, f"exit={proc.returncode}\n{tail}\n{proc.stderr[-2000:]}"
-    assert "CLUSTER-SMOKE DONE mismatches=0 of=13" in proc.stdout, tail
+    # count derived from the lane's own list so extending it can't
+    # silently shrink coverage or stale-fail this assertion
+    import re
+
+    src = (REPO / "tools" / "cluster_smoke.py").read_text()
+    block = src.split("SMOKE_QUERIES = [", 1)[1].split("]", 1)[0]
+    n = len(re.findall(r'"\w+"', block))
+    assert n >= 13, n
+    assert f"CLUSTER-SMOKE DONE mismatches=0 of={n}" in proc.stdout, tail
