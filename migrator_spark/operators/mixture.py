@@ -262,24 +262,58 @@ def dsir_importance(
     — the only corpus-sized shuffle is |docs| partial rows. Nothing
     quadratic, nothing driver-side; raising n_buckets (the paper uses
     10k) only grows the broadcast."""
-    feats = docs.select(
+    return dsir_score(
+        docs,
+        dsir_bucket_model(docs, target, n_buckets, id_col, text_col),
+        n_buckets,
+        id_col,
+        text_col,
+    )
+
+
+def _dsir_feats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    extra: tuple[Column, ...] = (),
+) -> DataFrame:
+    """(id, *extra, _f, _b): the exploded hashed unigram+bigram feature
+    stream shared by the model and scoring passes; ``extra`` columns
+    (e.g. the target flag) must be computed BEFORE this projection
+    narrows the frame."""
+    return docs.select(
         F.col(id_col),
-        target.alias("_t"),
+        *extra,
         F.explode(
             F.concat(words(text_col), word_shingles(text_col, 2))
         ).alias("_f"),
     ).withColumn("_b", F.pmod(stable_hash64(F.col("_f")), F.lit(n_buckets)))
-    # the bucket model is n_buckets rows but feeds BOTH the totals and
-    # the weight table — materialize it once (it IS the fitted model a
-    # real run would persist) so the corpus-sized feature explode runs
-    # exactly twice: the model pass and the scoring pass
+
+
+def dsir_bucket_model(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit the DSIR bucket model: (_b, _lw) — per hashed-n-gram bucket,
+    the integer micro-nat log-ratio of target vs raw probability. ONE
+    conditional aggregate over the exploded feature stream (map-side
+    partials shrink the shuffle to n_buckets rows), materialized with
+    localCheckpoint because this small relation IS the artifact a real
+    run persists — training happens offline ONCE, and the returned
+    table then scores any frame (including streaming micro-batches via
+    dsir_score) without ever touching the training corpus again."""
+    feats = _dsir_feats(
+        docs, id_col, text_col, n_buckets, extra=(target.alias("_t"),)
+    )
     buckets = feats.groupBy("_b").agg(
         F.count(F.lit(1)).alias("_cr"),
         F.count_if(F.col("_t")).alias("_ct"),
-    ).localCheckpoint(eager=True)
-    tot = buckets.agg(
-        F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt")
     )
+    tot = buckets.agg(F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt"))
 
     def _lmicro(c: Column, n: Column) -> Column:
         return F.floor(
@@ -290,7 +324,7 @@ def dsir_importance(
             * F.lit(1000000.0)
         ).cast("long")
 
-    bw = (
+    return (
         buckets.crossJoin(F.broadcast(tot))
         .withColumn(
             "_lw",
@@ -298,9 +332,26 @@ def dsir_importance(
             - _lmicro(F.col("_cr"), F.col("_nr")),
         )
         .select("_b", "_lw")
+        .localCheckpoint(eager=True)
     )
+
+
+def dsir_score(
+    docs: DataFrame,
+    model: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a frame against a FITTED bucket model (dsir_bucket_model):
+    explode features, broadcast-join the buckets-sized weight table,
+    partial-aggregate per doc. Stateless with respect to the model, so
+    it serves equally as the batch scoring pass and as a per-micro-
+    batch step in a streaming intake (foreachBatch) — identical scores
+    either way, proven in tests/test_streaming.py."""
     return (
-        feats.join(F.broadcast(bw), "_b")
+        _dsir_feats(docs, id_col, text_col, n_buckets)
+        .join(F.broadcast(model), "_b")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_feats"),

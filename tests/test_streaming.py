@@ -652,3 +652,53 @@ def test_stream_static_enrichment_sees_committed_dim_update(spark, tmp_path):
     q.awaitTermination(120)
 
     assert (100, 1, "bronze") in out and (200, 1, "gold") in out, out
+
+
+def test_dsir_stream_scoring_matches_batch(spark, sf_dir, tmp_path):
+    """Train once, score forever: the DSIR bucket model is fitted
+    OFFLINE on the corpus, then a document stream arriving in
+    single-file micro-batches is scored per batch against the frozen
+    model (dsir_score inside foreachBatch — stateless, no shuffle
+    beyond the per-batch doc aggregate). The union of per-batch scores
+    must equal the batch scoring pass bit-for-bit — the serving
+    discipline for a continuous intake gating on target-domain
+    likeness."""
+    from migrator_spark.operators.mixture import dsir_bucket_model, dsir_score
+
+    docs = load_table(spark, str(sf_dir), "documents")
+    model = dsir_bucket_model(docs, target=F.col("lang") == "en", n_buckets=256)
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    half.coalesce(1).write.parquet(in_dir)
+    rest.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: dsir_score(batch, model, n_buckets=256)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logratio_micro"], r["avg_logratio"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_feats"], r["logratio_micro"], r["avg_logratio"])
+        for r in dsir_score(docs, model, n_buckets=256).collect()
+    }
+    assert got == want
+    assert len(got) == docs.count()
