@@ -891,3 +891,53 @@ def exact_dedup_best_copy(
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def contamination_spans(
+    docs: DataFrame,
+    benchmark_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """WHERE the contamination sits: decontaminate() says which docs
+    overlap the benchmark; this reports, per contaminated doc, every
+    hit's word position folded to (n_hit_shingles, first_pos,
+    last_pos, n_words) — the input a surgical pipeline needs to CUT
+    the contaminated span (the dd11 despanning move) instead of
+    dropping the whole document.
+
+    Same single token-relation shape as decontaminate (benchmark flag
+    joins BEFORE the explode, per-hash window max marks hits, rows
+    carry only ids/positions/hashes — never text), except positions
+    forbid the array_distinct: a shingle repeated in a doc is a hit at
+    every occurrence. All-integer output."""
+    flagged = docs.join(
+        benchmark_ids.select(F.col(id_col), F.lit(True).alias("_is_bench")),
+        on=id_col,
+        how="left",
+    )
+    tok = flagged.select(
+        F.col(id_col),
+        F.coalesce(F.col("_is_bench"), F.lit(False)).alias("_is_bench"),
+        F.size(words(text_col)).alias("_nw"),
+        F.posexplode(word_shingles(text_col, shingle_k)).alias("pos", "s"),
+    ).select(
+        F.col(id_col),
+        "_is_bench",
+        "_nw",
+        "pos",
+        stable_hash64(F.col("s")).alias("h"),
+    )
+    hit = F.max(F.col("_is_bench").cast("int")).over(Window.partitionBy("h"))
+    return (
+        tok.withColumn("_hit", hit)
+        .filter(~F.col("_is_bench") & (F.col("_hit") == 1))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_shingles"),
+            F.min("pos").cast("long").alias("first_pos"),
+            F.max("pos").cast("long").alias("last_pos"),
+            F.max("_nw").cast("long").alias("n_words"),
+        )
+    )

@@ -182,3 +182,93 @@ def checksum_diff(
             & F.col("src_hash").eqNullSafe(F.col("dst_hash"))
         )
     )
+
+
+def psi_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    bucket_width: int = 100,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index of ``value_col``'s distribution, per
+    group vs the whole corpus — the standard drift monitor (PSI > 0.2
+    = "investigate") a training-data pipeline runs per source/shard to
+    catch a crawl whose length/quality profile silently shifted.
+
+        PSI_g = sum_b (p_gb - q_b) * ln(p_gb / q_b)
+
+    over fixed-width value buckets with add-one smoothing (so empty
+    buckets contribute finitely). Returns (group, n_rows, psi).
+
+    Determinism: counts are exact integers; the one cross-engine-
+    fragile op — ln, where JVM and libm can disagree by 1 ulp (observed
+    on this very query) — is quantized to integer micro-nats BEFORE it
+    enters the float product (the ta7/ds1 discipline), so p, q, and
+    each bucket's contribution are IEEE-identical ops on identical
+    operands, and the only cross-bucket float reduction folds a
+    bucket-SORTED list (the mixture_plan discipline) — bit-identical
+    in the DuckDB twin.
+
+    Scale: ONE partial-combined corpus scan to (group, bucket) counts;
+    everything after runs on that groups x buckets relation (the dense
+    grid, the three window totals, the fold) — hundreds of rows no
+    matter the corpus size. The whole-frame window is fine at any
+    scale for the same reason."""
+    from pyspark.sql import Window
+
+    b = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col(value_col) / F.lit(bucket_width)),
+    ).cast("long")
+    cnt = (
+        docs.groupBy(F.col(group_col).alias("grp"), b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        cnt.select("grp")
+        .distinct()
+        .select(
+            "grp",
+            F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("_bk"),
+        )
+        .select("grp", F.col("_bk").cast("long").alias("bucket"))
+    )
+    full = grid.join(cnt, ["grp", "bucket"], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0)).cast("long")
+    )
+    full = (
+        full.withColumn("ns", F.sum("n").over(Window.partitionBy("grp")))
+        .withColumn("nb", F.sum("n").over(Window.partitionBy("bucket")))
+        .withColumn(
+            "nt",
+            F.sum("n").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    p = (F.col("n") + 1).cast("double") / (F.col("ns") + n_buckets).cast("double")
+    q = (F.col("nb") + 1).cast("double") / (F.col("nt") + n_buckets).cast("double")
+    lm = F.floor(F.log(p / q) * F.lit(1000000.0)).cast("long")
+    ctb = full.withColumn(
+        "contrib", (p - q) * (lm.cast("double") / F.lit(1000000.0))
+    )
+    return (
+        ctb.groupBy("grp")
+        .agg(
+            F.max("ns").alias("n_rows"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("bucket"), F.col("contrib")))
+                    ),
+                    lambda x: x.getField("contrib"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("psi"),
+        )
+        .select(F.col("grp").alias(group_col), "n_rows", "psi")
+    )

@@ -16,6 +16,7 @@ from migrator_spark.operators import dedup as dd
 from migrator_spark.operators import mixture as mx
 from migrator_spark.operators import multimodal as mm
 from migrator_spark.operators import packing as pk
+from migrator_spark.operators import quality as ql
 from migrator_spark.operators import similarity as sim
 from migrator_spark.operators import textops as tx
 from migrator_spark.functions.hashing import (
@@ -3002,4 +3003,81 @@ SELECT n.vec_id, n.cell,
        CAST(coalesce(pn.n_dups_new, 0) AS BIGINT) AS n_dups_new,
        (po.ia IS NULL AND (pn.rm IS NULL OR pn.rm = 0)) AS keep
 FROM nw n LEFT JOIN po ON po.ia = n.vec_id LEFT JOIN pn ON pn.ia = n.vec_id
+"""
+
+
+def dc2_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination span report (dedup.contamination_spans): per
+    contaminated doc, how many benchmark-overlapping 3-shingles and
+    the word range they cover — dc1's audit upgraded to the surgical
+    view that lets dd11-style despanning cut the overlap instead of
+    dropping the document."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench_ids = docs.filter(F.col("doc_id") % DC_BENCH_MOD == 0).select("doc_id")
+    return dd.contamination_spans(docs, bench_ids, shingle_k=DC_SHINGLE_K)
+
+
+DC2_ORACLE = f"""
+WITH {DOCS_CTE},
+t AS (
+  SELECT doc_id, len(w) AS nw, g.j - 1 AS pos,
+         {H.format(x="array_to_string(w[g.j:g.j+2], ' ')")} AS h
+  FROM docs, LATERAL unnest(generate_series(1, greatest(len(w) - 2, 1)))
+    AS g(j)
+),
+bench AS (SELECT DISTINCT h FROM t WHERE doc_id % {DC_BENCH_MOD} = 0),
+corpus AS (SELECT * FROM t WHERE doc_id % {DC_BENCH_MOD} <> 0)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_hit_shingles,
+       CAST(min(c.pos) AS BIGINT) AS first_pos,
+       CAST(max(c.pos) AS BIGINT) AS last_pos,
+       CAST(max(c.nw) AS BIGINT) AS n_words
+FROM corpus c JOIN bench b ON c.h = b.h
+GROUP BY c.doc_id
+"""
+
+
+def pr7_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PSI drift of the doc-length distribution vs the
+    corpus (quality.psi_drift): the monitoring number that catches a
+    source whose profile silently shifted between crawls."""
+    return ql.psi_drift(load_table(spark, sf_dir, "documents"))
+
+
+PR7_ORACLE = """
+WITH c AS (
+  SELECT source AS grp, least(9, n_chars // 100) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+grid AS (
+  SELECT grp, b.bucket
+  FROM (SELECT DISTINCT grp FROM c),
+       LATERAL unnest(generate_series(0, 9)) AS b(bucket)
+),
+fullg AS (
+  SELECT grid.grp, grid.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+  FROM grid LEFT JOIN c USING (grp, bucket)
+),
+tot AS (
+  SELECT grp, bucket, n,
+         CAST(sum(n) OVER (PARTITION BY grp) AS BIGINT) AS ns,
+         CAST(sum(n) OVER (PARTITION BY bucket) AS BIGINT) AS nb,
+         CAST(sum(n) OVER () AS BIGINT) AS nt
+  FROM fullg
+),
+ctb AS (
+  SELECT grp, bucket, n, ns,
+         ((n + 1)::DOUBLE / (ns + 10)::DOUBLE
+          - (nb + 1)::DOUBLE / (nt + 10)::DOUBLE)
+         * (CAST(floor(ln(((n + 1)::DOUBLE / (ns + 10)::DOUBLE)
+                          / ((nb + 1)::DOUBLE / (nt + 10)::DOUBLE))
+                       * 1000000.0) AS BIGINT)::DOUBLE / 1000000.0)
+           AS contrib
+  FROM tot
+)
+SELECT grp AS source,
+       CAST(max(ns) AS BIGINT) AS n_rows,
+       list_sum(list(contrib ORDER BY bucket)) AS psi
+FROM ctb GROUP BY grp
 """

@@ -337,6 +337,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "sd2_incremental_semdedup": QuerySpec(
         llmdata.sd2_incremental_semdedup, llmdata.SD2_ORACLE
     ),
+    "dc2_contamination_spans": QuerySpec(
+        llmdata.dc2_contamination_spans, llmdata.DC2_ORACLE
+    ),
+    "pr7_psi_drift": QuerySpec(llmdata.pr7_psi_drift, llmdata.PR7_ORACLE),
 }
 
 
@@ -393,6 +397,8 @@ _GRADED_WINDOW: list[str] = [
     "fo4_retention_cohorts",
     "cur9_dsir_select",
     "sd2_incremental_semdedup",
+    "dc2_contamination_spans",
+    "pr7_psi_drift",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -407,8 +413,6 @@ _GRADED_WINDOW: list[str] = [
     "sim4_incremental_topk",
     "ta1_token_stats",
     "ta2_quality_score",
-    "ta3_lang_guess",
-    "ta4_fingerprint",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
