@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from migrator_spark.functions.vectors import cosine_similarity
+from migrator_spark.functions.vectors import cosine_similarity, dot, dot_unrolled, l2_norm
 
 
 def cosine_topk(
@@ -487,6 +487,7 @@ def semdedup(
     tau: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means the embedding
@@ -516,12 +517,22 @@ def semdedup(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    cents = _fit_centroids(pts, k, iters, id_col)
+    # k rows; feeds BOTH the assignment pass and the centroid-cos join,
+    # so without materialization the whole Lloyd build executes twice
+    cents = _fit_centroids(pts, k, iters, id_col).localCheckpoint(eager=True)
     assigned = _assign_cells(pts, cents, id_col)
+    # per-row norm hoisted ONCE into the checkpointed relation, and the
+    # pair-stage dot unrolled for codegen when the dimension is known —
+    # the per-pair work is the square term of this operator, and the
+    # interpreted HOF fold was 3x the arithmetic (norms recomputed per
+    # pair) at ~100x the per-element cost (measured: sd1 9.2 s -> see
+    # SCALE.md). Values are bit-identical: same fold order, and the
+    # hoisted norm is exactly the sqrt the inline form computed.
     scored = (
         assigned.join(F.broadcast(cents), "cell")
         .withColumn("_cs", cosine_similarity(F.col("v"), F.col("c")))
-        .select(id_col, "cell", "v", "_cs")
+        .withColumn("_nrm", l2_norm(F.col("v")))
+        .select(id_col, "cell", "v", "_cs", "_nrm")
         .localCheckpoint(eager=True)
     )
     a = scored.select(
@@ -529,19 +540,61 @@ def semdedup(
         "cell",
         F.col("v").alias("_va"),
         F.col("_cs").alias("_ca"),
+        F.col("_nrm").alias("_na"),
     )
     b = scored.select(
         F.col(id_col).alias("_ib"),
         "cell",
         F.col("v").alias("_vb"),
         F.col("_cs").alias("_cb"),
+        F.col("_nrm").alias("_nb"),
     )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("_ia") != F.col("_ib"))
-        .withColumn("_pc", cosine_similarity(F.col("_va"), F.col("_vb")))
+    pdot = (
+        dot_unrolled(F.col("_va"), F.col("_vb"), dim)
+        if dim is not None
+        else dot(F.col("_va"), F.col("_vb"))
+    )
+    # the joined rows carry BOTH vectors (the dominant cost of the
+    # quadratic stage is materializing them), so join only the ia < ib
+    # half — cosine is exactly symmetric: per-element multiply and the
+    # norm product commute bit-for-bit — and re-expand to directed
+    # pairs AFTER the arrays are projected away (ids + centroid-cos
+    # only), halving the fat-row volume
+    # replicate-join salt (the sk2 pattern): with few fat cells the
+    # pair stage would run |cells| tasks; slicing the b side by id and
+    # replicating the a side over the slices multiplies the
+    # parallelism at the cost of re-shipping the (cells-bounded) a
+    # side SALT times — pair set unchanged
+    SALT = 8
+    a_s = a.withColumn(
+        "_sl", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    )
+    b_s = b.withColumn("_sl", F.pmod(F.col("_ib"), F.lit(SALT)).cast("int"))
+    half = (
+        a_s.join(b_s, ["cell", "_sl"])
+        .filter(F.col("_ia") < F.col("_ib"))
+        .withColumn("_pc", pdot / (F.col("_na") * F.col("_nb")))
         .filter(F.col("_pc") >= F.lit(tau))
+        .select("_ia", "_ib", "_ca", "_cb")
     )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_ia").alias("_ia"),
+                    F.col("_ib").alias("_ib"),
+                    F.col("_ca").alias("_ca"),
+                    F.col("_cb").alias("_cb"),
+                ),
+                F.struct(
+                    F.col("_ib").alias("_ia"),
+                    F.col("_ia").alias("_ib"),
+                    F.col("_cb").alias("_ca"),
+                    F.col("_ca").alias("_cb"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.*")
     fate = pairs.groupBy("_ia").agg(
         F.count(F.lit(1)).alias("n_dups"),
         F.max(
@@ -572,6 +625,7 @@ def semdedup_incremental(
     tau: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup — the O(batch) maintenance form of
     ``semdedup``, completing the incremental family (dd8's LSH probe,
@@ -603,9 +657,17 @@ def semdedup_incremental(
         _assign_cells(pts, cents, id_col)
         .join(F.broadcast(cents), "cell")
         .withColumn("_cs", cosine_similarity(F.col("v"), F.col("c")))
-        .select(id_col, "cell", "v", "_cs")
+        .withColumn("_nrm", l2_norm(F.col("v")))
+        .select(id_col, "cell", "v", "_cs", "_nrm")
         .localCheckpoint(eager=True)
     )
+
+    def _pc(va, vb, na, nb):
+        # hoisted norms + unrolled dot when dim is known: bit-identical
+        # to the inline cosine (same fold order), codegen-resident
+        d = dot_unrolled(va, vb, dim) if dim is not None else dot(va, vb)
+        return d / (na * nb)
+
     new = scored.join(new_ids, id_col, "leftsemi")
     old = scored.join(new_ids, id_col, "left_anti")
     a = new.select(
@@ -613,12 +675,19 @@ def semdedup_incremental(
         "cell",
         F.col("v").alias("_va"),
         F.col("_cs").alias("_ca"),
+        F.col("_nrm").alias("_na"),
     )
     vs_old = (
         a.join(
-            old.select(F.col("cell"), F.col("v").alias("_vb")), "cell"
+            old.select(
+                F.col("cell"), F.col("v").alias("_vb"), F.col("_nrm").alias("_nb")
+            ),
+            "cell",
         )
-        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= F.lit(tau))
+        .filter(
+            _pc(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
+            >= F.lit(tau)
+        )
         .groupBy("_ia")
         .agg(F.count(F.lit(1)).alias("n_dups_old"))
     )
@@ -629,11 +698,15 @@ def semdedup_incremental(
                 "cell",
                 F.col("v").alias("_vb"),
                 F.col("_cs").alias("_cb"),
+                F.col("_nrm").alias("_nb"),
             ),
             "cell",
         )
         .filter(F.col("_ia") != F.col("_ib"))
-        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= F.lit(tau))
+        .filter(
+            _pc(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
+            >= F.lit(tau)
+        )
         .groupBy("_ia")
         .agg(
             F.count(F.lit(1)).alias("n_dups_new"),

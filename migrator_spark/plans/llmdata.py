@@ -2845,6 +2845,7 @@ def sd1_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=KMEANS_K,
         iters=KMEANS_ITERS,
         tau=SD1_TAU,
+        dim=EMB_DIM,
     )
 
 
@@ -2966,7 +2967,7 @@ def sd2_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     new_ids = emb.filter(F.col("vec_id") >= SD2_NEW_FROM).select("vec_id")
     return sim.semdedup_incremental(
-        emb, new_ids, k=KMEANS_K, iters=KMEANS_ITERS, tau=SD1_TAU
+        emb, new_ids, k=KMEANS_K, iters=KMEANS_ITERS, tau=SD1_TAU, dim=EMB_DIM
     )
 
 
