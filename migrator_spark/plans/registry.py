@@ -350,15 +350,19 @@ REGISTRY: dict[str, QuerySpec] = {
 # Composition, stalest first by newest driver-green row (CORRECTNESS_r0*):
 #   1. The 13 never-driver-graded operators (late r4 tail: sm4/pk1/pk2/
 #      cur4/sim9/fo3/ev8/dq3 and the post-window block fts2/ch1/cur5/
-#      fts3/dr1), plus any NEW round-5 operators appended to this list
-#      as they land.
-#   2. The 25 entries whose newest green row is round 2 (registry tail
-#      comment of round 4), original order.
-#   3. (The oldest r3-green entries were displaced as round-5 ops
-#      landed; the whole r3-green family heads round 6's queue.)
+#      fts3/dr1).
+#   2. Every NEW round-5 operator, in landing order (cur6 ... pr7) —
+#      appended here as each lands, displacing the stalest r2-green
+#      tail entries one-for-one.
+#   3. The remaining r2-green entries (original order). Displaced as
+#      round-5 ops landed: sm1/sm2/sm3, cur1, dq1, pr2, fts1, ta6,
+#      ta5, ta4, ta3 — all r2-green, back in round 6's queue.
 # pr3/pr6 stay OUT of graded slots: they already hold their declared
 # rows-only rows (r4) and a graded slot buys them nothing (no oracle).
-# Tail queue for round 6: the remaining r3-green family, then r4-green.
+# Tail queue for round 6: the displaced r2-green entries above and the
+# whole r3-green family (memory: mm3, mm4, dc1, ta7, sim6, mx1, the
+# TPC-H q* family, fo1, pr1, pr4, pr5, ev1-ev6, set1, sk1, sk2, e1-e4,
+# dd6b), then the oldest r4-green.
 _GRADED_WINDOW: list[str] = [
     # -- never driver-graded (late round 4) --
     "sm4_three_way_split",
