@@ -2729,3 +2729,57 @@ SELECT strftime(DATE '1970-01-01' + INTERVAL (cw * 7) DAY, '%Y-%m-%d')
 FROM a JOIN f USING (user_id)
 GROUP BY cw, week_offset
 """
+
+
+def ev13_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: per user, the latency from
+    first 'view' to the first purchase AFTER it, histogrammed into
+    hour buckets (capped at 23+) — the "how long does conversion
+    take" distribution behind attribution windows and nudge timing.
+    All arithmetic in integer microseconds (unix_micros / epoch_us),
+    so no timestamp-precision or rounding semantics differ between
+    engines.
+
+    Shape: ev11's staged-frontier discipline — two event_type-pruned
+    scans, per-user min aggregates, a users-sized broadcast join —
+    then one tiny bucket count. Nothing beyond one row per user moves
+    after the scans."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("_t1"))
+        .groupBy("user_id", "_t1")
+        .agg(F.min("ts").alias("_t2"))
+    )
+    lat_us = F.unix_micros(F.col("_t2")) - F.unix_micros(F.col("_t1"))
+    bucket = F.least(
+        F.lit(23), F.floor(lat_us / F.lit(3600000000))
+    ).cast("long")
+    return (
+        p.groupBy(bucket.alias("hours_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+EV13_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, v.t1, min(e.ts) AS t2 FROM events e
+  JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.t1
+  GROUP BY e.user_id, v.t1
+)
+SELECT CAST(least(23, (epoch_us(t2) - epoch_us(t1)) // 3600000000)
+            AS BIGINT) AS hours_bucket,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY 1
+"""

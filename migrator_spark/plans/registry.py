@@ -341,6 +341,9 @@ REGISTRY: dict[str, QuerySpec] = {
         llmdata.dc2_contamination_spans, llmdata.DC2_ORACLE
     ),
     "pr7_psi_drift": QuerySpec(llmdata.pr7_psi_drift, llmdata.PR7_ORACLE),
+    "ev13_conversion_latency": QuerySpec(
+        analytics.ev13_conversion_latency, analytics.EV13_ORACLE
+    ),
 }
 
 
@@ -403,6 +406,7 @@ _GRADED_WINDOW: list[str] = [
     "sd2_incremental_semdedup",
     "dc2_contamination_spans",
     "pr7_psi_drift",
+    "ev13_conversion_latency",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -416,7 +420,6 @@ _GRADED_WINDOW: list[str] = [
     "f6_regex_suite",
     "sim4_incremental_topk",
     "ta1_token_stats",
-    "ta2_quality_score",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
