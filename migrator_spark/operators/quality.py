@@ -221,9 +221,12 @@ def psi_drift(
         F.lit(n_buckets - 1),
         F.floor(F.col(value_col) / F.lit(bucket_width)),
     ).cast("long")
+    # groups x buckets rows; feeds BOTH the group list and the grid
+    # join — materialized once so the corpus is scanned exactly once
     cnt = (
         docs.groupBy(F.col(group_col).alias("grp"), b.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     grid = (
         cnt.select("grp")

@@ -652,7 +652,9 @@ def semdedup_incremental(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     old_pts = pts.join(new_ids, id_col, "left_anti")
-    cents = _fit_centroids(old_pts, k, iters, id_col)
+    # k rows; feeds the assignment AND the centroid-cos join — the
+    # frozen quantizer artifact, materialized once (semdedup's fix)
+    cents = _fit_centroids(old_pts, k, iters, id_col).localCheckpoint(eager=True)
     scored = (
         _assign_cells(pts, cents, id_col)
         .join(F.broadcast(cents), "cell")

@@ -859,3 +859,37 @@ def test_fo4_user_weeks_not_events_shuffle(spark, sf_dir):
     assert "partial_" in plan, plan
     for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
         assert set(c.split(":")[0] for c in m.split(",")) <= {"user_id", "ts"}, m
+
+
+def test_pr7_single_corpus_scan(spark, sf_dir):
+    # the (group, bucket) count relation is checkpointed — the corpus
+    # is scanned exactly once; everything downstream is grid-sized
+    plan = _plan(spark, sf_dir, "pr7_psi_drift")
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dc2_two_pruned_scans_no_smj(spark, sf_dir):
+    # flag join + token relation: two column-pruned scans, broadcast
+    # benchmark flag, window on the uniform hash — no sort-merge join
+    plan = _plan(spark, sf_dir, "dc2_contamination_spans")
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_" in plan, plan
+
+
+def test_ev13_stage_predicates_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ev13_conversion_latency")
+    pushed = " ".join(_pushed_filters(plan))
+    assert "EqualTo(event_type,view)" in pushed, plan
+    assert "EqualTo(event_type,purchase)" in pushed, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sd2_frozen_build_checkpointed(spark, sf_dir):
+    # the scored relation is checkpointed (no parquet re-scan of the
+    # corpus in the final plan beyond the new-ids probes) and the pair
+    # stages are cell-keyed — never a cartesian product
+    plan = _plan(spark, sf_dir, "sd2_incremental_semdedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_" in plan, plan
