@@ -679,12 +679,22 @@ def semdedup_incremental(
         F.col("_cs").alias("_ca"),
         F.col("_nrm").alias("_na"),
     )
+    # both pair stages get semdedup's treatment: the sk2-style salt
+    # multiplies the few-fat-cells parallelism, and the new-vs-new join
+    # carries the fat vector rows only for the ia < ib half (cosine
+    # commutes bit-for-bit), re-expanding directions after the arrays
+    # are projected away — identical pair sets, identical values
+    SALT = 8
+    a_s = a.withColumn("_sl", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
     vs_old = (
-        a.join(
+        a_s.join(
             old.select(
-                F.col("cell"), F.col("v").alias("_vb"), F.col("_nrm").alias("_nb")
+                F.col("cell"),
+                F.col("v").alias("_vb"),
+                F.col("_nrm").alias("_nb"),
+                F.pmod(F.col(id_col), F.lit(SALT)).cast("int").alias("_sl"),
             ),
-            "cell",
+            ["cell", "_sl"],
         )
         .filter(
             _pc(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
@@ -693,36 +703,53 @@ def semdedup_incremental(
         .groupBy("_ia")
         .agg(F.count(F.lit(1)).alias("n_dups_old"))
     )
-    vs_new = (
-        a.join(
-            new.select(
-                F.col(id_col).alias("_ib"),
-                "cell",
-                F.col("v").alias("_vb"),
-                F.col("_cs").alias("_cb"),
-                F.col("_nrm").alias("_nb"),
-            ),
-            "cell",
-        )
-        .filter(F.col("_ia") != F.col("_ib"))
+    b_new = new.select(
+        F.col(id_col).alias("_ib"),
+        "cell",
+        F.col("v").alias("_vb"),
+        F.col("_cs").alias("_cb"),
+        F.col("_nrm").alias("_nb"),
+        F.pmod(F.col(id_col), F.lit(SALT)).cast("int").alias("_sl"),
+    )
+    half_new = (
+        a_s.join(b_new, ["cell", "_sl"])
+        .filter(F.col("_ia") < F.col("_ib"))
         .filter(
             _pc(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
             >= F.lit(tau)
         )
-        .groupBy("_ia")
-        .agg(
-            F.count(F.lit(1)).alias("n_dups_new"),
-            F.max(
-                F.when(
-                    (F.col("_cb") < F.col("_ca"))
-                    | (
-                        (F.col("_cb") == F.col("_ca"))
-                        & (F.col("_ib") < F.col("_ia"))
-                    ),
-                    1,
-                ).otherwise(0)
-            ).alias("_rm"),
-        )
+        .select("_ia", "_ib", "_ca", "_cb")
+    )
+    dirs = half_new.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_ia").alias("_ia"),
+                    F.col("_ib").alias("_ib"),
+                    F.col("_ca").alias("_ca"),
+                    F.col("_cb").alias("_cb"),
+                ),
+                F.struct(
+                    F.col("_ib").alias("_ia"),
+                    F.col("_ia").alias("_ib"),
+                    F.col("_cb").alias("_ca"),
+                    F.col("_ca").alias("_cb"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.*")
+    vs_new = dirs.groupBy("_ia").agg(
+        F.count(F.lit(1)).alias("n_dups_new"),
+        F.max(
+            F.when(
+                (F.col("_cb") < F.col("_ca"))
+                | (
+                    (F.col("_cb") == F.col("_ca"))
+                    & (F.col("_ib") < F.col("_ia"))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("_rm"),
     )
     return (
         new.select(id_col, "cell")
