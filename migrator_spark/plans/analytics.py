@@ -2783,3 +2783,57 @@ SELECT CAST(least(23, (epoch_us(t2) - epoch_us(t1)) // 3600000000)
        CAST(count(*) AS BIGINT) AS n_users
 FROM p GROUP BY 1
 """
+
+
+def ev14_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the type
+    of the user's most recent PRECEDING non-purchase event (view /
+    click / signup / error — 'none' when the purchase opens the
+    stream), with revenue in exact DECIMAL cents — the attribution
+    table every marketing warehouse derives before channel-budget
+    decisions.
+
+    Shape: ONE user-keyed window (last_value IGNORE NULLS over the
+    per-user time order — the running "last touch seen") computed in
+    the same shuffle that sessionization pays, then a channels-sized
+    aggregate. The money column aggregates as DECIMAL(18,2) — exact,
+    order-independent across partitions and engines — and is cast to
+    double only at the edge (the tpch.py float discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("_touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("_touch"), F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+EV14_ORACLE = """
+WITH t AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS touch
+  FROM events
+)
+SELECT coalesce(touch, 'none') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1
+"""

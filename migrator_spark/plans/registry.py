@@ -344,6 +344,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ev13_conversion_latency": QuerySpec(
         analytics.ev13_conversion_latency, analytics.EV13_ORACLE
     ),
+    "ev14_last_touch": QuerySpec(
+        analytics.ev14_last_touch, analytics.EV14_ORACLE
+    ),
 }
 
 
@@ -407,6 +410,7 @@ _GRADED_WINDOW: list[str] = [
     "dc2_contamination_spans",
     "pr7_psi_drift",
     "ev13_conversion_latency",
+    "ev14_last_touch",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -419,7 +423,6 @@ _GRADED_WINDOW: list[str] = [
     "f5_array_suite",
     "f6_regex_suite",
     "sim4_incremental_topk",
-    "ta1_token_stats",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
