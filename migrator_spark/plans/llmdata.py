@@ -3082,3 +3082,37 @@ SELECT grp AS source,
        list_sum(list(contrib ORDER BY bucket)) AS psi
 FROM ctb GROUP BY grp
 """
+
+
+def mm7_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, driver-graded: synthesize an
+    actual zlib-compressed 8-bit grayscale PNG per document with a
+    MIXED row-filter schedule (None/Sub/Up — multimodal.
+    synth_png_payloads), then fully decode it back — CRC-checked chunk
+    walk, inflate, per-scanline unfiltering — reporting the PIXEL sum
+    (multimodal.png_pixel_stats). The oracle recomputes dimensions and
+    the pixel sum arithmetically from the deterministic content
+    formula, so a header-only or unfilter-skipping decoder cannot
+    pass. Extends mm6's uncompressed-WAV proof to a format with a
+    real compression + prediction layer."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return mm.png_pixel_stats(mm.synth_png_payloads(docs, width=16))
+
+
+MM7_ORACLE = """
+WITH d AS (SELECT doc_id, 1 + (n_chars % 64) AS h FROM documents),
+px AS (
+  SELECT d.doc_id,
+         CAST(sum((7 * x.i + 13 * y.j) % 256) AS BIGINT) AS pixel_sum
+  FROM d,
+       LATERAL unnest(generate_series(0, 15)) AS x(i),
+       LATERAL unnest(generate_series(0, d.h - 1)) AS y(j)
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       px.pixel_sum
+FROM d JOIN px USING (doc_id)
+"""

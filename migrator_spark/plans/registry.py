@@ -347,6 +347,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ev14_last_touch": QuerySpec(
         analytics.ev14_last_touch, analytics.EV14_ORACLE
     ),
+    "mm7_png_roundtrip": QuerySpec(
+        llmdata.mm7_png_roundtrip, llmdata.MM7_ORACLE
+    ),
 }
 
 
@@ -411,6 +414,7 @@ _GRADED_WINDOW: list[str] = [
     "pr7_psi_drift",
     "ev13_conversion_latency",
     "ev14_last_touch",
+    "mm7_png_roundtrip",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -422,7 +426,6 @@ _GRADED_WINDOW: list[str] = [
     "f4_string_suite",
     "f5_array_suite",
     "f6_regex_suite",
-    "sim4_incremental_topk",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

@@ -123,3 +123,57 @@ def test_incremental_semdedup_drops_arrival_matching_corpus(spark):
     assert set(out) == {10, 11}, out  # only the batch is judged
     assert out[10]["n_dups_old"] >= 1 and not out[10]["keep"], out
     assert out[11]["n_dups_old"] == 0 and out[11]["keep"], out
+
+
+def test_png_decode_all_five_filters():
+    # the synthetic round trip (mm7) exercises None/Sub/Up; craft a
+    # PNG whose rows use Average and Paeth so the full filter spec is
+    # load-bearing somewhere
+    import struct
+    import zlib
+
+    from migrator_spark.operators.multimodal import _PNG_SIG, png_decode
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b))
+            + t
+            + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    w, h = 8, 4
+    rows = [bytes(((5 * x + 11 * y) % 256) for x in range(w)) for y in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    stream = bytearray()
+    prev = bytes(w)
+    for y, row in enumerate(rows):
+        f = 3 if y % 2 == 0 else 4  # Average / Paeth alternating
+        stream.append(f)
+        for i in range(w):
+            left = row[i - 1] if i else 0
+            up = prev[i]
+            ul = prev[i - 1] if i else 0
+            pred = (left + up) >> 1 if f == 3 else paeth(left, up, ul)
+            stream.append((row[i] - pred) & 0xFF)
+        prev = row
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+    assert png_decode(png) == (w, h, 1, sum(sum(r) for r in rows))
+
+    # corrupt one IDAT byte -> the CRC check must refuse it
+    bad = bytearray(png)
+    bad[len(_PNG_SIG) + 12 + 13 + 12 + 8] ^= 0xFF
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        png_decode(bytes(bad))
