@@ -907,32 +907,39 @@ def contamination_spans(
     the contaminated span (the dd11 despanning move) instead of
     dropping the whole document.
 
-    Same single token-relation shape as decontaminate (benchmark flag
-    joins BEFORE the explode, per-hash window max marks hits, rows
-    carry only ids/positions/hashes — never text), except positions
-    forbid the array_distinct: a shingle repeated in a doc is a hit at
-    every occurrence. All-integer output."""
-    flagged = docs.join(
-        benchmark_ids.select(F.col(id_col), F.lit(True).alias("_is_bench")),
-        on=id_col,
-        how="left",
+    Shape: unlike dc1 (whose per-hash window must see benchmark AND
+    corpus occurrences of every hash in one relation), the span report
+    only needs corpus positions whose hash is IN the benchmark set —
+    so the benchmark's distinct shingle hashes build as their own tiny
+    relation (the benchmark slice is small by definition) and flag the
+    corpus token stream via an equi-join AQE turns into a broadcast:
+    the corpus-sized position stream is NEVER shuffled by hash; the
+    only shuffle after the scan is the HIT rows (rare at scale) into
+    the per-doc aggregate. Positions forbid the array_distinct: a
+    shingle repeated in a doc is a hit at every occurrence.
+    All-integer output."""
+    bench_h = (
+        docs.join(benchmark_ids.select(id_col), id_col, "leftsemi")
+        .select(F.explode(word_shingles(text_col, shingle_k)).alias("s"))
+        .select(stable_hash64(F.col("s")).alias("h"))
+        .distinct()
     )
-    tok = flagged.select(
-        F.col(id_col),
-        F.coalesce(F.col("_is_bench"), F.lit(False)).alias("_is_bench"),
-        F.size(words(text_col)).alias("_nw"),
-        F.posexplode(word_shingles(text_col, shingle_k)).alias("pos", "s"),
-    ).select(
-        F.col(id_col),
-        "_is_bench",
-        "_nw",
-        "pos",
-        stable_hash64(F.col("s")).alias("h"),
+    tok = (
+        docs.join(benchmark_ids.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.size(words(text_col)).alias("_nw"),
+            F.posexplode(word_shingles(text_col, shingle_k)).alias("pos", "s"),
+        )
+        .select(
+            F.col(id_col),
+            "_nw",
+            "pos",
+            stable_hash64(F.col("s")).alias("h"),
+        )
     )
-    hit = F.max(F.col("_is_bench").cast("int")).over(Window.partitionBy("h"))
     return (
-        tok.withColumn("_hit", hit)
-        .filter(~F.col("_is_bench") & (F.col("_hit") == 1))
+        tok.join(bench_h, "h")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_hit_shingles"),
