@@ -869,13 +869,16 @@ def test_pr7_single_corpus_scan(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_dc2_two_pruned_scans_no_smj(spark, sf_dir):
-    # flag join + token relation: two column-pruned scans, broadcast
-    # benchmark flag, window on the uniform hash — no sort-merge join
+def test_dc2_no_corpus_hash_shuffle(spark, sf_dir):
+    # the benchmark's distinct shingle hashes flag the corpus position
+    # stream via joins AQE broadcasts — the corpus token relation is
+    # never shuffled by hash (no window over it, no sort-merge join);
+    # the extra scans are column-pruned id/membership reads
     plan = _plan(spark, sf_dir, "dc2_contamination_spans")
-    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 2, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
     assert "partial_" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
 def test_ev13_stage_predicates_pushed(spark, sf_dir):
