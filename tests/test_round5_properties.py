@@ -177,3 +177,83 @@ def test_png_decode_all_five_filters():
 
     with _pytest.raises(ValueError):
         png_decode(bytes(bad))
+
+
+def test_dsir_curation_example_runs_end_to_end(spark, sf_dir, tmp_path):
+    # the examples/ script is live code: run its pipeline at test SF
+    # and check the budget + packing invariants hold on its outputs
+    import importlib.util as ilu
+    from pathlib import Path
+
+    spec = ilu.spec_from_file_location(
+        "dsir_curation_example",
+        Path(__file__).resolve().parent.parent / "examples" / "dsir_curation.py",
+    )
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "out")
+    mod.run(spark, str(sf_dir), out, budget=2000, seq_len=64)
+    sel = spark.read.parquet(f"{out}/selected")
+    assert 0 < sel.count() < spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sel.agg(F.sum("n_tokens")).first()[0] <= 2000
+    packed = spark.read.parquet(f"{out}/packed")
+    # every selected doc is packed exactly once
+    assert packed.count() == sel.count()
+    assert packed.join(sel, "doc_id").count() == sel.count()
+
+
+def test_png_roundtrip_property(spark):
+    # hypothesis: random tiny images + random per-row filter choices
+    # survive the encode(reference) -> png_decode round trip exactly
+    import struct
+    import zlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from migrator_spark.operators.multimodal import _PNG_SIG, png_decode
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b))
+            + t
+            + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 6),
+        st.integers(1, 6),
+        st.data(),
+    )
+    def prop(w, h, data):
+        rows = [
+            bytes(data.draw(st.integers(0, 255)) for _ in range(w))
+            for _ in range(h)
+        ]
+        stream = bytearray()
+        prev = bytes(w)
+        for row in rows:
+            f = data.draw(st.integers(0, 4))
+            stream.append(f)
+            for i in range(w):
+                left = row[i - 1] if i else 0
+                up = prev[i]
+                ul = prev[i - 1] if i else 0
+                pred = [0, left, up, (left + up) >> 1, paeth(left, up, ul)][f]
+                stream.append((row[i] - pred) & 0xFF)
+            prev = row
+        png = (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b"")
+        )
+        assert png_decode(png) == (w, h, 1, sum(sum(r) for r in rows))
+
+    prop()
