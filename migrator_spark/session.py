@@ -49,5 +49,22 @@ def get_spark(app_name: str = "migrator_spark", cpus: int | None = None) -> Spar
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Executor Python workers must import this package: under
+        # local[N] they inherit the driver's sys.path, but real executor
+        # processes (local-cluster / a cluster) spawn fresh workers —
+        # ship the repo root so mapInPandas closures referencing module
+        # functions (e.g. multimodal.png_decode) resolve there too. On a
+        # production cluster this is the --py-files/wheel equivalent.
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                p
+                for p in (
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.environ.get("PYTHONPATH", ""),
+                )
+                if p
+            ),
+        )
     )
     return builder.getOrCreate()

@@ -61,6 +61,8 @@ SMOKE_QUERIES = [
     "ds1_dsir_weights",         # checkpointed bucket model broadcast back to executors
     "sd1_semdedup",             # cell-keyed pair exchange + checkpointed Lloyd build
     "ev11_funnel",              # staged per-user frontiers across real exchanges
+    "mm7_png_roundtrip",        # zlib encode/decode inside executor Python workers
+    "dc2_contamination_spans",  # broadcast hash-set flag join over the position stream
 ]
 
 
