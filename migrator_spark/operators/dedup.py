@@ -948,3 +948,57 @@ def contamination_spans(
             F.max("_nw").cast("long").alias("n_words"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Overlap-coefficient (containment) pairs: |A∩B| / min(|A|, |B|)
+    over distinct k-gram sets — the asymmetric companion to
+    ngram_jaccard_pairs that catches TRUNCATED or excerpted copies: a
+    short doc fully contained in a long one scores containment ~1
+    while its symmetric Jaccard (~|A|/|B|) can sit far below any
+    near-dup threshold, so Jaccard-only dedup keeps both.
+
+    Same sub-quadratic inverted-index shape as ngram_jaccard_pairs
+    (exploded token relation self-joins on (block, shingle); only
+    pairs sharing >= 1 shingle materialize; the match count IS the
+    intersection) — only the final pure-per-pair expression differs,
+    so the cost class is identical."""
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (zero-overlap pairs never materialize)")
+    sh = docs.select(
+        F.col(id_col),
+        *block_cols,
+        F.array_distinct(word_shingles(text_col, k)).alias("sh"),
+    )
+    tok = sh.select(
+        F.col(id_col), *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    )
+    inter = (
+        tok.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"), *block_cols, "s")
+        .join(
+            tok.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"), *block_cols, "s"),
+            on=[*block_cols, "s"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
+    )
+    containment = F.col("n_inter").cast("double") / F.least(
+        F.col("sz_a"), F.col("sz_b")
+    ).cast("double")
+    return (
+        inter.withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

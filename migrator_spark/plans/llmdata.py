@@ -3116,3 +3116,33 @@ SELECT d.doc_id,
        px.pixel_sum
 FROM d JOIN px USING (doc_id)
 """
+
+
+CONTAIN_THRESH = 0.4
+
+
+def dd12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) pairs within language blocks
+    (dedup.containment_pairs): |A∩B| / min(|A|,|B|) over distinct
+    2-gram sets — flags truncated/excerpted copies whose symmetric
+    Jaccard stays below every near-dup threshold, the subset-copy
+    blind spot of dd4."""
+    return dd.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        block_cols=["lang"],
+        threshold=CONTAIN_THRESH,
+    )
+
+
+DD12_ORACLE = f"""
+WITH {DOCS_CTE}, {SH_CTE},
+d AS (SELECT doc_id, lang, list_distinct(sh) AS sh FROM sh)
+SELECT * FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+           / least(len(list_distinct(a.sh)), len(list_distinct(b.sh)))::DOUBLE
+           AS containment
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+) WHERE containment >= {CONTAIN_THRESH}
+"""

@@ -350,6 +350,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "mm7_png_roundtrip": QuerySpec(
         llmdata.mm7_png_roundtrip, llmdata.MM7_ORACLE
     ),
+    "dd12_containment_pairs": QuerySpec(
+        llmdata.dd12_containment_pairs, llmdata.DD12_ORACLE
+    ),
 }
 
 
@@ -415,6 +418,7 @@ _GRADED_WINDOW: list[str] = [
     "ev13_conversion_latency",
     "ev14_last_touch",
     "mm7_png_roundtrip",
+    "dd12_containment_pairs",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -425,7 +429,6 @@ _GRADED_WINDOW: list[str] = [
     "w3_rolling_frames",
     "f4_string_suite",
     "f5_array_suite",
-    "f6_regex_suite",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
