@@ -734,3 +734,45 @@ def line_filter(
         )
         .filter(F.col("n_lines_kept") > 0)
     )
+
+
+def proximity_search(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_dist: int = 8,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity (NEAR) search: docs where ``term_a`` and ``term_b``
+    co-occur within ``max_dist`` word positions, ranked by closest
+    approach then by how often the terms sit near each other — the IR feature between bag-of-words relevance
+    (fts1/fts2 treat "spark near merge" and "spark ... 500 words ...
+    merge" identically) and phrase match.
+
+    Scale: the corpus-sized position explode is filtered to the TWO
+    query terms at the generator (predicate on the exploded value —
+    only matching positions survive the scan stage), so the per-doc
+    position-pair join runs on a term-frequency-bounded relation, and
+    the result ranks through TakeOrderedAndProject. Nothing
+    corpus-sized ever shuffles."""
+    tok = docs.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("pos", "w")
+    ).filter(F.col("w").isin(term_a, term_b))
+    a = tok.filter(F.col("w") == term_a).select(id_col, F.col("pos").alias("_pa"))
+    b = tok.filter(F.col("w") == term_b).select(id_col, F.col("pos").alias("_pb"))
+    d = F.abs(F.col("_pa") - F.col("_pb"))
+    return (
+        a.join(b, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.min(d).cast("long").alias("min_dist"),
+            F.count_if(d <= F.lit(max_dist)).alias("n_near"),
+        )
+        .filter(F.col("min_dist") <= max_dist)
+        .orderBy(
+            F.col("min_dist").asc(), F.col("n_near").desc(), F.col(id_col).asc()
+        )
+        .limit(k)
+    )

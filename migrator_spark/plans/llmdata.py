@@ -3146,3 +3146,44 @@ SELECT * FROM (
     ON a.lang = b.lang AND a.doc_id < b.doc_id
 ) WHERE containment >= {CONTAIN_THRESH}
 """
+
+
+FTS4_DIST = 3
+
+
+def fts4_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (NEAR) search (textops.proximity_search): top docs
+    where 'spark' and 'merge' co-occur within FTS4_DIST word
+    positions, ranked by closest approach then near-pair count — the
+    positional-IR feature fts1/fts2's bag-of-words scoring cannot
+    express."""
+    return tx.proximity_search(
+        load_table(spark, sf_dir, "documents"),
+        "spark",
+        "merge",
+        max_dist=FTS4_DIST,
+        k=10,
+    )
+
+
+FTS4_ORACLE = f"""
+WITH {DOCS_CTE},
+t AS (
+  SELECT doc_id, g.j - 1 AS pos, w[g.j] AS word
+  FROM docs, LATERAL unnest(generate_series(1, len(w))) AS g(j)
+  WHERE w[g.j] IN ('spark', 'merge')
+),
+p AS (
+  SELECT a.doc_id,
+         CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_dist,
+         CAST(count(*) FILTER (WHERE abs(a.pos - b.pos) <= {FTS4_DIST})
+              AS BIGINT) AS n_near
+  FROM t a JOIN t b ON a.doc_id = b.doc_id
+  WHERE a.word = 'spark' AND b.word = 'merge'
+  GROUP BY a.doc_id
+)
+SELECT doc_id, min_dist, n_near FROM p
+WHERE min_dist <= {FTS4_DIST}
+ORDER BY min_dist ASC, n_near DESC, doc_id ASC
+LIMIT 10
+"""

@@ -353,6 +353,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dd12_containment_pairs": QuerySpec(
         llmdata.dd12_containment_pairs, llmdata.DD12_ORACLE
     ),
+    "fts4_proximity_search": QuerySpec(
+        llmdata.fts4_proximity_search, llmdata.FTS4_ORACLE
+    ),
 }
 
 
@@ -419,6 +422,7 @@ _GRADED_WINDOW: list[str] = [
     "ev14_last_touch",
     "mm7_png_roundtrip",
     "dd12_containment_pairs",
+    "fts4_proximity_search",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -428,7 +432,6 @@ _GRADED_WINDOW: list[str] = [
     "w2_window_suite",
     "w3_rolling_frames",
     "f4_string_suite",
-    "f5_array_suite",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
