@@ -275,3 +275,86 @@ def psi_drift(
         )
         .select(F.col("grp").alias(group_col), "n_rows", "psi")
     )
+
+
+def portable_hll(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """Cross-engine-EXACT HyperLogLog distinct-count estimate per
+    group — the answer to "approximate sketches cannot be
+    differentially graded": built-in sketches (approx_count_distinct,
+    DuckDB's HLL) have engine-private registers, but an HLL built from
+    the shared 60-bit stable hash is a pure deterministic function of
+    the value set, so two engines computing it agree bit-for-bit and
+    the ESTIMATE itself becomes hash-gradable.
+
+    Construction (classic Flajolet HLL, m = 2^b registers): bucket =
+    low b hash bits; rho = leading-zero rank of the remaining 52 bits
+    (computed EXACTLY via the binary-string length — no float log);
+    register M_j = max rho. The harmonic sum Σ 2^-M_j is kept as the
+    exact integer Σ 2^(60-M_j) in DECIMAL (dyadic rationals scaled by
+    2^60 — no float accumulates across rows or partitions), and the
+    one float division + the small-range linear-counting branch happen
+    per GROUP at the edge on identical operands, with the output
+    rounded to 6 decimals so a last-ulp ln() disagreement cannot flip
+    the compare (the pr7 lesson).
+
+    Scale: ONE partial-combined corpus aggregate onto (group, bucket)
+    keys — m rows per group after map-side combine — then grid-sized
+    arithmetic; this is exactly the mergeable-register property that
+    makes HLL the 100 TB distinct-count tool, here with a portable
+    register definition instead of an engine-private one."""
+    from migrator_spark.functions.hashing import stable_hash64
+
+    m = 1 << b
+    h = stable_hash64(F.col(value_col).cast("string"))
+    bucket = F.pmod(h, F.lit(m)).cast("long")
+    w = F.shiftright(h, b)  # 60-b informative bits remain
+    width = 60 - b
+    # exact leading-zero rank: bit_length via base-2 string length
+    rho = (
+        F.when(w == 0, F.lit(width + 1))
+        .otherwise(F.lit(width) + 1 - F.length(F.conv(w.cast("string"), 10, 2)))
+        .cast("long")
+    )
+    regs = (
+        df.select(F.col(group_col).alias("grp"), bucket.alias("_bk"), rho.alias("_r"))
+        .groupBy("grp", "_bk")
+        .agg(F.max("_r").alias("_m"))
+    )
+    grid = (
+        regs.select("grp")
+        .distinct()
+        .select("grp", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_gbk"))
+        .select("grp", F.col("_gbk").cast("long").alias("_bk"))
+    )
+    dense = grid.join(regs, ["grp", "_bk"], "left").withColumn(
+        "_m", F.coalesce(F.col("_m"), F.lit(0)).cast("long")
+    )
+    per_group = dense.groupBy("grp").agg(
+        # Σ 2^(60 - M_j): every term is an exact long; the sum is exact
+        # DECIMAL — no float state anywhere in the register fold
+        F.sum(
+            F.expr("CAST(shiftleft(1L, CAST(60 - _m AS INT)) AS DECIMAL(38,0))")
+        ).alias("_s"),
+        F.count_if(F.col("_m") == 0).alias("_z"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << 60))
+        / F.col("_s").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("_z") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_z").cast("double")),
+    ).otherwise(raw)
+    return per_group.select(
+        F.col("grp").alias(group_col),
+        F.round(est, 6).alias("hll_estimate"),
+    )

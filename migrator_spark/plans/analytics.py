@@ -2837,3 +2837,61 @@ SELECT coalesce(touch, 'none') AS channel,
 FROM t WHERE event_type = 'purchase'
 GROUP BY 1
 """
+
+
+def pr8_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-EXACT HyperLogLog (quality.portable_hll): distinct
+    users per event type estimated from 256 registers built on the
+    shared 60-bit stable hash — the sketch whose ESTIMATE is itself
+    hash-gradable, upgrading the pr3/pr6 "approximate answers can only
+    be rows-only checked" limitation for any engine pair that shares
+    the hash. Register state folds as exact scaled dyadic integers;
+    floats appear only in the per-group edge arithmetic, mirrored
+    op-for-op in the oracle."""
+    from migrator_spark.operators import quality as ql
+
+    return ql.portable_hll(
+        load_table(spark, sf_dir, "events"), "user_id", "event_type"
+    )
+
+
+PR8_ORACLE = """
+WITH hv AS (
+  SELECT event_type AS grp,
+         (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+  FROM events
+),
+rr AS (
+  SELECT grp, h % 256 AS bk,
+         CASE WHEN (h >> 8) = 0 THEN 53
+              ELSE 53 - length(bin(h >> 8)) END AS rho
+  FROM hv
+),
+rg AS (SELECT grp, bk, max(rho) AS m FROM rr GROUP BY grp, bk),
+grid AS (
+  SELECT grp, g.bk
+  FROM (SELECT DISTINCT grp FROM rg),
+       LATERAL unnest(generate_series(0, 255)) AS g(bk)
+),
+dn AS (
+  SELECT grid.grp, grid.bk, coalesce(rg.m, 0) AS m
+  FROM grid LEFT JOIN rg USING (grp, bk)
+),
+pg AS (
+  SELECT grp,
+         sum((1::BIGINT << CAST(60 - m AS INT))::HUGEINT) AS s,
+         count(*) FILTER (WHERE m = 0) AS z
+  FROM dn GROUP BY grp
+),
+es AS (
+  SELECT grp, z,
+         0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0
+           * 1152921504606846976.0 / CAST(s AS DOUBLE) AS raw
+  FROM pg
+)
+SELECT grp AS event_type,
+       round(CASE WHEN raw <= 640.0 AND z > 0
+                  THEN 256.0 * ln(256.0 / z)
+                  ELSE raw END, 6) AS hll_estimate
+FROM es
+"""

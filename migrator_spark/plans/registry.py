@@ -356,6 +356,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "fts4_proximity_search": QuerySpec(
         llmdata.fts4_proximity_search, llmdata.FTS4_ORACLE
     ),
+    "pr8_portable_hll": QuerySpec(
+        analytics.pr8_portable_hll, analytics.PR8_ORACLE
+    ),
 }
 
 
@@ -423,6 +426,7 @@ _GRADED_WINDOW: list[str] = [
     "mm7_png_roundtrip",
     "dd12_containment_pairs",
     "fts4_proximity_search",
+    "pr8_portable_hll",
     # -- r2-green family (stalest driver rows in the registry) --
     "dd6_dup_clusters",
     "dd8_incremental_lsh",
@@ -431,7 +435,6 @@ _GRADED_WINDOW: list[str] = [
     "sim3_pairwise_topk",
     "w2_window_suite",
     "w3_rolling_frames",
-    "f4_string_suite",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

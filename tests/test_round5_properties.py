@@ -257,3 +257,27 @@ def test_png_roundtrip_property(spark):
         assert png_decode(png) == (w, h, 1, sum(sum(r) for r in rows))
 
     prop()
+
+
+def test_portable_hll_within_error_bound(spark, sf_dir):
+    # verified-approximate: the portable HLL's estimate must land
+    # within ~3 standard errors (1.04/sqrt(256) ~ 6.5% -> 20% at 3σ,
+    # and the linear-counting branch is far tighter) of the exact
+    # distinct count, per group
+    from migrator_spark.operators.quality import portable_hll
+    from migrator_spark.tables import load_table
+
+    ev = load_table(spark, str(sf_dir), "events")
+    est = {
+        r["event_type"]: r["hll_estimate"]
+        for r in portable_hll(ev, "user_id", "event_type").collect()
+    }
+    exact = {
+        r["event_type"]: r["x"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, x in exact.items():
+        assert abs(est[k] - x) <= max(0.2 * x, 3.0), (k, est[k], x)
