@@ -363,78 +363,81 @@ REGISTRY: dict[str, QuerySpec] = {
 
 
 # ---------------------------------------------------------------------------
-# Round-5 graded window (stalest-first round-robin, ADVICE r3 #1).
+# Round-6 graded window (stalest-first round-robin, ADVICE r3 #1).
 #
 # Composition, stalest first by newest driver-green row (CORRECTNESS_r0*):
-#   1. The 13 never-driver-graded operators (late r4 tail: sm4/pk1/pk2/
-#      cur4/sim9/fo3/ev8/dq3 and the post-window block fts2/ch1/cur5/
-#      fts3/dr1).
-#   2. Every NEW round-5 operator, in landing order (cur6 ... pr7) —
-#      appended here as each lands, displacing the stalest r2-green
-#      tail entries one-for-one.
-#   3. The remaining r2-green entries (original order). Displaced as
-#      round-5 ops landed: sm1/sm2/sm3, cur1, dq1, pr2, fts1, ta6,
-#      ta5, ta4, ta3 — all r2-green, back in round 6's queue.
+#   1. Every NEW round-6 operator plus any round-5 entry whose SEMANTICS
+#      change this round (e.g. sd1's sampled-Lloyd build) — inserted at
+#      the head as each lands, displacing the stalest r3-green tail
+#      entries one-for-one.
+#   2. The 18 r2-stale entries (newest driver-green row = round 2, three
+#      rounds ago, while the read path gained OCC commits and executor
+#      package shipping underneath them) — VERDICT r5 #1.
+#   3. Backfill from the stalest r3-green family in registry order
+#      (mm2..pr4) up to exactly 50.
 # pr3/pr6 stay OUT of graded slots: they already hold their declared
-# rows-only rows (r4) and a graded slot buys them nothing (no oracle).
-# Tail queue for round 6: the displaced r2-green entries above and the
-# whole r3-green family (memory: mm3, mm4, dc1, ta7, sim6, mx1, the
-# TPC-H q* family, fo1, pr1, pr4, pr5, ev1-ev6, set1, sk1, sk2, e1-e4,
-# dd6b), then the oldest r4-green.
+# rows-only rows and a graded slot buys them nothing (no oracle).
+# Tail queue for round 7: the displaced r3-green remainder (pr5,
+# ev1-ev6, set1, sk1, sk2, e1-e4, dd6b) then the oldest r4-green block
+# (cur3, ta9, dd10, mx2, ev7, dq2, fo2, sim7, sim8, dd11, ta10, mm5,
+# the q2/q11/q16/q22 family, p6-p8, a1-a5, l0-l4, w1, st1-st5, dd1-dd9,
+# sim2, f1-f3, t2, s1).
 _GRADED_WINDOW: list[str] = [
-    # -- never driver-graded (late round 4) --
-    "sm4_three_way_split",
-    "pk1_sequence_packing",
-    "pk2_incremental_packing",
-    "cur4_pack_curated",
-    "sim9_recall_eval",
-    "fo3_asof_snapshot",
-    "ev8_transition_matrix",
-    "dq3_replica_checksum",
-    "fts2_bm25_search",
-    "ch1_overlap_chunks",
-    "cur5_token_budget",
-    "fts3_passage_search",
-    "dr1_source_dup_report",
-    # -- NEW round 5 (never graded) --
-    "cur6_domain_cap",
-    "sh1_train_shards",
-    "bpe1_pair_stats",
-    "dv1_ngram_diversity",
-    "dr2_cross_source_leakage",
-    "ta11_lang_confusion",
-    "vb1_vocab_coverage",
-    "sim10_ivf_pq_topk",
-    "ev9_daily_top_events",
-    "ev10_top_user_paths",
-    "ta12_doc_keywords",
-    "seg1_rfm_segments",
-    "mm6_wav_roundtrip",
-    "cur8_best_copy_dedup",
-    "sm6_temporal_split",
-    "vb2_oov_rate",
-    "ds1_dsir_weights",
-    "sd1_semdedup",
-    "ev11_funnel",
-    "fo4_retention_cohorts",
-    "cur9_dsir_select",
-    "sd2_incremental_semdedup",
-    "dc2_contamination_spans",
-    "pr7_psi_drift",
-    "ev13_conversion_latency",
-    "ev14_last_touch",
-    "mm7_png_roundtrip",
-    "dd12_containment_pairs",
-    "fts4_proximity_search",
-    "pr8_portable_hll",
-    # -- r2-green family (stalest driver rows in the registry) --
-    "dd6_dup_clusters",
-    "dd8_incremental_lsh",
-    "sim1_cosine_topk",
-    "sim5_ivf_build",
-    "sim3_pairwise_topk",
-    "w2_window_suite",
-    "w3_rolling_frames",
+    # -- NEW round 6 / semantics-changed round 6 (head, landing order) --
+    "sd1_semdedup",  # sampled-Lloyd build (VERDICT r5 #5): results change
+    "ds1_dsir_weights",  # ADVICE r5: left-join smoothing keeps all docs
+    "cur9_dsir_select",  # composes ds1's weights; regraded with it
+    "pr7_psi_drift",  # ADVICE r5: edge-bucket clamping
+    "mm1_decode_metadata",  # real header parsing (VERDICT r5 #4) — also r2-stale
+    # (pr9_exact_quantiles, mm8_jpeg_roundtrip, sd3_stream_semdedup_batch,
+    #  ds2_dsir_unseen land here as they are built, displacing the tail)
+    "cur8_best_copy_dedup",  # ADVICE r5: struct ordering key replaces 2^40 arithmetic
+    # -- r2-stale family (newest driver row = round 2; VERDICT r5 #1) --
+    "f4_string_suite",
+    "f5_array_suite",
+    "f6_regex_suite",
+    "sim4_incremental_topk",
+    "ta1_token_stats",
+    "ta2_quality_score",
+    "ta3_lang_guess",
+    "ta4_fingerprint",
+    "ta5_repetition",
+    "ta6_pii_scrub",
+    "pr2_length_percentiles",
+    "fts1_keyword_search",
+    "dq1_constraint_audit",
+    "sm1_hash_sample",
+    "sm2_stratified_sample",
+    "sm3_weighted_sample",
+    "cur1_curation_pipeline",
+    # -- r3-green backfill (stalest remaining, registry order) --
+    "mm2_frame_sample",
+    "mm3_resize_plan",
+    "mm4_extract_features",
+    "dc1_decontaminate",
+    "ta7_lm_quality",
+    "sim6_hyperplane_topk",
+    "mx1_mixture_plan",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_trade_volume",
+    "q8_rollup_sales",
+    "q8c_cube_orders",
+    "q19_disjunctive_filter",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q9_product_profit",
+    "q20_excess_suppliers",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q12_priority_lateness",
+    "q21_waiting_suppliers",
+    "q23_priority_pivot",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
