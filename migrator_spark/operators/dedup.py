@@ -873,11 +873,18 @@ def exact_dedup_best_copy(
 
     Same cost class as exact_dedup: ONE partial-combined aggregate on
     the uniform 60-bit hash; the argmax rides the aggregate as
-    ``max_by`` over the composite integer key quality*2^40 - id —
-    one sortable value both engines order identically, encoding the
-    (quality DESC, id ASC) policy exactly for ids < 2^40 (a trillion
-    docs; the oracle-portable alternative to struct-ordered max_by)."""
-    pick = F.col(quality_col) * F.lit(1 << 40) - F.col(id_col)
+    ``max_by`` over the ordering key struct(quality, -id) — struct
+    comparison is field-lexicographic in both Spark and DuckDB, so the
+    (quality DESC, id ASC) policy holds EXACTLY for any orderable
+    quality type. (The previous integer composite quality*2^40 - id
+    was exact only for integer quality below 2^23: a double quality —
+    the common curation case, e.g. a DSIR avg log-ratio — loses the id
+    tiebreak to float rounding whenever the quality gap is under
+    id_diff/2^40, and large integer qualities overflow int64. ADVICE
+    r5 #1.)"""
+    pick = F.struct(
+        F.col(quality_col).alias("q"), (-F.col(id_col)).alias("nid")
+    )
     return (
         docs.select(
             F.col(id_col),

@@ -281,11 +281,17 @@ def _dsir_feats(
     """(id, *extra, _f, _b): the exploded hashed unigram+bigram feature
     stream shared by the model and scoring passes; ``extra`` columns
     (e.g. the target flag) must be computed BEFORE this projection
-    narrows the frame."""
+    narrows the frame.
+
+    explode_OUTER, so a feature-less doc (null text) keeps exactly one
+    row with a null feature/bucket instead of vanishing from the
+    stream: scoring counts only non-null features but retains the doc
+    (ADVICE r5 #3), and fitting's bucket spine join drops the null
+    bucket so model totals see real features only."""
     return docs.select(
         F.col(id_col),
         *extra,
-        F.explode(
+        F.explode_outer(
             F.concat(words(text_col), word_shingles(text_col, 2))
         ).alias("_f"),
     ).withColumn("_b", F.pmod(stable_hash64(F.col("_f")), F.lit(n_buckets)))
@@ -309,9 +315,24 @@ def dsir_bucket_model(
     feats = _dsir_feats(
         docs, id_col, text_col, n_buckets, extra=(target.alias("_t"),)
     )
-    buckets = feats.groupBy("_b").agg(
+    seen = feats.groupBy("_b").agg(
         F.count(F.lit(1)).alias("_cr"),
         F.count_if(F.col("_t")).alias("_ct"),
+    )
+    # Total over the bucket domain: buckets unseen at fit time carry
+    # the add-one-smoothed zero-count weight instead of being absent,
+    # so scoring's join can never drop a feature (ADVICE r5 #3). The
+    # spine is n_buckets rows — driver-free range, broadcast-sized.
+    spine = docs.sparkSession.range(n_buckets).select(
+        F.col("id").alias("_b")
+    )
+    buckets = (
+        spine.join(seen, "_b", "left")
+        .select(
+            "_b",
+            F.coalesce("_cr", F.lit(0)).alias("_cr"),
+            F.coalesce("_ct", F.lit(0)).alias("_ct"),
+        )
     )
     tot = buckets.agg(F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt"))
 
@@ -348,19 +369,33 @@ def dsir_score(
     partial-aggregate per doc. Stateless with respect to the model, so
     it serves equally as the batch scoring pass and as a per-micro-
     batch step in a streaming intake (foreachBatch) — identical scores
-    either way, proven in tests/test_streaming.py."""
+    either way, proven in tests/test_streaming.py.
+
+    Totality (ADVICE r5 #3): the fitted model covers the WHOLE bucket
+    domain (dsir_bucket_model emits all n_buckets rows, unseen buckets
+    at their smoothed zero-count weight), so the join can never drop a
+    feature; and the feature stream is exploded OUTER with a LEFT
+    broadcast join, so a feature-less doc (null text) flows through as
+    one null-bucket row and lands in the output at (n_feats=0,
+    logratio_micro=0, avg_logratio=0.0) instead of silently vanishing
+    from downstream selection (cur9). Same physical shape as before
+    the fix: ONE corpus scan, broadcast model join, partial-combined
+    per-doc aggregate — no extra join, no extra shuffle."""
     return (
         _dsir_feats(docs, id_col, text_col, n_buckets)
-        .join(F.broadcast(model), "_b")
+        .join(F.broadcast(model), "_b", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("_lw").alias("logratio_micro"),
+            F.count(F.col("_b")).alias("n_feats"),
+            F.coalesce(F.sum("_lw"), F.lit(0)).alias("logratio_micro"),
         )
         .withColumn(
             "avg_logratio",
-            F.col("logratio_micro").cast("double")
-            / F.col("n_feats").cast("double")
-            / F.lit(1000000.0),
+            F.when(
+                F.col("n_feats") > 0,
+                F.col("logratio_micro").cast("double")
+                / F.col("n_feats").cast("double")
+                / F.lit(1000000.0),
+            ).otherwise(F.lit(0.0)),
         )
     )

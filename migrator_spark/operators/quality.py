@@ -217,9 +217,21 @@ def psi_drift(
     scale for the same reason."""
     from pyspark.sql import Window
 
-    b = F.least(
-        F.lit(n_buckets - 1),
-        F.floor(F.col(value_col) / F.lit(bucket_width)),
+    # Clamp from BOTH sides: without greatest(0, ...) a negative (or,
+    # via the grid left-join's silent non-match, null) value would fall
+    # outside the 0..n_buckets-1 grid and vanish from the per-group
+    # totals, so the PSI would be computed over a truncated
+    # distribution with no warning (ADVICE r5 #4). Out-of-range values
+    # now land in the edge buckets; nulls land in bucket 0 so every
+    # input row is accounted for.
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.coalesce(
+                F.floor(F.col(value_col) / F.lit(bucket_width)), F.lit(0)
+            ),
+        ),
     ).cast("long")
     # groups x buckets rows; feeds BOTH the group list and the grid
     # join — materialized once so the corpus is scanned exactly once
@@ -358,3 +370,4 @@ def portable_hll(
         F.col("grp").alias(group_col),
         F.round(est, 6).alias("hll_estimate"),
     )
+

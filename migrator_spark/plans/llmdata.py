@@ -2642,7 +2642,7 @@ def cur8_best_copy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUR8_ORACLE = f"""
 SELECT {H_NORM} AS text_hash,
-       arg_max(doc_id, n_chars * (1::BIGINT << 40) - doc_id) AS keep_doc_id,
+       -(max({{'q': n_chars, 'nid': -doc_id}})).nid AS keep_doc_id,
        max(n_chars) AS keep_quality,
        CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY 1
@@ -2805,10 +2805,15 @@ fb AS (
          (('0x' || substr(md5(f), 1, 15))::BIGINT) % {DS1_BUCKETS} AS b
   FROM f
 ),
-bk AS (
+sk AS (
   SELECT b, CAST(count(*) AS BIGINT) AS cr,
          CAST(count(*) FILTER (WHERE t) AS BIGINT) AS ct
   FROM fb GROUP BY b
+),
+bk AS (
+  SELECT s.b, coalesce(sk.cr, 0) AS cr, coalesce(sk.ct, 0) AS ct
+  FROM (SELECT unnest(generate_series(0, {DS1_BUCKETS} - 1)) AS b) s
+  LEFT JOIN sk USING (b)
 ),
 tot AS (
   SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
@@ -2821,14 +2826,22 @@ bw AS (
        - CAST(floor(ln((cr + 1)::DOUBLE / (nr + {DS1_BUCKETS})::DOUBLE)
                     * 1000000.0) AS BIGINT) AS lw
   FROM bk, tot
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(lw) AS BIGINT) AS logratio_micro
+  FROM fb JOIN bw USING (b)
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_feats,
-       CAST(sum(lw) AS BIGINT) AS logratio_micro,
-       CAST(sum(lw) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
-         AS avg_logratio
-FROM fb JOIN bw USING (b)
-GROUP BY doc_id
+SELECT d.doc_id,
+       coalesce(agg.n_feats, 0) AS n_feats,
+       coalesce(agg.logratio_micro, 0) AS logratio_micro,
+       CASE WHEN coalesce(agg.n_feats, 0) > 0
+            THEN CAST(agg.logratio_micro AS DOUBLE)
+                 / CAST(agg.n_feats AS DOUBLE) / 1000000.0
+            ELSE 0.0 END AS avg_logratio
+FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
@@ -2941,8 +2954,9 @@ wt AS (
   FROM fb JOIN bw USING (b) GROUP BY doc_id
 ),
 pd AS (
-  SELECT d.doc_id, wt.logratio_micro, CAST(len(d.w) AS BIGINT) AS n_tokens
-  FROM docs d JOIN wt USING (doc_id)
+  SELECT d.doc_id, coalesce(wt.logratio_micro, 0) AS logratio_micro,
+         CAST(len(d.w) AS BIGINT) AS n_tokens
+  FROM docs d LEFT JOIN wt USING (doc_id)
 ),
 c AS (
   SELECT doc_id, logratio_micro, n_tokens,
@@ -3047,7 +3061,8 @@ def pr7_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PR7_ORACLE = """
 WITH c AS (
-  SELECT source AS grp, least(9, n_chars // 100) AS bucket,
+  SELECT source AS grp,
+         greatest(0, least(9, coalesce(n_chars // 100, 0))) AS bucket,
          CAST(count(*) AS BIGINT) AS n
   FROM documents GROUP BY 1, 2
 ),

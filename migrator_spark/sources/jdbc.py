@@ -270,11 +270,25 @@ class JdbcSource:
         REPLACE's delete-then-reinsert is exactly full-row replacement,
         so dropped source columns (``null_cols``) revert to column
         defaults (NULL) with no explicit SET — semantics identical to
-        the MERGE arm's ``SET col = NULL``. Both statements run inside
-        the caller's single transaction (InnoDB DML is transactional;
-        only DDL auto-commits). Identifiers use backticks — MySQL's
-        default quoting, matching what Spark's MySQL dialect writer
-        creates — via ``_q_my``.
+        the MERGE arm's ``SET col = NULL``.
+
+        CAVEAT (ADVICE r5 #5): "identical" holds only while every
+        target column is either in ``batch_cols`` or listed in
+        ``null_cols`` with a NULL default. A target column OUTSIDE the
+        batch (out-of-band schema evolution, or a non-NULL column
+        default) diverges: REPLACE resets it to its column default,
+        while MERGE's UPDATE (which SETs only non-keys + null_cols)
+        preserves the existing value. This full-row-replacement
+        semantic is the reference's own (batched_queries.go REPLACE
+        INTO); callers needing column-scoped updates on MySQL should
+        evolve the batch schema first (pipeline/loaders.py does) or
+        swap the second statement for INSERT ... ON DUPLICATE KEY
+        UPDATE over the batch columns.
+
+        Both statements run inside the caller's single transaction
+        (InnoDB DML is transactional; only DDL auto-commits).
+        Identifiers use backticks — MySQL's default quoting, matching
+        what Spark's MySQL dialect writer creates — via ``_q_my``.
         """
         data_cols = [c for c in batch_cols if c != method_col]
         non_keys = [c for c in data_cols if c not in key_cols]

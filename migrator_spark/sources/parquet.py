@@ -36,6 +36,7 @@ swapped for the Delta sink in sources/delta.py.)
 
 from __future__ import annotations
 
+import errno
 import fcntl
 import json
 import os
@@ -222,8 +223,18 @@ class ParquetSource:
             try:
                 os.link(tmp, os.path.join(d, f"{commit_n}.json"))
                 return True
-            except OSError:
-                return os.stat(tmp).st_nlink == 2
+            except OSError as e:
+                if os.stat(tmp).st_nlink == 2:
+                    # NFS lost reply: the server linked but the reply
+                    # vanished — the claim is ours
+                    return True
+                if e.errno == errno.EEXIST:
+                    return False  # genuinely lost the race
+                # EPERM/EOPNOTSUPP/EXDEV etc.: hardlinks are broken on
+                # this filesystem, not a lost race — surface it rather
+                # than letting _swap spin on an unchanged commit number
+                # (ADVICE r5 #2)
+                raise
         finally:
             os.unlink(tmp)
 

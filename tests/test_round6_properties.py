@@ -1,0 +1,125 @@
+"""Behavioral properties of the round-6 fixes (ADVICE r5): the edge
+cases the graded queries never exercise — double-quality keep
+policies, unseen-bucket/empty-doc DSIR scoring, out-of-range PSI
+values, and broken-hardlink filesystems under the OCC commit log.
+"""
+
+from __future__ import annotations
+
+import errno
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from migrator_spark.operators.dedup import exact_dedup_best_copy
+from migrator_spark.operators.mixture import dsir_bucket_model, dsir_score
+from migrator_spark.operators.quality import psi_drift
+from migrator_spark.sources.parquet import ParquetSource
+
+
+def test_best_copy_double_quality_keeps_exact_policy(spark):
+    # ADVICE r5 #1: with DOUBLE quality the old quality*2^40 - id
+    # composite lost the policy whenever the quality gap was below
+    # id_diff/2^40 — here 1e-15 vs an id gap of 998, so the arithmetic
+    # key would pick doc 1; the struct ordering key must pick doc 999
+    # (higher quality wins no matter how small the gap).
+    rows = [
+        (999, 1.0 + 1e-13, "same text"),
+        (1, 1.0, "same text"),
+        # exact tie on quality: id ASC breaks it -> keep 5
+        (7, 2.5, "other text"),
+        (5, 2.5, "other text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, q double, text string")
+    got = {
+        r["keep_doc_id"]
+        for r in exact_dedup_best_copy(df, quality_col="q").collect()
+    }
+    assert got == {999, 5}, got
+
+
+def test_best_copy_huge_integer_quality_no_overflow(spark):
+    # quality >= 2^23 overflowed the old int64 composite; the struct
+    # key is overflow-free for any long
+    rows = [(1, 1 << 40, "t"), (2, (1 << 40) + 1, "t")]
+    df = spark.createDataFrame(rows, "doc_id long, q long, text string")
+    out = exact_dedup_best_copy(df, quality_col="q").collect()
+    assert len(out) == 1 and out[0]["keep_doc_id"] == 2
+
+
+def test_dsir_score_keeps_unseen_buckets_and_empty_docs(spark):
+    # ADVICE r5 #3: fit on a tiny corpus (most of the 4096 buckets
+    # unseen), then score docs whose features hash to unseen buckets
+    # plus one empty doc — every doc must stay in the output, unseen
+    # features at the smoothed zero-count weight, the empty doc at
+    # (0, 0, 0.0)
+    n_buckets = 4096
+    fit = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "beta gamma", False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    model = dsir_bucket_model(
+        fit, target=F.col("is_t"), n_buckets=n_buckets
+    )
+    assert model.count() == n_buckets  # total over the bucket domain
+    score = spark.createDataFrame(
+        [
+            (10, "zeta eta theta iota kappa"),  # all features unseen
+            (11, None),  # no features at all (null text explodes to 0 rows)
+            (12, "alpha beta"),  # seen features
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_score(score, model, n_buckets=n_buckets).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    assert out[11]["n_feats"] == 0
+    assert out[11]["logratio_micro"] == 0
+    assert out[11]["avg_logratio"] == 0.0
+    # the unseen-feature doc scores via smoothing, it is not dropped
+    # and not zero (smoothed target/raw totals differ)
+    assert out[10]["n_feats"] == 9  # 5 unigrams + 4 bigrams
+    assert out[10]["logratio_micro"] != 0
+    assert out[12]["n_feats"] == 3
+
+
+def test_psi_drift_accounts_for_out_of_range_values(spark):
+    # ADVICE r5 #4: negative and null values must land in the edge
+    # buckets, not silently vanish from the per-group totals
+    rows = [("a", -500), ("a", None), ("a", 50), ("b", 50), ("b", 99999)]
+    df = spark.createDataFrame(rows, "src string, v int")
+    out = {
+        r["src"]: r
+        for r in psi_drift(
+            df, group_col="src", value_col="v", bucket_width=100, n_buckets=10
+        ).collect()
+    }
+    # every input row is counted: negative + null + in-range for 'a',
+    # in-range + overflow for 'b'
+    assert out["a"]["n_rows"] == 3
+    assert out["b"]["n_rows"] == 2
+    for r in out.values():
+        assert r["psi"] == r["psi"] and r["psi"] >= 0.0  # finite, no NaN
+
+
+def test_try_commit_surfaces_broken_hardlinks(tmp_path, monkeypatch):
+    # ADVICE r5 #2: a filesystem where link(2) fails with EPERM (not
+    # EEXIST) must raise — returning False would make _swap spin
+    # forever re-reading an unchanged commit number
+    src = ParquetSource(str(tmp_path))
+    real_link = os.link
+
+    def broken_link(a, b, **kw):
+        raise OSError(errno.EPERM, "hardlinks not permitted")
+
+    monkeypatch.setattr(os, "link", broken_link)
+    with pytest.raises(OSError) as ei:
+        src._try_commit("t", "v0", 0)
+    assert ei.value.errno == errno.EPERM
+    monkeypatch.setattr(os, "link", real_link)
+    # and a genuine lost race still reports False, not an exception
+    assert src._try_commit("t", "v0", 0) is True
+    assert src._try_commit("t", "v1", 0) is False
