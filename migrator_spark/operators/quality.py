@@ -371,3 +371,82 @@ def portable_hll(
         F.round(est, 6).alias("hll_estimate"),
     )
 
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    k: int = 256,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Cross-engine-EXACT sampled quantile summary per group — the
+    quantile counterpart of ``portable_hll`` (the pr8 recipe applied to
+    pr6's problem): a bounded-memory, mergeable summary whose state is
+    a pure deterministic function of the data, so the ESTIMATE itself
+    is hash-gradable across engines, unlike engine-private KLL /
+    t-digest sketches (percentile_approx), and unlike exact
+    percentiles it never materializes or sorts the full column.
+
+    Summary state: the bottom-``k`` rows per group by the shared
+    60-bit stable hash of ``id_col`` (ties by id) — a deterministic
+    uniform sample, mergeable by union + re-take-bottom-k, O(k) memory
+    per group forever. Estimates: the sample's DISCRETE quantiles
+    picked by explicit integer rank ceil(q * m) over (value, id)
+    order — actual data values, zero float interpolation anywhere, so
+    two engines agree bit-for-bit. Rank error vs the true quantile is
+    the classic O(1/sqrt(k)) sampling bound, property-tested in
+    tests/test_round6_properties.py.
+
+    Scale: the bottom-k window compiles to WindowGroupLimit (per-
+    partition k-heaps before the shuffle — post-shuffle state is O(k)
+    per group, never the group's rows); the second window orders only
+    k-row samples; group totals ride a separate partial-combined
+    count aggregate whose groups-sized output joins back as a
+    BROADCAST. Both passes prune to (group, value, id) at the scan.
+    """
+    from pyspark.sql import Window
+
+    from migrator_spark.functions.hashing import stable_hash64
+
+    h = stable_hash64(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("_v"),
+        F.col(id_col).alias("_id"),
+        h.alias("_h"),
+    )
+    cnt = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n_rows"))
+    take = Window.partitionBy("grp").orderBy(
+        F.col("_h").asc(), F.col("_id").asc()
+    )
+    samp = (
+        base.withColumn("_rk", F.row_number().over(take))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk", "_h")
+    )
+    rank = Window.partitionBy("grp").orderBy(
+        F.col("_v").asc(), F.col("_id").asc()
+    )
+    ranked = (
+        samp.withColumn("_vr", F.row_number().over(rank))
+        .join(F.broadcast(cnt), "grp")
+        .withColumn("_m", F.least(F.lit(k), F.col("n_rows")))
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("_vr")
+                == F.ceil(F.lit(q) * F.col("_m").cast("double")),
+                F.col("_v"),
+            )
+        ).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return ranked.groupBy("grp", "n_rows", "_m").agg(*picks).select(
+        F.col("grp").alias(group_col),
+        "n_rows",
+        F.col("_m").alias("n_sample"),
+        *[f"p{int(q * 100)}" for q in qs],
+    )

@@ -2895,3 +2895,57 @@ SELECT grp AS event_type,
                   ELSE raw END, 6) AS hll_estimate
 FROM es
 """
+
+
+PR9_K = 256
+
+
+def pr9_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-EXACT quantile summary (quality.sampled_quantiles):
+    per event type, p50/p90/p99 of the event value estimated from the
+    bottom-256 rows by the shared stable hash — the pr8 move applied to
+    pr6's problem. The summary state (a deterministic bounded
+    hash-sample) and the estimates (discrete rank picks, no float
+    interpolation) are pure functions of the data, so the ESTIMATE
+    itself is hash-graded, unlike engine-private KLL/t-digest sketches;
+    pr6 remains the built-in-sketch counterpart with its pytest
+    rank-error bound."""
+    from migrator_spark.operators import quality as ql
+
+    return ql.sampled_quantiles(
+        load_table(spark, sf_dir, "events"),
+        value_col="value",
+        group_col="event_type",
+        id_col="event_id",
+        k=PR9_K,
+    )
+
+
+PR9_ORACLE = f"""
+WITH b AS (
+  SELECT event_type AS grp, value AS v, event_id AS id,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY grp),
+s AS (
+  SELECT grp, v, id,
+         row_number() OVER (PARTITION BY grp ORDER BY h ASC, id ASC) AS rk
+  FROM b
+),
+r AS (
+  SELECT grp, v, id,
+         row_number() OVER (PARTITION BY grp ORDER BY v ASC, id ASC) AS vr
+  FROM s WHERE rk <= {PR9_K}
+),
+j AS (
+  SELECT r.grp, r.v, r.vr, c.n_rows,
+         CAST(least({PR9_K}, c.n_rows) AS BIGINT) AS m
+  FROM r JOIN c USING (grp)
+)
+SELECT grp AS event_type, n_rows, m AS n_sample,
+       max(CASE WHEN vr = ceil(0.5 * m) THEN v END) AS p50,
+       max(CASE WHEN vr = ceil(0.9 * m) THEN v END) AS p90,
+       max(CASE WHEN vr = ceil(0.99 * m) THEN v END) AS p99
+FROM j GROUP BY grp, n_rows, m
+"""

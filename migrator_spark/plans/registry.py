@@ -359,6 +359,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "pr8_portable_hll": QuerySpec(
         analytics.pr8_portable_hll, analytics.PR8_ORACLE
     ),
+    # --- NEW round 6 ---
+    "pr9_sampled_quantiles": QuerySpec(
+        analytics.pr9_sampled_quantiles, analytics.PR9_ORACLE
+    ),
 }
 
 
@@ -389,8 +393,9 @@ _GRADED_WINDOW: list[str] = [
     "cur9_dsir_select",  # composes ds1's weights; regraded with it
     "pr7_psi_drift",  # ADVICE r5: edge-bucket clamping
     "mm1_decode_metadata",  # real header parsing (VERDICT r5 #4) — also r2-stale
-    # (pr9_exact_quantiles, mm8_jpeg_roundtrip, sd3_stream_semdedup_batch,
-    #  ds2_dsir_unseen land here as they are built, displacing the tail)
+    "pr9_sampled_quantiles",  # NEW: portable exact-graded quantile summary
+    # (mm8_jpeg_roundtrip, sd3_stream_semdedup_batch, ds2_dsir_unseen
+    #  land here as they are built, displacing the tail)
     "cur8_best_copy_dedup",  # ADVICE r5: struct ordering key replaces 2^40 arithmetic
     # -- r2-stale family (newest driver row = round 2; VERDICT r5 #1) --
     "f4_string_suite",
@@ -437,7 +442,6 @@ _GRADED_WINDOW: list[str] = [
     "q17_small_quantity_revenue",
     "q12_priority_lateness",
     "q21_waiting_suppliers",
-    "q23_priority_pivot",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

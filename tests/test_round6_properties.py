@@ -123,3 +123,52 @@ def test_try_commit_surfaces_broken_hardlinks(tmp_path, monkeypatch):
     # and a genuine lost race still reports False, not an exception
     assert src._try_commit("t", "v0", 0) is True
     assert src._try_commit("t", "v1", 0) is False
+
+
+def test_sampled_quantiles_rank_error_bound(spark):
+    # pr9: the discrete quantile picked from the bottom-k stable-hash
+    # sample must sit within the classic O(1/sqrt(k)) rank band of the
+    # true quantile. Deterministic (the hash sample is a pure function
+    # of the ids), so this asserts the actual achieved error.
+    from migrator_spark.operators.quality import sampled_quantiles
+
+    n, k = 5000, 256
+    rows = [(i, float((i * 7919) % n)) for i in range(n)]  # permuted values
+    df = spark.createDataFrame(rows, "id long, v double").withColumn(
+        "g", F.lit("all")
+    )
+    out = sampled_quantiles(
+        df, value_col="v", group_col="g", id_col="id", k=k
+    ).collect()[0]
+    assert out["n_rows"] == n and out["n_sample"] == k
+    # values are the permutation of 0..n-1, so a value's true rank
+    # fraction is (value+1)/n
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        err = abs((out[col] + 1) / n - q)
+        assert err <= 4.0 / (k ** 0.5), (col, out[col], err)
+
+
+def test_sampled_quantiles_state_is_mergeable(spark):
+    # pr9: bottom-k by stable hash is a mergeable summary — taking the
+    # bottom-k of the union of two halves' bottom-k sets equals the
+    # bottom-k of the full data, exactly. This is what makes the state
+    # maintainable incrementally at 100 TB (O(k) per group forever).
+    from migrator_spark.functions.hashing import stable_hash64
+
+    n, k = 2000, 64
+    df = spark.createDataFrame(
+        [(i, i % 17) for i in range(n)], "id long, v int"
+    ).withColumn("h", stable_hash64(F.col("id").cast("string")))
+
+    def bottom_k(frame):
+        return {
+            r["id"]
+            for r in frame.orderBy("h", "id").limit(k).select("id").collect()
+        }
+
+    full = bottom_k(df)
+    left, right = df.filter("id < 1000"), df.filter("id >= 1000")
+    merged = df.filter(
+        F.col("id").isin(list(bottom_k(left) | bottom_k(right)))
+    )
+    assert bottom_k(merged) == full
