@@ -34,6 +34,7 @@ from pyspark.sql.types import (
 DECODE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
         StructField("n_bytes", LongType()),
         StructField("width", LongType()),
         StructField("height", LongType()),
@@ -68,29 +69,45 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def decode_metadata(payloads: DataFrame, strict: bool = False) -> DataFrame:
-    """'Decode' each payload to typed metadata via mapInPandas.
+    """Decode each payload to typed metadata via mapInPandas.
 
-    ``strict=True`` raises NotImplementedError where a real decoder
-    (PIL / torchaudio / ffmpeg) would be invoked — marking exactly the
-    line to replace in a fully-provisioned environment.
+    REAL header parsing first: every payload is sniffed against the
+    stdlib-decodable container formats (``_parse_bmp`` /
+    ``_parse_wav`` / ``_parse_png``) and recognized ones report their
+    actual dimensions and media type. Only unrecognized bytes
+    (compressed video needs ffmpeg, absent in this container; baseline
+    JPEG is real in ``operators/jpeg.py``) fall back to the
+    deterministic stub dimensions under ``media_type='unknown'`` — or
+    raise when ``strict=True``, marking exactly the line to extend in
+    a fully-provisioned environment. ``phash`` is the 60-bit stable
+    content hash of the raw bytes in every arm (a byte-level
+    fingerprint, not a decode product).
     """
+    import hashlib
+
+    def decode_one(doc_id: int, payload: bytes) -> tuple:
+        payload = bytes(payload)
+        ph = int(hashlib.md5(payload).hexdigest()[:15], 16)
+        for parser in (_parse_bmp, _parse_wav, _parse_png):
+            got = parser(payload)
+            if got is not None:
+                mt, w, h, _ch, _sr, _dur = got
+                return (doc_id, mt, len(payload), w, h, ph)
+        if strict:
+            raise NotImplementedError(
+                "unrecognized media format requires ffmpeg (not in container); "
+                "BMP/WAV/PNG parse for real, JPEG via operators/jpeg.py"
+            )
+        n, w, h, _ph = _fake_decode(payload)
+        return (doc_id, "unknown", n, w, h, ph)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if strict:
-                raise NotImplementedError(
-                    "real image/audio decode requires PIL/ffmpeg (not in container); "
-                    "use strict=False for the deterministic stub"
-                )
-            out = pdf["payload"].map(_fake_decode)
+            rows = [
+                decode_one(i, p) for i, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": out.map(lambda t: t[0]),
-                    "width": out.map(lambda t: t[1]),
-                    "height": out.map(lambda t: t[2]),
-                    "phash": out.map(lambda t: t[3]),
-                }
+                rows, columns=[f.name for f in DECODE_SCHEMA.fields]
             )
 
     return payloads.mapInPandas(batches, schema=DECODE_SCHEMA)
@@ -211,6 +228,11 @@ def _parse_bmp(payload: bytes):
     byte 18, height at 22 (signed; negative = top-down)."""
     if len(payload) < 26 or payload[:2] != b"BM":
         return None
+    # DIB header size gate (40/108/124 = INFO/V4/V5): text that merely
+    # starts with "BM" can't satisfy it, so utf-8 payloads never
+    # false-positive into this arm
+    if int.from_bytes(payload[14:18], "little") not in (40, 108, 124):
+        return None
     width = int.from_bytes(payload[18:22], "little", signed=True)
     height = abs(int.from_bytes(payload[22:26], "little", signed=True))
     if width <= 0 or height <= 0:
@@ -314,6 +336,66 @@ def synth_wav_payloads(
             )
 
     return docs.mapInPandas(batches, schema=schema)
+
+
+def synth_bmp_payloads(
+    docs: DataFrame, width: int = 16, id_col: str = "doc_id", len_col: str = "n_chars"
+) -> DataFrame:
+    """Synthesize REAL 24-bit bottom-up BMP files (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + BGR pixel rows, height derived from the doc's
+    length) — genuine image bytes for decode_metadata's BMP arm. Arrow
+    mapInPandas; payloads never touch the driver."""
+    import struct
+
+    rowbytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+
+    def build(n: int) -> bytes:
+        h = 1 + (n % 64)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, h, 1, 24, 0, rowbytes * h, 2835, 2835, 0, 0
+        )
+        head = struct.pack("<2sIHHI", b"BM", 14 + 40 + rowbytes * h, 0, 0, 14 + 40)
+        rows = bytearray()
+        for y in range(h):
+            for x in range(width):
+                v = (7 * x + 13 * y) % 256
+                rows += bytes((v, v, v))
+            rows += b"\x00" * (rowbytes - width * 3)
+        return head + info + bytes(rows)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": pdf[len_col].map(lambda n: build(int(n)))}
+            )
+
+    return docs.mapInPandas(batches, schema=schema)
+
+
+def synth_mixed_payloads(docs: DataFrame) -> DataFrame:
+    """A mixed-format multimodal table — one payload per doc, format
+    routed by doc_id % 4: real BMP (0), real WAV (1), real zlib-
+    compressed PNG (2), raw utf-8 text bytes (3, the 'unknown' arm).
+    Each branch filters BEFORE synthesis so only the needed format is
+    built, and the union is a narrow no-shuffle concatenation — the
+    stand-in for a production corpus where one binary column carries
+    heterogeneous media."""
+    four = F.col("doc_id") % 4
+    return (
+        synth_bmp_payloads(docs.filter(four == 0))
+        .unionByName(synth_wav_payloads(docs.filter(four == 1)))
+        .unionByName(synth_png_payloads(docs.filter(four == 2)))
+        .unionByName(
+            docs.filter(four == 3).select(
+                "doc_id",
+                F.encode(F.col("text"), "utf-8").cast(BinaryType()).alias("payload"),
+            )
+        )
+    )
 
 
 # ------------------------------------------------------------------ PNG

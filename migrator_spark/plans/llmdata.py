@@ -434,18 +434,31 @@ FROM docs
 
 
 def mm1_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload -> typed metadata via Arrow mapInPandas (decode
-    stubbed deterministically; plumbing is production-shaped)."""
-    payloads = mm.to_binary_payload(load_table(spark, sf_dir, "documents"))
-    return mm.decode_metadata(payloads)
+    """REAL media metadata decode over a mixed-format binary corpus:
+    each doc carries an actual BMP / WAV / PNG / raw-text payload
+    (format by doc_id % 4, multimodal.synth_mixed_payloads) and
+    decode_metadata sniffs + parses the genuine container headers
+    byte-by-byte inside Arrow mapInPandas — only the raw-text arm
+    falls back to the documented stub dims under 'unknown'. The
+    oracle recomputes each arm's true dimensions from the synthesis
+    formulas, so a decoder that skipped the real parsing (or
+    misrouted a format) cannot match."""
+    docs = load_table(spark, sf_dir, "documents")
+    meta = mm.decode_metadata(mm.synth_mixed_payloads(docs))
+    return meta.select("doc_id", "media_type", "width", "height")
 
 
-MM1_ORACLE = f"""
+MM1_ORACLE = """
 SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
-       320 + octet_length(encode(text)) % 320 AS width,
-       240 + octet_length(encode(text)) % 240 AS height,
-       {H.format(x="text")} AS phash
+       CASE doc_id % 4 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+            WHEN 2 THEN 'image/png' ELSE 'unknown' END AS media_type,
+       CASE doc_id % 4 WHEN 0 THEN 16 WHEN 2 THEN 16
+            WHEN 3 THEN 320 + octet_length(encode(text)) % 320
+       END::BIGINT AS width,
+       CASE doc_id % 4 WHEN 0 THEN 1 + n_chars % 64
+            WHEN 2 THEN 1 + n_chars % 64
+            WHEN 3 THEN 240 + octet_length(encode(text)) % 240
+       END::BIGINT AS height
 FROM documents
 """
 
@@ -3127,6 +3140,43 @@ px AS (
 SELECT d.doc_id,
        CAST(16 AS BIGINT) AS width,
        CAST(d.h AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       px.pixel_sum
+FROM d JOIN px USING (doc_id)
+"""
+
+
+def mm8_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, driver-graded: synthesize an actual
+    Huffman-coded JPEG per document (operators/jpeg.py — real forward
+    DCT, standard Annex-K tables, byte stuffing), then fully decode it
+    back — marker walk, canonical Huffman tables rebuilt from the DHT
+    segments, MCU entropy decode, dequantize, 2D IDCT — reporting the
+    PIXEL sum. Content is constant per 8x8 block with an all-ones
+    quant table, which makes this one round trip exactly lossless, so
+    the oracle recomputes the pixel sum arithmetically from the
+    block-value formula; a header-only or DC-skipping decoder cannot
+    pass. Completes the codec ladder: mm6 uncompressed WAV -> mm7
+    zlib/filtered PNG -> mm8 transform-coded JPEG."""
+    from migrator_spark.operators import jpeg as jp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return jp.jpeg_pixel_stats(jp.synth_jpeg_payloads(docs, width=16))
+
+
+MM8_ORACLE = """
+WITH d AS (SELECT doc_id, 1 + (n_chars % 8) AS nby FROM documents),
+px AS (
+  SELECT d.doc_id,
+         CAST(sum(64 * ((23 * bx.i + 41 * by.j) % 256)) AS BIGINT) AS pixel_sum
+  FROM d,
+       LATERAL unnest(generate_series(0, 1)) AS bx(i),
+       LATERAL unnest(generate_series(0, d.nby - 1)) AS by(j)
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(8 * d.nby AS BIGINT) AS height,
        CAST(1 AS BIGINT) AS channels,
        px.pixel_sum
 FROM d JOIN px USING (doc_id)

@@ -363,6 +363,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "pr9_sampled_quantiles": QuerySpec(
         analytics.pr9_sampled_quantiles, analytics.PR9_ORACLE
     ),
+    "mm8_jpeg_roundtrip": QuerySpec(
+        llmdata.mm8_jpeg_roundtrip, llmdata.MM8_ORACLE
+    ),
 }
 
 
@@ -394,8 +397,9 @@ _GRADED_WINDOW: list[str] = [
     "pr7_psi_drift",  # ADVICE r5: edge-bucket clamping
     "mm1_decode_metadata",  # real header parsing (VERDICT r5 #4) — also r2-stale
     "pr9_sampled_quantiles",  # NEW: portable exact-graded quantile summary
-    # (mm8_jpeg_roundtrip, sd3_stream_semdedup_batch, ds2_dsir_unseen
-    #  land here as they are built, displacing the tail)
+    "mm8_jpeg_roundtrip",  # NEW: real baseline-JPEG decode, pixel-sum graded
+    # (sd3_stream_semdedup_batch, ds2_dsir_unseen land here as they are
+    #  built, displacing the tail)
     "cur8_best_copy_dedup",  # ADVICE r5: struct ordering key replaces 2^40 arithmetic
     # -- r2-stale family (newest driver row = round 2; VERDICT r5 #1) --
     "f4_string_suite",
@@ -441,7 +445,6 @@ _GRADED_WINDOW: list[str] = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q12_priority_lateness",
-    "q21_waiting_suppliers",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

@@ -172,3 +172,79 @@ def test_sampled_quantiles_state_is_mergeable(spark):
         F.col("id").isin(list(bottom_k(left) | bottom_k(right)))
     )
     assert bottom_k(merged) == full
+
+
+def test_jpeg_codec_round_trips():
+    # mm8: the general baseline codec, exercised OFF the graded path —
+    # random content (near-lossless at quant=1), a real lossy quant
+    # table (exercises AC run-length + ZRL), restart markers, odd
+    # dimensions (edge-block crop), and the explicit unsupported arms
+    import numpy as np
+
+    from migrator_spark.operators.jpeg import jpeg_decode, jpeg_encode_gray
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (24, 32), dtype=np.uint8)
+    w, h, ch, s = jpeg_decode(jpeg_encode_gray(img.tobytes(), 32, 24))
+    assert (w, h, ch) == (32, 24, 1)
+    # quant=1 round trip is near-lossless: rounding-only error
+    assert abs(s - int(img.sum())) <= 24 * 32
+
+    # restart markers decode to the identical pixel sum
+    for ri in (1, 3):
+        assert jpeg_decode(
+            jpeg_encode_gray(img.tobytes(), 32, 24, restart_interval=ri)
+        )[3] == s
+
+    # real lossy quant table: bounded mean error, exercises ZRL/EOB
+    q = [16, 11, 10, 16, 24, 40, 51, 61] * 8
+    _, _, _, s2 = jpeg_decode(jpeg_encode_gray(img.tobytes(), 32, 24, quant=q))
+    assert abs(s2 / (32 * 24) - img.mean()) < 3.0
+
+    # non-multiple-of-8 dims crop the padded edge blocks
+    img2 = rng.randint(0, 256, (13, 21), dtype=np.uint8)
+    w2, h2, _, s3 = jpeg_decode(jpeg_encode_gray(img2.tobytes(), 21, 13))
+    assert (w2, h2) == (21, 13) and abs(s3 - int(img2.sum())) <= 13 * 21
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jpeg_decode(b"not a jpeg")
+
+
+def test_jpeg_constant_blocks_exactly_lossless():
+    # the graded mm8 content contract: constant 8x8 blocks + all-ones
+    # quant -> DC-only integral coefficients -> bit-exact round trip
+    import numpy as np
+
+    from migrator_spark.operators.jpeg import jpeg_decode, jpeg_encode_gray
+
+    for vals in ([0, 255, 128, 7], [1, 2, 3, 4]):
+        img = np.empty((16, 16), dtype=np.uint8)
+        for i, v in enumerate(vals):
+            img[(i // 2) * 8 : (i // 2) * 8 + 8, (i % 2) * 8 : (i % 2) * 8 + 8] = v
+        got = jpeg_decode(jpeg_encode_gray(img.tobytes(), 16, 16))
+        assert got == (16, 16, 1, int(img.sum()))
+
+
+def test_decode_metadata_parses_real_formats(spark):
+    # mm1: the mixed corpus routes every arm through the REAL parser —
+    # BMP/WAV/PNG report true dimensions, text falls back to 'unknown'
+    from migrator_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, 10, "t" * 10), (1, 11, "u" * 11), (2, 12, "v" * 12), (3, 13, "w" * 13)],
+        "doc_id long, n_chars long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in mm.decode_metadata(mm.synth_mixed_payloads(docs)).collect()
+    }
+    assert got[0]["media_type"] == "image/bmp"
+    assert (got[0]["width"], got[0]["height"]) == (16, 11)  # 1 + 10 % 64
+    assert got[1]["media_type"] == "audio/wav"
+    assert got[1]["width"] is None
+    assert got[2]["media_type"] == "image/png"
+    assert (got[2]["width"], got[2]["height"]) == (16, 13)
+    assert got[3]["media_type"] == "unknown"
+    assert got[3]["n_bytes"] == 13
