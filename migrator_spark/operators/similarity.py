@@ -488,6 +488,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    build_sample_mod: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means the embedding
@@ -512,14 +513,31 @@ def semdedup(
     offline (it feeds both pair sides AND the output, so without
     materialization the Lloyd build would execute three times) — and
     embeddings reach the pair join by riding its cell shuffle, never an
-    id-keyed re-join."""
+    id-keyed re-join.
+
+    ``build_sample_mod=M`` runs the Lloyd build (seeds + iteration
+    passes) on the deterministic 1/M hash sample of the corpus
+    (stable_hash64(id) % M == 0) and assigns the FULL corpus to the
+    sampled centroids — the sampled-build discipline kmeans_assign
+    documents for 100 TB, executed: the per-iteration O(n*k*dim)
+    assignment term shrinks to O(n*k*dim/M) and only the single final
+    assignment pass touches every row. The sample is a pure function
+    of the ids, so the whole build stays oracle-reproducible."""
     pts = emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    if build_sample_mod:
+        from migrator_spark.functions.hashing import stable_hash64
+
+        build_pts = pts.filter(
+            stable_hash64(F.col(id_col).cast("string")) % build_sample_mod == 0
+        )
+    else:
+        build_pts = pts
     # k rows; feeds BOTH the assignment pass and the centroid-cos join,
     # so without materialization the whole Lloyd build executes twice
-    cents = _fit_centroids(pts, k, iters, id_col).localCheckpoint(eager=True)
+    cents = _fit_centroids(build_pts, k, iters, id_col).localCheckpoint(eager=True)
     assigned = _assign_cells(pts, cents, id_col)
     # per-row norm hoisted ONCE into the checkpointed relation, and the
     # pair-stage dot unrolled for codegen when the dimension is known —
