@@ -673,7 +673,22 @@ def semdedup_incremental(
     # k rows; feeds the assignment AND the centroid-cos join — the
     # frozen quantizer artifact, materialized once (semdedup's fix)
     cents = _fit_centroids(old_pts, k, iters, id_col).localCheckpoint(eager=True)
-    scored = (
+    scored = score_against_centroids(pts, cents, id_col)
+
+    new = scored.join(new_ids, id_col, "leftsemi")
+    old = scored.join(new_ids, id_col, "left_anti")
+    return _judge_scored_batch(new, old, tau, dim, id_col)
+
+
+def score_against_centroids(
+    pts: DataFrame, cents: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Assign points to frozen centroids and attach the two per-row
+    quantities every SemDeDup stage reuses — centroid cosine (``_cs``)
+    and the hoisted L2 norm (``_nrm``). ``pts`` carries (id_col, v);
+    returns the SCORED relation (id_col, cell, v, _cs, _nrm),
+    materialized once (it feeds pair sides and outputs)."""
+    return (
         _assign_cells(pts, cents, id_col)
         .join(F.broadcast(cents), "cell")
         .withColumn("_cs", cosine_similarity(F.col("v"), F.col("c")))
@@ -682,14 +697,29 @@ def semdedup_incremental(
         .localCheckpoint(eager=True)
     )
 
+
+def _judge_scored_batch(
+    new: DataFrame,
+    old: DataFrame,
+    tau: float,
+    dim: int | None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The per-batch SemDeDup judgment shared by semdedup_incremental,
+    semdedup_fold and the streaming intake: given SCORED relations
+    (score_against_centroids shape) for the arriving batch (``new``)
+    and the kept incumbents (``old``), decide each new vector's fate —
+    dropped if it duplicates any incumbent of its cell (the incumbent
+    always wins) or a fellow arrival the keep-far-from-centroid rule
+    prefers. One decision row per new id: (id_col, cell, n_dups_old,
+    n_dups_new, keep)."""
+
     def _pc(va, vb, na, nb):
         # hoisted norms + unrolled dot when dim is known: bit-identical
         # to the inline cosine (same fold order), codegen-resident
         d = dot_unrolled(va, vb, dim) if dim is not None else dot(va, vb)
         return d / (na * nb)
 
-    new = scored.join(new_ids, id_col, "leftsemi")
-    old = scored.join(new_ids, id_col, "left_anti")
     a = new.select(
         F.col(id_col).alias("_ia"),
         "cell",
@@ -784,3 +814,69 @@ def semdedup_incremental(
             ).alias("keep"),
         )
     )
+
+
+def semdedup_fold(
+    emb: DataFrame,
+    boundaries: list[int],
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Sequential micro-batch semantic dedup — the BATCH-EQUIVALENT of
+    the streaming intake (streaming.semantic_ingest_stream): the
+    curated store (ids < ``boundaries[0]``) trains the frozen
+    quantizer and seeds the kept set; each arriving batch i
+    (``[boundaries[i], boundaries[i+1])``, last one unbounded) is then
+    judged IN ORDER against everything kept so far — incumbents win,
+    and within a batch the keep-far-from-centroid rule picks
+    survivors, whose vectors join the kept set before the next batch
+    is judged. One decision row per arriving vector: (id, cell,
+    batch_id, n_dups_old, n_dups_new, keep).
+
+    This is the fold the stream executes one trigger at a time, so
+    stream output == this plan bit-for-bit (the streaming test's
+    contract), and it is what makes continuous semantic dedup
+    ORDER-DEPENDENT — a vector kept today blocks a near-duplicate
+    tomorrow, never vice versa.
+
+    Scale: the Lloyd build and the scored relation materialize once;
+    each round adds one O(|batch| x cell-occupancy) cell-keyed join
+    (never a corpus self-join) and the kept set grows by reference
+    through per-round localCheckpoints — the steady-state cost
+    profile of the stream, with batch count fixed (a handful of
+    trigger-sized folds), not data-dependent.
+    """
+    if not boundaries:
+        raise ValueError("need at least one batch boundary")
+    pts = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # frozen quantizer: trained on the incumbent store only
+    cents = _fit_centroids(
+        pts.filter(F.col(id_col) < boundaries[0]), k, iters, id_col
+    ).localCheckpoint(eager=True)
+    scored = score_against_centroids(pts, cents, id_col)
+    kept = scored.filter(F.col(id_col) < boundaries[0])
+    out = None
+    for i, lo in enumerate(boundaries):
+        hi = boundaries[i + 1] if i + 1 < len(boundaries) else None
+        cond = F.col(id_col) >= lo
+        if hi is not None:
+            cond = cond & (F.col(id_col) < hi)
+        batch = scored.filter(cond)
+        dec = _judge_scored_batch(batch, kept, tau, dim, id_col).withColumn(
+            "batch_id", F.lit(i).cast("long")
+        )
+        out = dec if out is None else out.unionByName(dec)
+        if hi is not None:  # the last batch's keepers judge nobody
+            kept = kept.unionByName(
+                batch.join(
+                    dec.filter(F.col("keep")).select(id_col), id_col, "leftsemi"
+                )
+            ).localCheckpoint(eager=True)
+    return out

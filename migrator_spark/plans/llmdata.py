@@ -3054,6 +3054,177 @@ FROM nw n LEFT JOIN po ON po.ia = n.vec_id LEFT JOIN pn ON pn.ia = n.vec_id
 """
 
 
+DS2_FIT_MOD = 10
+
+
+def ds2_dsir_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-once/score-anything DSIR serving path, graded on the
+    edge semantics the ADVICE r5 fix added: the bucket model is fitted
+    on only the 1-in-10 doc_id slice — leaving most of the bucket
+    domain UNSEEN at fit time — then EVERY doc is scored against the
+    frozen model (mixture.dsir_bucket_model + dsir_score, the exact
+    shape the streaming intake runs per micro-batch). Features hashing
+    to unseen buckets score the smoothed zero-count log-ratio instead
+    of being dropped, and every doc stays in the output — so this
+    query hash-grades the smoothing arithmetic and the no-doc-lost
+    contract that ds1 (fit == score corpus) never exercises."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = mx.dsir_bucket_model(
+        docs.filter(F.col("doc_id") % DS2_FIT_MOD == 0),
+        target=F.col("lang") == "en",
+        n_buckets=DS1_BUCKETS,
+    )
+    return mx.dsir_score(docs, model, n_buckets=DS1_BUCKETS)
+
+
+DS2_ORACLE = f"""
+WITH {DOCS_CTE},
+ff AS (
+  SELECT doc_id, lang = 'en' AS t,
+         unnest(list_concat(
+           w,
+           list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                          j -> array_to_string(w[j:j+1], ' '))
+         )) AS f
+  FROM docs WHERE doc_id % {DS2_FIT_MOD} = 0
+),
+fb AS (
+  SELECT doc_id, t,
+         (('0x' || substr(md5(f), 1, 15))::BIGINT) % {DS1_BUCKETS} AS b
+  FROM ff
+),
+sk AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+         CAST(count(*) FILTER (WHERE t) AS BIGINT) AS ct
+  FROM fb GROUP BY b
+),
+bk AS (
+  SELECT s.b, coalesce(sk.cr, 0) AS cr, coalesce(sk.ct, 0) AS ct
+  FROM (SELECT unnest(generate_series(0, {DS1_BUCKETS} - 1)) AS b) s
+  LEFT JOIN sk USING (b)
+),
+tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+  FROM bk
+),
+bw AS (
+  SELECT b,
+         CAST(floor(ln((ct + 1)::DOUBLE / (nt + {DS1_BUCKETS})::DOUBLE)
+                    * 1000000.0) AS BIGINT)
+       - CAST(floor(ln((cr + 1)::DOUBLE / (nr + {DS1_BUCKETS})::DOUBLE)
+                    * 1000000.0) AS BIGINT) AS lw
+  FROM bk, tot
+),
+sf AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           w,
+           list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                          j -> array_to_string(w[j:j+1], ' '))
+         )) AS f
+  FROM docs
+),
+sfb AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(f), 1, 15))::BIGINT) % {DS1_BUCKETS} AS b
+  FROM sf
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(lw) AS BIGINT) AS logratio_micro
+  FROM sfb JOIN bw USING (b)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_feats, 0) AS n_feats,
+       coalesce(agg.logratio_micro, 0) AS logratio_micro,
+       CASE WHEN coalesce(agg.n_feats, 0) > 0
+            THEN CAST(agg.logratio_micro AS DOUBLE)
+                 / CAST(agg.n_feats AS DOUBLE) / 1000000.0
+            ELSE 0.0 END AS avg_logratio
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+SD3_BOUNDS = (400, 450)
+
+
+def sd3_stream_semdedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming semantic-dedup intake's batch-equivalent plan
+    (similarity.semdedup_fold): the curated store (ids < 400) trains
+    the frozen quantizer and seeds the kept set; two arriving batches
+    ([400,450) then [450,...)) are judged IN ORDER — incumbents win,
+    within-batch survivors by keep-far-from-centroid — with batch-0
+    keepers becoming incumbents before batch 1 is judged. Exactly the
+    fold streaming.semantic_ingest_stream executes one trigger at a
+    time (parity + crash-replay proofs in tests/test_streaming.py);
+    the order dependence (kept today blocks a near-dup tomorrow) is
+    the semantics being graded."""
+    return sim.semdedup_fold(
+        load_table(spark, sf_dir, "embeddings"),
+        boundaries=list(SD3_BOUNDS),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        tau=SD1_TAU,
+        dim=EMB_DIM,
+    )
+
+
+def _sd3_round(n: str, inc: str, tag: int) -> str:
+    """One unrolled fold round: judge batch CTE ``n`` against incumbent
+    CTE ``inc`` (SD2's po/pn/d template, suffixed ``tag``)."""
+    return f"""po{tag} AS (
+  SELECT n.vec_id AS ia, CAST(count(*) AS BIGINT) AS n_dups_old
+  FROM {n} n JOIN {inc} o ON n.cell = o.cell
+  WHERE {COS_EXPR.format(a="n.v", b="o.v")} >= {SD1_TAU}
+  GROUP BY n.vec_id),
+pn{tag} AS (
+  SELECT x.vec_id AS ia, CAST(count(*) AS BIGINT) AS n_dups_new,
+         max(CASE WHEN y.csim < x.csim
+                    OR (y.csim = x.csim AND y.vec_id < x.vec_id)
+             THEN 1 ELSE 0 END) AS rm
+  FROM {n} x JOIN {n} y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+  WHERE {COS_EXPR.format(a="x.v", b="y.v")} >= {SD1_TAU}
+  GROUP BY x.vec_id),
+d{tag} AS (
+  SELECT n.vec_id, n.cell,
+         CAST(coalesce(po{tag}.n_dups_old, 0) AS BIGINT) AS n_dups_old,
+         CAST(coalesce(pn{tag}.n_dups_new, 0) AS BIGINT) AS n_dups_new,
+         (po{tag}.ia IS NULL AND (pn{tag}.rm IS NULL OR pn{tag}.rm = 0)) AS keep
+  FROM {n} n LEFT JOIN po{tag} ON po{tag}.ia = n.vec_id
+  LEFT JOIN pn{tag} ON pn{tag}.ia = n.vec_id)"""
+
+
+SD3_ORACLE = f"""
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS).replace(
+    "FROM embeddings)", f"FROM embeddings WHERE vec_id < {SD3_BOUNDS[0]})")},
+ap AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+asg AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT p.vec_id, p.v, c.cell,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY {_SQ_EXPR.format(a="p.v", b="c.c")} ASC, c.cell ASC) AS rn
+    FROM ap p CROSS JOIN cents{KMEANS_ITERS} c) WHERE rn = 1),
+cs AS (
+  SELECT a.vec_id, a.cell, a.v, {COS_EXPR.format(a="a.v", b="c.c")} AS csim
+  FROM asg a JOIN cents{KMEANS_ITERS} c USING (cell)),
+inc0 AS (SELECT * FROM cs WHERE vec_id < {SD3_BOUNDS[0]}),
+b1 AS (SELECT * FROM cs
+       WHERE vec_id >= {SD3_BOUNDS[0]} AND vec_id < {SD3_BOUNDS[1]}),
+{_sd3_round("b1", "inc0", 1)},
+inc1 AS (SELECT * FROM inc0 UNION ALL
+         SELECT c.* FROM cs c JOIN d1 ON d1.vec_id = c.vec_id WHERE d1.keep),
+b2 AS (SELECT * FROM cs WHERE vec_id >= {SD3_BOUNDS[1]}),
+{_sd3_round("b2", "inc1", 2)}
+SELECT vec_id, cell, CAST(0 AS BIGINT) AS batch_id,
+       n_dups_old, n_dups_new, keep FROM d1
+UNION ALL
+SELECT vec_id, cell, CAST(1 AS BIGINT) AS batch_id,
+       n_dups_old, n_dups_new, keep FROM d2
+"""
+
+
 def dc2_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination span report (dedup.contamination_spans): per
     contaminated doc, how many benchmark-overlapping 3-shingles and

@@ -366,6 +366,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "mm8_jpeg_roundtrip": QuerySpec(
         llmdata.mm8_jpeg_roundtrip, llmdata.MM8_ORACLE
     ),
+    "sd3_stream_semdedup_batch": QuerySpec(
+        llmdata.sd3_stream_semdedup_batch, llmdata.SD3_ORACLE
+    ),
+    "ds2_dsir_unseen": QuerySpec(llmdata.ds2_dsir_unseen, llmdata.DS2_ORACLE),
 }
 
 
@@ -398,8 +402,8 @@ _GRADED_WINDOW: list[str] = [
     "mm1_decode_metadata",  # real header parsing (VERDICT r5 #4) — also r2-stale
     "pr9_sampled_quantiles",  # NEW: portable exact-graded quantile summary
     "mm8_jpeg_roundtrip",  # NEW: real baseline-JPEG decode, pixel-sum graded
-    # (sd3_stream_semdedup_batch, ds2_dsir_unseen land here as they are
-    #  built, displacing the tail)
+    "sd3_stream_semdedup_batch",  # NEW: streaming semdedup's batch fold
+    "ds2_dsir_unseen",  # NEW: DSIR smoothing/no-doc-lost edge, hash-graded
     "cur8_best_copy_dedup",  # ADVICE r5: struct ordering key replaces 2^40 arithmetic
     # -- r2-stale family (newest driver row = round 2; VERDICT r5 #1) --
     "f4_string_suite",
@@ -443,8 +447,6 @@ _GRADED_WINDOW: list[str] = [
     "q20_excess_suppliers",
     "q13_customer_distribution",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q12_priority_lateness",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

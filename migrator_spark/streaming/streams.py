@@ -450,3 +450,120 @@ def continuous_packing_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def semantic_ingest_stream(
+    spark: SparkSession,
+    vectors: DataFrame,
+    incumbents: DataFrame,
+    centroids: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    tau: float = 0.95,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous SEMANTIC dedup intake — sd2's frozen-quantizer
+    judgment running as a stream, completing the streaming curation
+    story (exact dedup: curation_ingest_stream; packing:
+    continuous_packing_stream): embedding micro-batches arrive, each
+    is judged against the curated store PLUS everything the stream has
+    kept so far, and survivors immediately become incumbents for the
+    next trigger. The batch-equivalent plan is
+    ``similarity.semdedup_fold`` — stream output equals that fold
+    bit-for-bit (the parity test's contract).
+
+    ``incumbents`` and ``centroids`` are the OFFLINE artifacts: the
+    scored curated store (score_against_centroids shape) and its
+    frozen Lloyd quantizer. Per trigger the work is one map-only
+    assignment of the batch plus two cell-keyed joins bounded by
+    |batch| x cell occupancy — the corpus is never self-joined and the
+    Lloyd build never re-runs (re-clustering on drift is a periodic
+    batch ``semdedup``, the rebuild-vs-maintain trade).
+
+    Exactly-once across crashes, the continuous_packing_stream
+    discipline: decisions write to a DETERMINISTIC partition
+    (``out_dir/batch_id=N``, overwrite), the kept vectors to
+    ``state_root/kept/batch_id=N`` (overwrite), and the applied batch
+    id + checkpoint identity to ONE versioned state table AFTER both —
+    a replayed batch reads only kept partitions < N (its own
+    half-written partition is invisible to the judgment), re-derives
+    the identical decisions, and overwrites the same partitions; a
+    batch already recorded is skipped, guarded by checkpoint identity
+    so a fresh checkpoint against old state raises instead of
+    dropping data.
+    """
+    import os
+
+    from migrator_spark.operators.similarity import (
+        _judge_scored_batch,
+        score_against_centroids,
+    )
+    from migrator_spark.sources.parquet import ParquetSource
+
+    state = ParquetSource(state_root)
+    kept_dir = os.path.join(state_root, "kept")
+    cents = centroids.localCheckpoint(eager=True)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if state.exists(spark, "sem_meta"):
+            st = state.table(spark, "sem_meta")
+            first = st.select(
+                F.max("last_batch_id").alias("last"),
+                F.max("checkpoint_id").alias("ckpt"),
+            ).first()
+            last, ckpt = first["last"], first["ckpt"]
+            if last is not None and batch_id <= last:
+                if ckpt is not None and ckpt != checkpoint_dir:
+                    raise RuntimeError(
+                        "semantic_ingest_stream: state at "
+                        f"{state_root!r} was written by checkpoint "
+                        f"{ckpt!r} (last_batch_id={last}) but this "
+                        f"stream runs from {checkpoint_dir!r} — batch "
+                        f"ids restarted (got {batch_id}); refusing to "
+                        "silently drop batches."
+                    )
+                return  # all three writes of this batch are complete
+        pts = batch.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        new_scored = score_against_centroids(pts, cents, id_col)
+        old = incumbents
+        if os.path.isdir(kept_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(kept_dir)
+        ):
+            prior = (
+                spark.read.option("basePath", kept_dir)
+                .parquet(kept_dir)
+                .filter(F.col("batch_id") < batch_id)  # replay safety
+                .drop("batch_id")
+            )
+            old = old.unionByName(prior)
+        dec = _judge_scored_batch(new_scored, old, tau, dim, id_col)
+        dec = dec.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        dec.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        new_scored.join(
+            dec.filter(F.col("keep")).select(id_col), id_col, "leftsemi"
+        ).write.mode("overwrite").parquet(f"{kept_dir}/batch_id={batch_id}")
+        state.write(
+            spark.createDataFrame(
+                [(batch_id, checkpoint_dir)],
+                "last_batch_id long, checkpoint_id string",
+            ),
+            "sem_meta",
+        )
+
+    writer = (
+        vectors.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -702,3 +702,163 @@ def test_dsir_stream_scoring_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(got) == docs.count()
+
+
+def _sd3_fixture(spark, sf_dir):
+    from migrator_spark.operators.similarity import (
+        _fit_centroids,
+        score_against_centroids,
+    )
+    from migrator_spark.plans.llmdata import (
+        EMB_DIM,
+        KMEANS_ITERS,
+        KMEANS_K,
+        SD1_TAU,
+        SD3_BOUNDS,
+    )
+
+    emb = load_table(spark, str(sf_dir), "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = _fit_centroids(
+        pts.filter(F.col("vec_id") < SD3_BOUNDS[0]), KMEANS_K, KMEANS_ITERS, "vec_id"
+    ).localCheckpoint(eager=True)
+    scored = score_against_centroids(pts, cents, "vec_id")
+    incumbents = scored.filter(F.col("vec_id") < SD3_BOUNDS[0]).localCheckpoint(
+        eager=True
+    )
+    return emb, cents, incumbents, SD3_BOUNDS, SD1_TAU, EMB_DIM
+
+
+def test_semantic_ingest_stream_equals_batch_fold(spark, sf_dir, tmp_path):
+    """The streaming semantic-dedup intake (semantic_ingest_stream)
+    replays sd3's exact scenario — frozen quantizer + scored curated
+    store as offline artifacts, two embedding micro-batches arriving
+    in order — and its decision manifests must equal the batch fold
+    (similarity.semdedup_fold, the sd3 registry plan) bit-for-bit,
+    including the order dependence: batch-0 keepers judge batch 1."""
+    import time
+
+    from migrator_spark.operators.similarity import semdedup_fold
+    from migrator_spark.plans.llmdata import KMEANS_ITERS, KMEANS_K
+    from migrator_spark.streaming.streams import semantic_ingest_stream
+
+    emb, cents, incumbents, bounds, tau, dim = _sd3_fixture(spark, sf_dir)
+    in_dir = str(tmp_path / "in")
+    st_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("st", "out", "ck"))
+
+    b1 = emb.filter((F.col("vec_id") >= bounds[0]) & (F.col("vec_id") < bounds[1]))
+    b2 = emb.filter(F.col("vec_id") >= bounds[1])
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    semantic_ingest_stream(
+        spark, stream, incumbents, cents, st_dir, ckpt, out_dir, tau=tau, dim=dim
+    ).awaitTermination(180)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.option("basePath", out_dir)
+            .parquet(out_dir)
+            .select("vec_id", "cell", "batch_id", "n_dups_old", "n_dups_new", "keep")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            semdedup_fold(
+                emb, list(bounds), k=KMEANS_K, iters=KMEANS_ITERS, tau=tau, dim=dim
+            )
+            .select("vec_id", "cell", "batch_id", "n_dups_old", "n_dups_new", "keep")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_semantic_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Forced crash-replay: dropping the newest checkpoint commit makes
+    the last micro-batch re-run — it must re-derive the identical
+    decisions (the replay reads only kept partitions < N, so its own
+    half-written state is invisible) and overwrite, not duplicate."""
+    import time
+
+    from migrator_spark.streaming.streams import semantic_ingest_stream
+
+    emb, cents, incumbents, bounds, tau, dim = _sd3_fixture(spark, sf_dir)
+    in_dir = str(tmp_path / "in")
+    st_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("st", "out", "ck"))
+    emb.filter(
+        (F.col("vec_id") >= bounds[0]) & (F.col("vec_id") < bounds[1])
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)
+    emb.filter(F.col("vec_id") >= bounds[1]).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        semantic_ingest_stream(
+            spark, stream, incumbents, cents, st_dir, ckpt, out_dir, tau=tau, dim=dim
+        ).awaitTermination(180)
+
+    run()
+    read = lambda: sorted(
+        map(
+            tuple,
+            spark.read.option("basePath", out_dir)
+            .parquet(out_dir)
+            .select("vec_id", "cell", "batch_id", "n_dups_old", "n_dups_new", "keep")
+            .collect(),
+        )
+    )
+    before = read()
+    commits = sorted(
+        f for f in os.listdir(ckpt + "/commits") if not f.startswith(".")
+    )
+    os.remove(ckpt + "/commits/" + commits[-1])
+    crc = ckpt + "/commits/." + commits[-1] + ".crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert read() == before
+
+    # fresh checkpoint against the same state must refuse, not drop
+    import pytest as _pytest
+
+    emb.filter(F.col("vec_id") < 10).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 100)
+        .parquet(in_dir)
+    )
+    q = semantic_ingest_stream(
+        spark,
+        stream,
+        incumbents,
+        cents,
+        st_dir,
+        str(tmp_path / "ck2"),
+        out_dir,
+        tau=tau,
+        dim=dim,
+    )
+    with _pytest.raises(Exception, match="refusing"):
+        q.awaitTermination(180)
+        raise RuntimeError(q.exception() or "stream ended without error")

@@ -129,14 +129,40 @@ def main() -> int:
     dirs = {k: build_scale(spark, sf_dir, k) for k in scales}
     out: dict[str, dict[int, float]] = {}
     for name in names:
-        fn = REGISTRY[name].fn
+        if name == "sd1_kprop":
+            # the k ∝ n discipline (the SemDeDup paper's knob: clusters
+            # scale with the corpus so cells stay bounded), with the
+            # round-6 sampled-Lloyd build — the registry sd1 pinned to
+            # the graded k can't express a scale-dependent k, so the
+            # probe names it explicitly
+            from migrator_spark.operators import similarity as _sim
+            from migrator_spark.plans.llmdata import (
+                EMB_DIM,
+                KMEANS_ITERS,
+                KMEANS_K,
+                SD1_BUILD_MOD,
+                SD1_TAU,
+            )
+
+            def fn(spark, sf_dir, _scale=None):
+                return _sim.semdedup(
+                    load_table(spark, sf_dir, "embeddings"),
+                    k=KMEANS_K * _scale,
+                    iters=KMEANS_ITERS,
+                    tau=SD1_TAU,
+                    dim=EMB_DIM,
+                    build_sample_mod=SD1_BUILD_MOD,
+                )
+        else:
+            fn = REGISTRY[name].fn
         out[name] = {}
         for k in scales:
-            fn(spark, dirs[k]).write.format("noop").mode("overwrite").save()  # warm
+            kw = {"_scale": k} if name == "sd1_kprop" else {}
+            fn(spark, dirs[k], **kw).write.format("noop").mode("overwrite").save()  # warm
             runs = []
             for _ in range(2):
                 t0 = time.monotonic()
-                fn(spark, dirs[k]).write.format("noop").mode("overwrite").save()
+                fn(spark, dirs[k], **kw).write.format("noop").mode("overwrite").save()
                 runs.append(time.monotonic() - t0)
             out[name][k] = round(min(runs), 3)
         base = out[name][scales[0]]
