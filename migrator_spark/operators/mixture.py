@@ -399,3 +399,75 @@ def dsir_score(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    total: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Proportional stratified sampling with EXACT apportionment: draw
+    ``total`` rows whose per-stratum counts follow largest-remainder
+    (Hamilton) allocation — n_h = floor(total * N_h / N) plus one for
+    the strata with the largest remainders (ties to the smaller
+    stratum name) until the quotas sum exactly to ``total`` — then
+    select each stratum's quota deterministically as its bottom-n_h
+    rows by the shared stable hash (ties by id). Preserves the corpus
+    mix exactly (no hypergeometric drift, no float thresholds), is
+    rerun-stable, and every arithmetic step is integer, so the whole
+    draw reproduces bit-for-bit in another engine — the sampling
+    discipline a training-mixture pipeline wants when "10% subsample"
+    must still mean the same 10% next week.
+
+    Scale: stratum sizes are one partial-combined aggregate (|strata|
+    rows); the allocation is driver-free arithmetic on that tiny
+    relation (one window over |strata| rows); selection is the
+    bottom-k pattern (WindowGroupLimit: per-partition k-heaps before
+    the single shuffle on the stratum key). Returns (id_col,
+    strata_col) of the selected rows.
+    """
+    from pyspark.sql import Window
+
+    from migrator_spark.functions.hashing import stable_hash64
+
+    sizes = docs.groupBy(F.col(strata_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_nh")
+    )
+    tot = sizes.agg(F.sum("_nh").alias("_n"))
+    # floor quota + largest-remainder rank, all integer: remainder
+    # comparison uses total*N_h % N directly (no float division)
+    w = Window.orderBy(
+        (F.col("_rem")).desc(), F.col("_s").asc()
+    )
+    alloc = (
+        sizes.crossJoin(F.broadcast(tot))
+        # `div`, not `/` + cast: float division of large exact integers
+        # can land a hair under the true quotient and truncate to
+        # quota-1; integer div is exact by construction
+        .withColumn("_fl", F.expr(f"({total} * _nh) div _n"))
+        .withColumn("_rem", (F.lit(total) * F.col("_nh")) % F.col("_n"))
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "_extra",
+            (
+                F.col("_rk")
+                <= F.lit(total) - F.sum("_fl").over(Window.partitionBy())
+            ).cast("long"),
+        )
+        .select("_s", (F.col("_fl") + F.col("_extra")).alias("_quota"))
+    )
+    pick = Window.partitionBy("_s").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(strata_col).alias("_s"),
+            stable_hash64(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .join(F.broadcast(alloc), "_s")
+        .withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .select(F.col(id_col), F.col("_s").alias(strata_col))
+    )

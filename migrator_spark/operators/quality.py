@@ -450,3 +450,83 @@ def sampled_quantiles(
         F.col("_m").alias("n_sample"),
         *[f"p{int(q * 100)}" for q in qs],
     )
+
+
+def portable_bloom(
+    keys: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    group_col: str,
+    probe_col: str = "probe_key",
+    m: int = 1024,
+    k: int = 4,
+) -> DataFrame:
+    """Cross-engine-EXACT Bloom-filter membership per group — the
+    third rung of the portable-sketch ladder (pr8 HLL cardinality,
+    pr9 sampled quantiles, here set membership): a Bloom filter built
+    from the shared 60-bit stable hash is a pure deterministic
+    function of the key set, so the filter BITS and every membership
+    verdict (true positives AND the structural false positives) are
+    reproducible bit-for-bit in another engine — unlike any
+    engine-private bloom_filter_agg.
+
+    Construction: key -> k bit positions stable_hash64(key || ':' || i)
+    mod m (i = 0..k-1, the classic k-independent-hash form); the
+    filter state is the DISTINCT (group, bit) set. A probe is a member
+    iff all k of its positions are set — exact for inserted keys,
+    false-positive at the textbook (1-e^(-kn/m))^k rate for the rest,
+    and deterministically so.
+
+    Scale: state building is one partial-combined distinct onto
+    (group, bit) keys — at most m rows per group survive regardless of
+    corpus size (the mergeable-bitmap property that makes Bloom the
+    100 TB membership pre-filter: shard filters OR together). Probes
+    explode to k rows, join the broadcast-sized state, and reduce by
+    counting hits: member = (hits == k), so the probe side is scanned
+    once with no self-join. Returns one row per (group, probe):
+    (group_col, probe_col, member, n_bits_set).
+    """
+    from migrator_spark.functions.hashing import stable_hash64
+
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+
+    def bits(col):
+        return F.pmod(
+            stable_hash64(
+                F.concat(col.cast("string"), F.lit(":"), F.col("_i").cast("string"))
+            ),
+            F.lit(m),
+        )
+
+    state = (
+        keys.select(
+            F.col(group_col).alias("grp"),
+            F.col(key_col).alias("_k"),
+            F.explode(seeds).alias("_i"),
+        )
+        .select("grp", bits(F.col("_k")).alias("_bit"))
+        .distinct()
+    )
+    nbits = state.groupBy("grp").agg(F.count(F.lit(1)).alias("n_bits_set"))
+    probed = probes.select(
+        F.col(group_col).alias("grp"),
+        F.col(probe_col).alias("_p"),
+        F.explode(seeds).alias("_i"),
+    ).select("grp", "_p", bits(F.col("_p")).alias("_bit"))
+    hits = (
+        probed.join(state, ["grp", "_bit"], "left_semi")
+        .groupBy("grp", "_p")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        probed.select("grp", "_p")
+        .distinct()
+        .join(hits, ["grp", "_p"], "left")
+        .join(F.broadcast(nbits), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("_p").alias(probe_col),
+            (F.coalesce(F.col("_hits"), F.lit(0)) == k).alias("member"),
+            "n_bits_set",
+        )
+    )

@@ -2949,3 +2949,63 @@ SELECT grp AS event_type, n_rows, m AS n_sample,
        max(CASE WHEN vr = ceil(0.99 * m) THEN v END) AS p99
 FROM j GROUP BY grp, n_rows, m
 """
+
+
+PR10_M, PR10_K, PR10_PROBES = 8192, 4, 300
+
+
+def pr10_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-EXACT Bloom membership (quality.portable_bloom):
+    per event type, the user-id set feeds an m=8192/k=4 filter on the
+    shared stable hash, then a fixed probe grid (ids 7j, j<300 — some
+    inserted, some not at every SF) is tested against it. Filter bits,
+    true positives, and the structural false positives are all pure
+    functions of the data, so the verdicts hash-grade bit-for-bit —
+    the membership rung of the portable-sketch ladder (pr8
+    cardinality, pr9 quantiles)."""
+    from migrator_spark.operators import quality as ql
+
+    ev = load_table(spark, sf_dir, "events")
+    groups = ev.select(F.col("event_type").alias("grp")).distinct()
+    probes = groups.crossJoin(
+        spark.range(PR10_PROBES).select((F.col("id") * 7).alias("probe_key"))
+    ).select(F.col("grp").alias("event_type"), "probe_key")
+    return ql.portable_bloom(
+        ev.select("event_type", "user_id"),
+        probes,
+        key_col="user_id",
+        group_col="event_type",
+        m=PR10_M,
+        k=PR10_K,
+    )
+
+
+PR10_ORACLE = f"""
+WITH bits AS (
+  SELECT DISTINCT event_type AS grp,
+         (('0x' || substr(md5(user_id::VARCHAR || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
+           % {PR10_M} AS bit
+  FROM events, LATERAL unnest(generate_series(0, {PR10_K - 1})) AS s(i)
+),
+nb AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_bits_set FROM bits GROUP BY grp),
+pr AS (
+  SELECT g.grp, p.j * 7 AS pk
+  FROM (SELECT DISTINCT event_type AS grp FROM events) g,
+       LATERAL unnest(generate_series(0, {PR10_PROBES - 1})) AS p(j)
+),
+pb AS (
+  SELECT grp, pk,
+         (('0x' || substr(md5(pk::VARCHAR || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
+           % {PR10_M} AS bit
+  FROM pr, LATERAL unnest(generate_series(0, {PR10_K - 1})) AS s(i)
+),
+hits AS (
+  SELECT pb.grp, pb.pk, count(*) AS h
+  FROM pb JOIN bits USING (grp, bit) GROUP BY pb.grp, pb.pk
+)
+SELECT pr.grp AS event_type, pr.pk AS probe_key,
+       coalesce(hits.h, 0) = {PR10_K} AS member, nb.n_bits_set
+FROM pr
+LEFT JOIN hits ON hits.grp = pr.grp AND hits.pk = pr.pk
+JOIN nb ON nb.grp = pr.grp
+"""

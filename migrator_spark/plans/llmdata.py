@@ -3374,6 +3374,48 @@ FROM d JOIN px USING (doc_id)
 """
 
 
+def mm9_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction over decoded pixels
+    (multimodal.image_pixel_features): every synthetic PNG is fully
+    decoded (inflate + five-filter unfiltering) and reduced to the
+    integer features an image-curation gate filters on — count, sum,
+    sum of squares, vertical gradient energy, 8-bin intensity
+    histogram. The oracle recomputes all of them arithmetically from
+    the pixel formula, so the decode AND the feature math are
+    hash-graded end-to-end — the realized counterpart of mm4's
+    documented learned-encoder stub."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return mm.image_pixel_features(mm.synth_png_payloads(docs, width=16))
+
+
+MM9_ORACLE = """
+WITH d AS (SELECT doc_id, 1 + (n_chars % 64) AS h FROM documents),
+px AS (
+  SELECT d.doc_id, x.i AS x, y.j AS y,
+         (7 * x.i + 13 * y.j) % 256 AS v
+  FROM d,
+       LATERAL unnest(generate_series(0, 15)) AS x(i),
+       LATERAL unnest(generate_series(0, d.h - 1)) AS y(j)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(sum(v * v) AS BIGINT) AS px_sq_sum,
+       CAST(sum(CASE WHEN y > 0
+                     THEN abs(v - ((7 * x + 13 * (y - 1)) % 256))
+                     ELSE 0 END) AS BIGINT) AS row_delta_abs,
+       CAST(count(*) FILTER (WHERE v // 32 = 0) AS BIGINT) AS h0,
+       CAST(count(*) FILTER (WHERE v // 32 = 1) AS BIGINT) AS h1,
+       CAST(count(*) FILTER (WHERE v // 32 = 2) AS BIGINT) AS h2,
+       CAST(count(*) FILTER (WHERE v // 32 = 3) AS BIGINT) AS h3,
+       CAST(count(*) FILTER (WHERE v // 32 = 4) AS BIGINT) AS h4,
+       CAST(count(*) FILTER (WHERE v // 32 = 5) AS BIGINT) AS h5,
+       CAST(count(*) FILTER (WHERE v // 32 = 6) AS BIGINT) AS h6,
+       CAST(count(*) FILTER (WHERE v // 32 = 7) AS BIGINT) AS h7
+FROM px GROUP BY doc_id
+"""
+
+
 CONTAIN_THRESH = 0.4
 
 
@@ -3442,4 +3484,50 @@ SELECT doc_id, min_dist, n_near FROM p
 WHERE min_dist <= {FTS4_DIST}
 ORDER BY min_dist ASC, n_near DESC, doc_id ASC
 LIMIT 10
+"""
+
+
+SM7_TOTAL = 137  # prime, a strict subset at every test SF
+
+
+def sm7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional stratified sample (mixture.stratified_sample):
+    137 docs apportioned across sources by largest-remainder (Hamilton)
+    quotas — pure integer arithmetic, no float thresholds, no
+    hypergeometric drift — each stratum's quota filled by its
+    bottom-n_h rows on the shared stable hash. The rerun-stable "same
+    10% next week" sampling discipline of a training-mixture
+    pipeline."""
+    return mx.stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        total=SM7_TOTAL,
+        strata_col="source",
+    )
+
+
+SM7_ORACLE = f"""
+WITH sz AS (
+  SELECT source AS s, CAST(count(*) AS BIGINT) AS nh
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(sum(nh) AS BIGINT) AS n FROM sz),
+al AS (
+  SELECT s, ({SM7_TOTAL} * nh) // n AS fl, ({SM7_TOTAL} * nh) % n AS rem,
+         row_number() OVER (ORDER BY ({SM7_TOTAL} * nh) % n DESC, s ASC) AS rk,
+         sum(({SM7_TOTAL} * nh) // n) OVER () AS sfl
+  FROM sz, t
+),
+q AS (
+  SELECT s, fl + CASE WHEN rk <= {SM7_TOTAL} - sfl THEN 1 ELSE 0 END AS quota
+  FROM al
+),
+r AS (
+  SELECT doc_id, source AS s,
+         row_number() OVER (PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT ASC,
+                    doc_id ASC) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.s AS source
+FROM r JOIN q ON q.s = r.s WHERE r.rn <= q.quota
 """

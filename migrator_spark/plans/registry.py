@@ -370,6 +370,15 @@ REGISTRY: dict[str, QuerySpec] = {
         llmdata.sd3_stream_semdedup_batch, llmdata.SD3_ORACLE
     ),
     "ds2_dsir_unseen": QuerySpec(llmdata.ds2_dsir_unseen, llmdata.DS2_ORACLE),
+    "mm9_image_features": QuerySpec(
+        llmdata.mm9_image_features, llmdata.MM9_ORACLE
+    ),
+    "pr10_bloom_membership": QuerySpec(
+        analytics.pr10_bloom_membership, analytics.PR10_ORACLE
+    ),
+    "sm7_stratified_sample": QuerySpec(
+        llmdata.sm7_stratified_sample, llmdata.SM7_ORACLE
+    ),
 }
 
 
@@ -404,6 +413,9 @@ _GRADED_WINDOW: list[str] = [
     "mm8_jpeg_roundtrip",  # NEW: real baseline-JPEG decode, pixel-sum graded
     "sd3_stream_semdedup_batch",  # NEW: streaming semdedup's batch fold
     "ds2_dsir_unseen",  # NEW: DSIR smoothing/no-doc-lost edge, hash-graded
+    "mm9_image_features",  # NEW: real decoded-pixel feature extraction
+    "pr10_bloom_membership",  # NEW: portable exact Bloom membership
+    "sm7_stratified_sample",  # NEW: exact Hamilton-quota stratified draw
     "cur8_best_copy_dedup",  # ADVICE r5: struct ordering key replaces 2^40 arithmetic
     # -- r2-stale family (newest driver row = round 2; VERDICT r5 #1) --
     "f4_string_suite",
@@ -444,9 +456,6 @@ _GRADED_WINDOW: list[str] = [
     "q14_promo_effect",
     "q18_large_orders",
     "q9_product_profit",
-    "q20_excess_suppliers",
-    "q13_customer_distribution",
-    "q15_top_supplier",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

@@ -289,6 +289,14 @@ class JdbcSource:
         (InnoDB DML is transactional; only DDL auto-commits).
         Identifiers use backticks — MySQL's default quoting, matching
         what Spark's MySQL dialect writer creates — via ``_q_my``.
+
+        Execution status (re-checked round 6): this container ships no
+        MySQL-protocol engine (no mysqld/mariadbd binary, no client
+        lib), so this arm remains TEXT-ASSERTED
+        (tests/test_jdbc_dialects) while the ANSI arm is executed
+        end-to-end against embedded Derby. Environment-blocked, not a
+        code gap — the first live MySQL endpoint upgrades it by
+        running the same loader tests with a mysql:// URL.
         """
         data_cols = [c for c in batch_cols if c != method_col]
         non_keys = [c for c in data_cols if c not in key_cols]

@@ -248,3 +248,86 @@ def test_decode_metadata_parses_real_formats(spark):
     assert (got[2]["width"], got[2]["height"]) == (16, 13)
     assert got[3]["media_type"] == "unknown"
     assert got[3]["n_bytes"] == 13
+
+
+def test_image_pixel_features_known_image(spark):
+    # mm9: features computed from REAL decoded pixels — verified here
+    # against hand-computed values for a 2-row image, including the
+    # single-row gradient edge (row_delta_abs = 0 when h = 1)
+    from migrator_spark.operators import multimodal as mm
+
+    # n_chars=1 -> h=2; pixels row0 = (7x)%256, row1 = (7x+13)%256
+    docs = spark.createDataFrame([(1, 1), (2, 0)], "doc_id long, n_chars long")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in mm.image_pixel_features(
+            mm.synth_png_payloads(docs, width=16)
+        ).collect()
+    }
+    row0 = [(7 * x) % 256 for x in range(16)]
+    row1 = [(7 * x + 13) % 256 for x in range(16)]
+    assert out[1]["n_px"] == 32
+    assert out[1]["px_sum"] == sum(row0) + sum(row1)
+    assert out[1]["px_sq_sum"] == sum(v * v for v in row0 + row1)
+    assert out[1]["row_delta_abs"] == sum(
+        abs(a - b) for a, b in zip(row1, row0)
+    )
+    hist = [0] * 8
+    for v in row0 + row1:
+        hist[v >> 5] += 1
+    assert [out[1][f"h{b}"] for b in range(8)] == hist
+    assert out[2]["n_px"] == 16 and out[2]["row_delta_abs"] == 0
+
+
+def test_portable_bloom_has_no_false_negatives(spark):
+    # pr10: every inserted key must test positive (the Bloom guarantee
+    # exactness rides on), and quotas of set bits stay <= k * n_keys
+    from migrator_spark.operators.quality import portable_bloom
+
+    keys = spark.createDataFrame(
+        [("a", i) for i in range(50)] + [("b", i) for i in range(200, 220)],
+        "grp string, k long",
+    )
+    probes = spark.createDataFrame(
+        [("a", i) for i in range(60)] + [("b", i) for i in range(200, 230)],
+        "grp string, probe_key long",
+    )
+    out = {
+        (r["grp"], r["probe_key"]): r
+        for r in portable_bloom(
+            keys, probes, key_col="k", group_col="grp", m=512, k=3
+        ).collect()
+    }
+    for i in range(50):
+        assert out[("a", i)]["member"] is True  # inserted -> positive
+    for i in range(200, 220):
+        assert out[("b", i)]["member"] is True
+    assert all(r["n_bits_set"] <= 3 * 50 for r in out.values() if r["grp"] == "a")
+    # false-positive rate on the never-inserted tail is sane (not all 1)
+    fp = [out[("b", i)]["member"] for i in range(220, 230)]
+    assert not all(fp)
+
+
+def test_stratified_sample_exact_quotas(spark):
+    # sm7: quotas sum EXACTLY to the requested total and each stratum's
+    # count is within 1 of its exact proportional share (the Hamilton
+    # guarantee); the draw is rerun-stable
+    from migrator_spark.operators.mixture import stratified_sample
+
+    rows = (
+        [(i, "big") for i in range(700)]
+        + [(700 + i, "mid") for i in range(250)]
+        + [(950 + i, "small") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    total = 101
+    got = stratified_sample(df, total=total, strata_col="source").collect()
+    assert len(got) == total
+    from collections import Counter
+
+    counts = Counter(r["source"] for r in got)
+    for name, n in (("big", 700), ("mid", 250), ("small", 50)):
+        exact = total * n / 1000
+        assert abs(counts[name] - exact) < 1.0, (name, counts[name], exact)
+    again = stratified_sample(df, total=total, strata_col="source").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
