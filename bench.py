@@ -65,6 +65,13 @@ HEADLINE = [
     # the two heaviest additions of the round's selection/dedup family
     "ds1_dsir_weights",
     "sd1_semdedup",
+    # round 6: the streaming semantic-dedup fold (two sequential
+    # judgment rounds against a growing kept set) and the real
+    # baseline-JPEG round trip (the heaviest mapInPandas body) — the
+    # round's two heaviest additions; the prior 22 entries above are
+    # unchanged so round-over-round subsets stay protocol-matched
+    "sd3_stream_semdedup_batch",
+    "mm8_jpeg_roundtrip",
 ]
 
 REPEATS = 3  # median-of-3: one cold run can no longer swing the number 2x

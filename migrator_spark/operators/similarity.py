@@ -880,3 +880,105 @@ def semdedup_fold(
                 )
             ).localCheckpoint(eager=True)
     return out
+
+
+def _assign_subcells(
+    asg: DataFrame, fine: DataFrame, id_col: str
+) -> DataFrame:
+    """Nearest SUB-centroid within each point's coarse cell: the fine
+    codebooks are packed per coarse cell (k_coarse rows) and broadcast;
+    the argmin folds over only that cell's subs — map-only, like
+    _assign_cells, but each point compares against k_fine centroids
+    instead of the whole codebook. Ties to the lowest sub id."""
+    packed = fine.groupBy("cell").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("sub"), F.col("c")))
+        ).alias("subs")
+    )
+    dists = F.transform(
+        F.col("subs"),
+        lambda s: F.struct(
+            _sq_l2(F.col("v"), s.getField("c")).alias("d"),
+            s.getField("sub").alias("sub"),
+        ),
+    )
+    best = F.array_min(dists).getField("sub")
+    return asg.join(F.broadcast(packed), "cell").select(
+        F.col(id_col), F.col("v"), F.col("cell"), best.alias("sub")
+    )
+
+
+def _fit_subcentroids(
+    asg: DataFrame, k_fine: int, iters: int, id_col: str
+) -> DataFrame:
+    """Per-coarse-cell Lloyd build: md5-rank seeds WITHIN each cell,
+    fixed iterations, returning (cell, sub, c) — k_coarse independent
+    codebooks trained in one plan (the per-cell builds share scans and
+    shuffles; nothing is per-cell driver code)."""
+    wseed = Window.partitionBy("cell").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    fine = (
+        asg.withColumn("_rn", F.row_number().over(wseed))
+        .filter(F.col("_rn") <= k_fine)
+        .select("cell", (F.col("_rn") - 1).alias("sub"), F.col("v").alias("c"))
+    )
+    for _ in range(iters):
+        assigned = _assign_subcells(asg, fine, id_col)
+        expl = assigned.select(
+            "cell", "sub", F.posexplode(F.col("v")).alias("pos", "val")
+        )
+        means = expl.groupBy("cell", "sub", "pos").agg(F.avg("val").alias("val"))
+        fine = means.groupBy("cell", "sub").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("c")
+        )
+    return fine
+
+
+def kmeans_assign_two_level(
+    emb: DataFrame,
+    k_coarse: int = 4,
+    k_fine: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """HIERARCHICAL (two-level) IVF quantizer — the executed form of
+    the knob the 32x probe exposed (SCALE.md §5e): with k ∝ n, flat
+    assignment is O(n·k) and becomes SemDeDup's next quadratic term;
+    assigning to k_coarse super-cells first and then to k_fine subs
+    within the chosen super-cell costs O(n·(k_coarse + k_fine)) for
+    k = k_coarse·k_fine effective cells — 2·sqrt(k) per point instead
+    of k (the classic IVF tree / coarse-then-residual structure of
+    FAISS IndexIVF quantizer hierarchies).
+
+    Build: the shared deterministic Lloyd (md5-rank seeds, fixed
+    iterations) for the coarse level, then k_coarse INDEPENDENT fine
+    codebooks trained per coarse cell in one plan — per-cell md5-rank
+    seeds, per-(cell,sub,pos) mean updates; every step is
+    oracle-reproducible SQL. Returns (id_col, cell) with
+    cell = coarse·k_fine + sub.
+
+    Scale: both levels' assignment passes are map-only broadcast
+    folds; the only shuffles are the k·dim-row mean updates and the
+    seed window (WindowGroupLimit — per-partition heaps). A cell whose
+    population is under k_fine simply trains fewer subs (k shrinks
+    locally), same as the flat build's empty-cell semantics."""
+    pts = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    coarse = _fit_centroids(pts, k_coarse, iters, id_col).localCheckpoint(
+        eager=True
+    )
+    asg1 = _assign_cells(pts, coarse, id_col).localCheckpoint(eager=True)
+    fine = _fit_subcentroids(asg1, k_fine, iters, id_col).localCheckpoint(
+        eager=True
+    )
+    return _assign_subcells(asg1, fine, id_col).select(
+        F.col(id_col),
+        (F.col("cell") * k_fine + F.col("sub")).cast("long").alias("cell"),
+    )

@@ -3531,3 +3531,57 @@ r AS (
 SELECT r.doc_id, r.s AS source
 FROM r JOIN q ON q.s = r.s WHERE r.rn <= q.quota
 """
+
+
+SIM11_KC, SIM11_KF, SIM11_ITERS = 4, 4, 1
+
+
+def sim11_two_level_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical IVF quantizer build
+    (similarity.kmeans_assign_two_level): assign each vector to one of
+    4 coarse super-cells, then to one of 4 fine sub-cells trained
+    INDEPENDENTLY per super-cell — 16 effective cells at
+    k_coarse + k_fine = 8 distance evals per point instead of 16. The
+    executed form of the scaling knob the 32x probe exposed for
+    sd1's k-proportional-to-n assignment term (SCALE.md §5e);
+    integer-only output, drift-proof oracle."""
+    return sim.kmeans_assign_two_level(
+        load_table(spark, sf_dir, "embeddings"),
+        k_coarse=SIM11_KC,
+        k_fine=SIM11_KF,
+        iters=SIM11_ITERS,
+    )
+
+
+SIM11_ORACLE = f"""
+WITH {_kmeans_cte(SIM11_KC, SIM11_ITERS)},
+a1 AS (SELECT p.vec_id, p.v, f.cell FROM pts p JOIN assign_final f USING (vec_id)),
+fs AS (
+  SELECT cell, v,
+         row_number() OVER (PARTITION BY cell
+           ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS sub
+  FROM a1
+),
+fc0 AS (SELECT cell, sub, v AS c FROM fs WHERE sub < {SIM11_KF}),
+fa0 AS (
+  SELECT vec_id, v, cell, sub FROM (
+    SELECT a.vec_id, a.v, a.cell, c.sub,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {_SQ_EXPR.format(a="a.v", b="c.c")} ASC, c.sub ASC) AS rn
+    FROM a1 a JOIN fc0 c ON c.cell = a.cell) WHERE rn = 1
+),
+fc1 AS (
+  SELECT cell, sub, list(val ORDER BY pos) AS c FROM (
+    SELECT cell, sub, pos, avg(val) AS val FROM (
+      SELECT cell, sub, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+      FROM fa0) GROUP BY cell, sub, pos) GROUP BY cell, sub
+),
+ff AS (
+  SELECT vec_id, cell, sub FROM (
+    SELECT a.vec_id, a.cell, c.sub,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {_SQ_EXPR.format(a="a.v", b="c.c")} ASC, c.sub ASC) AS rn
+    FROM a1 a JOIN fc1 c ON c.cell = a.cell) WHERE rn = 1
+)
+SELECT vec_id, CAST(cell * {SIM11_KF} + sub AS BIGINT) AS cell FROM ff
+"""

@@ -379,6 +379,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sm7_stratified_sample": QuerySpec(
         llmdata.sm7_stratified_sample, llmdata.SM7_ORACLE
     ),
+    "sim11_two_level_quantizer": QuerySpec(
+        llmdata.sim11_two_level_quantizer, llmdata.SIM11_ORACLE
+    ),
 }
 
 
@@ -416,6 +419,7 @@ _GRADED_WINDOW: list[str] = [
     "mm9_image_features",  # NEW: real decoded-pixel feature extraction
     "pr10_bloom_membership",  # NEW: portable exact Bloom membership
     "sm7_stratified_sample",  # NEW: exact Hamilton-quota stratified draw
+    "sim11_two_level_quantizer",  # NEW: hierarchical IVF build, the 32x-probe knob executed
     "cur8_best_copy_dedup",  # ADVICE r5: struct ordering key replaces 2^40 arithmetic
     # -- r2-stale family (newest driver row = round 2; VERDICT r5 #1) --
     "f4_string_suite",
@@ -455,7 +459,6 @@ _GRADED_WINDOW: list[str] = [
     "q10_returned_items",
     "q14_promo_effect",
     "q18_large_orders",
-    "q9_product_profit",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

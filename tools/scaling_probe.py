@@ -129,7 +129,32 @@ def main() -> int:
     dirs = {k: build_scale(spark, sf_dir, k) for k in scales}
     out: dict[str, dict[int, float]] = {}
     for name in names:
-        if name == "sd1_kprop":
+        if name in ("quantizer_flat_kprop", "quantizer_two_level_kprop"):
+            # head-to-head cost of the k ∝ n assignment term: flat
+            # Lloyd with k = 8*scale vs the hierarchical build with
+            # k_coarse = k_fine = ceil(sqrt(8*scale)) — same effective
+            # cell count, O(k) vs O(2*sqrt(k)) distance evals per point
+            import math
+
+            from migrator_spark.operators import similarity as _sim
+            from migrator_spark.plans.llmdata import KMEANS_K
+
+            flat = name == "quantizer_flat_kprop"
+
+            def fn(spark, sf_dir, _scale=None):
+                k = KMEANS_K * _scale
+                if flat:
+                    return _sim.kmeans_assign(
+                        load_table(spark, sf_dir, "embeddings"), k=k, iters=1
+                    )
+                side = math.ceil(math.sqrt(k))
+                return _sim.kmeans_assign_two_level(
+                    load_table(spark, sf_dir, "embeddings"),
+                    k_coarse=side,
+                    k_fine=side,
+                    iters=1,
+                )
+        elif name == "sd1_kprop":
             # the k ∝ n discipline (the SemDeDup paper's knob: clusters
             # scale with the corpus so cells stay bounded), with the
             # round-6 sampled-Lloyd build — the registry sd1 pinned to
@@ -157,7 +182,7 @@ def main() -> int:
             fn = REGISTRY[name].fn
         out[name] = {}
         for k in scales:
-            kw = {"_scale": k} if name == "sd1_kprop" else {}
+            kw = {"_scale": k} if name.endswith("_kprop") else {}
             fn(spark, dirs[k], **kw).write.format("noop").mode("overwrite").save()  # warm
             runs = []
             for _ in range(2):
