@@ -466,8 +466,14 @@ def stratified_sample(
             F.col(strata_col).alias("_s"),
             stable_hash64(F.col(id_col).cast("string")).alias("_h"),
         )
-        .join(F.broadcast(alloc), "_s")
         .withColumn("_rn", F.row_number().over(pick))
+        # constant pre-bound FIRST: quota_h <= total always, and a
+        # literal rank limit is what lets Catalyst compile the window
+        # to WindowGroupLimit (per-partition heaps shed the stratum
+        # down to <= total rows BEFORE the exchange); the exact
+        # column-valued quota filter then runs on the tiny survivor set
+        .filter(F.col("_rn") <= F.lit(total))
+        .join(F.broadcast(alloc), "_s")
         .filter(F.col("_rn") <= F.col("_quota"))
         .select(F.col(id_col), F.col("_s").alias(strata_col))
     )

@@ -896,3 +896,66 @@ def test_sd2_frozen_build_checkpointed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sd2_incremental_semdedup")
     assert "CartesianProduct" not in plan, plan
     assert "partial_" in plan, plan
+
+
+# ------------------------------------------------------- round 6 plans
+
+
+def test_pr9_sample_prunes_map_side(spark, sf_dir):
+    # the bottom-k hash sample must compile to WindowGroupLimit
+    # (per-partition k-heaps BEFORE the group exchange — post-shuffle
+    # state is O(k) per group), and the group totals must arrive as a
+    # broadcast, never a re-shuffle of the sample
+    plan = _plan(spark, sf_dir, "pr9_sampled_quantiles")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sm7_selection_prunes_map_side(spark, sf_dir):
+    # per-stratum bottom-quota selection: WindowGroupLimit heaps shed
+    # rows before the single stratum exchange; the quota table (a
+    # |strata|-row relation) joins broadcast
+    plan = _plan(spark, sf_dir, "sm7_stratified_sample")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pr10_probe_side_never_self_joins(spark, sf_dir):
+    # the probe relation is scanned once: bits explode, semi-join the
+    # filter state, reduce — no SortMergeJoin (state is bounded by m
+    # rows per group and stays broadcast), no cartesian product
+    plan = _plan(spark, sf_dir, "pr10_bloom_membership")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mm8_decode_is_arrow_batched(spark, sf_dir):
+    # the JPEG codec runs as Arrow mapInPandas (payloads never leave
+    # executors, batch-bounded memory), not row-at-a-time Python
+    plan = _plan(spark, sf_dir, "mm8_jpeg_roundtrip")
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_mm9_features_are_arrow_batched(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mm9_image_features")
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_sim11_assignments_are_map_only(spark, sf_dir):
+    # both levels' assignment passes are broadcast folds: the only
+    # exchanges in the final pass feed the (small) packed-codebook
+    # aggregate, never a shuffle of the point set keyed by id
+    plan = _plan(spark, sf_dir, "sim11_two_level_quantizer")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sd3_pair_stages_are_cell_keyed(spark, sf_dir):
+    # the fold's judgment joins key on (cell, salt) — the corpus is
+    # never id-self-joined and nothing goes cartesian
+    plan = _plan(spark, sf_dir, "sd3_stream_semdedup_batch")
+    assert "CartesianProduct" not in plan, plan
