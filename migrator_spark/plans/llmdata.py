@@ -3553,8 +3553,15 @@ def sim11_two_level_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIM11_ORACLE = f"""
-WITH {_kmeans_cte(SIM11_KC, SIM11_ITERS)},
+def _two_level_cte(kc: int, kf: int, iters: int) -> str:
+    """The two-level quantizer as DuckDB CTEs (mirrors
+    similarity.kmeans_assign_two_level): the flat chain (_kmeans_cte)
+    for the coarse level, then per-coarse-cell fine codebooks — md5-
+    rank seeds within the cell, one unrolled Lloyd pass per ``iters``,
+    argmin restricted to the point's coarse cell. Ends at ``ff``
+    (vec_id, cell, sub) and ``fc1`` (cell, sub, c)."""
+    assert iters == 1, "oracle unrolled for one fine iteration"
+    return f"""{_kmeans_cte(kc, iters)},
 a1 AS (SELECT p.vec_id, p.v, f.cell FROM pts p JOIN assign_final f USING (vec_id)),
 fs AS (
   SELECT cell, v,
@@ -3562,7 +3569,7 @@ fs AS (
            ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS sub
   FROM a1
 ),
-fc0 AS (SELECT cell, sub, v AS c FROM fs WHERE sub < {SIM11_KF}),
+fc0 AS (SELECT cell, sub, v AS c FROM fs WHERE sub < {kf}),
 fa0 AS (
   SELECT vec_id, v, cell, sub FROM (
     SELECT a.vec_id, a.v, a.cell, c.sub,
@@ -3582,6 +3589,54 @@ ff AS (
            row_number() OVER (PARTITION BY a.vec_id
              ORDER BY {_SQ_EXPR.format(a="a.v", b="c.c")} ASC, c.sub ASC) AS rn
     FROM a1 a JOIN fc1 c ON c.cell = a.cell) WHERE rn = 1
-)
+)"""
+
+
+SIM11_ORACLE = f"""
+WITH {_two_level_cte(SIM11_KC, SIM11_KF, SIM11_ITERS)}
 SELECT vec_id, CAST(cell * {SIM11_KF} + sub AS BIGINT) AS cell FROM ff
+"""
+
+
+def sd4_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on the hierarchical quantizer
+    (similarity.semdedup_two_level): sim11's two-level build supplies
+    the cells AND the keep-far-from-centroid reference (the fine
+    centroid), then the same salted ia<ib pair stage decides fates —
+    the 32x-probe knob wired into the flagship dedup operator itself,
+    graded end-to-end against the composed two-level + judgment
+    oracle."""
+    return sim.semdedup_two_level(
+        load_table(spark, sf_dir, "embeddings"),
+        k_coarse=SIM11_KC,
+        k_fine=SIM11_KF,
+        iters=SIM11_ITERS,
+        tau=SD1_TAU,
+        dim=EMB_DIM,
+    )
+
+
+SD4_ORACLE = f"""
+WITH {_two_level_cte(SIM11_KC, SIM11_KF, SIM11_ITERS)},
+cs AS (
+  SELECT f.vec_id, CAST(f.cell * {SIM11_KF} + f.sub AS BIGINT) AS cell,
+         p.v, {COS_EXPR.format(a="p.v", b="c.c")} AS csim
+  FROM ff f
+  JOIN pts p USING (vec_id)
+  JOIN fc1 c ON c.cell = f.cell AND c.sub = f.sub
+),
+pr AS (
+  SELECT x.vec_id AS ia, x.csim AS ca, y.csim AS cb, y.vec_id AS ib
+  FROM cs x JOIN cs y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+  WHERE {COS_EXPR.format(a="x.v", b="y.v")} >= {SD1_TAU}
+),
+st AS (
+  SELECT ia, CAST(count(*) AS BIGINT) AS n_dups,
+         max(CASE WHEN cb < ca OR (cb = ca AND ib < ia) THEN 1 ELSE 0 END) AS rm
+  FROM pr GROUP BY ia
+)
+SELECT c.vec_id, c.cell,
+       CAST(coalesce(st.n_dups, 0) AS BIGINT) AS n_dups,
+       (st.rm IS NULL OR st.rm = 0) AS keep
+FROM cs c LEFT JOIN st ON st.ia = c.vec_id
 """

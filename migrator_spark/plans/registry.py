@@ -382,6 +382,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim11_two_level_quantizer": QuerySpec(
         llmdata.sim11_two_level_quantizer, llmdata.SIM11_ORACLE
     ),
+    "sd4_semdedup_two_level": QuerySpec(
+        llmdata.sd4_semdedup_two_level, llmdata.SD4_ORACLE
+    ),
 }
 
 
@@ -420,6 +423,7 @@ _GRADED_WINDOW: list[str] = [
     "pr10_bloom_membership",  # NEW: portable exact Bloom membership
     "sm7_stratified_sample",  # NEW: exact Hamilton-quota stratified draw
     "sim11_two_level_quantizer",  # NEW: hierarchical IVF build, the 32x-probe knob executed
+    "sd4_semdedup_two_level",  # NEW: the knob wired into the flagship dedup
     "cur8_best_copy_dedup",  # ADVICE r5: struct ordering key replaces 2^40 arithmetic
     # -- r2-stale family (newest driver row = round 2; VERDICT r5 #1) --
     "f4_string_suite",
@@ -458,7 +462,6 @@ _GRADED_WINDOW: list[str] = [
     "q19_disjunctive_filter",
     "q10_returned_items",
     "q14_promo_effect",
-    "q18_large_orders",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

@@ -959,3 +959,10 @@ def test_sd3_pair_stages_are_cell_keyed(spark, sf_dir):
     # never id-self-joined and nothing goes cartesian
     plan = _plan(spark, sf_dir, "sd3_stream_semdedup_batch")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sd4_pair_stage_is_cell_keyed(spark, sf_dir):
+    # the two-level form inherits sd1's discipline: pairs only within
+    # (fine cell, salt) keys, never a cartesian or id self-join
+    plan = _plan(spark, sf_dir, "sd4_semdedup_two_level")
+    assert "CartesianProduct" not in plan, plan
