@@ -72,11 +72,11 @@ def decode_metadata(payloads: DataFrame, strict: bool = False) -> DataFrame:
     """Decode each payload to typed metadata via mapInPandas.
 
     REAL header parsing first: every payload is sniffed against the
-    stdlib-decodable container formats (``_parse_bmp`` /
-    ``_parse_wav`` / ``_parse_png``) and recognized ones report their
-    actual dimensions and media type. Only unrecognized bytes
-    (compressed video needs ffmpeg, absent in this container; baseline
-    JPEG is real in ``operators/jpeg.py``) fall back to the
+    formats a pure-Python parser covers (``_parse_bmp`` /
+    ``_parse_wav`` / ``_parse_png`` / ``_parse_jpeg``) and recognized
+    ones report their actual dimensions and media type (full JPEG
+    pixel decode lives in ``operators/jpeg.py``). Only unrecognized
+    bytes (video needs ffmpeg, absent in this container) fall back to the
     deterministic stub dimensions under ``media_type='unknown'`` — or
     raise when ``strict=True``, marking exactly the line to extend in
     a fully-provisioned environment. ``phash`` is the 60-bit stable
@@ -88,15 +88,15 @@ def decode_metadata(payloads: DataFrame, strict: bool = False) -> DataFrame:
     def decode_one(doc_id: int, payload: bytes) -> tuple:
         payload = bytes(payload)
         ph = int(hashlib.md5(payload).hexdigest()[:15], 16)
-        for parser in (_parse_bmp, _parse_wav, _parse_png):
+        for parser in (_parse_bmp, _parse_wav, _parse_png, _parse_jpeg):
             got = parser(payload)
             if got is not None:
                 mt, w, h, _ch, _sr, _dur = got
                 return (doc_id, mt, len(payload), w, h, ph)
         if strict:
             raise NotImplementedError(
-                "unrecognized media format requires ffmpeg (not in container); "
-                "BMP/WAV/PNG parse for real, JPEG via operators/jpeg.py"
+                "unrecognized media format (video) requires ffmpeg (not in "
+                "container); BMP/WAV/PNG/JPEG headers parse for real"
             )
         n, w, h, _ph = _fake_decode(payload)
         return (doc_id, "unknown", n, w, h, ph)
@@ -263,6 +263,38 @@ def _parse_wav(payload: bytes):
     return ("audio/wav", None, None, channels, rate, data_size * 1000 // byte_rate)
 
 
+def _parse_jpeg(payload: bytes):
+    """Real JPEG header parse: marker walk to the frame header (SOF0/1
+    — baseline; progressive SOFs are recognized but reported with
+    their true dimensions too, the header layout is identical). Full
+    pixel decode lives in operators/jpeg.py; header-only here,
+    matching the other arms' contract."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        tag = payload[pos + 1]
+        pos += 2
+        if tag in (0xD8, 0xD9) or 0xD0 <= tag <= 0xD7:
+            continue
+        size = int.from_bytes(payload[pos : pos + 2], "big")
+        if tag in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            body = payload[pos + 2 : pos + size]
+            if len(body) < 5:
+                return None
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            if width <= 0 or height <= 0:
+                return None
+            return ("image/jpeg", width, height, None, None, None)
+        if tag == 0xDA:  # entropy data with no frame header first
+            return None
+        pos += size
+    return None
+
+
 def decode_media(payloads: DataFrame, strict: bool = False) -> DataFrame:
     """REAL media decode for stdlib-decodable container formats — BMP
     image headers, RIFF/WAVE audio, and PNG (header here; full pixel
@@ -277,7 +309,7 @@ def decode_media(payloads: DataFrame, strict: bool = False) -> DataFrame:
     """
 
     def decode_one(doc_id: int, payload: bytes) -> tuple:
-        for parser in (_parse_bmp, _parse_wav, _parse_png):
+        for parser in (_parse_bmp, _parse_wav, _parse_png, _parse_jpeg):
             got = parser(payload)
             if got is not None:
                 mt, w, h, ch, sr, dur = got
@@ -378,23 +410,27 @@ def synth_bmp_payloads(
 
 def synth_mixed_payloads(docs: DataFrame) -> DataFrame:
     """A mixed-format multimodal table — one payload per doc, format
-    routed by doc_id % 4: real BMP (0), real WAV (1), real zlib-
-    compressed PNG (2), raw utf-8 text bytes (3, the 'unknown' arm).
-    Each branch filters BEFORE synthesis so only the needed format is
+    routed by doc_id % 5: real BMP (0), real WAV (1), real zlib-
+    compressed PNG (2), raw utf-8 text bytes (3, the 'unknown' arm),
+    real Huffman-coded baseline JPEG (4, operators/jpeg.py). Each
+    branch filters BEFORE synthesis so only the needed format is
     built, and the union is a narrow no-shuffle concatenation — the
     stand-in for a production corpus where one binary column carries
     heterogeneous media."""
-    four = F.col("doc_id") % 4
+    from migrator_spark.operators.jpeg import synth_jpeg_payloads
+
+    five = F.col("doc_id") % 5
     return (
-        synth_bmp_payloads(docs.filter(four == 0))
-        .unionByName(synth_wav_payloads(docs.filter(four == 1)))
-        .unionByName(synth_png_payloads(docs.filter(four == 2)))
+        synth_bmp_payloads(docs.filter(five == 0))
+        .unionByName(synth_wav_payloads(docs.filter(five == 1)))
+        .unionByName(synth_png_payloads(docs.filter(five == 2)))
         .unionByName(
-            docs.filter(four == 3).select(
+            docs.filter(five == 3).select(
                 "doc_id",
                 F.encode(F.col("text"), "utf-8").cast(BinaryType()).alias("payload"),
             )
         )
+        .unionByName(synth_jpeg_payloads(docs.filter(five == 4)))
     )
 
 

@@ -447,14 +447,14 @@ FROM docs
 
 def mm1_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media metadata decode over a mixed-format binary corpus:
-    each doc carries an actual BMP / WAV / PNG / raw-text payload
-    (format by doc_id % 4, multimodal.synth_mixed_payloads) and
-    decode_metadata sniffs + parses the genuine container headers
+    each doc carries an actual BMP / WAV / PNG / raw-text / JPEG
+    payload (format by doc_id % 5, multimodal.synth_mixed_payloads)
+    and decode_metadata sniffs + parses the genuine container headers
     byte-by-byte inside Arrow mapInPandas — only the raw-text arm
-    falls back to the documented stub dims under 'unknown'. The
-    oracle recomputes each arm's true dimensions from the synthesis
-    formulas, so a decoder that skipped the real parsing (or
-    misrouted a format) cannot match."""
+    falls back to the documented stub dims under 'unknown' (the
+    env-gated arm is down to video). The oracle recomputes each arm's
+    true dimensions from the synthesis formulas, so a decoder that
+    skipped the real parsing (or misrouted a format) cannot match."""
     docs = load_table(spark, sf_dir, "documents")
     meta = mm.decode_metadata(mm.synth_mixed_payloads(docs))
     return meta.select("doc_id", "media_type", "width", "height")
@@ -462,13 +462,15 @@ def mm1_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM1_ORACLE = """
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
-            WHEN 2 THEN 'image/png' ELSE 'unknown' END AS media_type,
-       CASE doc_id % 4 WHEN 0 THEN 16 WHEN 2 THEN 16
+       CASE doc_id % 5 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+            WHEN 2 THEN 'image/png' WHEN 4 THEN 'image/jpeg'
+            ELSE 'unknown' END AS media_type,
+       CASE doc_id % 5 WHEN 0 THEN 16 WHEN 2 THEN 16 WHEN 4 THEN 16
             WHEN 3 THEN 320 + octet_length(encode(text)) % 320
        END::BIGINT AS width,
-       CASE doc_id % 4 WHEN 0 THEN 1 + n_chars % 64
+       CASE doc_id % 5 WHEN 0 THEN 1 + n_chars % 64
             WHEN 2 THEN 1 + n_chars % 64
+            WHEN 4 THEN 8 * (1 + n_chars % 8)
             WHEN 3 THEN 240 + octet_length(encode(text)) % 240
        END::BIGINT AS height
 FROM documents

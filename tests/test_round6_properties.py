@@ -233,7 +233,8 @@ def test_decode_metadata_parses_real_formats(spark):
     from migrator_spark.operators import multimodal as mm
 
     docs = spark.createDataFrame(
-        [(0, 10, "t" * 10), (1, 11, "u" * 11), (2, 12, "v" * 12), (3, 13, "w" * 13)],
+        [(0, 10, "t" * 10), (1, 11, "u" * 11), (2, 12, "v" * 12),
+         (3, 13, "w" * 13), (4, 14, "x" * 14)],
         "doc_id long, n_chars long, text string",
     )
     got = {
@@ -248,6 +249,8 @@ def test_decode_metadata_parses_real_formats(spark):
     assert (got[2]["width"], got[2]["height"]) == (16, 13)
     assert got[3]["media_type"] == "unknown"
     assert got[3]["n_bytes"] == 13
+    assert got[4]["media_type"] == "image/jpeg"  # real SOF header parse
+    assert (got[4]["width"], got[4]["height"]) == (16, 8 * (1 + 14 % 8))
 
 
 def test_image_pixel_features_known_image(spark):
