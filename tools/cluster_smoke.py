@@ -63,6 +63,9 @@ SMOKE_QUERIES = [
     "ev11_funnel",              # staged per-user frontiers across real exchanges
     "mm7_png_roundtrip",        # zlib encode/decode inside executor Python workers
     "dc2_contamination_spans",  # broadcast hash-set flag join over the position stream
+    "mm8_jpeg_roundtrip",       # numpy DCT + Huffman codec inside executor Python workers
+    "sim11_two_level_quantizer",  # two broadcast-fold assignment levels across executors
+    "sd3_stream_semdedup_batch",  # sequential fold: per-round localCheckpoints on executors
 ]
 
 
