@@ -3642,3 +3642,47 @@ SELECT c.vec_id, c.cell,
        (st.rm IS NULL OR st.rm = 0) AS keep
 FROM cs c LEFT JOIN st ON st.ia = c.vec_id
 """
+
+
+DD13_MAX_DIST, DD13_MIN_SHARED = 40, 3
+
+
+def dd13_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs (dedup.edit_distance_pairs):
+    exact banded Levenshtein within language blocks over the dd4
+    inverted-index candidate space, length-difference pruned — the
+    typo/OCR-noise duplicate family token-set detectors miss. Both
+    engines compute classic unit-cost Levenshtein, so distances grade
+    bit-for-bit."""
+    return dd.edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"),
+        block_cols=["lang"],
+        max_dist=DD13_MAX_DIST,
+        min_shared=DD13_MIN_SHARED,
+    )
+
+
+DD13_ORACLE = f"""
+WITH {DOCS_CTE}, {SH_CTE},
+d AS (SELECT doc_id, lang, list_distinct(sh) AS sh FROM sh),
+tok AS (SELECT doc_id, lang, unnest(sh) AS s FROM d),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM tok a JOIN tok b ON a.lang = b.lang AND a.s = b.s
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {DD13_MIN_SHARED}
+),
+nt AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+  FROM documents
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(na.n, nb.n) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN nt na ON na.doc_id = c.doc_a
+JOIN nt nb ON nb.doc_id = c.doc_b
+WHERE abs(len(na.n) - len(nb.n)) <= {DD13_MAX_DIST}
+  AND levenshtein(na.n, nb.n) <= {DD13_MAX_DIST}
+"""

@@ -385,6 +385,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sd4_semdedup_two_level": QuerySpec(
         llmdata.sd4_semdedup_two_level, llmdata.SD4_ORACLE
     ),
+    "dd13_edit_distance_pairs": QuerySpec(
+        llmdata.dd13_edit_distance_pairs, llmdata.DD13_ORACLE
+    ),
 }
 
 
@@ -424,6 +427,7 @@ _GRADED_WINDOW: list[str] = [
     "sm7_stratified_sample",  # NEW: exact Hamilton-quota stratified draw
     "sim11_two_level_quantizer",  # NEW: hierarchical IVF build, the 32x-probe knob executed
     "sd4_semdedup_two_level",  # NEW: the knob wired into the flagship dedup
+    "dd13_edit_distance_pairs",  # NEW: exact banded Levenshtein near-dups
     "cur8_best_copy_dedup",  # ADVICE r5: struct ordering key replaces 2^40 arithmetic
     # -- r2-stale family (newest driver row = round 2; VERDICT r5 #1) --
     "f4_string_suite",
@@ -461,7 +465,6 @@ _GRADED_WINDOW: list[str] = [
     "q8c_cube_orders",
     "q19_disjunctive_filter",
     "q10_returned_items",
-    "q14_promo_effect",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

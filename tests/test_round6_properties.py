@@ -334,3 +334,29 @@ def test_stratified_sample_exact_quotas(spark):
         assert abs(counts[name] - exact) < 1.0, (name, counts[name], exact)
     again = stratified_sample(df, total=total, strata_col="source").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_edit_distance_pairs_semantics(spark):
+    # dd13: a typo-level copy is caught (small edit distance); a
+    # vocabulary-shuffled doc shares every token yet exceeds the
+    # distance bound and must NOT pair; cross-block pairs never form
+    from migrator_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    typo = base.replace("quick", "qwick").replace("lazy", "lasy")
+    shuffled = " ".join(reversed(base.split()))
+    rows = [
+        (1, "en", base),
+        (2, "en", typo),        # 2 char edits -> pair
+        (3, "en", shuffled),    # same tokens, reordered -> no pair
+        (4, "de", base),        # other block -> never a candidate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in edit_distance_pairs(
+            df, block_cols=["lang"], max_dist=10, min_shared=3
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 2
+    assert all(3 not in pair and 4 not in pair for pair in got)
