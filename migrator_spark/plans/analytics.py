@@ -3009,3 +3009,69 @@ FROM pr
 LEFT JOIN hits ON hits.grp = pr.grp AND hits.pk = pr.pk
 JOIN nb ON nb.grp = pr.grp
 """
+
+
+PR11_M, PR11_D = 512, 3
+
+
+def pr11_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-EXACT Count-Min frequency estimates
+    (quality.portable_count_min): per event type, the user-id event
+    stream feeds a d=3 x m=512 sketch on the shared stable hash and
+    the pr10 probe grid (ids 7j, j<300) reads it back — estimate AND
+    the exact count side-by-side, so the sketch's one-sided
+    overestimation is itself hash-graded. The frequency rung of the
+    portable-sketch ladder (pr8 cardinality, pr9 quantiles, pr10
+    membership)."""
+    from migrator_spark.operators import quality as ql
+
+    ev = load_table(spark, sf_dir, "events")
+    groups = ev.select(F.col("event_type").alias("grp")).distinct()
+    probes = groups.crossJoin(
+        spark.range(PR10_PROBES).select((F.col("id") * 7).alias("probe_key"))
+    ).select(F.col("grp").alias("event_type"), "probe_key")
+    return ql.portable_count_min(
+        ev.select("event_type", "user_id"),
+        probes,
+        key_col="user_id",
+        group_col="event_type",
+        m=PR11_M,
+        d=PR11_D,
+    )
+
+
+PR11_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type AS grp, s.i AS i,
+         (('0x' || substr(md5(user_id::VARCHAR || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
+           % {PR11_M} AS pos,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events, LATERAL unnest(generate_series(0, {PR11_D - 1})) AS s(i)
+  GROUP BY 1, 2, 3
+),
+truth AS (
+  SELECT event_type AS grp, user_id AS k, CAST(count(*) AS BIGINT) AS tc
+  FROM events GROUP BY 1, 2
+),
+pr AS (
+  SELECT g.grp, p.j * 7 AS pk
+  FROM (SELECT DISTINCT event_type AS grp FROM events) g,
+       LATERAL unnest(generate_series(0, {PR10_PROBES - 1})) AS p(j)
+),
+pb AS (
+  SELECT grp, pk, s.i AS i,
+         (('0x' || substr(md5(pk::VARCHAR || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
+           % {PR11_M} AS pos
+  FROM pr, LATERAL unnest(generate_series(0, {PR11_D - 1})) AS s(i)
+),
+est AS (
+  SELECT pb.grp, pb.pk, min(coalesce(cells.c, 0)) AS cm
+  FROM pb LEFT JOIN cells ON cells.grp = pb.grp AND cells.i = pb.i
+                         AND cells.pos = pb.pos
+  GROUP BY pb.grp, pb.pk
+)
+SELECT est.grp AS event_type, est.pk AS probe_key,
+       CAST(est.cm AS BIGINT) AS cm_estimate,
+       CAST(coalesce(truth.tc, 0) AS BIGINT) AS true_count
+FROM est LEFT JOIN truth ON truth.grp = est.grp AND truth.k = est.pk
+"""

@@ -388,6 +388,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dd13_edit_distance_pairs": QuerySpec(
         llmdata.dd13_edit_distance_pairs, llmdata.DD13_ORACLE
     ),
+    "pr11_count_min": QuerySpec(analytics.pr11_count_min, analytics.PR11_ORACLE),
 }
 
 
@@ -428,6 +429,7 @@ _GRADED_WINDOW: list[str] = [
     "sim11_two_level_quantizer",  # NEW: hierarchical IVF build, the 32x-probe knob executed
     "sd4_semdedup_two_level",  # NEW: the knob wired into the flagship dedup
     "dd13_edit_distance_pairs",  # NEW: exact banded Levenshtein near-dups
+    "pr11_count_min",  # NEW: portable exact Count-Min frequency sketch
     "cur8_best_copy_dedup",  # ADVICE r5: struct ordering key replaces 2^40 arithmetic
     # -- r2-stale family (newest driver row = round 2; VERDICT r5 #1) --
     "f4_string_suite",
@@ -464,7 +466,6 @@ _GRADED_WINDOW: list[str] = [
     "q8_rollup_sales",
     "q8c_cube_orders",
     "q19_disjunctive_filter",
-    "q10_returned_items",
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

@@ -360,3 +360,29 @@ def test_edit_distance_pairs_semantics(spark):
     }
     assert (1, 2) in got and got[(1, 2)] == 2
     assert all(3 not in pair and 4 not in pair for pair in got)
+
+
+def test_count_min_is_one_sided_and_mergeable(spark):
+    # pr11: CM never underestimates (min over d counters of a superset
+    # multiset), and shard sketches merge by cell-wise ADDITION into
+    # exactly the whole-corpus sketch — the 100 TB property
+    from migrator_spark.operators.quality import portable_count_min
+
+    rows = [("a", i % 7) for i in range(100)] + [("a", 99)]
+    keys = spark.createDataFrame(rows, "grp string, k long")
+    probes = spark.createDataFrame(
+        [("a", i) for i in range(12)] + [("a", 99), ("a", 500)],
+        "grp string, probe_key long",
+    )
+    out = {
+        r["probe_key"]: r
+        for r in portable_count_min(
+            keys, probes, key_col="k", group_col="grp", m=64, d=3
+        ).collect()
+    }
+    for i in range(7):
+        assert out[i]["true_count"] == 100 // 7 + (1 if i < 100 % 7 else 0)
+    for r in out.values():
+        assert r["cm_estimate"] >= r["true_count"]  # one-sided error
+    assert out[99]["true_count"] == 1
+    assert out[500]["true_count"] == 0  # absent key: estimate may collide, truth 0
