@@ -966,3 +966,20 @@ def test_sd4_pair_stage_is_cell_keyed(spark, sf_dir):
     # (fine cell, salt) keys, never a cartesian or id self-join
     plan = _plan(spark, sf_dir, "sd4_semdedup_two_level")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pr11_state_stays_broadcast(spark, sf_dir):
+    # the d x m cell state is bounded regardless of corpus size and
+    # must reach the probe join as a broadcast; the probe relation is
+    # scanned once (no self-join, nothing cartesian)
+    plan = _plan(spark, sf_dir, "pr11_count_min")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dd13_verify_runs_on_pruned_candidates(spark, sf_dir):
+    # the Levenshtein verify must sit above the inverted-index
+    # candidate aggregate, never a cartesian of the corpus
+    plan = _plan(spark, sf_dir, "dd13_edit_distance_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "levenshtein" in plan, plan
