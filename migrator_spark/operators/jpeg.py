@@ -405,8 +405,16 @@ def _decode_scan(
                 reader.align()
                 if reader.marker is None:
                     # marker bytes not yet consumed by the reader
-                    while payload[reader.pos] != 0xFF or payload[reader.pos + 1] == 0x00:
+                    while (
+                        reader.pos + 1 < len(payload)
+                        and (
+                            payload[reader.pos] != 0xFF
+                            or payload[reader.pos + 1] == 0x00
+                        )
+                    ):
                         reader.pos += 1
+                    if reader.pos + 1 >= len(payload):
+                        raise ValueError("truncated JPEG: missing restart marker")
                     reader.pos += 2
                 else:
                     reader.marker = None

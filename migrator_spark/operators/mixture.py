@@ -431,14 +431,19 @@ def stratified_sample(
 
     from migrator_spark.functions.hashing import stable_hash64
 
-    sizes = docs.groupBy(F.col(strata_col).alias("_s")).agg(
+    # null-safe stratum KEY: equi-joins drop null keys, so a null
+    # stratum's rows would silently vanish from the draw; groupBy and
+    # the quota join run on the sentinel-coalesced key while the
+    # output still reports the original (possibly null) stratum value
+    skey = F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00null"))
+    sizes = docs.groupBy(skey.alias("_sk"), F.col(strata_col).alias("_s")).agg(
         F.count(F.lit(1)).alias("_nh")
     )
     tot = sizes.agg(F.sum("_nh").alias("_n"))
     # floor quota + largest-remainder rank, all integer: remainder
     # comparison uses total*N_h % N directly (no float division)
     w = Window.orderBy(
-        (F.col("_rem")).desc(), F.col("_s").asc()
+        (F.col("_rem")).desc(), F.col("_sk").asc()
     )
     alloc = (
         sizes.crossJoin(F.broadcast(tot))
@@ -455,14 +460,15 @@ def stratified_sample(
                 <= F.lit(total) - F.sum("_fl").over(Window.partitionBy())
             ).cast("long"),
         )
-        .select("_s", (F.col("_fl") + F.col("_extra")).alias("_quota"))
+        .select("_sk", (F.col("_fl") + F.col("_extra")).alias("_quota"))
     )
-    pick = Window.partitionBy("_s").orderBy(
+    pick = Window.partitionBy("_sk").orderBy(
         F.col("_h").asc(), F.col(id_col).asc()
     )
     return (
         docs.select(
             F.col(id_col),
+            skey.alias("_sk"),
             F.col(strata_col).alias("_s"),
             stable_hash64(F.col(id_col).cast("string")).alias("_h"),
         )
@@ -473,7 +479,7 @@ def stratified_sample(
         # down to <= total rows BEFORE the exchange); the exact
         # column-valued quota filter then runs on the tiny survivor set
         .filter(F.col("_rn") <= F.lit(total))
-        .join(F.broadcast(alloc), "_s")
+        .join(F.broadcast(alloc), "_sk")
         .filter(F.col("_rn") <= F.col("_quota"))
         .select(F.col(id_col), F.col("_s").alias(strata_col))
     )

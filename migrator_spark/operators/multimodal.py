@@ -280,6 +280,8 @@ def _parse_jpeg(payload: bytes):
         if tag in (0xD8, 0xD9) or 0xD0 <= tag <= 0xD7:
             continue
         size = int.from_bytes(payload[pos : pos + 2], "big")
+        if size < 2:  # malformed length would loop forever
+            return None
         if tag in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             body = payload[pos + 2 : pos + size]
             if len(body) < 5:

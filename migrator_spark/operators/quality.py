@@ -410,6 +410,11 @@ def sampled_quantiles(
 
     from migrator_spark.functions.hashing import stable_hash64
 
+    names = [f"p{int(q * 100)}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"quantile labels collide after int(q*100) truncation: {names}"
+        )
     h = stable_hash64(F.col(id_col).cast("string"))
     base = df.select(
         F.col(group_col).alias("grp"),
@@ -508,11 +513,17 @@ def portable_bloom(
         .distinct()
     )
     nbits = state.groupBy("grp").agg(F.count(F.lit(1)).alias("n_bits_set"))
-    probed = probes.select(
-        F.col(group_col).alias("grp"),
-        F.col(probe_col).alias("_p"),
-        F.explode(seeds).alias("_i"),
-    ).select("grp", "_p", bits(F.col("_p")).alias("_bit"))
+    # distinct BEFORE the seed explode: a duplicated probe row would
+    # otherwise carry 2k exploded rows and the hits == k membership
+    # test would wrongly report a true member as absent
+    probed = (
+        probes.select(
+            F.col(group_col).alias("grp"), F.col(probe_col).alias("_p")
+        )
+        .distinct()
+        .select("grp", "_p", F.explode(seeds).alias("_i"))
+        .select("grp", "_p", bits(F.col("_p")).alias("_bit"))
+    )
     hits = (
         probed.join(state, ["grp", "_bit"], "left_semi")
         .groupBy("grp", "_p")

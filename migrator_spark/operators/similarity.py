@@ -864,6 +864,10 @@ def semdedup_fold(
     """
     if not boundaries:
         raise ValueError("need at least one batch boundary")
+    if list(boundaries) != sorted(set(boundaries)):
+        raise ValueError(
+            f"boundaries must be strictly increasing: {boundaries!r}"
+        )
     pts = emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

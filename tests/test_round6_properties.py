@@ -386,3 +386,53 @@ def test_count_min_is_one_sided_and_mergeable(spark):
         assert r["cm_estimate"] >= r["true_count"]  # one-sided error
     assert out[99]["true_count"] == 1
     assert out[500]["true_count"] == 0  # absent key: estimate may collide, truth 0
+
+
+def test_round6_hardening_edges(spark):
+    # ADVICE-preempting edges found in self-review: duplicated probe
+    # rows must not flip Bloom membership; a null stratum must not
+    # vanish from the stratified draw; malformed JPEG lengths must
+    # reject, not hang; unsorted fold boundaries must raise; colliding
+    # quantile labels must raise
+    import pytest as _pytest
+
+    from migrator_spark.operators.mixture import stratified_sample
+    from migrator_spark.operators.multimodal import _parse_jpeg
+    from migrator_spark.operators.quality import (
+        portable_bloom,
+        sampled_quantiles,
+    )
+    from migrator_spark.operators.similarity import semdedup_fold
+
+    # duplicate probe row: still a member
+    keys = spark.createDataFrame([("a", i) for i in range(20)], "grp string, k long")
+    probes = spark.createDataFrame(
+        [("a", 5), ("a", 5)], "grp string, probe_key long"
+    )
+    out = portable_bloom(keys, probes, key_col="k", group_col="grp", m=256, k=3).collect()
+    assert len(out) == 1 and out[0]["member"] is True
+
+    # null stratum keeps its proportional share
+    rows = [(i, "x") for i in range(80)] + [(80 + i, None) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = stratified_sample(df, total=10, strata_col="source").collect()
+    assert len(got) == 10
+    assert sum(1 for r in got if r["source"] is None) == 2  # 20% of 10
+
+    # malformed zero-length marker segment: clean rejection
+    assert _parse_jpeg(b"\xff\xd8\xff\xe0\x00\x00garbage") is None
+
+    # fold boundary validation
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="strictly increasing"):
+        semdedup_fold(emb, [5, 3])
+
+    # quantile label collision (0.99 and 0.999 both -> p99)
+    with _pytest.raises(ValueError, match="collide"):
+        sampled_quantiles(
+            spark.createDataFrame([(1, 1.0, "g")], "id long, v double, g string"),
+            value_col="v", group_col="g", id_col="id", qs=(0.99, 0.999),
+        )
