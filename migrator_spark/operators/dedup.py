@@ -972,13 +972,37 @@ def containment_pairs(
     while its symmetric Jaccard (~|A|/|B|) can sit far below any
     near-dup threshold, so Jaccard-only dedup keeps both.
 
-    Same sub-quadratic inverted-index shape as ngram_jaccard_pairs
-    (exploded token relation self-joins on (block, shingle); only
-    pairs sharing >= 1 shingle materialize; the match count IS the
-    intersection) — only the final pure-per-pair expression differs,
-    so the cost class is identical."""
+    Candidate generation is PREFIX-FILTERED (the ppjoin family, Xiao
+    et al. 2008, "Efficient Similarity Joins for Near Duplicate
+    Detection"): order each doc's shingles by global document
+    frequency ascending (rarest first, ties by shingle) and index only
+    the first sz - ceil(tau*sz) + 1 of them. Pigeonhole-exact: if a
+    pair reaches containment >= tau, its SMALLER side must share at
+    least one PREFIX shingle with the other doc's full set — missing
+    the whole prefix caps the intersection at ceil(tau*min_sz) - 1 <
+    tau*min_sz. So joining every doc's prefix against the full
+    inverted index finds every qualifying pair, while the hottest
+    (stopword-like) shingles — exactly the postings whose d^2 pair
+    blow-up dominated the unfiltered index join (VERDICT r6 #3,
+    measured 8.5 s at 1x / 41 s at 32x) — fall OUT of small docs'
+    prefixes entirely. Surviving candidates verify with one exact
+    per-pair array_intersect (O(sz_a + sz_b), never all shared-
+    shingle occurrences), so the output is bit-identical to the
+    unfiltered form. ceil(tau*sz) runs in integer rational arithmetic
+    (Fraction), the pr9 discipline.
+
+    Scale: the only quadratic-ish term left is true candidate volume
+    (pairs sharing a RARE shingle) — the same class the banded-LSH
+    generators bound; the df table is one partial-combined aggregate
+    joined back on the (block, shingle) key, and the per-doc prefix
+    rank is a window over one doc's shingles (bounded partitions)."""
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs never materialize)")
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    tau = Fraction(str(threshold))
     sh = docs.select(
         F.col(id_col),
         *block_cols,
@@ -987,25 +1011,47 @@ def containment_pairs(
     tok = sh.select(
         F.col(id_col), *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("s")
     )
-    inter = (
-        tok.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"), *block_cols, "s")
-        .join(
-            tok.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"), *block_cols, "s"),
+    df_tbl = tok.groupBy(*block_cols, "s").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(*block_cols, id_col).orderBy(
+        F.col("_df").asc(), F.col("s").asc()
+    )
+    # prefix length sz - ceil(tau*sz) + 1, ceil via integer rational
+    plen = (
+        F.col("sz")
+        - F.expr(
+            f"({tau.numerator} * sz + {tau.denominator - 1})"
+            f" div {tau.denominator}"
+        )
+        + F.lit(1)
+    )
+    prefix = (
+        tok.join(df_tbl, [*block_cols, "s"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= plen)
+        .select(F.col(id_col).alias("_pid"), *block_cols, "s")
+    )
+    cand = (
+        prefix.join(
+            tok.select(F.col(id_col).alias("_fid"), *block_cols, "s"),
             on=[*block_cols, "s"],
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.min("sz_a").alias("sz_a"),
-            F.min("sz_b").alias("sz_b"),
+        .filter(F.col("_pid") != F.col("_fid"))
+        .select(
+            F.least("_pid", "_fid").alias("doc_a"),
+            F.greatest("_pid", "_fid").alias("doc_b"),
         )
+        .distinct()
     )
-    containment = F.col("n_inter").cast("double") / F.least(
-        F.col("sz_a"), F.col("sz_b")
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("_shb"))
+    n_inter = F.size(F.array_intersect("_sha", "_shb"))
+    containment = n_inter.cast("double") / F.least(
+        F.size("_sha"), F.size("_shb")
     ).cast("double")
     return (
-        inter.withColumn("containment", containment)
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("containment", containment)
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )

@@ -257,9 +257,15 @@ class _BitReader:
     def _fill(self) -> None:
         if self.marker is not None:
             raise ValueError("read past marker in entropy data")
+        if self.pos >= len(self.data):
+            # byte stream ends mid-MCU: ValueError per the module's
+            # malformed-input contract, never a raw IndexError
+            raise ValueError("truncated entropy data")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy data")
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1
@@ -327,6 +333,11 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, int]:
             continue
         size = int.from_bytes(payload[pos : pos + 2], "big")
         body = payload[pos + 2 : pos + size]
+        if len(body) != max(size - 2, 0):
+            # stream ends inside a marker segment: same ValueError
+            # contract as truncated entropy data, never an IndexError
+            # from a partially-parsed table
+            raise ValueError("truncated marker segment")
         if tag == 0xDB:  # DQT (possibly several tables per marker)
             b = 0
             while b < len(body):
@@ -368,6 +379,11 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, int]:
         elif tag == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif tag == 0xDA:  # SOS — entropy data follows
+            if width is None:
+                # malformed stream: the scan references frame geometry
+                # the decoder never saw — fail with the module's
+                # ValueError contract, not a downstream TypeError
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []  # (comp index, dc table, ac table)
             for c in range(ns):

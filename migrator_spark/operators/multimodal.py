@@ -86,6 +86,12 @@ def decode_metadata(payloads: DataFrame, strict: bool = False) -> DataFrame:
     import hashlib
 
     def decode_one(doc_id: int, payload: bytes) -> tuple:
+        if payload is None:
+            # null payload (e.g. a null-text doc routed through the
+            # raw-bytes arm): report it as unknown with null dims
+            # instead of crashing the executor (ADVICE r6 #3), the
+            # media-path mirror of dsir_score's null-text handling
+            return (doc_id, "unknown", None, None, None, None)
         payload = bytes(payload)
         ph = int(hashlib.md5(payload).hexdigest()[:15], 16)
         for parser in (_parse_bmp, _parse_wav, _parse_png, _parse_jpeg):
@@ -311,6 +317,10 @@ def decode_media(payloads: DataFrame, strict: bool = False) -> DataFrame:
     """
 
     def decode_one(doc_id: int, payload: bytes) -> tuple:
+        if payload is None:
+            # same null-payload contract as decode_metadata: typed
+            # unknown row, never an executor crash (ADVICE r6 #3)
+            return (doc_id, "unknown", None, None, None, None, None, None)
         for parser in (_parse_bmp, _parse_wav, _parse_png, _parse_jpeg):
             got = parser(payload)
             if got is not None:

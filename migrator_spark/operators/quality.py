@@ -395,9 +395,14 @@ def sampled_quantiles(
     per group forever. Estimates: the sample's DISCRETE quantiles
     picked by explicit integer rank ceil(q * m) over (value, id)
     order — actual data values, zero float interpolation anywhere, so
-    two engines agree bit-for-bit. Rank error vs the true quantile is
-    the classic O(1/sqrt(k)) sampling bound, property-tested in
-    tests/test_round6_properties.py.
+    two engines agree bit-for-bit. Each ``q`` is parsed as an EXACT
+    rational (``Fraction(str(q))``) and the rank is computed with
+    integer arithmetic ((num*m + den - 1) div den) on both engines —
+    double-precision ceil(q*m) can land one rank off exact decimal
+    evaluation for adversarial q (e.g. q=0.07, m=100), which would
+    break the bit-for-bit contract for custom quantiles (ADVICE r6
+    #1). Rank error vs the true quantile is the classic O(1/sqrt(k))
+    sampling bound, property-tested in tests/test_round6_properties.py.
 
     Scale: the bottom-k window compiles to WindowGroupLimit (per-
     partition k-heaps before the shuffle — post-shuffle state is O(k)
@@ -406,10 +411,15 @@ def sampled_quantiles(
     count aggregate whose groups-sized output joins back as a
     BROADCAST. Both passes prune to (group, value, id) at the scan.
     """
+    from fractions import Fraction
+
     from pyspark.sql import Window
 
     from migrator_spark.functions.hashing import stable_hash64
 
+    fracs = [Fraction(str(q)) for q in qs]
+    if any(f <= 0 or f > 1 for f in fracs):
+        raise ValueError(f"quantiles must be in (0, 1]: {qs}")
     names = [f"p{int(q * 100)}" for q in qs]
     if len(set(names)) != len(names):
         raise ValueError(
@@ -443,11 +453,14 @@ def sampled_quantiles(
         F.max(
             F.when(
                 F.col("_vr")
-                == F.ceil(F.lit(q) * F.col("_m").cast("double")),
+                == F.expr(
+                    f"({f.numerator} * _m + {f.denominator - 1})"
+                    f" div {f.denominator}"
+                ),
                 F.col("_v"),
             )
-        ).alias(f"p{int(q * 100)}")
-        for q in qs
+        ).alias(name)
+        for f, name in zip(fracs, names)
     ]
     return ranked.groupBy("grp", "n_rows", "_m").agg(*picks).select(
         F.col("grp").alias(group_col),

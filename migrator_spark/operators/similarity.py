@@ -480,6 +480,26 @@ def pq_adc_topk(
     )
 
 
+def _require_centroids(cents: DataFrame, what: str) -> DataFrame:
+    """Refuse to dedup against an EMPTY quantizer: if the build slice
+    (a 1/M hash sample, or ids below the first fold boundary) holds no
+    vectors, _fit_centroids returns zero centroids and the downstream
+    inner assignment join would silently drop every row — an empty
+    dedup verdict that looks like "no duplicates" (ADVICE r6 #4).
+    ``cents`` must already be localCheckpoint'ed (the take(1) probe is
+    then O(1) on at most k materialized rows). Fewer than k centroids
+    (build slice smaller than k) stays valid — it is the flat build's
+    documented empty-cell semantics, k just shrinks."""
+    if not cents.take(1):
+        raise ValueError(
+            f"semantic-dedup quantizer build got an EMPTY build slice "
+            f"({what}); refusing to return a silently empty verdict — "
+            f"widen the sample (smaller build_sample_mod) or lower the "
+            f"first boundary"
+        )
+    return cents
+
+
 def semdedup(
     emb: DataFrame,
     k: int = 8,
@@ -537,7 +557,10 @@ def semdedup(
         build_pts = pts
     # k rows; feeds BOTH the assignment pass and the centroid-cos join,
     # so without materialization the whole Lloyd build executes twice
-    cents = _fit_centroids(build_pts, k, iters, id_col).localCheckpoint(eager=True)
+    cents = _require_centroids(
+        _fit_centroids(build_pts, k, iters, id_col).localCheckpoint(eager=True),
+        f"build_sample_mod={build_sample_mod}" if build_sample_mod else "full corpus",
+    )
     assigned = _assign_cells(pts, cents, id_col)
     # per-row norm hoisted ONCE into the checkpointed relation, and the
     # pair-stage dot unrolled for codegen when the dimension is known —
@@ -684,7 +707,10 @@ def semdedup_incremental(
     old_pts = pts.join(new_ids, id_col, "left_anti")
     # k rows; feeds the assignment AND the centroid-cos join — the
     # frozen quantizer artifact, materialized once (semdedup's fix)
-    cents = _fit_centroids(old_pts, k, iters, id_col).localCheckpoint(eager=True)
+    cents = _require_centroids(
+        _fit_centroids(old_pts, k, iters, id_col).localCheckpoint(eager=True),
+        "existing corpus minus new_ids",
+    )
     scored = score_against_centroids(pts, cents, id_col)
 
     new = scored.join(new_ids, id_col, "leftsemi")
@@ -837,6 +863,9 @@ def semdedup_fold(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    quantizer: str = "flat",
+    k_coarse: int | None = None,
+    k_fine: int | None = None,
 ) -> DataFrame:
     """Sequential micro-batch semantic dedup — the BATCH-EQUIVALENT of
     the streaming intake (streaming.semantic_ingest_stream): the
@@ -861,6 +890,15 @@ def semdedup_fold(
     through per-round localCheckpoints — the steady-state cost
     profile of the stream, with batch count fixed (a handful of
     trigger-sized folds), not data-dependent.
+
+    ``quantizer``: ``"flat"`` (one k-cell Lloyd codebook) or
+    ``"two_level"`` (the hierarchical IVF build, k_coarse x k_fine
+    effective cells at O(k_coarse + k_fine) assignment cost — the
+    production choice for k ∝ n regimes, where the flat assignment
+    term is the measured super-linear cost at 32x data, SCALE.md
+    §5e). Both train ONLY on the incumbent store and score every
+    vector through the same frozen artifact; downstream fold
+    semantics are identical.
     """
     if not boundaries:
         raise ValueError("need at least one batch boundary")
@@ -873,10 +911,24 @@ def semdedup_fold(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     # frozen quantizer: trained on the incumbent store only
-    cents = _fit_centroids(
-        pts.filter(F.col(id_col) < boundaries[0]), k, iters, id_col
-    ).localCheckpoint(eager=True)
-    scored = score_against_centroids(pts, cents, id_col)
+    build_pts = pts.filter(F.col(id_col) < boundaries[0])
+    if quantizer == "two_level":
+        if not (k_coarse and k_fine):
+            raise ValueError("two_level quantizer needs k_coarse and k_fine")
+        coarse, fine, _ = fit_two_level(
+            build_pts, k_coarse, k_fine, iters, id_col
+        )
+        scored = score_against_two_level(pts, coarse, fine, k_fine, id_col)
+    elif quantizer == "flat":
+        cents = _require_centroids(
+            _fit_centroids(build_pts, k, iters, id_col).localCheckpoint(
+                eager=True
+            ),
+            f"ids < boundaries[0]={boundaries[0]}",
+        )
+        scored = score_against_centroids(pts, cents, id_col)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
     kept = scored.filter(F.col(id_col) < boundaries[0])
     out = None
     for i, lo in enumerate(boundaries):
@@ -954,6 +1006,72 @@ def _fit_subcentroids(
     return fine
 
 
+def fit_two_level(
+    pts: DataFrame,
+    k_coarse: int,
+    k_fine: int,
+    iters: int,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the HIERARCHICAL (two-level) IVF quantizer on ``pts``
+    (id_col, v) — the shared build behind kmeans_assign_two_level,
+    semdedup_two_level, the two-level semdedup_fold arm, and the
+    offline artifact prep for streaming.semantic_ingest_stream.
+    Returns (coarse, fine, asg1): the k_coarse coarse centroids, the
+    per-coarse-cell fine codebooks (cell, sub, c), and the BUILD
+    slice's coarse assignment (reusable when build pts == scoring
+    pts). All three are localCheckpoint'ed — each feeds at least two
+    downstream plans."""
+    coarse = _require_centroids(
+        _fit_centroids(pts, k_coarse, iters, id_col).localCheckpoint(eager=True),
+        "two-level coarse build",
+    )
+    asg1 = _assign_cells(pts, coarse, id_col).localCheckpoint(eager=True)
+    fine = _fit_subcentroids(asg1, k_fine, iters, id_col).localCheckpoint(
+        eager=True
+    )
+    return coarse, fine, asg1
+
+
+def score_against_two_level(
+    pts: DataFrame,
+    coarse: DataFrame,
+    fine: DataFrame,
+    k_fine: int,
+    id_col: str = "vec_id",
+    asg1: DataFrame | None = None,
+) -> DataFrame:
+    """Assign points through the frozen two-level quantizer and attach
+    the SemDeDup per-row quantities — the two-level twin of
+    score_against_centroids, producing the identical SCORED contract
+    (id_col, cell, v, _cs, _nrm) with cell = coarse·k_fine + sub and
+    ``_cs`` the cosine to the FINE centroid (the tightest available
+    reference). Both assignment levels are map-only broadcast folds:
+    O(k_coarse + k_fine) distance evals per point instead of the flat
+    form's O(k) — the measured 32x-probe fix (SCALE.md §5e) for k ∝ n
+    regimes, now on the shared scoring seam every semdedup consumer
+    (batch, fold, stream) plugs into. Pass ``asg1`` (a precomputed
+    coarse assignment of exactly these pts, e.g. fit_two_level's third
+    return when build pts == scoring pts) to skip re-running the
+    coarse pass."""
+    if asg1 is None:
+        asg1 = _assign_cells(pts, coarse, id_col)
+    asg2 = _assign_subcells(asg1, fine, id_col)
+    return (
+        asg2.join(F.broadcast(fine), ["cell", "sub"])
+        .withColumn("_cs", cosine_similarity(F.col("v"), F.col("c")))
+        .withColumn("_nrm", l2_norm(F.col("v")))
+        .select(
+            F.col(id_col),
+            (F.col("cell") * k_fine + F.col("sub")).cast("long").alias("cell"),
+            "v",
+            "_cs",
+            "_nrm",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def kmeans_assign_two_level(
     emb: DataFrame,
     k_coarse: int = 4,
@@ -987,13 +1105,7 @@ def kmeans_assign_two_level(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    coarse = _fit_centroids(pts, k_coarse, iters, id_col).localCheckpoint(
-        eager=True
-    )
-    asg1 = _assign_cells(pts, coarse, id_col).localCheckpoint(eager=True)
-    fine = _fit_subcentroids(asg1, k_fine, iters, id_col).localCheckpoint(
-        eager=True
-    )
+    _coarse, fine, asg1 = fit_two_level(pts, k_coarse, k_fine, iters, id_col)
     return _assign_subcells(asg1, fine, id_col).select(
         F.col(id_col),
         (F.col("cell") * k_fine + F.col("sub")).cast("long").alias("cell"),
@@ -1027,25 +1139,8 @@ def semdedup_two_level(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    coarse = _fit_centroids(pts, k_coarse, iters, id_col).localCheckpoint(
-        eager=True
-    )
-    asg1 = _assign_cells(pts, coarse, id_col).localCheckpoint(eager=True)
-    fine = _fit_subcentroids(asg1, k_fine, iters, id_col).localCheckpoint(
-        eager=True
-    )
-    asg2 = _assign_subcells(asg1, fine, id_col)
-    scored = (
-        asg2.join(F.broadcast(fine), ["cell", "sub"])
-        .withColumn("_cs", cosine_similarity(F.col("v"), F.col("c")))
-        .withColumn("_nrm", l2_norm(F.col("v")))
-        .select(
-            F.col(id_col),
-            (F.col("cell") * k_fine + F.col("sub")).cast("long").alias("cell"),
-            "v",
-            "_cs",
-            "_nrm",
-        )
-        .localCheckpoint(eager=True)
+    coarse, fine, asg1 = fit_two_level(pts, k_coarse, k_fine, iters, id_col)
+    scored = score_against_two_level(
+        pts, coarse, fine, k_fine, id_col, asg1=asg1
     )
     return _pairwise_fate(scored, tau, dim, id_col)

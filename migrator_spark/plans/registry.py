@@ -389,6 +389,10 @@ REGISTRY: dict[str, QuerySpec] = {
         llmdata.dd13_edit_distance_pairs, llmdata.DD13_ORACLE
     ),
     "pr11_count_min": QuerySpec(analytics.pr11_count_min, analytics.PR11_ORACLE),
+    # --- NEW round 7 ---
+    "sd5_stream_semdedup_two_level": QuerySpec(
+        llmdata.sd5_stream_semdedup_two_level, llmdata.SD5_ORACLE
+    ),
 }
 
 

@@ -465,6 +465,8 @@ def semantic_ingest_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     available_now: bool = True,
+    fine_centroids: DataFrame | None = None,
+    k_fine: int | None = None,
 ) -> StreamingQuery:
     """Continuous SEMANTIC dedup intake — sd2's frozen-quantizer
     judgment running as a stream, completing the streaming curation
@@ -484,6 +486,16 @@ def semantic_ingest_stream(
     Lloyd build never re-runs (re-clustering on drift is a periodic
     batch ``semdedup``, the rebuild-vs-maintain trade).
 
+    Pass ``fine_centroids`` (+ ``k_fine``) to serve the HIERARCHICAL
+    quantizer instead: ``centroids`` is then the COARSE level and each
+    batch scores through similarity.score_against_two_level —
+    O(k_coarse + k_fine) distance evals per vector instead of O(k),
+    the production configuration for k ∝ n corpora (SCALE.md §5e
+    measured the flat assignment as the stream's super-linear term at
+    32x data; the streaming intake is exactly where a 100 TB corpus
+    feels it). ``incumbents`` must be scored against the SAME
+    artifact (score_against_two_level shape).
+
     Exactly-once across crashes, the continuous_packing_stream
     discipline: decisions write to a DETERMINISTIC partition
     (``out_dir/batch_id=N``, overwrite), the kept vectors to
@@ -501,12 +513,20 @@ def semantic_ingest_stream(
     from migrator_spark.operators.similarity import (
         _judge_scored_batch,
         score_against_centroids,
+        score_against_two_level,
     )
     from migrator_spark.sources.parquet import ParquetSource
 
+    if fine_centroids is not None and not k_fine:
+        raise ValueError("fine_centroids needs k_fine")
     state = ParquetSource(state_root)
     kept_dir = os.path.join(state_root, "kept")
     cents = centroids.localCheckpoint(eager=True)
+    fine = (
+        fine_centroids.localCheckpoint(eager=True)
+        if fine_centroids is not None
+        else None
+    )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -533,7 +553,10 @@ def semantic_ingest_stream(
             F.col(id_col),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         )
-        new_scored = score_against_centroids(pts, cents, id_col)
+        if fine is not None:
+            new_scored = score_against_two_level(pts, cents, fine, k_fine, id_col)
+        else:
+            new_scored = score_against_centroids(pts, cents, id_col)
         old = incumbents
         if os.path.isdir(kept_dir) and any(
             e.startswith("batch_id=") for e in os.listdir(kept_dir)

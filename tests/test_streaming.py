@@ -862,3 +862,125 @@ def test_semantic_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
     with _pytest.raises(Exception, match="refusing"):
         q.awaitTermination(180)
         raise RuntimeError(q.exception() or "stream ended without error")
+
+
+def _sd5_fixture(spark, sf_dir):
+    from migrator_spark.operators.similarity import (
+        fit_two_level,
+        score_against_two_level,
+    )
+    from migrator_spark.plans.llmdata import (
+        EMB_DIM,
+        SD1_TAU,
+        SD3_BOUNDS,
+        SIM11_ITERS,
+        SIM11_KC,
+        SIM11_KF,
+    )
+
+    emb = load_table(spark, str(sf_dir), "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    coarse, fine, _ = fit_two_level(
+        pts.filter(F.col("vec_id") < SD3_BOUNDS[0]),
+        SIM11_KC,
+        SIM11_KF,
+        SIM11_ITERS,
+        "vec_id",
+    )
+    scored = score_against_two_level(pts, coarse, fine, SIM11_KF, "vec_id")
+    incumbents = scored.filter(F.col("vec_id") < SD3_BOUNDS[0]).localCheckpoint(
+        eager=True
+    )
+    return emb, coarse, fine, incumbents, SD3_BOUNDS, SD1_TAU, EMB_DIM
+
+
+def test_semantic_ingest_stream_two_level_parity_and_replay(
+    spark, sf_dir, tmp_path
+):
+    """The PRODUCTION two-level configuration of the semantic intake
+    (VERDICT r6 #2): semantic_ingest_stream serving the hierarchical
+    quantizer (fine_centroids + k_fine) must equal the two-level batch
+    fold (semdedup_fold, quantizer="two_level" — the sd5 registry
+    plan) bit-for-bit, and a forced crash-replay of the newest
+    micro-batch must re-derive identical decisions through the same
+    exactly-once machinery."""
+    import time
+
+    from migrator_spark.operators.similarity import semdedup_fold
+    from migrator_spark.plans.llmdata import SIM11_ITERS, SIM11_KC, SIM11_KF
+    from migrator_spark.streaming.streams import semantic_ingest_stream
+
+    emb, coarse, fine, incumbents, bounds, tau, dim = _sd5_fixture(spark, sf_dir)
+    in_dir = str(tmp_path / "in")
+    st_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("st", "out", "ck"))
+    emb.filter(
+        (F.col("vec_id") >= bounds[0]) & (F.col("vec_id") < bounds[1])
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)
+    emb.filter(F.col("vec_id") >= bounds[1]).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        semantic_ingest_stream(
+            spark,
+            stream,
+            incumbents,
+            coarse,
+            st_dir,
+            ckpt,
+            out_dir,
+            tau=tau,
+            dim=dim,
+            fine_centroids=fine,
+            k_fine=SIM11_KF,
+        ).awaitTermination(180)
+
+    run()
+    read = lambda: sorted(
+        map(
+            tuple,
+            spark.read.option("basePath", out_dir)
+            .parquet(out_dir)
+            .select("vec_id", "cell", "batch_id", "n_dups_old", "n_dups_new", "keep")
+            .collect(),
+        )
+    )
+    got = read()
+    want = sorted(
+        map(
+            tuple,
+            semdedup_fold(
+                emb,
+                list(bounds),
+                iters=SIM11_ITERS,
+                tau=tau,
+                dim=dim,
+                quantizer="two_level",
+                k_coarse=SIM11_KC,
+                k_fine=SIM11_KF,
+            )
+            .select("vec_id", "cell", "batch_id", "n_dups_old", "n_dups_new", "keep")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # forced crash-replay: drop the newest commit, re-run, bit-identical
+    commits = sorted(
+        f for f in os.listdir(ckpt + "/commits") if not f.startswith(".")
+    )
+    os.remove(ckpt + "/commits/" + commits[-1])
+    crc = ckpt + "/commits/." + commits[-1] + ".crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert read() == got
