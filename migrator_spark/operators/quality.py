@@ -556,6 +556,128 @@ def portable_bloom(
     )
 
 
+def _cm_state(keys: DataFrame, key_col: str, group_col: str, m: int, d: int):
+    """The shared Count-Min state builder: d x m counter cells per
+    group on the shared stable hash, one partial-combined aggregate —
+    a pure order-free function of the key multiset (cells merge by
+    addition), reused by portable_count_min (pr11) and
+    portable_heavy_hitters (pr12). Returns (seeds array column, pos
+    hash fn, cells relation (grp, _i, _pos, _c))."""
+    from migrator_spark.functions.hashing import stable_hash64
+
+    seeds = F.array(*[F.lit(i) for i in range(d)])
+
+    def pos(col):
+        return F.pmod(
+            stable_hash64(
+                F.concat(col.cast("string"), F.lit(":"), F.col("_i").cast("string"))
+            ),
+            F.lit(m),
+        )
+
+    cells = (
+        keys.select(
+            F.col(group_col).alias("grp"),
+            F.col(key_col).alias("_k"),
+            F.explode(seeds).alias("_i"),
+        )
+        .select("grp", "_i", pos(F.col("_k")).alias("_pos"))
+        .groupBy("grp", "_i", "_pos")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return seeds, pos, cells
+
+
+def portable_heavy_hitters(
+    keys: DataFrame,
+    key_col: str,
+    group_col: str,
+    phi: tuple[int, int] = (1, 32),
+    m: int = 1024,
+    d: int = 3,
+) -> DataFrame:
+    """Cross-engine-EXACT phi-heavy-hitters per group — the top rung of
+    the portable-sketch ladder (pr8 cardinality, pr9 quantiles, pr10
+    membership, pr11 frequency): report every key whose Count-Min
+    estimate reaches ceil(phi * n) of its group's n occurrences,
+    alongside the exact count, so the classic CM heavy-hitter
+    guarantee (no false negatives: cm_estimate >= true_count means
+    every truly phi-heavy key appears; false positives bounded by the
+    one-sided CM error) is itself part of the graded surface.
+
+    Why not Misra-Gries / SpaceSaving: their bounded counter state
+    depends on STREAM ORDER (which arrivals trigger the decrement /
+    eviction steps), so two engines — or two partitionings of the same
+    engine — legitimately produce different states for the same
+    multiset; an order-dependent state can never meet this family's
+    bit-for-bit bar. The CM-backed form keeps the same O(d*m) mergeable
+    state (cells sum — shard sketches add), the same guarantee class,
+    and is a pure function of the multiset. ``phi`` is an exact
+    rational (num, den); the threshold ceil(phi*n) is integer
+    arithmetic end-to-end (the pr9 discipline).
+
+    Returns (group_col, key_col, cm_estimate, true_count, threshold,
+    is_true_heavy) for keys with cm_estimate >= threshold.
+
+    Scale: the candidate relation is the DISTINCT key set (map-side
+    combined, bounded by vocabulary, never the token stream); the CM
+    state (d*m per group) and the per-group totals are broadcast back
+    onto it; no sort, no self-join anywhere. At 100 TB this is the
+    profiling pre-pass shape: one corpus scan builds cells + counts,
+    one broadcast join reads them.
+    """
+    num, den = phi
+    if num <= 0 or den <= 0 or num > den:
+        raise ValueError(f"phi must be a rational in (0, 1]: {phi}")
+    # null-SAFE group/key joins throughout (the sm7 sentinel lesson,
+    # ADVICE r6 #2, applied up front): a null group or key groups,
+    # estimates, and reports like any other value instead of silently
+    # vanishing at the first equi-join
+    seeds, pos, cells = _cm_state(keys, key_col, group_col, m, d)
+    truth = (
+        keys.select(F.col(group_col).alias("grp"), F.col(key_col).alias("_k"))
+        .groupBy("grp", "_k")
+        .agg(F.count(F.lit(1)).alias("_tc"))
+    )
+    totals = truth.groupBy("grp").agg(F.sum("_tc").alias("_n"))
+    probed = truth.select("grp", "_k", F.explode(seeds).alias("_i")).select(
+        "grp", "_k", "_i", pos(F.col("_k")).alias("_pos")
+    )
+    c = F.broadcast(cells).alias("c")
+    p = probed.alias("p")
+    est = (
+        p.join(
+            c,
+            F.col("p.grp").eqNullSafe(F.col("c.grp"))
+            & (F.col("p._i") == F.col("c._i"))
+            & (F.col("p._pos") == F.col("c._pos")),
+            "left",
+        )
+        .groupBy(F.col("p.grp").alias("grp"), F.col("p._k").alias("_k"))
+        .agg(F.min(F.coalesce(F.col("c._c"), F.lit(0))).alias("_cm"))
+    )
+    e, t, n = est.alias("e"), truth.alias("t"), F.broadcast(totals).alias("n")
+    thr = F.expr(f"({num} * _n + {den - 1}) div {den}")
+    return (
+        e.join(
+            t,
+            F.col("e.grp").eqNullSafe(F.col("t.grp"))
+            & F.col("e._k").eqNullSafe(F.col("t._k")),
+        )
+        .join(n, F.col("e.grp").eqNullSafe(F.col("n.grp")))
+        .withColumn("_thr", thr)
+        .filter(F.col("_cm") >= F.col("_thr"))
+        .select(
+            F.col("e.grp").alias(group_col),
+            F.col("e._k").alias(key_col),
+            F.col("_cm").cast("long").alias("cm_estimate"),
+            F.col("t._tc").cast("long").alias("true_count"),
+            F.col("_thr").cast("long").alias("threshold"),
+            (F.col("t._tc") >= F.col("_thr")).alias("is_true_heavy"),
+        )
+    )
+
+
 def portable_count_min(
     keys: DataFrame,
     probes: DataFrame,
@@ -585,28 +707,7 @@ def portable_count_min(
     explode x d, left-join the broadcast-sized state, and take the
     min — one scan, no self-join.
     """
-    from migrator_spark.functions.hashing import stable_hash64
-
-    seeds = F.array(*[F.lit(i) for i in range(d)])
-
-    def pos(col):
-        return F.pmod(
-            stable_hash64(
-                F.concat(col.cast("string"), F.lit(":"), F.col("_i").cast("string"))
-            ),
-            F.lit(m),
-        )
-
-    cells = (
-        keys.select(
-            F.col(group_col).alias("grp"),
-            F.col(key_col).alias("_k"),
-            F.explode(seeds).alias("_i"),
-        )
-        .select("grp", "_i", pos(F.col("_k")).alias("_pos"))
-        .groupBy("grp", "_i", "_pos")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
+    seeds, pos, cells = _cm_state(keys, key_col, group_col, m, d)
     truth = keys.select(
         F.col(group_col).alias("grp"), F.col(key_col).alias("_k")
     ).groupBy("grp", "_k").agg(F.count(F.lit(1)).alias("_tc"))
@@ -629,5 +730,173 @@ def portable_count_min(
             F.col("_p").alias(probe_col),
             F.col("cm_estimate").cast("long").alias("cm_estimate"),
             F.coalesce(F.col("_tc"), F.lit(0)).cast("long").alias("true_count"),
+        )
+    )
+
+
+def portable_kmv_setops(
+    items: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 64,
+    domain_bits: int = 48,
+) -> DataFrame:
+    """Cross-engine-EXACT KMV (bottom-k / theta) sketch SET OPERATIONS:
+    for every pair of groups, estimate |A|, |B|, |A∪B|, and |A∩B| from
+    k-minimum-value sketches of each group's distinct-key set, with the
+    exact truths alongside — the set-relationship rung of the portable-
+    sketch ladder (pr8 cardinality, pr9 quantiles, pr10 membership,
+    pr11 frequency, pr12 heavy hitters): "how much does crawl B overlap
+    crawl A?" answered from two k-row states instead of a corpus join.
+
+    State per group: the k smallest values of the shared stable hash
+    truncated to ``domain_bits`` bits (h div 2^(60-bits) — truncation,
+    not modulo, preserves order, so bottom-k by truncated hash is the
+    truncation of bottom-k by full hash) over the group's DISTINCT
+    keys. A pure order-free function of the set — mergeable by
+    union + re-bottom-k, identical on any engine or partitioning.
+    Estimators are INTEGER end-to-end (the pr9/pr12 discipline;
+    domain_bits <= 48 keeps (k-1)*2^bits inside int64):
+
+        theta     = k-th smallest truncated hash
+        n_est     = ((k-1) * 2^bits) div theta       (exact n if n < k)
+        union_est = same formula on the bottom-k of the MERGED states
+        inter_est = (c * union_est) div k,
+                    c = |merged bottom-k members present in BOTH states|
+                    (exactly c itself while the merged state is
+                    complete, i.e. |A∪B| < k)
+
+    All set semantics are over the HASHED key sets (collision odds
+    ~n²/2^bits), so both engines grade the identical relation. Null
+    groups survive via the sm7 sentinel key (ADVICE r6 #2) and decode
+    back to NULL on output.
+
+    Scale: ONE distinct-combining corpus scan feeds a per-group
+    bottom-k window (WindowGroupLimit prunes map-side to k rows per
+    partition before the exchange); everything pairwise runs on
+    states — G groups cost G*k state rows plus a G²-pair relation of
+    sketch-sized joins, never a corpus self-join. The exact-truth
+    columns are the one vocabulary-bounded term (distinct-set self-join
+    on hash), carried so the estimator's error is itself graded; a pure
+    100 TB profiling pass drops them and ships only states.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (theta is the k-th minimum)")
+    if not 1 <= domain_bits <= 48:
+        raise ValueError(
+            "domain_bits must be in [1, 48] to keep (k-1)*2^bits in int64"
+        )
+    from pyspark.sql import Window
+
+    from migrator_spark.functions.hashing import stable_hash64
+
+    dom = 1 << domain_bits
+    shift = 1 << (60 - domain_bits)
+    sentinel = "\x00null"
+    dist = (
+        items.select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit(sentinel)).alias("g"),
+            stable_hash64(F.col(key_col).cast("string")).alias("_h64"),
+        )
+        .select("g", F.expr(f"_h64 div {shift}").alias("h"))
+        .distinct()
+    )
+
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    state = dist.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    n_true = dist.groupBy("g").agg(F.count(F.lit(1)).alias("_n"))
+
+    single_est = F.when(F.col("_kg") < k, F.col("_kg")).otherwise(
+        F.expr(f"CAST({(k - 1) * dom} AS BIGINT) div greatest(_th, 1)")
+    )
+    gest = (
+        state.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_kg"), F.max("h").alias("_th"))
+        .select("g", single_est.cast("long").alias("_est"))
+    )
+
+    groups = n_true.select("g")
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .crossJoin(groups.select(F.col("g").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    sa = state.select(F.col("g").alias("ga"), "h")
+    sb = state.select(F.col("g").alias("gb"), "h")
+    merged = (
+        pairs.join(sa, "ga")
+        .select("ga", "gb", "h", F.lit(1).alias("_fa"), F.lit(0).alias("_fb"))
+        .unionByName(
+            pairs.join(sb, "gb").select(
+                "ga", "gb", "h", F.lit(0).alias("_fa"), F.lit(1).alias("_fb")
+            )
+        )
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("_fa").alias("_fa"), F.max("_fb").alias("_fb"))
+    )
+    wp = Window.partitionBy("ga", "gb").orderBy(F.col("h").asc())
+    ag = (
+        merged.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= k)
+        .groupBy("ga", "gb")
+        .agg(
+            F.count(F.lit(1)).alias("_kp"),
+            F.max("h").alias("_th"),
+            F.sum(F.col("_fa") * F.col("_fb")).alias("_c"),
+        )
+    )
+    union_est = F.when(F.col("_kp") < k, F.col("_kp")).otherwise(
+        F.expr(f"CAST({(k - 1) * dom} AS BIGINT) div greatest(_th, 1)")
+    )
+    ag = ag.select(
+        "ga",
+        "gb",
+        F.col("_kp").cast("long").alias("k_eff"),
+        union_est.cast("long").alias("union_est"),
+        F.when(F.col("_kp") < k, F.col("_c"))
+        .otherwise(
+            F.expr(
+                f"(_c * (CAST({(k - 1) * dom} AS BIGINT) div greatest(_th, 1))) div {k}"
+            )
+        )
+        .cast("long")
+        .alias("inter_est"),
+    )
+
+    # exact truths on the hashed sets (vocabulary-bounded self-join)
+    ti = (
+        dist.select(F.col("g").alias("ga"), "h")
+        .join(dist.select(F.col("g").alias("gb"), "h"), "h")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("_ti"))
+    )
+    na = n_true.select(F.col("g").alias("ga"), F.col("_n").alias("n_a"))
+    nb = n_true.select(F.col("g").alias("gb"), F.col("_n").alias("n_b"))
+    ea = gest.select(F.col("g").alias("ga"), F.col("_est").alias("est_a"))
+    eb = gest.select(F.col("g").alias("gb"), F.col("_est").alias("est_b"))
+    dec = lambda c: F.nullif(c, F.lit(sentinel))  # noqa: E731
+    return (
+        ag.join(na, "ga")
+        .join(nb, "gb")
+        .join(ea, "ga")
+        .join(eb, "gb")
+        .join(ti, ["ga", "gb"], "left")
+        .select(
+            dec(F.col("ga")).alias("grp_a"),
+            dec(F.col("gb")).alias("grp_b"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "est_a",
+            "est_b",
+            "k_eff",
+            "union_est",
+            "inter_est",
+            (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("_ti"), F.lit(0)))
+            .cast("long")
+            .alias("true_union"),
+            F.coalesce(F.col("_ti"), F.lit(0)).cast("long").alias("true_inter"),
         )
     )

@@ -23,6 +23,7 @@ from migrator_spark.functions.hashing import (
     MINHASH_P,
     minhash_perm_constants,
     stable_hash64,
+    word_shingles,
     words,
 )
 from migrator_spark.tables import load_table
@@ -3759,4 +3760,252 @@ JOIN nt na ON na.doc_id = c.doc_a
 JOIN nt nb ON nb.doc_id = c.doc_b
 WHERE abs(len(na.n) - len(nb.n)) <= {DD13_MAX_DIST}
   AND levenshtein(na.n, nb.n) <= {DD13_MAX_DIST}
+"""
+
+
+PR12_PHI, PR12_M, PR12_D = (1, 32), 1024, 3
+
+
+def pr12_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-EXACT phi-heavy-hitter words per language
+    (quality.portable_heavy_hitters): the token stream feeds a
+    d=3 x m=1024 Count-Min sketch on the shared stable hash and every
+    DISTINCT word probes it back; words whose estimate reaches
+    ceil(n/32) of their language's tokens are reported with estimate,
+    exact count, and integer threshold side-by-side — so the no-false-
+    negative guarantee is itself graded. Completes the portable-sketch
+    ladder (pr8 HLL, pr9 quantiles, pr10 Bloom, pr11 Count-Min): the
+    vocabulary-profiling pre-pass a 100 TB pipeline pairs with pr11.
+    Misra-Gries/SpaceSaving are deliberately NOT the state here —
+    their counters depend on stream order, which can never meet the
+    family's bit-for-bit bar (rationale in the operator docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(words("text")).alias("word"))
+    return ql.portable_heavy_hitters(
+        toks, key_col="word", group_col="lang",
+        phi=PR12_PHI, m=PR12_M, d=PR12_D,
+    )
+
+
+PR12_ORACLE = f"""
+WITH {DOCS_CTE},
+tok AS (SELECT lang, unnest(w) AS k FROM docs),
+truth AS (SELECT lang, k, CAST(count(*) AS BIGINT) AS tc FROM tok GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(sum(tc) AS BIGINT) AS n FROM truth GROUP BY 1),
+cells AS (
+  SELECT lang, s.i AS i,
+         (('0x' || substr(md5(k || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
+           % {PR12_M} AS pos,
+         CAST(count(*) AS BIGINT) AS c
+  FROM tok, LATERAL unnest(generate_series(0, {PR12_D - 1})) AS s(i)
+  GROUP BY 1, 2, 3
+),
+pb AS (
+  SELECT lang, k, s.i AS i,
+         (('0x' || substr(md5(k || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
+           % {PR12_M} AS pos
+  FROM truth, LATERAL unnest(generate_series(0, {PR12_D - 1})) AS s(i)
+),
+est AS (
+  SELECT pb.lang, pb.k, min(coalesce(cells.c, 0)) AS cm
+  FROM pb LEFT JOIN cells ON cells.lang IS NOT DISTINCT FROM pb.lang
+                         AND cells.i = pb.i AND cells.pos = pb.pos
+  GROUP BY pb.lang, pb.k
+)
+SELECT est.lang, est.k AS word,
+       CAST(est.cm AS BIGINT) AS cm_estimate,
+       truth.tc AS true_count,
+       CAST(({PR12_PHI[0]} * tot.n + {PR12_PHI[1] - 1}) // {PR12_PHI[1]}
+            AS BIGINT) AS threshold,
+       truth.tc >= ({PR12_PHI[0]} * tot.n + {PR12_PHI[1] - 1}) // {PR12_PHI[1]}
+         AS is_true_heavy
+FROM est
+JOIN truth ON truth.lang IS NOT DISTINCT FROM est.lang
+          AND truth.k IS NOT DISTINCT FROM est.k
+JOIN tot ON tot.lang IS NOT DISTINCT FROM est.lang
+WHERE est.cm >= ({PR12_PHI[0]} * tot.n + {PR12_PHI[1] - 1}) // {PR12_PHI[1]}
+"""
+
+
+MM10_EVERY_N = 2
+
+
+def mm10_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction, driver-graded (VERDICT r6 #5):
+    synthesize a structurally complete MJPEG-in-AVI container per
+    document (multimodal.synth_mjpeg_avi_payloads — RIFF headers,
+    'vids'/'MJPG' stream, movi frame chunks, idx1 index; every frame a
+    genuine baseline JPEG from the mm8 encoder), then demux the
+    container, sample every 2nd frame, and FULLY decode the sampled
+    JPEGs (entropy decode + dequantize + IDCT) for per-frame pixel
+    sums. The oracle recomputes the sums arithmetically from the
+    frame formula, so header-only demux or a DC-skipping decode
+    cannot pass. Completes the codec/container ladder: mm6 WAV ->
+    mm7 PNG -> mm8 JPEG -> mm10 AVI-of-JPEGs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return mm.avi_frame_stats(
+        mm.synth_mjpeg_avi_payloads(docs, width=16), every_n=MM10_EVERY_N
+    )
+
+
+MM10_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, 1 + (n_chars % 5) AS nfr, 1 + (n_chars % 3) AS nby
+  FROM documents
+),
+fr AS (
+  SELECT d.doc_id, d.nby, f.i AS frame_idx
+  FROM d, LATERAL unnest(generate_series(0, d.nfr - 1)) AS f(i)
+  WHERE f.i % {MM10_EVERY_N} = 0
+),
+px AS (
+  SELECT fr.doc_id, fr.frame_idx,
+         CAST(sum(64 * ((23 * bx.i + 41 * by.j + 17 * fr.frame_idx) % 256))
+              AS BIGINT) AS pixel_sum
+  FROM fr,
+       LATERAL unnest(generate_series(0, 1)) AS bx(i),
+       LATERAL unnest(generate_series(0, fr.nby - 1)) AS by(j)
+  GROUP BY fr.doc_id, fr.frame_idx
+)
+SELECT fr.doc_id,
+       CAST(fr.frame_idx AS BIGINT) AS frame_idx,
+       CAST(16 AS BIGINT) AS width,
+       CAST(8 * fr.nby AS BIGINT) AS height,
+       px.pixel_sum
+FROM fr JOIN px USING (doc_id, frame_idx)
+"""
+
+
+PR13_K, PR13_BITS = 64, 48
+
+
+def pr13_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-EXACT KMV/theta-sketch SET OPERATIONS
+    (quality.portable_kmv_setops): per source pair, estimate the
+    distinct 2-word-shingle vocabulary sizes, their union, and their
+    intersection from k=64 bottom-k states on the shared stable hash
+    (truncated to 48 bits, integer estimators end-to-end), with the
+    exact truths alongside so the estimator's error is itself graded.
+    The set-relationship rung of the portable-sketch ladder (pr8
+    cardinality, pr9 quantiles, pr10 membership, pr11 frequency, pr12
+    heavy hitters): the "how much does crawl B overlap crawl A"
+    profiling pass a 100 TB pipeline answers from G*k state rows
+    instead of a corpus join. With ~700 distinct shingles per source
+    and k=64, the ESTIMATION arm (not the exact-small-set arm) is what
+    the driver grades on all 190 pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "source", F.explode(word_shingles("text", 2)).alias("s")
+    )
+    return ql.portable_kmv_setops(
+        shingled, key_col="s", group_col="source", k=PR13_K, domain_bits=PR13_BITS
+    )
+
+
+PR13_ORACLE = f"""
+WITH {DOCS_CTE}, {SH_CTE},
+tok AS (SELECT source AS g0, unnest(sh) AS s FROM sh),
+dist AS (
+  SELECT DISTINCT coalesce(g0, chr(0) || 'null') AS g,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT // {1 << (60 - PR13_BITS)} AS h
+  FROM tok
+),
+nt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM dist GROUP BY 1),
+st AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h ASC) AS rn
+    FROM dist) WHERE rn <= {PR13_K}
+),
+ge AS (
+  SELECT g, CASE WHEN count(*) < {PR13_K} THEN count(*)
+                 ELSE {(PR13_K - 1) * (1 << PR13_BITS)} // greatest(max(h), 1)
+            END AS est
+  FROM st GROUP BY g
+),
+pairs AS (SELECT a.g AS ga, b.g AS gb FROM nt a, nt b WHERE a.g < b.g),
+mrg AS (
+  SELECT ga, gb, h, max(fa) AS fa, max(fb) AS fb FROM (
+    SELECT p.ga, p.gb, s.h, 1 AS fa, 0 AS fb FROM pairs p JOIN st s ON s.g = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.h, 0 AS fa, 1 AS fb FROM pairs p JOIN st s ON s.g = p.gb
+  ) GROUP BY 1, 2, 3
+),
+comb AS (
+  SELECT ga, gb, h, fa, fb FROM (
+    SELECT ga, gb, h, fa, fb,
+           row_number() OVER (PARTITION BY ga, gb ORDER BY h ASC) AS rn
+    FROM mrg) WHERE rn <= {PR13_K}
+),
+ag AS (
+  SELECT ga, gb, count(*) AS kp, max(h) AS th,
+         CAST(sum(fa * fb) AS BIGINT) AS c
+  FROM comb GROUP BY 1, 2
+),
+ti AS (
+  SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS t
+  FROM dist a JOIN dist b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2
+)
+SELECT nullif(ag.ga, chr(0) || 'null') AS grp_a,
+       nullif(ag.gb, chr(0) || 'null') AS grp_b,
+       na.n AS n_a, nb.n AS n_b,
+       CAST(ea.est AS BIGINT) AS est_a, CAST(eb.est AS BIGINT) AS est_b,
+       CAST(ag.kp AS BIGINT) AS k_eff,
+       CAST(CASE WHEN ag.kp < {PR13_K} THEN ag.kp
+                 ELSE {(PR13_K - 1) * (1 << PR13_BITS)} // greatest(ag.th, 1)
+            END AS BIGINT) AS union_est,
+       CAST(CASE WHEN ag.kp < {PR13_K} THEN ag.c
+                 ELSE (ag.c * ({(PR13_K - 1) * (1 << PR13_BITS)}
+                               // greatest(ag.th, 1))) // {PR13_K}
+            END AS BIGINT) AS inter_est,
+       na.n + nb.n - coalesce(ti.t, 0) AS true_union,
+       coalesce(ti.t, 0) AS true_inter
+FROM ag
+JOIN nt na ON na.g = ag.ga
+JOIN nt nb ON nb.g = ag.gb
+JOIN ge ea ON ea.g = ag.ga
+JOIN ge eb ON eb.g = ag.gb
+LEFT JOIN ti ON ti.ga = ag.ga AND ti.gb = ag.gb
+"""
+
+
+MM11_FRAME = 256
+
+
+def mm11_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction, driver-graded: synthesize a
+    genuine mono 16-bit PCM WAV per document (the mm6 container), then
+    fully decode the SAMPLES (multimodal.wav_pcm_samples — the decode
+    half mm6's header pass stops short of) and compute exact-integer
+    windowed features (energy, zero crossings, peak, mean-amplitude
+    numerator) per 256-sample frame. The waveform is deterministic
+    ((i*37) % 8191 - 4096), so the oracle recomputes every feature
+    arithmetically — a header-only parse cannot pass. The audio
+    analogue of mm9's decoded-pixel features; completes the
+    decoded-payload ladder across all three modalities (mm9 image,
+    mm10 video, mm11 audio)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return mm.audio_frame_features(
+        mm.synth_wav_payloads(docs, rate=MM6_RATE), frame=MM11_FRAME
+    )
+
+
+MM11_ORACLE = f"""
+WITH d AS (SELECT doc_id, n_chars AS n FROM documents WHERE n_chars > 0),
+s AS (
+  SELECT d.doc_id, d.n, t.i AS i,
+         (t.i * 37) % 8191 - 4096 AS v,
+         t.i // {MM11_FRAME} AS f
+  FROM d, LATERAL unnest(generate_series(0, d.n - 1)) AS t(i)
+)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(count(*) FILTER (
+         WHERE i + 1 < n AND (i + 1) // {MM11_FRAME} = f
+           AND v * (((i + 1) * 37) % 8191 - 4096) < 0
+       ) AS BIGINT) AS zero_crossings,
+       CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+FROM s GROUP BY doc_id, f
 """

@@ -3,6 +3,20 @@
 This is the single source of truth consumed by ``__spark_entry__.py``
 (driver contract) and the pytest differential harness. Oracle of None
 means the op is not SQL-expressible (driver records a rows-only check).
+
+RETIRED registry rows (round 7, VERDICT r6 #4): ``pr3_approx_profile``
+and ``pr6_approx_percentiles`` — the last two rows-only entries. Both
+operators REMAIN in the codebase (plans/analytics.py:pr3_approx_profile,
+plans/llmdata.py:pr6_approx_percentiles, exercised by tests/test_plans.py)
+as the documented APPROXIMATE forms a 100 TB profiling pass would use
+when estimator error is acceptable; their engine-portable EXACT twins
+are the graded rows: pr8 (HLL-shaped cardinality), pr9 (sampled
+quantiles), pr10 (Bloom membership), pr11 (Count-Min frequency), pr12
+(CM-backed heavy hitters). Spark's native approx sketches
+(approx_count_distinct's HLL++, approx_percentile's KLL) have no
+DuckDB-reproducible state, so a registry row for them can never be
+hash-graded — keeping them as registry entries would grandfather a
+permanent "no_oracle" hole in the "every entry graded" contract.
 """
 
 from __future__ import annotations
@@ -42,12 +56,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # that existed when this window was composed (123 at the time) gets
     # a driver row of some kind after round 4 (VERDICT r3 #2); the ops
     # added later this round sit at the tail awaiting round 5's window
-    "pr6_approx_percentiles": QuerySpec(
-        llmdata.pr6_approx_percentiles, None, note="KLL-style sketch, rows-only"
-    ),
-    "pr3_approx_profile": QuerySpec(
-        analytics.pr3_approx_profile, None, note="HLL sketch, rows-only"
-    ),
+    # (pr3/pr6 retired round 7 — see module docstring)
     # --- NEW round 4 (never graded): near-dup cluster curation,
     # query-by-document similarity search, duplicated-span detection,
     # epoch-capped mixture, sessionization, exact-integer outlier
@@ -190,10 +199,21 @@ REGISTRY: dict[str, QuerySpec] = {
     "mm1_decode_metadata": QuerySpec(llmdata.mm1_decode_metadata, llmdata.MM1_ORACLE),
     # r3-green family (newest driver rows) — rotates back through the
     # window in rounds 5-6 as it ages
-    "mm2_frame_sample": QuerySpec(llmdata.mm2_frame_sample, llmdata.MM2_ORACLE),
+    "mm2_frame_sample": QuerySpec(
+        llmdata.mm2_frame_sample,
+        llmdata.MM2_ORACLE,
+        note="frame-sampling SEMANTICS on synthesized frame indexes; "
+        "mm10_mjpeg_frames carries the real-container evidence "
+        "(genuine AVI demux + JPEG decode) for the same operation",
+    ),
     "mm3_resize_plan": QuerySpec(llmdata.mm3_resize_plan, llmdata.MM3_ORACLE),
     "mm4_extract_features": QuerySpec(
-        llmdata.mm4_extract_features, llmdata.MM4_ORACLE
+        llmdata.mm4_extract_features,
+        llmdata.MM4_ORACLE,
+        note="the MODEL-HOSTING shape (batched encoder UDF plumbing: "
+        "schema, batch geometry, broadcast weights) with deterministic "
+        "stand-in arithmetic; mm9_image_features supersedes its "
+        "decoded-pixel EVIDENCE — real samples from real containers",
     ),
     "dc1_decontaminate": QuerySpec(llmdata.dc1_decontaminate, llmdata.DC1_ORACLE),
     "ta7_lm_quality": QuerySpec(llmdata.ta7_lm_quality, llmdata.TA7_ORACLE),
@@ -393,83 +413,99 @@ REGISTRY: dict[str, QuerySpec] = {
     "sd5_stream_semdedup_two_level": QuerySpec(
         llmdata.sd5_stream_semdedup_two_level, llmdata.SD5_ORACLE
     ),
+    "pr12_heavy_hitters": QuerySpec(
+        llmdata.pr12_heavy_hitters, llmdata.PR12_ORACLE
+    ),
+    "mm10_mjpeg_frames": QuerySpec(
+        llmdata.mm10_mjpeg_frames, llmdata.MM10_ORACLE
+    ),
+    "pr13_kmv_setops": QuerySpec(llmdata.pr13_kmv_setops, llmdata.PR13_ORACLE),
+    "mm11_audio_features": QuerySpec(
+        llmdata.mm11_audio_features, llmdata.MM11_ORACLE
+    ),
 }
 
 
 # ---------------------------------------------------------------------------
-# Round-6 graded window (stalest-first round-robin, ADVICE r3 #1).
+# Round-7 graded window (stalest-first round-robin, ADVICE r3 #1).
 #
 # Composition, stalest first by newest driver-green row (CORRECTNESS_r0*):
-#   1. Every NEW round-6 operator plus any round-5 entry whose SEMANTICS
-#      change this round (e.g. sd1's sampled-Lloyd build) — inserted at
-#      the head as each lands, displacing the stalest r3-green tail
-#      entries one-for-one.
-#   2. The 18 r2-stale entries (newest driver-green row = round 2, three
-#      rounds ago, while the read path gained OCC commits and executor
-#      package shipping underneath them) — VERDICT r5 #1.
-#   3. Backfill from the stalest r3-green family in registry order
-#      (mm2..pr4) up to exactly 50.
-# pr3/pr6 stay OUT of graded slots: they already hold their declared
-# rows-only rows and a graded slot buys them nothing (no oracle).
-# Tail queue for round 7: the displaced r3-green remainder (pr5,
-# ev1-ev6, set1, sk1, sk2, e1-e4, dd6b) then the oldest r4-green block
-# (cur3, ta9, dd10, mx2, ev7, dq2, fo2, sim7, sim8, dd11, ta10, mm5,
-# the q2/q11/q16/q22 family, p6-p8, a1-a5, l0-l4, w1, st1-st5, dd1-dd9,
-# sim2, f1-f3, t2, s1).
+#   1. NEW round-7 operators (pr12 heavy hitters, pr13 KMV set ops,
+#      mm10 MJPEG/AVI, mm11 audio features) plus never-graded sd5
+#      (landed at the end of round 6) and the entries whose PLAN or
+#      ORACLE changed after the round-6 grading run (dd12's
+#      count-aggregated rewrite — VERDICT r6 #3 wants the
+#      bit-identical regrade; pr9's integer-rational ranks, ADVICE r6
+#      #1; sm7's sentinel-join oracle, ADVICE r6 #2).
+#   2. The r3-stale core (newest driver-green row = round 3, four
+#      rounds ago, while the read path gained OCC commits, executor
+#      package shipping, and the NTZ conf underneath them) — VERDICT
+#      r6 #1: e1-e4 (the reference's ENTIRE extractor surface), the
+#      TPC-H ten displaced by round 6's window, ev1-ev6, sk1/sk2, fo1,
+#      set1, pr1/pr4/pr5, dd6b, q24/q25.
+#   3. Backfill from the OLDEST r4-green block in registry order
+#      (cur3..q2w) up to exactly 50.
+# pr3/pr6 are RETIRED (module docstring) — no graded slot, no registry
+# row; their exact twins pr8-pr12 carry the graded evidence.
+# Tail queue for round 8: the r4-green remainder (q2, q16, q11, q22,
+# p6-p8, a1-a5, l0-l4, w1, st1-st5, dd1-dd9, sim2, f1-f3, t2, s1),
+# then the r5-green family, then round 6's head as it ages.
 _GRADED_WINDOW: list[str] = [
-    # -- NEW round 6 / semantics-changed round 6 (head, landing order) --
-    "sd1_semdedup",  # sampled-Lloyd build (VERDICT r5 #5): results change
-    "ds1_dsir_weights",  # ADVICE r5: left-join smoothing keeps all docs
-    "cur9_dsir_select",  # composes ds1's weights; regraded with it
-    "pr7_psi_drift",  # ADVICE r5: edge-bucket clamping
-    "mm1_decode_metadata",  # real header parsing (VERDICT r5 #4) — also r2-stale
-    "pr9_sampled_quantiles",  # NEW: portable exact-graded quantile summary
-    "mm8_jpeg_roundtrip",  # NEW: real baseline-JPEG decode, pixel-sum graded
-    "sd3_stream_semdedup_batch",  # NEW: streaming semdedup's batch fold
-    "ds2_dsir_unseen",  # NEW: DSIR smoothing/no-doc-lost edge, hash-graded
-    "mm9_image_features",  # NEW: real decoded-pixel feature extraction
-    "pr10_bloom_membership",  # NEW: portable exact Bloom membership
-    "sm7_stratified_sample",  # NEW: exact Hamilton-quota stratified draw
-    "sim11_two_level_quantizer",  # NEW: hierarchical IVF build, the 32x-probe knob executed
-    "sd4_semdedup_two_level",  # NEW: the knob wired into the flagship dedup
-    "dd13_edit_distance_pairs",  # NEW: exact banded Levenshtein near-dups
-    "pr11_count_min",  # NEW: portable exact Count-Min frequency sketch
-    "cur8_best_copy_dedup",  # ADVICE r5: struct ordering key replaces 2^40 arithmetic
-    # -- r2-stale family (newest driver row = round 2; VERDICT r5 #1) --
-    "f4_string_suite",
-    "f5_array_suite",
-    "f6_regex_suite",
-    "sim4_incremental_topk",
-    "ta1_token_stats",
-    "ta2_quality_score",
-    "ta3_lang_guess",
-    "ta4_fingerprint",
-    "ta5_repetition",
-    "ta6_pii_scrub",
-    "pr2_length_percentiles",
-    "fts1_keyword_search",
-    "dq1_constraint_audit",
-    "sm1_hash_sample",
-    "sm2_stratified_sample",
-    "sm3_weighted_sample",
-    "cur1_curation_pipeline",
-    # -- r3-green backfill (stalest remaining, registry order) --
-    "mm2_frame_sample",
-    "mm3_resize_plan",
-    "mm4_extract_features",
-    "dc1_decontaminate",
-    "ta7_lm_quality",
-    "sim6_hyperplane_topk",
-    "mx1_mixture_plan",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_trade_volume",
-    "q8_rollup_sales",
-    "q8c_cube_orders",
-    "q19_disjunctive_filter",
+    # -- NEW round 7 / graded-contract-changed round 7 (head) --
+    "pr12_heavy_hitters",  # NEW: CM-backed exact heavy hitters
+    "pr13_kmv_setops",  # NEW: KMV/theta set-operation estimates (ladder's set rung)
+    "mm10_mjpeg_frames",  # NEW: real AVI demux + per-frame JPEG decode
+    "mm11_audio_features",  # NEW: real PCM decode + windowed audio features
+    "sd5_stream_semdedup_two_level",  # landed post-r6-grading, never graded
+    "dd12_containment_pairs",  # prefix-filtered verify (VERDICT r6 #3): regrade bit-identical
+    "pr9_sampled_quantiles",  # integer-rational ranks (ADVICE r6 #1): regrade
+    "sm7_stratified_sample",  # sentinel-join oracle (ADVICE r6 #2): regrade
+    # -- r3-stale core (newest driver row = round 3; VERDICT r6 #1) --
+    "e1_seq_scan",
+    "e2_ts_scan_onlypast",
+    "e3_coalesce_scan",
+    "e4_queue_drain",
+    "e4_point_lookup_join",
+    "q9_product_profit",
+    "q12_priority_lateness",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q23_priority_pivot",
+    "ev1_event_gaps",
+    "ev2_asof_join",
+    "ev3_range_join",
+    "ev4_gap_fill",
+    "ev5_funnel",
+    "ev6_retention",
+    "sk1_salted_event_stats",
+    "sk2_salted_user_join",
+    "fo1_snapshot_diff",
+    "set1_repeat_customers",
+    "pr1_profile_orders",
+    "pr4_price_histogram",
+    "pr5_stat_moments",
+    "dd6b_dup_clusters_star",
+    "q24_priority_unpivot",
+    "q25_grouping_sets",
+    # -- r4-green backfill (oldest r4 block, registry order) --
+    "cur3_neardup_mix",
+    "ta9_similar_docs",
+    "dd10_dup_spans",
+    "mx2_epoch_plan",
+    "ev7_sessionize",
+    "dq2_spend_outliers",
+    "fo2_scd2_history",
+    "sim7_pq_encode",
+    "sim8_pq_adc_topk",
+    "dd11_despan",
+    "ta10_gopher_gate",
+    # (mm5/q2w displaced by round 7's pr13/mm11 head insertions — they
+    # lead round 8's backfill)
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

@@ -13,6 +13,8 @@ import re
 
 import pytest
 
+from migrator_spark.plans.analytics import pr3_approx_profile as _pr3_approx_profile
+from migrator_spark.plans.llmdata import pr6_approx_percentiles as _pr6_approx_percentiles
 from migrator_spark.plans.registry import REGISTRY
 
 
@@ -195,7 +197,7 @@ def test_pr3_approx_distinct_error_bound(spark, sf_dir):
 
     got = {
         r["event_type"]: r["approx_users"]
-        for r in REGISTRY["pr3_approx_profile"].fn(spark, sf_dir).collect()
+        for r in _pr3_approx_profile(spark, sf_dir).collect()
     }
     from migrator_spark.tables import load_table
 
@@ -402,7 +404,7 @@ def test_pr6_approx_percentile_error_bound(spark, ddb, sf_dir):
     # sketch internals are engine-specific — same pattern as pr3)
     got = {
         r["lang"]: (r["p50"], r["p90"], r["p99"], r["n_docs"])
-        for r in REGISTRY["pr6_approx_percentiles"].fn(spark, sf_dir).collect()
+        for r in _pr6_approx_percentiles(spark, sf_dir).collect()
     }
     exact = {
         r[0]: r[1:]
@@ -983,3 +985,43 @@ def test_dd13_verify_runs_on_pruned_candidates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dd13_edit_distance_pairs")
     assert "CartesianProduct" not in plan, plan
     assert "levenshtein" in plan, plan
+
+
+def test_pr12_state_and_totals_stay_broadcast(spark, sf_dir):
+    # CM cells and the per-group totals are sketch-sized and must both
+    # reach their joins as broadcasts; the candidate relation is the
+    # distinct key set — nothing cartesian, no sort-merge of the stream
+    plan = _plan(spark, sf_dir, "pr12_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pr13_bottom_k_is_group_limit_pruned(spark, sf_dir):
+    # the per-group bottom-k state must shed MAP-SIDE via a
+    # Partial+Final WindowGroupLimit pair (rank <= k is a constant
+    # bound), so only k rows per group per partition reach the
+    # exchange; the pairwise stage runs on states — the only cross
+    # join is the broadcast G x G group-pair frame (G = #sources),
+    # and nothing is ever an un-broadcast cartesian
+    plan = _plan(spark, sf_dir, "pr13_kmv_setops")
+    assert "WindowGroupLimit" in plan, plan
+    assert ", 64, Partial" in plan and ", 64, Final" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mm10_and_mm11_are_arrow_batched(spark, sf_dir):
+    for name in ("mm10_mjpeg_frames", "mm11_audio_features"):
+        plan = _plan(spark, sf_dir, name)
+        assert "MapInPandas" in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+
+
+def test_dd12_counts_shared_shingles_no_verify_join(spark, sf_dir):
+    # round-7 rewrite: |A∩B| comes out of the index self-join as a
+    # map-side-combinable count — no array_intersect verify stage, no
+    # arrays carried through joins, nothing cartesian
+    plan = _plan(spark, sf_dir, "dd12_containment_pairs")
+    assert "array_intersect" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # partial + final aggregate pair over the pair stream
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan

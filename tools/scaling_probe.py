@@ -154,6 +154,35 @@ def main() -> int:
                     k_fine=side,
                     iters=1,
                 )
+        elif name == "sd1_two_level_kprop":
+            # the k ∝ n SemDeDup experiment on the PRODUCTION two-level
+            # quantizer (round 7: semdedup_two_level / the sd5 fold's
+            # scoring path): k_coarse = k_fine = ceil(sqrt(8*scale))
+            # effective cells — the head-to-head row VERDICT r6 #2
+            # asks for against sd1_kprop's flat 7.2x growth.
+            # PROTOCOL-MATCHED to sd1_kprop: same iters (KMEANS_ITERS),
+            # same tau/dim, FULL dedup both ways — only the quantizer
+            # differs
+            import math
+
+            from migrator_spark.operators import similarity as _sim
+            from migrator_spark.plans.llmdata import (
+                EMB_DIM,
+                KMEANS_ITERS,
+                KMEANS_K,
+                SD1_TAU,
+            )
+
+            def fn(spark, sf_dir, _scale=None):
+                side = math.ceil(math.sqrt(KMEANS_K * _scale))
+                return _sim.semdedup_two_level(
+                    load_table(spark, sf_dir, "embeddings"),
+                    k_coarse=side,
+                    k_fine=side,
+                    iters=KMEANS_ITERS,
+                    tau=SD1_TAU,
+                    dim=EMB_DIM,
+                )
         elif name == "sd1_kprop":
             # the k ∝ n discipline (the SemDeDup paper's knob: clusters
             # scale with the corpus so cells stay bounded), with the
