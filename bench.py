@@ -72,6 +72,12 @@ HEADLINE = [
     # unchanged so round-over-round subsets stay protocol-matched
     "sd3_stream_semdedup_batch",
     "mm8_jpeg_roundtrip",
+    # round 7: the two-level streaming fold (the production semdedup
+    # path the flat-quantizer scale caveat asked for — tracked so its
+    # cost rides next to sd3's flat fold) and the AVI demux + per-frame
+    # JPEG decode (the new heaviest media body); prior 24 unchanged
+    "sd5_stream_semdedup_two_level",
+    "mm10_mjpeg_frames",
 ]
 
 REPEATS = 3  # median-of-3: one cold run can no longer swing the number 2x

@@ -66,6 +66,17 @@ SMOKE_QUERIES = [
     "mm8_jpeg_roundtrip",       # numpy DCT + Huffman codec inside executor Python workers
     "sim11_two_level_quantizer",  # two broadcast-fold assignment levels across executors
     "sd3_stream_semdedup_batch",  # sequential fold: per-round localCheckpoints on executors
+    # -- round-7 extension (VERDICT r6 #8): the round-6/7 shapes --
+    "pr9_sampled_quantiles",    # bottom-k sampled-quantile state merged across executors
+    "pr10_bloom_membership",    # Bloom bit-state built map-side, probed via broadcast
+    "pr11_count_min",           # CM cell state: partial-combined agg + broadcast probe
+    "pr12_heavy_hitters",       # CM state + distinct-key probe + threshold join
+    "dd13_edit_distance_pairs", # inverted-index candidates + pruned Levenshtein verify
+    "sm7_stratified_sample",    # Hamilton quota join on sentinel key + WindowGroupLimit
+    "mm10_mjpeg_frames",        # AVI demux + JPEG decode inside executor Python workers
+    "sd5_stream_semdedup_two_level",  # two-level fold: frozen quantizer across executors
+    "pr13_kmv_setops",          # bottom-k states + pairwise merge over real exchanges
+    "mm11_audio_features",      # PCM decode + numpy windows inside executor workers
 ]
 
 
