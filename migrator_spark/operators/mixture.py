@@ -483,3 +483,45 @@ def stratified_sample(
         .filter(F.col("_rn") <= F.col("_quota"))
         .select(F.col(id_col), F.col("_s").alias(strata_col))
     )
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    train_hex: str = "cc",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Train/val assignment that near-duplicate groups can never
+    straddle. A per-document hash split (sm4) leaks: two near-copies
+    of one page land on opposite sides of the split and the eval set
+    scores memorization. The fix is to split GROUPS, not documents —
+    the unit of assignment is the duplicate-cluster id (connected
+    component of the near-dup pair graph, ``duplicate_clusters``),
+    with singletons their own group — the same discipline as
+    GROUP-aware CV splits (sklearn GroupShuffleSplit) and the
+    dedup-before-split step in LLM data recipes (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    ``clusters``: (id_col, cluster_col) — membership of the pair-graph
+    components; docs absent from it form singleton groups. The split
+    key is md5 of the GROUP id, so membership in train/val is
+    deterministic, engine-portable, and stable under corpus growth
+    that doesn't touch the group (a new near-dup of a val page joins
+    val, never train).
+
+    Scale: one broadcast-or-shuffle left join of the corpus against
+    the components table (|clustered docs| rows — tiny after LSH
+    banding: only docs with at least one near-dup edge), then a
+    projection; the split itself adds no shuffle. Returns
+    (id_col, group, split).
+    """
+    grouped = docs.select(F.col(id_col)).join(
+        clusters.select(id_col, cluster_col), id_col, "left"
+    )
+    group = F.coalesce(F.col(cluster_col), F.col(id_col))
+    bucket = F.substring(F.md5(group.cast("string")), 1, 2)
+    return grouped.select(
+        F.col(id_col),
+        group.alias("group"),
+        F.when(bucket < train_hex, "train").otherwise("val").alias("split"),
+    )

@@ -3075,3 +3075,170 @@ SELECT est.grp AS event_type, est.pk AS probe_key,
        CAST(coalesce(truth.tc, 0) AS BIGINT) AS true_count
 FROM est LEFT JOIN truth ON truth.grp = est.grp AND truth.k = est.pk
 """
+
+
+def ev15_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window funnel (ClickHouse ``windowFunnel`` semantics):
+    per user, the MAXIMUM chain depth view -> click -> purchase
+    reachable from ANY view event, with every chain event inside
+    [t_view, t_view + 1 day] and non-decreasing timestamps — unlike
+    ev11, which anchors each step at the user's EARLIEST previous-step
+    time (a user whose first view leads nowhere but whose later view
+    converts scores 3 here and can score 1 there). Output: users per
+    maximum level.
+
+    Shape: a chain-search over every candidate start is answered with
+    TWO window passes over the same (user_id, ts) sort — no self-join:
+
+      pass 1: nxt_p  = earliest purchase at-or-after each row
+      pass 2: t_c    = earliest click at-or-after each row
+              p_chain = min over those clicks of THEIR nxt_p
+
+    Greedy suffix-min works because "earliest next step" weakly
+    dominates any other chain continuation, and nxt_p is monotone in
+    the click time, so the min over later clicks of nxt_p IS the
+    greedy chain end through the earliest click. Both passes share one
+    partition+order, so Spark plans a single Exchange + Sort with two
+    Window nodes — at 100 TB this is one shuffle of the (pruned,
+    3-of-5 event types) fact, then per-user streaming frames; state is
+    O(1) per row (RANGE suffix frame, running min from the right).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+    )
+    suffix = Window.partitionBy("user_id").orderBy("ts").rangeBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    p1 = ev.withColumn(
+        "nxt_p",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(suffix),
+    )
+    p2 = p1.withColumn(
+        "t_c",
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).over(suffix),
+    ).withColumn(
+        "p_chain",
+        F.min(F.when(F.col("event_type") == "click", F.col("nxt_p"))).over(suffix),
+    )
+    lim = F.col("ts") + F.expr("INTERVAL 1 DAY")
+    depth = (
+        F.when(
+            (F.col("t_c") <= lim) & (F.col("p_chain") <= lim), F.lit(3)
+        )
+        .when(F.col("t_c") <= lim, F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return (
+        p2.filter(F.col("event_type") == "view")
+        .select("user_id", depth.alias("depth"))
+        .groupBy("user_id")
+        .agg(F.max("depth").cast("long").alias("level"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+EV15_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+p1 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts END) OVER w AS nxt_p
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+p2 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'click' THEN ts END) OVER w AS t_c,
+         min(CASE WHEN event_type = 'click' THEN nxt_p END) OVER w AS p_chain
+  FROM p1
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+lv AS (
+  SELECT user_id,
+         max(CASE
+               WHEN t_c <= ts + INTERVAL 1 DAY
+                AND p_chain <= ts + INTERVAL 1 DAY THEN 3
+               WHEN t_c <= ts + INTERVAL 1 DAY THEN 2
+               ELSE 1
+             END) AS level
+  FROM p2 WHERE event_type = 'view' GROUP BY user_id
+)
+SELECT CAST(level AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_users
+FROM lv GROUP BY level
+"""
+
+
+_DQ4_EDGES = [
+    # (name, child table, child key, parent table, parent key)
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def dq4_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the schema
+    (plus the events fact's soft user_id reference): per edge, child
+    row count, NULL-key rows (legal under ANSI FK semantics, reported
+    separately), and ORPHANS — non-null child keys with no parent row.
+    The pre-load validation a warehouse migration runs before trusting
+    joins; the reference's CDC loader assumes intact PK/FK invariants
+    and this is the query that checks them.
+
+    Shape per edge: the child projects ONE key column (column pruning
+    to the scan), the parent side collapses to distinct keys first
+    (orders of magnitude smaller than the child fact), and the
+    left join + conditional count aggregates map-side — AQE broadcasts
+    every dim-sized parent. Eight independent arms union to 8 rows;
+    at 100 TB each arm is one pruned scan + one join, no sort."""
+    frames = []
+    for name, child, ckey, parent, pkey in _DQ4_EDGES:
+        pk = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("_pk"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        frames.append(
+            load_table(spark, sf_dir, child)
+            .select(F.col(ckey).alias("_pk"))
+            .join(pk, "_pk", "left")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.count_if(F.col("_pk").isNull()).alias("n_null_keys"),
+                F.count_if(
+                    F.col("_pk").isNotNull() & F.col("_hit").isNull()
+                ).alias("n_orphans"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _dq4_arm_sql(name: str, child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""
+SELECT '{name}' AS fk,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(count(*) FILTER (WHERE c._pk IS NULL) AS BIGINT) AS n_null_keys,
+       CAST(count(*) FILTER (WHERE c._pk IS NOT NULL AND p._pk IS NULL)
+            AS BIGINT) AS n_orphans
+FROM (SELECT {ckey} AS _pk FROM {child}) c
+LEFT JOIN (SELECT DISTINCT {pkey} AS _pk FROM {parent}) p ON c._pk = p._pk
+"""
+
+
+DQ4_ORACLE = "\nUNION ALL\n".join(_dq4_arm_sql(*e) for e in _DQ4_EDGES)

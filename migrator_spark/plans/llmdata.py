@@ -4009,3 +4009,101 @@ SELECT doc_id,
        CAST(sum(abs(v)) AS BIGINT) AS sum_abs
 FROM s GROUP BY doc_id, f
 """
+
+
+SIM12_NQ, SIM12_K = 32, 5
+
+
+def sim12_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 corpus neighbors for a 32-query batch via the
+    BLAS-GEMM candidate pruner (similarity.gemm_topk): one float64
+    matmul per Arrow batch replaces |corpus|x|Q| interpreted HOF folds,
+    then the pruned candidates are re-scored with the deterministic
+    Catalyst fold — bit-identical to sim3's pairwise_topk_join (the
+    equivalence is pinned by a property test) and hash-graded against
+    the same all-pairs SQL oracle. The brute-force lane every ANN
+    variant (sim2/sim6/sim8/sim10) verifies recall against, done at
+    memory bandwidth instead of interpreter speed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM12_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    return sim.gemm_topk(emb, queries, k=SIM12_K)
+
+
+SIM12_ORACLE = f"""
+SELECT q_id, vec_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS q_id, e.vec_id,
+         {COS_EXPR.format(a="e.embedding", b="q.embedding")} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {COS_EXPR.format(a="e.embedding", b="q.embedding")} DESC, e.vec_id ASC
+         ) AS rank
+  FROM embeddings e, embeddings q
+  WHERE q.vec_id < {SIM12_NQ} AND e.vec_id <> q.vec_id
+) WHERE rank <= {SIM12_K}
+"""
+
+
+def sm8_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-group-aware train/val split (mixture.leakage_safe_split):
+    the assignment unit is the CONNECTED COMPONENT of the MinHash-LSH
+    pair graph (dd6's clusters), so two near-copies of one document can
+    never land on opposite sides of the split — the eval-set
+    contamination a per-doc hash split (sm4) cannot rule out. Split
+    rate ~80/20 by md5 of the group id; singletons group as
+    themselves. The leakage guarantee (no cluster straddles splits)
+    is pinned by a property test."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESH,
+    )
+    return mx.leakage_safe_split(docs, dd.duplicate_clusters(pairs))
+
+
+SM8_ORACLE = f"""
+WITH RECURSIVE {DOCS_CTE}, {SH_CTE},
+{SIG_CTE},
+banded AS (
+  SELECT doc_id, sh, band,
+         {H.format(x="array_to_string(list_transform(sig[band*3+1:band*3+3], v -> v::VARCHAR), ',')")} AS band_hash
+  FROM sig, LATERAL unnest(generate_series(0, {MINHASH_BANDS - 1})) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_distinct(list_intersect(sa.sh, sb.sh)))::DOUBLE
+           / len(list_distinct(sa.sh || sb.sh))::DOUBLE AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+),
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_THRESH}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+r AS (
+  SELECT u AS n, u AS m FROM edges
+  UNION
+  SELECT r.n, e.v FROM r JOIN edges e ON e.u = r.m
+),
+lab AS (SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n),
+split AS (
+  SELECT d.doc_id,
+         coalesce(lab.cluster_id, d.doc_id) AS grp
+  FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id
+)
+SELECT doc_id, grp AS "group",
+       CASE WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 2) < 'cc'
+            THEN 'train' ELSE 'val' END AS split
+FROM split
+"""

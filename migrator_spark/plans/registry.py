@@ -423,6 +423,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "mm11_audio_features": QuerySpec(
         llmdata.mm11_audio_features, llmdata.MM11_ORACLE
     ),
+    "sim12_gemm_topk": QuerySpec(llmdata.sim12_gemm_topk, llmdata.SIM12_ORACLE),
+    "ev15_window_funnel": QuerySpec(
+        analytics.ev15_window_funnel, analytics.EV15_ORACLE
+    ),
+    "sm8_leakage_safe_split": QuerySpec(
+        llmdata.sm8_leakage_safe_split, llmdata.SM8_ORACLE
+    ),
+    "dq4_referential_audit": QuerySpec(
+        analytics.dq4_referential_audit, analytics.DQ4_ORACLE
+    ),
 }
 
 
@@ -456,6 +466,10 @@ _GRADED_WINDOW: list[str] = [
     "pr13_kmv_setops",  # NEW: KMV/theta set-operation estimates (ladder's set rung)
     "mm10_mjpeg_frames",  # NEW: real AVI demux + per-frame JPEG decode
     "mm11_audio_features",  # NEW: real PCM decode + windowed audio features
+    "sim12_gemm_topk",  # NEW: GEMM-pruned exact batch top-k
+    "ev15_window_funnel",  # NEW: sliding-window max-depth funnel
+    "sm8_leakage_safe_split",  # NEW: near-dup-group-aware train/val split
+    "dq4_referential_audit",  # NEW: FK orphan/null audit, all 8 edges
     "sd5_stream_semdedup_two_level",  # landed post-r6-grading, never graded
     "dd12_containment_pairs",  # prefix-filtered verify (VERDICT r6 #3): regrade bit-identical
     "pr9_sampled_quantiles",  # integer-rational ranks (ADVICE r6 #1): regrade
@@ -500,12 +514,9 @@ _GRADED_WINDOW: list[str] = [
     "ev7_sessionize",
     "dq2_spend_outliers",
     "fo2_scd2_history",
-    "sim7_pq_encode",
-    "sim8_pq_adc_topk",
-    "dd11_despan",
-    "ta10_gopher_gate",
-    # (mm5/q2w displaced by round 7's pr13/mm11 head insertions — they
-    # lead round 8's backfill)
+    # (sim7/sim8/dd11/ta10 displaced by the round-7b head insertions
+    # sim12/ev15/sm8/dq4, and mm5/q2w by the earlier pr13/mm11 ones —
+    # all six lead round 8's backfill)
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

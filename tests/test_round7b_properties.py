@@ -1,0 +1,177 @@
+"""Behavioral properties of the round-7b operators: sim12's GEMM
+pruner (bit-identical to the pure-Catalyst path), sm8's leakage
+guarantee (no duplicate cluster straddles the split), ev15's
+windowFunnel semantics (any-start chain search, window cap), and
+dq4's orphan detection (injected violations are counted)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from migrator_spark.operators.mixture import leakage_safe_split
+from migrator_spark.operators.similarity import gemm_topk, pairwise_topk_join
+
+
+# --- sim12: GEMM candidate stage never changes the answer ------------------
+
+
+def test_gemm_topk_bit_identical_to_catalyst_path(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    a = gemm_topk(emb, queries, k=4).collect()
+    b = pairwise_topk_join(emb, queries, k=4).collect()
+    key = lambda r: (r.q_id, r.rank)
+    assert sorted(a, key=key) == sorted(b, key=key)  # cos_sim compared exactly
+
+
+def test_gemm_topk_exact_under_tiny_arrow_batches(spark, sf_dir):
+    # Force many small batches so the per-batch pruner actually prunes
+    # (take < batch rows) across dozens of batches, then check against
+    # the unpruned path.
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+        a = gemm_topk(emb, queries, k=5).collect()
+        b = pairwise_topk_join(emb, queries, k=5).collect()
+        key = lambda r: (r.q_id, r.rank)
+        assert sorted(a, key=key) == sorted(b, key=key)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+# --- sm8: the leakage guarantee --------------------------------------------
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # adversarial clustering: pair up ids that a per-doc md5 split
+    # scatters (consecutive ids), 50 clusters of 4
+    clusters = spark.createDataFrame(
+        [(i, (i // 4) * 4) for i in range(200)], "doc_id long, cluster_id long"
+    )
+    out = leakage_safe_split(docs, clusters).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())
+    # and the equivalent per-doc split WOULD have straddled some group
+    import hashlib
+
+    def doc_split(i):
+        return "train" if hashlib.md5(str(i).encode()).hexdigest()[:2] < "cc" else "val"
+
+    straddled = sum(
+        1 for g in range(0, 200, 4)
+        if len({doc_split(i) for i in range(g, g + 4)}) > 1
+    )
+    assert straddled > 0  # the guarantee is non-vacuous on this input
+
+
+def test_leakage_safe_split_singletons_use_own_id(spark):
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    clusters = spark.createDataFrame([], "doc_id long, cluster_id long")
+    rows = {r.doc_id: r for r in leakage_safe_split(docs, clusters).collect()}
+    assert rows[1].group == 1 and rows[2].group == 2
+
+
+# --- ev15: windowFunnel semantics ------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), u, t, 0.0, "{}")
+         for i, (u, h, t) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _funnel_levels(spark, ev):
+    from migrator_spark.plans.analytics import ev15_window_funnel
+    import migrator_spark.plans.analytics as an
+    from unittest import mock
+
+    with mock.patch.object(an, "load_table", lambda s, d, t: ev):
+        return {
+            r.level: r.n_users for r in ev15_window_funnel(spark, "unused").collect()
+        }
+
+
+def test_ev15_later_start_converts_where_earliest_fails(spark):
+    # user 1: first view at h0 leads nowhere inside 24h; a SECOND view
+    # at h50 chains view->click->purchase within the window. An
+    # earliest-anchored funnel (ev11 semantics) under a 1-day cap would
+    # stall; windowFunnel must report level 3.
+    ev = _events(spark, [
+        (1, 0, "view"),
+        (1, 50, "view"), (1, 51, "click"), (1, 52, "purchase"),
+    ])
+    assert _funnel_levels(spark, ev) == {3: 1}
+
+
+def test_ev15_window_cap_enforced(spark):
+    # chain is ordered but the purchase lands past view+24h -> level 2
+    ev = _events(spark, [(1, 0, "view"), (1, 1, "click"), (1, 30, "purchase")])
+    assert _funnel_levels(spark, ev) == {2: 1}
+
+
+def test_ev15_order_enforced(spark):
+    # purchase BEFORE the click can't complete the chain -> level 2
+    ev = _events(spark, [(1, 0, "view"), (1, 1, "purchase"), (1, 2, "click")])
+    assert _funnel_levels(spark, ev) == {2: 1}
+    # but a later purchase after the click still converts -> level 3
+    ev2 = _events(spark, [
+        (1, 0, "view"), (1, 1, "purchase"), (1, 2, "click"), (1, 3, "purchase"),
+    ])
+    assert _funnel_levels(spark, ev2) == {3: 1}
+
+
+def test_ev15_users_without_views_excluded(spark):
+    ev = _events(spark, [(1, 0, "click"), (1, 1, "purchase"), (2, 0, "view")])
+    assert _funnel_levels(spark, ev) == {1: 1}
+
+
+# --- dq4: injected violations are counted -----------------------------------
+
+
+def test_dq4_counts_injected_orphans_and_nulls(spark, sf_dir, tmp_path):
+    import shutil
+    from pathlib import Path
+
+    src = Path(sf_dir)
+    dst = tmp_path / "sf"
+    dst.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        shutil.copy(src / f"{t}.parquet", dst / f"{t}.parquet")
+    # corrupt nation: add a row pointing at a region that doesn't exist,
+    # and one with a NULL region key
+    nat = spark.read.parquet(str(dst / "nation.parquet"))
+    extra = spark.createDataFrame(
+        [(900, "ATLANTIS", 999), (901, "NULLLAND", None)], nat.schema
+    )
+    merged = nat.unionByName(extra).coalesce(1)
+    merged.write.mode("overwrite").parquet(str(dst / "_nation_tmp"))
+    shutil.rmtree(dst / "nation.parquet", ignore_errors=True)
+    (dst / "nation.parquet").unlink(missing_ok=True)
+    shutil.move(str(dst / "_nation_tmp"), str(dst / "nation.parquet"))
+
+    from migrator_spark.plans.analytics import dq4_referential_audit
+
+    rows = {r.fk: r for r in dq4_referential_audit(spark, str(dst)).collect()}
+    assert rows["nation->region"].n_orphans == 1
+    assert rows["nation->region"].n_null_keys == 1
+    assert rows["lineitem->orders"].n_orphans == 0

@@ -207,6 +207,27 @@ def main() -> int:
                     dim=EMB_DIM,
                     build_sample_mod=SD1_BUILD_MOD,
                 )
+        elif name in ("sim12_gemm32", "sim12_catalyst32"):
+            # GEMM-pruned vs pure-Catalyst batch top-k, SAME 32-query
+            # batch and k=5 — the bake-off behind sim12's claim that
+            # the interpreted HOF score pass is the bottleneck. Both
+            # paths produce bit-identical rows (pinned in
+            # tests/test_round7b_properties.py); only the score
+            # kernel differs.
+            from migrator_spark.operators import similarity as _sim
+            from migrator_spark.plans.llmdata import SIM12_K, SIM12_NQ
+
+            gemm = name == "sim12_gemm32"
+
+            def fn(spark, sf_dir, _scale=None):
+                emb = load_table(spark, sf_dir, "embeddings")
+                queries = emb.filter(F.col("vec_id") < SIM12_NQ).select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("qe"),
+                )
+                if gemm:
+                    return _sim.gemm_topk(emb, queries, k=SIM12_K)
+                return _sim.pairwise_topk_join(emb, queries, k=SIM12_K)
         else:
             fn = REGISTRY[name].fn
         out[name] = {}
