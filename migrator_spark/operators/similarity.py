@@ -123,8 +123,11 @@ def gemm_topk(
     right kernel is a matrix multiply: per Arrow batch of corpus rows,
     one ``(batch x d) @ (d x |Q|)`` float64 GEMM scores every pair at
     memory bandwidth (the brute-force lane of every ANN system, e.g.
-    FAISS IndexFlat). Measured at sf0.1 x 32 replicas, |Q|=32: the
-    GEMM path is ~7x faster end-to-end (SCALE.md §5e sim12 row).
+    FAISS IndexFlat). Measured at sf0.1 x 32 replicas (64k vectors,
+    SCALE.md §5e): |Q|=32 the GEMM path wins 2.4x (1.3 s vs 3.1 s);
+    |Q|=256 it wins 13.7x (1.0 s vs 13.5 s) — GEMM wall is FLAT in
+    |Q| up to hundreds of queries while the HOF path pays the
+    interpreter per pair, which is the whole point of batching.
 
     Exactness: global top-k per query is contained in the union of
     per-batch top-k per query, so the numpy stage emits the per-batch
