@@ -1025,3 +1025,57 @@ def test_dd12_counts_shared_shingles_no_verify_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     # partial + final aggregate pair over the pair stream
     assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_sim12_gemm_prunes_then_rescans_broadcast(spark, sf_dir):
+    # the numpy stage is Arrow mapInPandas (never row-at-a-time
+    # Python); the query set reaches the rescore as a broadcast; the
+    # final per-query rank is WindowGroupLimit-pruned (rank <= k is a
+    # constant bound) and nothing goes cartesian
+    plan = _plan(spark, sf_dir, "sim12_gemm_topk")
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ev15_is_one_sort_two_windows_no_self_join(spark, sf_dir):
+    # the chain search must be answered by window passes over ONE
+    # per-user sort: no events-by-events join of any kind, exactly one
+    # exchange of the fact keyed on user_id, and the event_type IN
+    # filter pushed to the parquet scan
+    plan = _plan(spark, sf_dir, "ev15_window_funnel")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct"):
+        assert j not in plan, (j, plan)
+    # exactly two exchanges: the user_id window sort (which the
+    # per-user max-depth aggregate REUSES) and the final 8-row level
+    # aggregate; the window partitioning must be on user_id
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert any("In(event_type" in p for p in _pushed_filters(plan)), plan
+
+
+def test_sm8_split_is_one_join_over_the_components(spark, sf_dir):
+    # the split itself adds no exchange beyond the components build it
+    # consumes: the corpus-vs-clusters join is the only place doc_id
+    # is a join key, and the assignment is a projection (no window,
+    # no extra aggregate after the join)
+    plan = _plan(spark, sf_dir, "sm8_leakage_safe_split")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dq4_parents_broadcast_children_pruned(spark, sf_dir):
+    # every parent side is dim-sized and must broadcast; each child
+    # scan must read ONLY its key column (column pruning reaches the
+    # scan: no child schema wider than one field)
+    plan = _plan(spark, sf_dir, "dq4_referential_audit")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    import re as _re
+
+    child_schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert child_schemas and all(s.count(":") <= 1 for s in child_schemas), (
+        child_schemas
+    )

@@ -77,6 +77,11 @@ SMOKE_QUERIES = [
     "sd5_stream_semdedup_two_level",  # two-level fold: frozen quantizer across executors
     "pr13_kmv_setops",          # bottom-k states + pairwise merge over real exchanges
     "mm11_audio_features",      # PCM decode + numpy windows inside executor workers
+    # -- round-7b shapes --
+    "sim12_gemm_topk",          # broadcast query matrix into executor numpy GEMM + rescore
+    "ev15_window_funnel",       # suffix-RANGE window frames over a real per-user exchange
+    "sm8_leakage_safe_split",   # LSH components consumed by a split-assignment join
+    "dq4_referential_audit",    # eight broadcast anti-audit arms unioned across executors
 ]
 
 
