@@ -3242,3 +3242,74 @@ LEFT JOIN (SELECT DISTINCT {pkey} AS _pk FROM {parent}) p ON c._pk = p._pk
 
 
 DQ4_ORACLE = "\nUNION ALL\n".join(_dq4_arm_sql(*e) for e in _DQ4_EDGES)
+
+
+def ev16_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) next to that day's DAU
+    — the engagement/stickiness pair every product dashboard pins.
+    Exact distinct-user counts over a SLIDING window, done scalably:
+    instead of a per-day range self-join (|days| x fact nested loop),
+    each (user, day) contribution EXPLODES into the <= 7 window days
+    it serves — the classic contribution-expansion rewrite — and
+    everything downstream is equi-keyed.
+
+    Shape: the fact collapses to distinct (user, day) FIRST (one
+    partial-combined aggregate — the only corpus-sized shuffle), the
+    7x expansion runs on that compressed relation, the day spine join
+    is a broadcast, and the final count-distinct re-shuffles
+    |users x days|-bounded rows. No non-equi join anywhere, so AQE
+    keeps every exchange hash-partitioned. At 100 TB: the expansion
+    factor is a constant 7 on the user-day relation (~always orders
+    of magnitude smaller than events), not on the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    spine = ud.select("day").distinct()
+    expl = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+    )
+    wau = (
+        expl.join(F.broadcast(spine), expl.wday == spine.day)
+        .groupBy("wday")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+EV16_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+spine AS (SELECT DISTINCT day FROM ud),
+expl AS (
+  SELECT user_id, CAST(t.wday AS DATE) AS wday
+  FROM ud, LATERAL unnest(generate_series(
+    day::TIMESTAMP, day::TIMESTAMP + INTERVAL 6 DAY, INTERVAL 1 DAY
+  )) AS t(wday)
+),
+wau AS (
+  SELECT e.wday, count(DISTINCT e.user_id) AS wau
+  FROM expl e JOIN spine s ON e.wday = s.day
+  GROUP BY e.wday
+),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+       d.dau::DOUBLE / w.wau::DOUBLE AS stickiness
+FROM dau d JOIN wau w ON d.day = w.wday
+"""

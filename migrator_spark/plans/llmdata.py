@@ -19,6 +19,7 @@ from migrator_spark.operators import packing as pk
 from migrator_spark.operators import quality as ql
 from migrator_spark.operators import similarity as sim
 from migrator_spark.operators import textops as tx
+from migrator_spark.functions.vectors import cosine_similarity
 from migrator_spark.functions.hashing import (
     MINHASH_P,
     minhash_perm_constants,
@@ -4106,4 +4107,103 @@ SELECT doc_id, grp AS "group",
        CASE WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 2) < 'cc'
             THEN 'train' ELSE 'val' END AS split
 FROM split
+"""
+
+
+SIM13_NQ, SIM13_K = 16, 10
+
+
+def sim13_two_level_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the TWO-LEVEL IVF probe (the production scale-path
+    quantizer, sim11) against the exact top-10, per query over a
+    16-query batch — sim9's measure-don't-guess harness pointed at the
+    hierarchy that actually ships at 100 TB: each query probes only
+    its own fine cell (1 of k_coarse*k_fine), so this row is the
+    driver-graded answer to "what does the O(n*sqrt(k)) assignment
+    trade cost in QUALITY?" — a retune of k_coarse/k_fine that tanks
+    recall shows up as a value change, not silent drift.
+
+    Shape: the checkpointed assignment is consumed twice (corpus cells
+    + query cells, the sim2 offline-artifact pattern); the ANN side
+    scans only cell-matched rows (partition pruning with cell layout);
+    the exact side is one corpus scan; both collapse to 16-row
+    relations before the hit join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = sim.kmeans_assign_two_level(
+        emb, k_coarse=SIM11_KC, k_fine=SIM11_KF, iters=SIM11_ITERS
+    ).localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < SIM13_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    qcells = queries.join(
+        assign.withColumnRenamed("vec_id", "q_id"), "q_id"
+    ).select("q_id", "qe", F.col("cell").alias("qcell"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    ann = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(qcells), F.col("cell") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos_sim", cosine_similarity("embedding", "qe"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SIM13_K)
+        .select("q_id", "vec_id")
+    )
+    exact = sim.pairwise_topk_join(emb, queries, k=SIM13_K).select(
+        "q_id", "vec_id"
+    )
+    hits = exact.join(ann, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("_h")
+    )
+    return (
+        queries.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("_h", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("_h", F.lit(0)).cast("double")
+                / F.lit(float(SIM13_K))
+            ).alias("recall"),
+        )
+    )
+
+
+SIM13_ORACLE = f"""
+WITH {_two_level_cte(SIM11_KC, SIM11_KF, SIM11_ITERS)},
+asg AS (SELECT vec_id, cell * {SIM11_KF} + sub AS cell FROM ff),
+q AS (
+  SELECT e.vec_id AS q_id, e.embedding AS qe, a.cell AS qcell
+  FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+  WHERE e.vec_id < {SIM13_NQ}
+),
+ann AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {COS_EXPR.format(a="e.embedding", b="qe")} DESC,
+                      e.vec_id ASC) AS rn
+    FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id, q
+    WHERE a.cell = q.qcell AND e.vec_id <> q.q_id
+  ) WHERE rn <= {SIM13_K}
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {COS_EXPR.format(a="e.embedding", b="qe")} DESC,
+                      e.vec_id ASC) AS rn
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id
+  ) WHERE rn <= {SIM13_K}
+),
+h AS (
+  SELECT exact.q_id, count(*) AS c
+  FROM exact JOIN ann USING (q_id, vec_id) GROUP BY exact.q_id
+)
+SELECT q.q_id,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+       coalesce(h.c, 0)::DOUBLE / {float(SIM13_K)} AS recall
+FROM q LEFT JOIN h ON h.q_id = q.q_id
 """

@@ -433,6 +433,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "dq4_referential_audit": QuerySpec(
         analytics.dq4_referential_audit, analytics.DQ4_ORACLE
     ),
+    "sim13_two_level_recall": QuerySpec(
+        llmdata.sim13_two_level_recall, llmdata.SIM13_ORACLE
+    ),
+    "ev16_rolling_active_users": QuerySpec(
+        analytics.ev16_rolling_active_users, analytics.EV16_ORACLE
+    ),
 }
 
 
@@ -470,6 +476,8 @@ _GRADED_WINDOW: list[str] = [
     "ev15_window_funnel",  # NEW: sliding-window max-depth funnel
     "sm8_leakage_safe_split",  # NEW: near-dup-group-aware train/val split
     "dq4_referential_audit",  # NEW: FK orphan/null audit, all 8 edges
+    "sim13_two_level_recall",  # NEW: recall@10 of the two-level IVF probe
+    "ev16_rolling_active_users",  # NEW: sliding 7-day WAU/DAU via expansion
     "sd5_stream_semdedup_two_level",  # landed post-r6-grading, never graded
     "dd12_containment_pairs",  # prefix-filtered verify (VERDICT r6 #3): regrade bit-identical
     "pr9_sampled_quantiles",  # integer-rational ranks (ADVICE r6 #1): regrade
@@ -512,11 +520,9 @@ _GRADED_WINDOW: list[str] = [
     "dd10_dup_spans",
     "mx2_epoch_plan",
     "ev7_sessionize",
-    "dq2_spend_outliers",
-    "fo2_scd2_history",
-    # (sim7/sim8/dd11/ta10 displaced by the round-7b head insertions
-    # sim12/ev15/sm8/dq4, and mm5/q2w by the earlier pr13/mm11 ones —
-    # all six lead round 8's backfill)
+    # (sim7/sim8/dd11/ta10/dq2/fo2 displaced by the round-7b head
+    # insertions sim12/ev15/sm8/dq4/sim13/ev16, and mm5/q2w by the
+    # earlier pr13/mm11 ones — all eight lead round 8's backfill)
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

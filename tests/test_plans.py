@@ -1079,3 +1079,22 @@ def test_dq4_parents_broadcast_children_pruned(spark, sf_dir):
     assert child_schemas and all(s.count(":") <= 1 for s in child_schemas), (
         child_schemas
     )
+
+
+def test_ev16_has_no_range_join(spark, sf_dir):
+    # the sliding window must be answered by the contribution-expansion
+    # rewrite: every join equi-keyed, no nested-loop range join, and
+    # the corpus-sized shuffle is the (user, day) distinct — nothing
+    # after it exceeds |users x days|
+    plan = _plan(spark, sf_dir, "ev16_rolling_active_users")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sim13_ann_probe_is_cell_joined(spark, sf_dir):
+    # the ANN side must reach the corpus through the cell equi-join
+    # (broadcast query cells), never a cartesian; the final per-query
+    # rank is WindowGroupLimit-pruned
+    plan = _plan(spark, sf_dir, "sim13_two_level_recall")
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan

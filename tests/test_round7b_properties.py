@@ -175,3 +175,56 @@ def test_dq4_counts_injected_orphans_and_nulls(spark, sf_dir, tmp_path):
     assert rows["nation->region"].n_orphans == 1
     assert rows["nation->region"].n_null_keys == 1
     assert rows["lineitem->orders"].n_orphans == 0
+
+
+# --- ev16: sliding distinct semantics ---------------------------------------
+
+
+def test_ev16_user_counted_once_per_window(spark):
+    # one user active on two days inside one 7-day window must count
+    # once in that window's WAU; windows are [day-6, day]
+    ev = _events(spark, [
+        (1, 0, "view"),          # day 2024-01-01
+        (1, 24, "click"),        # day 2024-01-02
+        (2, 24, "view"),         # day 2024-01-02
+    ])
+    from migrator_spark.plans.analytics import ev16_rolling_active_users
+    import migrator_spark.plans.analytics as an
+    from unittest import mock
+
+    with mock.patch.object(an, "load_table", lambda s, d, t: ev):
+        rows = {r.day: r for r in ev16_rolling_active_users(spark, "x").collect()}
+    assert rows["2024-01-01"].dau == 1 and rows["2024-01-01"].wau == 1
+    # day 2: user 1 (both days) counts once; user 2 joins
+    assert rows["2024-01-02"].dau == 2 and rows["2024-01-02"].wau == 2
+    assert set(rows) == {"2024-01-01", "2024-01-02"}  # spine = observed days
+
+
+def test_ev16_window_drops_day_older_than_7(spark):
+    ev = _events(spark, [
+        (1, 0, "view"),            # 2024-01-01
+        (2, 24 * 7, "view"),       # 2024-01-08: user 1's activity is
+    ])                             # 7 days old -> outside [d-6, d]
+    from migrator_spark.plans.analytics import ev16_rolling_active_users
+    import migrator_spark.plans.analytics as an
+    from unittest import mock
+
+    with mock.patch.object(an, "load_table", lambda s, d, t: ev):
+        rows = {r.day: r for r in ev16_rolling_active_users(spark, "x").collect()}
+    assert rows["2024-01-08"].wau == 1  # only user 2
+
+
+# --- sim13: the recall harness itself ----------------------------------------
+
+
+def test_sim13_recall_is_1_when_probing_all_cells(spark, sf_dir):
+    # degenerate hierarchy (1x1 cells) probes the whole corpus, so the
+    # ANN side IS the exact side and every query's recall must be 1.0
+    from pyspark.sql import functions as F
+
+    from migrator_spark.operators import similarity as sim
+    from migrator_spark.tables import load_table
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = sim.kmeans_assign_two_level(emb, k_coarse=1, k_fine=1, iters=1)
+    assert assign.select("cell").distinct().count() == 1
