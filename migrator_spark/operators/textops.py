@@ -776,3 +776,80 @@ def proximity_search(
         )
         .limit(k)
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the top
+    adjacent word pairs by PMI = ln p(a,b) - ln p(a) - ln p(b), the
+    classic multi-word-expression detector (Church & Hanks 1990) a
+    tokenizer/phrase-vocabulary curriculum runs before merging tokens
+    — frequency alone (bpe1) surfaces "of the"; PMI surfaces pairs
+    that co-occur far above chance.
+
+    Determinism: each log is quantized to integer micro-nats
+    (floor(ln(count/total) * 1e6)) per DISTINCT word/pair BEFORE the
+    subtraction — the DSIR/bigram_logprob discipline — so the score is
+    exact integer arithmetic and reproduces bit-for-bit in DuckDB.
+    ``min_count`` keeps the estimator out of the PMI-loves-hapax trap.
+
+    Scale: unigram and pair counts are each ONE partial-combined
+    aggregate (the exchanges carry |vocab| and |distinct pairs|
+    partials, never the token stream); totals are 1-row broadcasts;
+    the unigram joins broadcast the vocabulary-bounded count table;
+    the final top-k is TakeOrderedAndProject. Nothing corpus-sized
+    moves after the map-side combines.
+    """
+    toks = docs.select(words(text_col).alias("_w"))
+    uni = (
+        toks.select(F.explode("_w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    nw = uni.agg(F.sum("_c").alias("_nw"))
+    pair_structs = F.expr(
+        "transform(slice(_w, 1, greatest(size(_w) - 1, 0)), "
+        "(x, i) -> struct(x AS a, element_at(_w, i + 2) AS b))"
+    )
+    pc = (
+        toks.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.a", "_p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    nab = pc.agg(F.sum("n_pair").alias("_nab"))
+
+    def _lmicro(c, n):
+        return F.floor(
+            F.log(c.cast("double") / n.cast("double")) * F.lit(1000000.0)
+        ).cast("long")
+
+    return (
+        pc.filter(F.col("n_pair") >= min_count)
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("a"), F.col("_c").alias("_ca"))),
+            "a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("b"), F.col("_c").alias("_cb"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(nab))
+        .select(
+            "a",
+            "b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            (
+                _lmicro(F.col("n_pair"), F.col("_nab"))
+                - _lmicro(F.col("_ca"), F.col("_nw"))
+                - _lmicro(F.col("_cb"), F.col("_nw"))
+            ).alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(top_k)
+    )

@@ -4207,3 +4207,45 @@ SELECT q.q_id,
        coalesce(h.c, 0)::DOUBLE / {float(SIM13_K)} AS recall
 FROM q LEFT JOIN h ON h.q_id = q.q_id
 """
+
+
+TA14_MIN_COUNT, TA14_TOP_K = 5, 40
+
+
+def ta14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 collocations by integer-micro-nat PMI
+    (textops.pmi_collocations) — the above-chance co-occurrence
+    detector complementing bpe1's raw pair frequencies; min_count=5
+    filters the hapax blowup."""
+    return tx.pmi_collocations(
+        load_table(spark, sf_dir, "documents"),
+        min_count=TA14_MIN_COUNT,
+        top_k=TA14_TOP_K,
+    )
+
+
+TA14_ORACLE = f"""
+WITH {DOCS_CTE},
+u AS (
+  SELECT t.x AS tok, count(*) AS c
+  FROM docs, LATERAL unnest(w) AS t(x) GROUP BY 1
+),
+nw AS (SELECT sum(c) AS nw FROM u),
+p AS (
+  SELECT w[j] AS a, w[j + 1] AS b
+  FROM docs, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(j)
+),
+pc AS (SELECT a, b, count(*) AS n_pair FROM p GROUP BY 1, 2),
+nab AS (SELECT sum(n_pair) AS nab FROM pc)
+SELECT f.a, f.b, CAST(f.n_pair AS BIGINT) AS n_pair,
+       CAST(
+         floor(ln(f.n_pair::DOUBLE / nab.nab::DOUBLE) * 1e6)
+         - floor(ln(ua.c::DOUBLE / nw.nw::DOUBLE) * 1e6)
+         - floor(ln(ub.c::DOUBLE / nw.nw::DOUBLE) * 1e6)
+       AS BIGINT) AS pmi_micro
+FROM (SELECT * FROM pc WHERE n_pair >= {TA14_MIN_COUNT}) f
+JOIN u ua ON ua.tok = f.a
+JOIN u ub ON ub.tok = f.b, nw, nab
+ORDER BY pmi_micro DESC, a ASC, b ASC
+LIMIT {TA14_TOP_K}
+"""

@@ -439,6 +439,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ev16_rolling_active_users": QuerySpec(
         analytics.ev16_rolling_active_users, analytics.EV16_ORACLE
     ),
+    "ta14_pmi_collocations": QuerySpec(
+        llmdata.ta14_pmi_collocations, llmdata.TA14_ORACLE
+    ),
 }
 
 
@@ -478,6 +481,7 @@ _GRADED_WINDOW: list[str] = [
     "dq4_referential_audit",  # NEW: FK orphan/null audit, all 8 edges
     "sim13_two_level_recall",  # NEW: recall@10 of the two-level IVF probe
     "ev16_rolling_active_users",  # NEW: sliding 7-day WAU/DAU via expansion
+    "ta14_pmi_collocations",  # NEW: integer-micro-nat PMI collocations
     "sd5_stream_semdedup_two_level",  # landed post-r6-grading, never graded
     "dd12_containment_pairs",  # prefix-filtered verify (VERDICT r6 #3): regrade bit-identical
     "pr9_sampled_quantiles",  # integer-rational ranks (ADVICE r6 #1): regrade
@@ -519,10 +523,9 @@ _GRADED_WINDOW: list[str] = [
     "ta9_similar_docs",
     "dd10_dup_spans",
     "mx2_epoch_plan",
-    "ev7_sessionize",
-    # (sim7/sim8/dd11/ta10/dq2/fo2 displaced by the round-7b head
-    # insertions sim12/ev15/sm8/dq4/sim13/ev16, and mm5/q2w by the
-    # earlier pr13/mm11 ones — all eight lead round 8's backfill)
+    # (sim7/sim8/dd11/ta10/dq2/fo2/ev7 displaced by the round-7b head
+    # insertions sim12/ev15/sm8/dq4/sim13/ev16/ta14, and mm5/q2w by
+    # the earlier pr13/mm11 ones — all nine lead round 8's backfill)
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

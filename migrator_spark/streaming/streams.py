@@ -590,3 +590,95 @@ def semantic_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_window_funnel(
+    stream: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    window_micros: int = 86_400_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming windowFunnel (the stateful form of the batch ev15
+    query): per user, the maximum chain depth step1 -> step2 -> step3
+    reachable from ANY step-1 event with the whole chain inside
+    ``window_micros`` and non-decreasing timestamps, maintained across
+    micro-batches with O(1) state per user.
+
+    The constant-state automaton: processing a user's events in time
+    order (ties resolved step-1-first, matching the batch query's
+    at-or-after RANGE frames),
+
+        best1 = max step-1 ts seen            (latest possible start)
+        best2 = max over step-2 events of the best1 AT that event
+                (= latest start that had reached stage 2)
+        on step-2 at t: level 2 if t <= best1 + W, best2 = max(best2, best1)
+        on step-3 at t: level 3 if t <= best2 + W
+
+    Greedy-latest-start dominance: a future step-N event prefers the
+    chain whose start deadline expires LAST, so only the max start
+    survives — the same argument, mirrored, as ev15's earliest-next
+    suffix mins. Three longs per user, no event buffering: the state
+    that makes a funnel viable over an unbounded stream where the
+    batch query's window sort cannot run.
+
+    Contract: per-user event time must be non-decreasing ACROSS
+    micro-batches (within a batch the operator sorts). File-replay and
+    CDC intakes satisfy this; a late-data source needs a watermark
+    buffer stage first (the documented production hardening, as with
+    streaming_first_seen's TTL note). Emits (user, level) in update
+    mode — the last emission per user is its current level; parity
+    with the batch ev15 distribution and crash-replay recovery are
+    pinned in tests/test_streaming.py.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s1, s2, s3 = steps
+    rank = {s1: 0, s2: 1, s3: 2}
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            best1, best2, level = state.get
+        else:
+            best1, best2, level = None, None, 0
+        rows = [p for p in pdfs if len(p)]
+        if not rows:
+            return
+        pdf = pd.concat(rows)
+        pdf = pdf[pdf[type_col].isin(rank)]
+        if len(pdf) == 0:
+            if level > 0:
+                yield pd.DataFrame({user_col: [key[0]], "level": [level]})
+            return
+        pdf = pdf.assign(_r=pdf[type_col].map(rank)).sort_values(
+            [ts_col, "_r"], kind="mergesort"
+        )
+        # normalize to MICROSECONDS regardless of the Arrow batch's
+        # pandas resolution (ns here, us elsewhere) — the state longs
+        # and window_micros share one unit
+        ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64")
+        for t, r in zip(ts_us, pdf["_r"]):
+            if r == 0:
+                best1 = t if best1 is None else max(best1, t)
+                level = max(level, 1)
+            elif r == 1 and best1 is not None and t <= best1 + window_micros:
+                best2 = best1 if best2 is None else max(best2, best1)
+                level = max(level, 2)
+            elif r == 2 and best2 is not None and t <= best2 + window_micros:
+                level = 3
+        state.update((best1, best2, level))
+        # a user with no step-1 event yet has no funnel level (matches
+        # the batch query, which anchors on step-1 rows)
+        if level > 0:
+            yield pd.DataFrame({user_col: [key[0]], "level": [level]})
+
+    return stream.groupBy(F.col(user_col)).applyInPandasWithState(
+        fn,
+        outputStructType=f"{user_col} long, level integer",
+        stateStructType="best1 long, best2 long, level integer",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

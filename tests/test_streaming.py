@@ -984,3 +984,122 @@ def test_semantic_ingest_stream_two_level_parity_and_replay(
         os.remove(crc)
     run()
     assert read() == got
+
+
+def test_streaming_window_funnel_matches_batch_ev15(spark, sf_dir, tmp_path):
+    """The O(1)-state funnel automaton, fed the events table as three
+    time-ordered micro-batches, lands every user on the same final
+    level as the batch ev15 window query. Emissions are monotone in
+    level, so the final level is the max across update-mode rows."""
+    import time as _time
+
+    from migrator_spark.plans.analytics import ev15_window_funnel
+    from migrator_spark.streaming.streams import streaming_window_funnel
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        r["level"]: r["n_users"]
+        for r in ev15_window_funnel(spark, sf_dir).collect()
+    }
+
+    sdir = str(tmp_path / "stream")
+    cuts = ("2024-01-11", "2024-01-21")
+    parts = [
+        events.filter(F.col("ts") < cuts[0]),
+        events.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        events.filter(F.col("ts") >= cuts[1]),
+    ]
+    for p in parts:  # mod-time order = micro-batch order = time order
+        p.coalesce(1).write.mode("append").parquet(sdir)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    q = (
+        streaming_window_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {}
+    for r in spark.sql("SELECT * FROM funnel_out").collect():
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["level"])
+    dist = {}
+    for lv in final.values():
+        dist[lv] = dist.get(lv, 0) + 1
+    assert dist == batch, (dist, batch)
+
+
+def test_streaming_window_funnel_state_survives_restart(spark, tmp_path):
+    """A chain whose start arrives before a query shutdown and whose
+    completion arrives after the restart must still convert: the
+    (best1, best2, level) state round-trips through the checkpoint."""
+    from datetime import datetime
+
+    from migrator_spark.streaming.streams import streaming_window_funnel
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            [(i, r[1], r[0], r[2], 0.0, "{}") for i, r in enumerate(rows)],
+            schema,
+        )
+
+    sdir, ckpt, odir = (
+        str(tmp_path / "in"),
+        str(tmp_path / "ck"),
+        str(tmp_path / "out"),
+    )
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+
+        def sink(df, bid):
+            df.write.mode("append").parquet(odir)
+
+        q = (
+            streaming_window_funnel(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    from datetime import timedelta
+
+    _mk([(1, t0, "view"), (2, t0, "view")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(sdir)
+    _run()  # first query drains batch 1, then terminates (= shutdown)
+    _mk(
+        [
+            (1, t0 + timedelta(hours=1), "click"),
+            (1, t0 + timedelta(hours=2), "purchase"),
+        ]
+    ).coalesce(1).write.mode("append").parquet(sdir)
+    _run()  # restart from the same checkpoint
+
+    final = {}
+    for r in spark.read.parquet(odir).collect():
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["level"])
+    # user 1's view lived only in pre-restart state; the post-restart
+    # click+purchase complete the chain
+    assert final == {1: 3, 2: 1}, final
