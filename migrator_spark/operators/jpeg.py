@@ -348,58 +348,77 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, int]:
             # contract as truncated entropy data, never an IndexError
             # from a partially-parsed table
             raise ValueError("truncated marker segment")
-        if tag == 0xDB:  # DQT (possibly several tables per marker)
-            b = 0
-            while b < len(body):
-                pq, tq = body[b] >> 4, body[b] & 15
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                tbl = np.zeros((8, 8))
-                for k, (r, c) in enumerate(ZIGZAG):
-                    tbl[r, c] = body[b + 1 + k]
-                qt[tq] = tbl
-                b += 65
-        elif tag == 0xC4:  # DHT (possibly several tables per marker)
-            b = 0
-            while b < len(body):
-                tc, th = body[b] >> 4, body[b] & 15
-                bits = list(body[b + 1 : b + 17])
-                nvals = sum(bits)
-                vals = list(body[b + 17 : b + 17 + nvals])
-                codes = _canonical_codes(bits, vals)
-                huff[(tc, th)] = {
-                    (ln, code): sym for sym, (code, ln) in codes.items()
-                }
-                b += 17 + nvals
-        elif tag == 0xC0 or tag == 0xC1:  # SOF0/1 baseline
-            if body[0] != 8:
-                raise NotImplementedError("12-bit precision")
-            height = int.from_bytes(body[1:3], "big")
-            width = int.from_bytes(body[3:5], "big")
-            ncomp = body[5]
-            for c in range(ncomp):
-                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling (Hi/Vi != 1) — 4:4:4/gray only"
-                    )
-                comps.append((cid, tq))
-        elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("progressive/extended JPEG (non-SOF0)")
-        elif tag == 0xDD:  # DRI
-            restart_interval = int.from_bytes(body[0:2], "big")
-        elif tag == 0xDA:  # SOS — entropy data follows
-            if width is None:
-                # malformed stream: the scan references frame geometry
-                # the decoder never saw — fail with the module's
-                # ValueError contract, not a downstream TypeError
-                raise ValueError("SOS before SOF")
-            ns = body[0]
-            scan = []  # (comp index, dc table, ac table)
-            for c in range(ns):
-                cid, tda = body[1 + 2 * c], body[2 + 2 * c]
-                idx = next(i for i, (k, _) in enumerate(comps) if k == cid)
-                scan.append((idx, tda >> 4, tda & 15))
+        # Everything below indexes into `body` at declared offsets; a
+        # segment that is complete against its OWN size field can still
+        # be internally short (e.g. a DQT declaring size 4), so the
+        # per-byte reads are EAFP-guarded as one block: any IndexError
+        # or StopIteration escaping a branch is malformed input and
+        # re-raises under the module's ValueError contract (round-7
+        # self-review — the r6 check only validated the segment
+        # against its own declared size).
+        scan = None
+        try:
+            if tag == 0xDB:  # DQT (possibly several tables per marker)
+                b = 0
+                while b < len(body):
+                    pq, tq = body[b] >> 4, body[b] & 15
+                    if pq != 0:
+                        raise NotImplementedError("16-bit quant tables")
+                    tbl = np.zeros((8, 8))
+                    for k, (r, c) in enumerate(ZIGZAG):
+                        tbl[r, c] = body[b + 1 + k]
+                    qt[tq] = tbl
+                    b += 65
+            elif tag == 0xC4:  # DHT (possibly several tables per marker)
+                b = 0
+                while b < len(body):
+                    tc, th = body[b] >> 4, body[b] & 15
+                    bits = list(body[b + 1 : b + 17])
+                    if len(bits) != 16:
+                        raise ValueError("truncated DHT bits table")
+                    nvals = sum(bits)
+                    vals = list(body[b + 17 : b + 17 + nvals])
+                    if len(vals) != nvals:
+                        raise ValueError("truncated DHT values table")
+                    codes = _canonical_codes(bits, vals)
+                    huff[(tc, th)] = {
+                        (ln, code): sym for sym, (code, ln) in codes.items()
+                    }
+                    b += 17 + nvals
+            elif tag == 0xC0 or tag == 0xC1:  # SOF0/1 baseline
+                if body[0] != 8:
+                    raise NotImplementedError("12-bit precision")
+                height = int.from_bytes(body[1:3], "big")
+                width = int.from_bytes(body[3:5], "big")
+                ncomp = body[5]
+                for c in range(ncomp):
+                    cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                    if hv != 0x11:
+                        raise NotImplementedError(
+                            "chroma subsampling (Hi/Vi != 1) — 4:4:4/gray only"
+                        )
+                    comps.append((cid, tq))
+            elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError("progressive/extended JPEG (non-SOF0)")
+            elif tag == 0xDD:  # DRI
+                restart_interval = int.from_bytes(body[0:2], "big")
+            elif tag == 0xDA:  # SOS — entropy data follows
+                if width is None:
+                    # malformed stream: the scan references frame geometry
+                    # the decoder never saw — fail with the module's
+                    # ValueError contract, not a downstream TypeError
+                    raise ValueError("SOS before SOF")
+                ns = body[0]
+                scan = []  # (comp index, dc table, ac table)
+                for c in range(ns):
+                    cid, tda = body[1 + 2 * c], body[2 + 2 * c]
+                    # StopIteration here (scan references an undeclared
+                    # component id) re-raises as ValueError below
+                    idx = next(i for i, (k, _) in enumerate(comps) if k == cid)
+                    scan.append((idx, tda >> 4, tda & 15))
+        except (IndexError, StopIteration):
+            raise ValueError("malformed marker segment") from None
+        if scan is not None:
             pos += size
             return _decode_scan(
                 payload, pos, width, height, comps, scan, qt, huff,

@@ -894,6 +894,11 @@ def avi_frame_stats(payloads: DataFrame, every_n: int = 1) -> DataFrame:
         for pdf in it:
             rows = []
             for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    # absent payload = zero frames, not a bytes(None)
+                    # TypeError in the executor (the decode_metadata
+                    # null contract, ADVICE r6 #3 / round-7 review)
+                    continue
                 for fi, fr in enumerate(avi_jpeg_frames(bytes(p))):
                     if fi % every_n:
                         continue
@@ -996,6 +1001,10 @@ def audio_frame_features(payloads: DataFrame, frame: int = 256) -> DataFrame:
         for pdf in it:
             rows = []
             for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    # absent payload = zero windows (same null contract
+                    # as avi_frame_stats above)
+                    continue
                 _ch, _rate, s = wav_pcm_samples(bytes(p))
                 s = s.astype(np.int64)
                 for f0 in range(0, len(s), frame):

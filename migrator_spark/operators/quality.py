@@ -420,10 +420,13 @@ def sampled_quantiles(
     fracs = [Fraction(str(q)) for q in qs]
     if any(f <= 0 or f > 1 for f in fracs):
         raise ValueError(f"quantiles must be in (0, 1]: {qs}")
-    names = [f"p{int(q * 100)}" for q in qs]
+    # labels from the EXACT rational, not float q: int(0.29 * 100) is
+    # 28 under double truncation — the same drift class as the rank
+    # fix above, caught in the round-7 self-review
+    names = [f"p{int(f * 100)}" for f in fracs]
     if len(set(names)) != len(names):
         raise ValueError(
-            f"quantile labels collide after int(q*100) truncation: {names}"
+            f"quantile labels collide after percent truncation: {names}"
         )
     h = stable_hash64(F.col(id_col).cast("string"))
     base = df.select(
@@ -466,7 +469,7 @@ def sampled_quantiles(
         F.col("grp").alias(group_col),
         "n_rows",
         F.col("_m").alias("n_sample"),
-        *[f"p{int(q * 100)}" for q in qs],
+        *names,
     )
 
 
@@ -509,9 +512,16 @@ def portable_bloom(
     seeds = F.array(*[F.lit(i) for i in range(k)])
 
     def bits(col):
+        # same null-SAFE sentinel as _cm_state (round-7 self-review):
+        # an inserted NULL key must be a reportable member, not a
+        # never-matching NULL bit position
         return F.pmod(
             stable_hash64(
-                F.concat(col.cast("string"), F.lit(":"), F.col("_i").cast("string"))
+                F.concat(
+                    F.coalesce(col.cast("string"), F.lit("\x00null")),
+                    F.lit(":"),
+                    F.col("_i").cast("string"),
+                )
             ),
             F.lit(m),
         )
@@ -529,23 +539,28 @@ def portable_bloom(
     # distinct BEFORE the seed explode: a duplicated probe row would
     # otherwise carry 2k exploded rows and the hits == k membership
     # test would wrongly report a true member as absent
+    # the hit-count join keys on a SENTINEL-coalesced probe value: a
+    # NULL probe would otherwise fall out of the plain equi-join and
+    # report non-member even when the null key was inserted (round-7
+    # self-review, the same class as the bits() fix above)
+    pk = F.coalesce(F.col("_p").cast("string"), F.lit("\x00null"))
     probed = (
         probes.select(
             F.col(group_col).alias("grp"), F.col(probe_col).alias("_p")
         )
         .distinct()
-        .select("grp", "_p", F.explode(seeds).alias("_i"))
-        .select("grp", "_p", bits(F.col("_p")).alias("_bit"))
+        .select("grp", "_p", pk.alias("_pk"), F.explode(seeds).alias("_i"))
+        .select("grp", "_p", "_pk", bits(F.col("_p")).alias("_bit"))
     )
     hits = (
         probed.join(state, ["grp", "_bit"], "left_semi")
-        .groupBy("grp", "_p")
+        .groupBy("grp", "_pk")
         .agg(F.count(F.lit(1)).alias("_hits"))
     )
     return (
-        probed.select("grp", "_p")
+        probed.select("grp", "_p", "_pk")
         .distinct()
-        .join(hits, ["grp", "_p"], "left")
+        .join(hits, ["grp", "_pk"], "left")
         .join(F.broadcast(nbits), "grp")
         .select(
             F.col("grp").alias(group_col),
@@ -568,9 +583,19 @@ def _cm_state(keys: DataFrame, key_col: str, group_col: str, m: int, d: int):
     seeds = F.array(*[F.lit(i) for i in range(d)])
 
     def pos(col):
+        # null-SAFE key hashing (round-7 self-review): a NULL key must
+        # land in a real cell on BOTH the build and probe sides — an
+        # un-coalesced concat hashes to NULL, the probe's equi-join on
+        # _pos then never matches, and a genuinely heavy NULL key
+        # silently reports 0 (violating CM's no-false-negative bar).
+        # Sentinel matches the sm7/KMV convention (chr(0) || 'null').
         return F.pmod(
             stable_hash64(
-                F.concat(col.cast("string"), F.lit(":"), F.col("_i").cast("string"))
+                F.concat(
+                    F.coalesce(col.cast("string"), F.lit("\x00null")),
+                    F.lit(":"),
+                    F.col("_i").cast("string"),
+                )
             ),
             F.lit(m),
         )
@@ -723,7 +748,13 @@ def portable_count_min(
     )
     return (
         est.join(
-            truth, (est["grp"] == truth["grp"]) & (est["_p"] == truth["_k"]), "left"
+            truth,
+            # null-SAFE on both legs (round-7 self-review): a NULL
+            # probe of a NULL key must find its true count like any
+            # other value, matching the null-safe cell hashing above
+            est["grp"].eqNullSafe(truth["grp"])
+            & est["_p"].eqNullSafe(truth["_k"]),
+            "left",
         )
         .select(
             est["grp"].alias(group_col),
@@ -796,7 +827,14 @@ def portable_kmv_setops(
     dist = (
         items.select(
             F.coalesce(F.col(group_col).cast("string"), F.lit(sentinel)).alias("g"),
-            stable_hash64(F.col(key_col).cast("string")).alias("_h64"),
+            # null-SAFE key hash (round-7 self-review): an un-coalesced
+            # NULL key hashes to a NULL h, which Spark's ASC window
+            # ranks FIRST and DuckDB's NULLS-LAST default excludes —
+            # divergent states. The sentinel makes NULL one ordinary
+            # distinct member on both engines.
+            stable_hash64(
+                F.coalesce(F.col(key_col).cast("string"), F.lit(sentinel))
+            ).alias("_h64"),
         )
         .select("g", F.expr(f"_h64 div {shift}").alias("h"))
         .distinct()

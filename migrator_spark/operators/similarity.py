@@ -153,9 +153,23 @@ def gemm_topk(
     # Bounded driver collect: |Q| rows — the query batch itself, the
     # same object a serving tier ships with the request.
     qpd = queries.select(q_id_col, q_vec_col).toPandas()
+    if len(qpd) == 0:
+        # empty query batch: a valid (empty) answer, not a numpy shape
+        # error inside the executor
+        spark = emb.sparkSession
+        return spark.createDataFrame(
+            [], f"{q_id_col} long, {id_col} long, cos_sim double, rank int"
+        )
     q_ids = qpd[q_id_col].to_numpy(dtype=np.int64)
     qm = np.array(qpd[q_vec_col].tolist(), dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
+    if (qnorms == 0.0).any():
+        # cosine against a zero vector is undefined; refuse loudly
+        # rather than emit a NaN-ranked arbitrary candidate set
+        # (round-7 self-review)
+        bad = q_ids[(qnorms == 0.0).ravel()].tolist()
+        raise ValueError(f"zero-norm query vector(s): {bad}")
+    qm /= qnorms
     bc = emb.sparkSession.sparkContext.broadcast((q_ids, qm))
     take = k + margin
 
@@ -167,8 +181,17 @@ def gemm_topk(
             vid = pdf[id_col].to_numpy(dtype=np.int64)
             b = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.linalg.norm(b, axis=1)
-            norms[norms == 0.0] = 1.0
+            zero = norms == 0.0
+            norms[zero] = 1.0
             s = (b / norms[:, None]) @ qn.T  # ONE GEMM: (batch, |Q|)
+            if zero.any():
+                # Under ANSI mode a zero-norm CORPUS row makes the
+                # Catalyst cosine raise DIVIDE_BY_ZERO; marking those
+                # rows +inf forces them into the candidate set so the
+                # rescore raises the SAME error the pure-Catalyst path
+                # does (error parity — never a silently dropped row,
+                # pinned in tests/test_round7c_properties.py)
+                s[zero, :] = np.inf
             t = min(take, s.shape[0])
             if t < s.shape[0]:
                 top = np.argpartition(-s, t - 1, axis=0)[:t]
@@ -1226,6 +1249,7 @@ def semdedup_two_level(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    build_sample_mod: int | None = None,
 ) -> DataFrame:
     """SemDeDup on the HIERARCHICAL quantizer — the two-level build
     (kmeans_assign_two_level) plugged into the flagship dedup: points
@@ -1236,6 +1260,14 @@ def semdedup_two_level(
     tightest available reference). Same output contract as semdedup:
     (id, cell, n_dups, keep) with cell = coarse·k_fine + sub.
 
+    ``build_sample_mod=M`` trains BOTH quantizer levels on the
+    deterministic 1/M hash sample and scores the full corpus against
+    the sampled codebooks — exactly semdedup's sampled-build
+    discipline, so the flat-vs-two-level probes compare quantizers
+    under the same build protocol (round-7 self-review: the first
+    bake-off trained two-level on the full corpus, confounding the
+    comparison).
+
     This is the production form for corpora where k must track n
     (SCALE.md §5e: flat assignment 20.4 s vs two-level 6.3 s at 32×
     data, k=256) — the judge-visible proof that the measured knob is
@@ -1244,8 +1276,21 @@ def semdedup_two_level(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    coarse, fine, asg1 = fit_two_level(pts, k_coarse, k_fine, iters, id_col)
-    scored = score_against_two_level(
-        pts, coarse, fine, k_fine, id_col, asg1=asg1
-    )
+    if build_sample_mod:
+        from migrator_spark.functions.hashing import stable_hash64
+
+        build_pts = pts.filter(
+            stable_hash64(F.col(id_col).cast("string")) % build_sample_mod == 0
+        )
+        coarse, fine, _ = fit_two_level(
+            build_pts, k_coarse, k_fine, iters, id_col
+        )
+        # asg1 covers only the build slice; the full corpus assigns
+        # fresh against the sampled codebooks
+        scored = score_against_two_level(pts, coarse, fine, k_fine, id_col)
+    else:
+        coarse, fine, asg1 = fit_two_level(pts, k_coarse, k_fine, iters, id_col)
+        scored = score_against_two_level(
+            pts, coarse, fine, k_fine, id_col, asg1=asg1
+        )
     return _pairwise_fate(scored, tau, dim, id_col)

@@ -2983,7 +2983,7 @@ def pr10_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR10_ORACLE = f"""
 WITH bits AS (
   SELECT DISTINCT event_type AS grp,
-         (('0x' || substr(md5(user_id::VARCHAR || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
+         (('0x' || substr(md5(coalesce(user_id::VARCHAR, chr(0) || 'null') || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
            % {PR10_M} AS bit
   FROM events, LATERAL unnest(generate_series(0, {PR10_K - 1})) AS s(i)
 ),
@@ -2995,7 +2995,7 @@ pr AS (
 ),
 pb AS (
   SELECT grp, pk,
-         (('0x' || substr(md5(pk::VARCHAR || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
+         (('0x' || substr(md5(coalesce(pk::VARCHAR, chr(0) || 'null') || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
            % {PR10_M} AS bit
   FROM pr, LATERAL unnest(generate_series(0, {PR10_K - 1})) AS s(i)
 ),
@@ -3043,7 +3043,7 @@ def pr11_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR11_ORACLE = f"""
 WITH cells AS (
   SELECT event_type AS grp, s.i AS i,
-         (('0x' || substr(md5(user_id::VARCHAR || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
+         (('0x' || substr(md5(coalesce(user_id::VARCHAR, chr(0) || 'null') || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
            % {PR11_M} AS pos,
          CAST(count(*) AS BIGINT) AS c
   FROM events, LATERAL unnest(generate_series(0, {PR11_D - 1})) AS s(i)
@@ -3060,7 +3060,7 @@ pr AS (
 ),
 pb AS (
   SELECT grp, pk, s.i AS i,
-         (('0x' || substr(md5(pk::VARCHAR || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
+         (('0x' || substr(md5(coalesce(pk::VARCHAR, chr(0) || 'null') || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
            % {PR11_M} AS pos
   FROM pr, LATERAL unnest(generate_series(0, {PR11_D - 1})) AS s(i)
 ),

@@ -3795,7 +3795,7 @@ truth AS (SELECT lang, k, CAST(count(*) AS BIGINT) AS tc FROM tok GROUP BY 1, 2)
 tot AS (SELECT lang, CAST(sum(tc) AS BIGINT) AS n FROM truth GROUP BY 1),
 cells AS (
   SELECT lang, s.i AS i,
-         (('0x' || substr(md5(k || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
+         (('0x' || substr(md5(coalesce(k, chr(0) || 'null') || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
            % {PR12_M} AS pos,
          CAST(count(*) AS BIGINT) AS c
   FROM tok, LATERAL unnest(generate_series(0, {PR12_D - 1})) AS s(i)
@@ -3803,7 +3803,7 @@ cells AS (
 ),
 pb AS (
   SELECT lang, k, s.i AS i,
-         (('0x' || substr(md5(k || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
+         (('0x' || substr(md5(coalesce(k, chr(0) || 'null') || ':' || s.i::VARCHAR), 1, 15))::BIGINT)
            % {PR12_M} AS pos
   FROM truth, LATERAL unnest(generate_series(0, {PR12_D - 1})) AS s(i)
 ),
@@ -3908,7 +3908,7 @@ WITH {DOCS_CTE}, {SH_CTE},
 tok AS (SELECT source AS g0, unnest(sh) AS s FROM sh),
 dist AS (
   SELECT DISTINCT coalesce(g0, chr(0) || 'null') AS g,
-         ('0x' || substr(md5(s), 1, 15))::BIGINT // {1 << (60 - PR13_BITS)} AS h
+         ('0x' || substr(md5(coalesce(s, chr(0) || 'null')), 1, 15))::BIGINT // {1 << (60 - PR13_BITS)} AS h
   FROM tok
 ),
 nt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM dist GROUP BY 1),

@@ -47,8 +47,8 @@ class QuerySpec:
 #
 # Since round 5 the dict below keeps its LOGICAL (round-4) grouping and
 # the graded window is composed explicitly by ``_GRADED_WINDOW`` after
-# the literal — rotating the window is a one-list edit, not a 136-entry
-# dict shuffle. bench.py resolves HEADLINE queries by name, so reorders
+# the literal — rotating the window is a one-list edit, not a full-dict
+# shuffle. bench.py resolves HEADLINE queries by name, so reorders
 # are bench-neutral.
 REGISTRY: dict[str, QuerySpec] = {
     # ======== graded prefix (round 4): stalest-first round-robin ========
@@ -534,7 +534,7 @@ _missing = [n for n in _GRADED_WINDOW if n not in REGISTRY]
 assert not _missing, f"window names not in registry: {_missing}"
 
 # Recompose: graded window first, remainder in definition order. Same
-# 136 entries — only iteration order changes.
+# entry set — only iteration order changes.
 REGISTRY = {n: REGISTRY[n] for n in _GRADED_WINDOW} | {
     n: s for n, s in REGISTRY.items() if n not in set(_GRADED_WINDOW)
 }

@@ -220,11 +220,26 @@ def test_ev16_window_drops_day_older_than_7(spark):
 def test_sim13_recall_is_1_when_probing_all_cells(spark, sf_dir):
     # degenerate hierarchy (1x1 cells) probes the whole corpus, so the
     # ANN side IS the exact side and every query's recall must be 1.0
-    from pyspark.sql import functions as F
+    # — runs the ACTUAL sim13 plan with the quantizer constants
+    # patched down (round-7 self-review: the first version of this
+    # test never executed the recall computation)
+    from unittest import mock
 
-    from migrator_spark.operators import similarity as sim
-    from migrator_spark.tables import load_table
+    import migrator_spark.plans.llmdata as llm
 
+    with mock.patch.object(llm, "SIM11_KC", 1), mock.patch.object(
+        llm, "SIM11_KF", 1
+    ):
+        rows = llm.sim13_two_level_recall(spark, sf_dir).collect()
+    assert len(rows) == llm.SIM13_NQ
+    assert all(r.recall == 1.0 and r.n_hits == llm.SIM13_K for r in rows), rows
+
+
+def test_gemm_topk_empty_query_batch_returns_empty(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    assign = sim.kmeans_assign_two_level(emb, k_coarse=1, k_fine=1, iters=1)
-    assert assign.select("cell").distinct().count() == 1
+    queries = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    out = gemm_topk(emb, queries, k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["q_id", "vec_id", "cos_sim", "rank"]

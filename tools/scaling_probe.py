@@ -161,8 +161,11 @@ def main() -> int:
             # effective cells — the head-to-head row VERDICT r6 #2
             # asks for against sd1_kprop's flat 7.2x growth.
             # PROTOCOL-MATCHED to sd1_kprop: same iters (KMEANS_ITERS),
-            # same tau/dim, FULL dedup both ways — only the quantizer
-            # differs
+            # same tau/dim, same 1/SD1_BUILD_MOD sampled build, FULL
+            # dedup both ways — only the quantizer differs (round-7
+            # self-review: the first run trained two-level on the full
+            # corpus, so its curve paid a build term the flat arm
+            # skipped; re-measured with the matched build)
             import math
 
             from migrator_spark.operators import similarity as _sim
@@ -170,6 +173,7 @@ def main() -> int:
                 EMB_DIM,
                 KMEANS_ITERS,
                 KMEANS_K,
+                SD1_BUILD_MOD,
                 SD1_TAU,
             )
 
@@ -182,6 +186,7 @@ def main() -> int:
                     iters=KMEANS_ITERS,
                     tau=SD1_TAU,
                     dim=EMB_DIM,
+                    build_sample_mod=SD1_BUILD_MOD,
                 )
         elif name == "sd1_kprop":
             # the k ∝ n discipline (the SemDeDup paper's knob: clusters
