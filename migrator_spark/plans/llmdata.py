@@ -4249,3 +4249,116 @@ JOIN u ub ON ub.tok = f.b, nw, nab
 ORDER BY pmi_micro DESC, a ASC, b ASC
 LIMIT {TA14_TOP_K}
 """
+
+
+def cur10_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data RELEASE manifest, one Catalyst
+    plan — the composition a data team actually ships from, chaining
+    three of this round's primitives over the near-dup cluster graph
+    built ONCE:
+
+      near-dup clusters (dd2 LSH pairs -> dd6b star contraction)
+        -> keep one representative per cluster      (cur3's rule)
+        -> leakage-safe train/val split BY CLUSTER  (sm8 — a val
+           page's near-copy can never leak into train)
+        -> deterministic sequence packing of the TRAIN side only
+           (pk1's hash-bucketed streams)
+
+    Output: one row per surviving document — (doc_id, group, split,
+    n_tokens) plus the packing coordinates (bucket, start_offset,
+    chunk_id) for train rows (null for val). The cluster graph is
+    computed once and feeds both the survivor rule and the split key;
+    packing sees only train survivors, so the token streams are
+    leakage-free by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESH,
+    )
+    clusters = dd.duplicate_clusters_star(pairs).localCheckpoint(eager=True)
+    split = mx.leakage_safe_split(docs, clusters)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    surv = docs.join(losers, "doc_id", "left_anti").join(split, "doc_id")
+    packed = pk.pack_sequences(
+        surv.filter(F.col("split") == "train"),
+        token_budget=PK1_TOKEN_BUDGET,
+        n_buckets=PK1_BUCKETS,
+    ).select("doc_id", "bucket", "start_offset", "chunk_id")
+    return surv.select(
+        "doc_id",
+        "group",
+        "split",
+        F.size(words("text")).cast("long").alias("n_tokens"),
+    ).join(packed, "doc_id", "left")
+
+
+CUR10_ORACLE = f"""
+WITH RECURSIVE {DOCS_CTE}, {SH_CTE},
+{SIG_CTE},
+banded AS (
+  SELECT doc_id, sh, band,
+         {H.format(x="array_to_string(list_transform(sig[band*3+1:band*3+3], v -> v::VARCHAR), ',')")} AS band_hash
+  FROM sig, LATERAL unnest(generate_series(0, {MINHASH_BANDS - 1})) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_distinct(list_intersect(sa.sh, sb.sh)))::DOUBLE
+           / len(list_distinct(sa.sh || sb.sh))::DOUBLE AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+),
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_THRESH}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+r AS (
+  SELECT u AS n, u AS m FROM edges
+  UNION
+  SELECT r.n, e.v FROM r JOIN edges e ON e.u = r.m
+),
+lab AS (SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n),
+surv AS (
+  SELECT d.doc_id,
+         coalesce(lab.cluster_id, d.doc_id) AS grp,
+         CAST(len(d.w) AS BIGINT) AS n_tokens
+  FROM docs d LEFT JOIN lab ON lab.doc_id = d.doc_id
+  WHERE lab.doc_id IS NULL OR lab.doc_id = lab.cluster_id
+),
+sp AS (
+  SELECT doc_id, grp, n_tokens,
+         CASE WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 2) < 'cc'
+              THEN 'train' ELSE 'val' END AS split
+  FROM surv
+),
+base AS (
+  SELECT doc_id, grp, n_tokens, split,
+         {H.format(x="CAST(doc_id AS VARCHAR)")} % {PK1_BUCKETS} AS bucket,
+         {H.format(x="CAST(doc_id AS VARCHAR)")} AS hkey
+  FROM sp WHERE split = 'train'
+),
+cum AS (
+  SELECT doc_id, bucket,
+         CAST(sum(n_tokens) OVER (PARTITION BY bucket
+                                  ORDER BY hkey ASC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM base
+)
+SELECT sp.doc_id, sp.grp AS "group", sp.split, sp.n_tokens,
+       CAST(cum.bucket AS BIGINT) AS bucket,
+       cum.start_offset,
+       cum.start_offset // {PK1_TOKEN_BUDGET} AS chunk_id
+FROM sp LEFT JOIN cum ON cum.doc_id = sp.doc_id
+"""

@@ -442,6 +442,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ta14_pmi_collocations": QuerySpec(
         llmdata.ta14_pmi_collocations, llmdata.TA14_ORACLE
     ),
+    "cur10_release_manifest": QuerySpec(
+        llmdata.cur10_release_manifest, llmdata.CUR10_ORACLE
+    ),
 }
 
 
@@ -482,6 +485,7 @@ _GRADED_WINDOW: list[str] = [
     "sim13_two_level_recall",  # NEW: recall@10 of the two-level IVF probe
     "ev16_rolling_active_users",  # NEW: sliding 7-day WAU/DAU via expansion
     "ta14_pmi_collocations",  # NEW: integer-micro-nat PMI collocations
+    "cur10_release_manifest",  # NEW: cluster->keep-one->split->pack release
     "sd5_stream_semdedup_two_level",  # landed post-r6-grading, never graded
     "dd12_containment_pairs",  # prefix-filtered verify (VERDICT r6 #3): regrade bit-identical
     "pr9_sampled_quantiles",  # integer-rational ranks (ADVICE r6 #1): regrade
@@ -522,10 +526,10 @@ _GRADED_WINDOW: list[str] = [
     "cur3_neardup_mix",
     "ta9_similar_docs",
     "dd10_dup_spans",
-    "mx2_epoch_plan",
-    # (sim7/sim8/dd11/ta10/dq2/fo2/ev7 displaced by the round-7b head
-    # insertions sim12/ev15/sm8/dq4/sim13/ev16/ta14, and mm5/q2w by
-    # the earlier pr13/mm11 ones — all nine lead round 8's backfill)
+    # (sim7/sim8/dd11/ta10/dq2/fo2/ev7/mx2 displaced by the round-7b
+    # head insertions sim12/ev15/sm8/dq4/sim13/ev16/ta14/cur10, and
+    # mm5/q2w by the earlier pr13/mm11 ones — all ten lead round 8's
+    # backfill)
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

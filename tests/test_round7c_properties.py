@@ -227,3 +227,23 @@ def test_semdedup_two_level_empty_build_slice_raises(spark, sf_dir):
             emb, k_coarse=2, k_fine=2, iters=1,
             build_sample_mod=10_000_000_000,
         ).count()
+
+
+# --- cur10: the release composition's leakage guarantee -----------------------
+
+
+def test_cur10_train_packing_never_contains_val_group_members(spark, sf_dir):
+    from migrator_spark.plans.llmdata import cur10_release_manifest
+
+    rows = cur10_release_manifest(spark, sf_dir).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group"], set()).add(r.split)
+    # survivors are one-per-cluster, so every group appears once; the
+    # split is a pure function of the group id
+    assert all(len(s) == 1 for s in by_group.values())
+    for r in rows:
+        if r.split == "train":
+            assert r.bucket is not None and r.start_offset is not None
+        else:
+            assert r.bucket is None and r.chunk_id is None
