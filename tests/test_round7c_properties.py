@@ -247,3 +247,101 @@ def test_cur10_train_packing_never_contains_val_group_members(spark, sf_dir):
             assert r.bucket is not None and r.start_offset is not None
         else:
             assert r.bucket is None and r.chunk_id is None
+
+
+# --- jpeg malformed-input contract, fuzzed ------------------------------------
+
+
+def test_jpeg_decode_fuzz_never_escapes_error_contract():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=0, max_size=64))
+    def fuzz(tail):
+        try:
+            jpeg_decode(b"\xff\xd8" + tail)
+        except (ValueError, NotImplementedError):
+            pass  # the module's documented malformed-input contract
+
+    fuzz()
+
+
+def test_jpeg_decode_fuzz_marker_shaped_inputs():
+    # marker-shaped fuzz: valid SOI + a plausible marker tag + a size
+    # field that may disagree with the remaining bytes — exercises the
+    # declared-size vs internal-layout seams directly
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tags = st.sampled_from([0xDB, 0xC4, 0xC0, 0xDA, 0xDD, 0xFE])
+
+    @settings(max_examples=300, deadline=None)
+    @given(tags, st.integers(min_value=0, max_value=70), st.binary(max_size=70))
+    def fuzz(tag, size, body):
+        payload = b"\xff\xd8\xff" + bytes([tag]) + size.to_bytes(2, "big") + body
+        try:
+            jpeg_decode(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+    fuzz()
+
+
+# --- ev15 vs a brute-force chain search, randomized ---------------------------
+
+
+def test_ev15_matches_bruteforce_on_random_streams(spark):
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    truth = {}
+    W = 24  # hours — matches the query's 1-day window
+    for user in range(120):
+        n = rng.randint(1, 12)
+        evs = sorted(
+            (rng.randint(0, 96), rng.choice(["view", "click", "purchase"]))
+            for _ in range(n)
+        )
+        for h, t in evs:
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+                 user, t, 0.0, "{}")
+            )
+            eid += 1
+        # brute force: every (view, click, purchase) chain with
+        # non-decreasing times inside [t_view, t_view + W]
+        views = [h for h, t in evs if t == "view"]
+        clicks = [h for h, t in evs if t == "click"]
+        purch = [h for h, t in evs if t == "purchase"]
+        if not views:
+            continue
+        level = 1
+        for v in views:
+            for c in clicks:
+                if v <= c <= v + W:
+                    level = max(level, 2)
+                    for p in purch:
+                        if c <= p <= v + W:
+                            level = max(level, 3)
+        truth[user] = level
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import migrator_spark.plans.analytics as an
+    from unittest import mock
+
+    with mock.patch.object(an, "load_table", lambda s, d, t: ev):
+        got = {
+            r.level: r.n_users
+            for r in an.ev15_window_funnel(spark, "x").collect()
+        }
+    want = {}
+    for lv in truth.values():
+        want[lv] = want.get(lv, 0) + 1
+    assert got == want, (got, want)
