@@ -3313,3 +3313,96 @@ SELECT CAST(d.day AS VARCHAR) AS day,
        d.dau::DOUBLE / w.wau::DOUBLE AS stickiness
 FROM dau d JOIN wau w ON d.day = w.wday
 """
+
+
+FO5_ASOF_TXN = "1996-07-03"
+
+
+def fo5_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal reconstruction — "what did 1996-H1 revenue look like
+    AS WE KNEW IT on {txn}?" — the two-clock query (valid time =
+    o_orderdate, transaction time = when a version became known) that
+    separates a warehouse from an audit log, completing the fo family
+    (fo1 snapshot diff, fo2 SCD2, fo3 as-of snapshot, fo4 cohorts).
+
+    Versions are SYNTHESIZED arithmetically (the mm-family synthesis
+    discipline, so the oracle can recompute them): every order's v1 is
+    known at its o_orderdate; orders with o_orderkey % 10 == 0 receive
+    a +10.00 price correction known 5 days later. The as-of rule picks,
+    per order, the LATEST version whose transaction time is <= the
+    as-of instant — corrections published after it are invisible, which
+    is the whole point.
+
+    Shape: the version relation is a 2-arm union of pruned scans (the
+    valid-time slice pushes into BOTH scans), the per-key latest
+    version is a WindowGroupLimit top-1, and the rollup is one
+    partial-combined aggregate over |orders in slice| rows. No
+    self-join, DECIMAL(18,2) money arithmetic end-to-end.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    v1 = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("_vt"),
+        F.col("o_orderdate").alias("_tt"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("_price"),
+    )
+    v2 = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").alias("_vt"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 5 DAY")).alias("_tt"),
+            (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(10).cast("decimal(18,2)")).alias(
+                "_price"
+            ),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("_tt").desc())
+    latest_known = (
+        v1.unionByName(v2)
+        .filter(F.col("_tt") <= F.lit(FO5_ASOF_TXN).cast("timestamp_ntz"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return latest_known.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("_tt") > F.col("_vt")).alias("n_corrected"),
+        F.sum("_price").cast("double").alias("revenue_as_known"),
+    )
+
+
+FO5_ORACLE = f"""
+WITH sliced AS (
+  SELECT o_orderkey, o_orderpriority, o_orderdate,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-07-01'
+),
+versions AS (
+  SELECT o_orderkey, o_orderpriority, o_orderdate AS vt,
+         o_orderdate AS tt, price FROM sliced
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_orderdate,
+         o_orderdate + INTERVAL 5 DAY,
+         price + CAST(10 AS DECIMAL(18,2))
+  FROM sliced WHERE o_orderkey % 10 = 0
+),
+latest_known AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY tt DESC) AS rn
+    FROM versions WHERE tt <= TIMESTAMP '{FO5_ASOF_TXN}'
+  ) WHERE rn = 1
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE tt > vt) AS BIGINT) AS n_corrected,
+       CAST(sum(price) AS DOUBLE) AS revenue_as_known
+FROM latest_known GROUP BY o_orderpriority
+"""

@@ -445,6 +445,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "cur10_release_manifest": QuerySpec(
         llmdata.cur10_release_manifest, llmdata.CUR10_ORACLE
     ),
+    "fo5_bitemporal_asof": QuerySpec(
+        analytics.fo5_bitemporal_asof, analytics.FO5_ORACLE
+    ),
 }
 
 
@@ -486,6 +489,7 @@ _GRADED_WINDOW: list[str] = [
     "ev16_rolling_active_users",  # NEW: sliding 7-day WAU/DAU via expansion
     "ta14_pmi_collocations",  # NEW: integer-micro-nat PMI collocations
     "cur10_release_manifest",  # NEW: cluster->keep-one->split->pack release
+    "fo5_bitemporal_asof",  # NEW: two-clock as-of reconstruction
     "sd5_stream_semdedup_two_level",  # landed post-r6-grading, never graded
     "dd12_containment_pairs",  # prefix-filtered verify (VERDICT r6 #3): regrade bit-identical
     "pr9_sampled_quantiles",  # integer-rational ranks (ADVICE r6 #1): regrade
@@ -525,11 +529,10 @@ _GRADED_WINDOW: list[str] = [
     # -- r4-green backfill (oldest r4 block, registry order) --
     "cur3_neardup_mix",
     "ta9_similar_docs",
-    "dd10_dup_spans",
-    # (sim7/sim8/dd11/ta10/dq2/fo2/ev7/mx2 displaced by the round-7b
-    # head insertions sim12/ev15/sm8/dq4/sim13/ev16/ta14/cur10, and
-    # mm5/q2w by the earlier pr13/mm11 ones — all ten lead round 8's
-    # backfill)
+    # (sim7/sim8/dd11/ta10/dq2/fo2/ev7/mx2/dd10 displaced by the
+    # round-7b head insertions sim12/ev15/sm8/dq4/sim13/ev16/ta14/
+    # cur10/fo5, and mm5/q2w by the earlier pr13/mm11 ones — all
+    # eleven lead round 8's backfill)
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

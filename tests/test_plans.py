@@ -1098,3 +1098,14 @@ def test_sim13_ann_probe_is_cell_joined(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim13_two_level_recall")
     assert "CartesianProduct" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_fo5_valid_time_slice_pushed_to_both_version_scans(spark, sf_dir):
+    # the valid-time predicate must reach BOTH union arms' parquet
+    # scans, the per-key latest-version pick must be a WindowGroupLimit
+    # (rank == 1 is a constant bound), and nothing joins
+    plan = _plan(spark, sf_dir, "fo5_bitemporal_asof")
+    assert "Join" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    pushed = _pushed_filters(plan)
+    assert sum("o_orderdate" in p for p in pushed) >= 2, pushed
