@@ -82,6 +82,11 @@ SMOKE_QUERIES = [
     "ev15_window_funnel",       # suffix-RANGE window frames over a real per-user exchange
     "sm8_leakage_safe_split",   # LSH components consumed by a split-assignment join
     "dq4_referential_audit",    # eight broadcast anti-audit arms unioned across executors
+    "sim13_two_level_recall",   # two-level probe + exact side reconciled across executors
+    "ev16_rolling_active_users",  # date-sequence explode + two distinct aggs over exchanges
+    "ta14_pmi_collocations",    # vocab-bounded broadcast joins + 1-row total broadcasts
+    "cur10_release_manifest",   # checkpointed cluster graph feeding three consumers
+    "fo5_bitemporal_asof",      # union-arm pruned scans + WindowGroupLimit latest-version
 ]
 
 
