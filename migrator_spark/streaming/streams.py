@@ -682,3 +682,96 @@ def streaming_window_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def profiling_ingest_stream(
+    spark: SparkSession,
+    keys: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    key_col: str,
+    group_col: str,
+    m: int = 512,
+    d: int = 3,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous data profiling: maintain the cross-engine-EXACT
+    Count-Min state (quality._cm_state — the cells behind pr11's
+    frequency estimates and pr12's heavy hitters) incrementally over a
+    key stream, completing the streaming lane for the portable-sketch
+    ladder the way continuous_packing_stream did for packing.
+
+    The reason this can be EXACT where most streaming sketches are
+    merely mergeable-approximate: CM cells are a pure ADDITIVE function
+    of the key multiset, so fold(state, batch) == build(all data seen)
+    bit-for-bit — the incremental state after N triggers equals the
+    batch-built sketch over the concatenated corpus, with no
+    order-dependence to hide (the parity test's contract). Per trigger
+    the work is one partial-combined aggregate over the batch plus a
+    union-merge with the bounded G·d·m-row state — the history is
+    never rescanned.
+
+    Exactly-once across crashes, same discipline as
+    continuous_packing_stream: the versioned state table (atomic
+    symlink swap) carries last_batch_id + checkpoint identity; a
+    replayed batch whose id is already recorded is skipped (the swap
+    is atomic, so replay sees either the pre-batch state — and re-adds
+    the same counts — or the post-batch state and skips); a fresh
+    checkpoint pointed at existing state raises instead of silently
+    double-counting.
+
+    Serving reads the state table directly: pr11/pr12-style probes
+    join the broadcast cells — the stream never blocks reads (versioned
+    reads see the last committed state).
+    """
+    from migrator_spark.operators.quality import _cm_state
+    from migrator_spark.sources.parquet import ParquetSource
+
+    state = ParquetSource(state_root)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        prev = None
+        if state.exists(spark, "cm_state"):
+            st = state.table(spark, "cm_state")
+            first = st.select(
+                F.max("last_batch_id").alias("last"),
+                F.max("checkpoint_id").alias("ckpt"),
+            ).first()
+            last, ckpt = first["last"], first["ckpt"]
+            if last is not None and batch_id <= last:
+                if ckpt is not None and ckpt != checkpoint_dir:
+                    raise RuntimeError(
+                        "profiling_ingest_stream: state at "
+                        f"{state_root!r} was written by checkpoint "
+                        f"{ckpt!r} (last_batch_id={last}) but this "
+                        f"stream runs from {checkpoint_dir!r} — batch "
+                        f"ids restarted (got {batch_id}); refusing to "
+                        "silently double-count. Reuse the original "
+                        "checkpoint dir or point at a fresh state_root."
+                    )
+                return  # this batch's merge is known complete
+            prev = st.select("grp", "_i", "_pos", "_c")
+        _seeds, _pos, cells = _cm_state(batch, key_col, group_col, m, d)
+        if prev is not None:
+            cells = (
+                prev.unionByName(cells)
+                .groupBy("grp", "_i", "_pos")
+                .agg(F.sum("_c").alias("_c"))
+            )
+        state.write(
+            cells.withColumn("last_batch_id", F.lit(batch_id)).withColumn(
+                "checkpoint_id", F.lit(checkpoint_dir)
+            ),
+            "cm_state",
+        )
+
+    writer = (
+        keys.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1103,3 +1103,128 @@ def test_streaming_window_funnel_state_survives_restart(spark, tmp_path):
     # user 1's view lived only in pre-restart state; the post-restart
     # click+purchase complete the chain
     assert final == {1: 3, 2: 1}, final
+
+
+def _cm_batch_cells(spark, frames, m, d):
+    """Batch-built CM cells over the CONCATENATION of the given frames."""
+    from migrator_spark.operators.quality import _cm_state
+
+    allf = frames[0]
+    for f in frames[1:]:
+        allf = allf.unionByName(f)
+    _s, _p, cells = _cm_state(allf, "k", "grp", m, d)
+    return {(r["grp"], r["_i"], r["_pos"]): r["_c"] for r in cells.collect()}
+
+
+def test_profiling_stream_state_equals_batch_sketch(spark, tmp_path):
+    """The incremental CM state after N triggers must equal the
+    batch-built sketch over everything seen — additive cells make the
+    streaming sketch EXACT, not just mergeable-approximate."""
+    import os
+
+    from migrator_spark.streaming.streams import profiling_ingest_stream
+
+    schema = "grp string, k string"
+    b1 = spark.createDataFrame(
+        [("a", f"k{i % 5}") for i in range(40)] + [("b", "x")], schema
+    )
+    b2 = spark.createDataFrame(
+        [("a", f"k{i % 7}") for i in range(30)] + [("b", None)], schema
+    )
+    sdir = str(tmp_path / "in")
+    b1.coalesce(1).write.mode("append").parquet(sdir)
+    b2.coalesce(1).write.mode("append").parquet(sdir)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(sdir)
+    )
+    q = profiling_ingest_stream(
+        spark, stream, str(tmp_path / "state"), str(tmp_path / "ck"),
+        key_col="k", group_col="grp", m=64, d=2,
+    )
+    q.awaitTermination(120)
+
+    from migrator_spark.sources.parquet import ParquetSource
+
+    st = ParquetSource(str(tmp_path / "state")).table(spark, "cm_state")
+    got = {
+        (r["grp"], r["_i"], r["_pos"]): r["_c"]
+        for r in st.select("grp", "_i", "_pos", "_c").collect()
+    }
+    assert got == _cm_batch_cells(spark, [b1, b2], 64, 2)
+    # the null key occupies a real cell (round-7 sentinel contract)
+    assert st.count() == len(got) and got  # non-empty, no dup cells
+
+
+def test_profiling_stream_replay_is_idempotent(spark, tmp_path):
+    """Drop the newest checkpoint commit marker so the last batch
+    replays: the state must come out bit-identical, not double-counted
+    (the atomic versioned swap + skip-if-recorded discipline)."""
+    import os
+
+    from migrator_spark.sources.parquet import ParquetSource
+    from migrator_spark.streaming.streams import profiling_ingest_stream
+
+    schema = "grp string, k string"
+    b1 = spark.createDataFrame([("a", f"k{i % 3}") for i in range(20)], schema)
+    b2 = spark.createDataFrame([("a", f"k{i % 4}") for i in range(20)], schema)
+    sdir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    b1.coalesce(1).write.mode("append").parquet(sdir)
+    b2.coalesce(1).write.mode("append").parquet(sdir)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        q = profiling_ingest_stream(
+            spark, stream, str(tmp_path / "state"), ckpt,
+            key_col="k", group_col="grp", m=32, d=2,
+        )
+        q.awaitTermination(120)
+
+    run()
+    st = ParquetSource(str(tmp_path / "state")).table(spark, "cm_state")
+    before = sorted(
+        tuple(r) for r in st.select("grp", "_i", "_pos", "_c").collect()
+    )
+    commits = sorted(
+        f for f in os.listdir(ckpt + "/commits") if not f.startswith(".")
+    )
+    os.remove(ckpt + "/commits/" + commits[-1])
+    crc = ckpt + "/commits/." + commits[-1] + ".crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()  # batch 1 replays; merge must be skipped, state unchanged
+    st2 = ParquetSource(str(tmp_path / "state")).table(spark, "cm_state")
+    after = sorted(
+        tuple(r) for r in st2.select("grp", "_i", "_pos", "_c").collect()
+    )
+    assert after == before
+
+
+def test_profiling_stream_fresh_checkpoint_against_state_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from migrator_spark.streaming.streams import profiling_ingest_stream
+
+    schema = "grp string, k string"
+    b1 = spark.createDataFrame([("a", "k1")], schema)
+    sdir = str(tmp_path / "in")
+    b1.coalesce(1).write.mode("append").parquet(sdir)
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        q = profiling_ingest_stream(
+            spark, stream, str(tmp_path / "state"), ck,
+            key_col="k", group_col="grp", m=32, d=2,
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ck1"))
+    with _pytest.raises(Exception, match="refusing to silently double-count"):
+        run(str(tmp_path / "ck2"))
