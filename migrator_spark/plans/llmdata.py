@@ -4362,3 +4362,147 @@ SELECT sp.doc_id, sp.grp AS "group", sp.split, sp.n_tokens,
        cum.start_offset // {PK1_TOKEN_BUDGET} AS chunk_id
 FROM sp LEFT JOIN cum ON cum.doc_id = sp.doc_id
 """
+
+
+SIM14_NQ, SIM14_K, SIM14_MAX_PROBE = 16, 10, 4
+
+
+def sim14_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost curve, measured and graded: recall@10 per
+    query at n_probe ∈ {1, 2, 4} of 8 cells — the tuning table every
+    IVF deployment reads before fixing its probe count (FAISS nprobe).
+    sim2 probes one cell and sim13 grades one-probe recall on the
+    hierarchy; this sweeps the knob: each query searches its P nearest
+    coarse cells (deterministic squared-L2 centroid ranking, ties to
+    the lower cell), exactly within them, and the hit count against
+    the exact top-10 lands per (query, n_probe) — 48 graded rows
+    whose monotone-in-P recall IS the curve.
+
+    Shape: the Lloyd build + assignment are the shared offline
+    artifacts (checkpointed once, consumed by the probe ranking and
+    the cell filter); the probed scan is |probed cells|/k of the
+    corpus per query; the exact side is one corpus scan; everything
+    downstream of the per-(q, P) rank is |Q|·|P|-row relations."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = sim._fit_centroids(
+        pts, KMEANS_K, KMEANS_ITERS, "vec_id"
+    ).localCheckpoint(eager=True)
+    assign = sim._assign_cells(pts, cents, "vec_id").select(
+        "vec_id", "cell"
+    ).localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < SIM14_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    qv = pts.filter(F.col("vec_id") < SIM14_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    wrank = Window.partitionBy("q_id").orderBy(
+        F.col("_d").asc(), F.col("cell").asc()
+    )
+    probe_sets = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("_d", sim._sq_l2(F.col("qv"), F.col("c")))
+        .withColumn("_rk", F.row_number().over(wrank))
+        .filter(F.col("_rk") <= SIM14_MAX_PROBE)
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(1,), (2,), (4,)], "n_probe int"
+                )
+            )
+        )
+        .filter(F.col("_rk") <= F.col("n_probe"))
+        .select("q_id", "n_probe", "cell")
+    )
+    wk = Window.partitionBy("q_id", "n_probe").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    ann = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(probe_sets), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(queries), "q_id")
+        .withColumn("cos_sim", cosine_similarity("embedding", "qe"))
+        .withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= SIM14_K)
+        .select("q_id", "n_probe", "vec_id")
+    )
+    exact = sim.pairwise_topk_join(emb, queries, k=SIM14_K).select(
+        "q_id", "vec_id"
+    )
+    hits = ann.join(exact, ["q_id", "vec_id"]).groupBy("q_id", "n_probe").agg(
+        F.count(F.lit(1)).alias("_h")
+    )
+    spine = queries.select("q_id").crossJoin(
+        F.broadcast(spark.createDataFrame([(1,), (2,), (4,)], "n_probe int"))
+    )
+    return spine.join(hits, ["q_id", "n_probe"], "left").select(
+        "q_id",
+        F.col("n_probe").cast("long").alias("n_probe"),
+        F.coalesce("_h", F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce("_h", F.lit(0)).cast("double") / F.lit(float(SIM14_K))
+        ).alias("recall"),
+    )
+
+
+SIM14_ORACLE = f"""
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS)},
+q AS (
+  SELECT vec_id AS q_id, v AS qv FROM pts WHERE vec_id < {SIM14_NQ}
+),
+qcells AS (
+  SELECT q_id, cell, row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY {_SQ_EXPR.format(a="qv", b="c.c")} ASC, c.cell ASC
+         ) AS rk
+  FROM q CROSS JOIN cents{KMEANS_ITERS} c
+),
+probe_sets AS (
+  SELECT q_id, p.n_probe, cell
+  FROM qcells, (VALUES (1), (2), (4)) AS p(n_probe)
+  WHERE rk <= p.n_probe
+),
+qe AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < {SIM14_NQ}),
+ann AS (
+  SELECT q_id, n_probe, vec_id FROM (
+    SELECT ps.q_id, ps.n_probe, e.vec_id,
+           row_number() OVER (
+             PARTITION BY ps.q_id, ps.n_probe
+             ORDER BY {COS_EXPR.format(a="e.embedding", b="qe.qe")} DESC,
+                      e.vec_id ASC) AS rn
+    FROM probe_sets ps
+    JOIN assign_final a ON a.cell = ps.cell
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    JOIN qe ON qe.q_id = ps.q_id
+    WHERE e.vec_id <> ps.q_id
+  ) WHERE rn <= {SIM14_K}
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT qe.q_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY qe.q_id
+             ORDER BY {COS_EXPR.format(a="e.embedding", b="qe.qe")} DESC,
+                      e.vec_id ASC) AS rn
+    FROM embeddings e, qe
+    WHERE e.vec_id <> qe.q_id
+  ) WHERE rn <= {SIM14_K}
+),
+h AS (
+  SELECT ann.q_id, ann.n_probe, count(*) AS c
+  FROM ann JOIN exact ON exact.q_id = ann.q_id AND exact.vec_id = ann.vec_id
+  GROUP BY ann.q_id, ann.n_probe
+),
+spine AS (
+  SELECT q_id, n_probe FROM qe, (VALUES (1), (2), (4)) AS p(n_probe)
+)
+SELECT s.q_id, CAST(s.n_probe AS BIGINT) AS n_probe,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+       coalesce(h.c, 0)::DOUBLE / {float(SIM14_K)} AS recall
+FROM spine s LEFT JOIN h ON h.q_id = s.q_id AND h.n_probe = s.n_probe
+"""

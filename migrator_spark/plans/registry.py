@@ -448,6 +448,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "fo5_bitemporal_asof": QuerySpec(
         analytics.fo5_bitemporal_asof, analytics.FO5_ORACLE
     ),
+    "sim14_multiprobe_recall": QuerySpec(
+        llmdata.sim14_multiprobe_recall, llmdata.SIM14_ORACLE
+    ),
 }
 
 
@@ -490,6 +493,7 @@ _GRADED_WINDOW: list[str] = [
     "ta14_pmi_collocations",  # NEW: integer-micro-nat PMI collocations
     "cur10_release_manifest",  # NEW: cluster->keep-one->split->pack release
     "fo5_bitemporal_asof",  # NEW: two-clock as-of reconstruction
+    "sim14_multiprobe_recall",  # NEW: the IVF nprobe recall curve, graded
     "sd5_stream_semdedup_two_level",  # landed post-r6-grading, never graded
     "dd12_containment_pairs",  # prefix-filtered verify (VERDICT r6 #3): regrade bit-identical
     "pr9_sampled_quantiles",  # integer-rational ranks (ADVICE r6 #1): regrade
@@ -528,11 +532,10 @@ _GRADED_WINDOW: list[str] = [
     "q25_grouping_sets",
     # -- r4-green backfill (oldest r4 block, registry order) --
     "cur3_neardup_mix",
-    "ta9_similar_docs",
-    # (sim7/sim8/dd11/ta10/dq2/fo2/ev7/mx2/dd10 displaced by the
+    # (sim7/sim8/dd11/ta10/dq2/fo2/ev7/mx2/dd10/ta9 displaced by the
     # round-7b head insertions sim12/ev15/sm8/dq4/sim13/ev16/ta14/
-    # cur10/fo5, and mm5/q2w by the earlier pr13/mm11 ones — all
-    # eleven lead round 8's backfill)
+    # cur10/fo5/sim14, and mm5/q2w by the earlier pr13/mm11 ones —
+    # all twelve lead round 8's backfill)
 ]
 
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)

@@ -345,3 +345,18 @@ def test_ev15_matches_bruteforce_on_random_streams(spark):
     for lv in truth.values():
         want[lv] = want.get(lv, 0) + 1
     assert got == want, (got, want)
+
+
+# --- sim14: the recall curve's contracts --------------------------------------
+
+
+def test_sim14_recall_monotone_in_probe_count(spark, sf_dir):
+    from migrator_spark.plans.llmdata import sim14_multiprobe_recall
+
+    rows = sim14_multiprobe_recall(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, {})[r.n_probe] = r.n_hits
+    # probing MORE cells can never lose a hit (probe sets are nested)
+    for q, d in by_q.items():
+        assert d[1] <= d[2] <= d[4], (q, d)
