@@ -505,9 +505,16 @@ def leakage_safe_split(
     ``clusters``: (id_col, cluster_col) — membership of the pair-graph
     components; docs absent from it form singleton groups. The split
     key is md5 of the GROUP id, so membership in train/val is
-    deterministic, engine-portable, and stable under corpus growth
-    that doesn't touch the group (a new near-dup of a val page joins
-    val, never train).
+    deterministic and engine-portable. Stability under corpus growth
+    is qualified (ADVICE r7 #3): because cluster_id is the
+    component-MIN doc id, the split is stable exactly when new members
+    don't lower the component-min id and don't merge two existing
+    components — a new near-dup with a LARGER id than the group's min
+    joins that group's side (val stays val); a new doc with a smaller
+    id, or one bridging two clusters, changes the group id and can
+    re-draw the whole group's split. For a release pipeline that must
+    never flip, freeze the clusters table per release (cur10 does) or
+    derive the key from a min-stable group identifier.
 
     Scale: one broadcast-or-shuffle left join of the corpus against
     the components table (|clustered docs| rows — tiny after LSH

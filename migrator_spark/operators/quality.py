@@ -539,28 +539,36 @@ def portable_bloom(
     # distinct BEFORE the seed explode: a duplicated probe row would
     # otherwise carry 2k exploded rows and the hits == k membership
     # test would wrongly report a true member as absent
-    # the hit-count join keys on a SENTINEL-coalesced probe value: a
-    # NULL probe would otherwise fall out of the plain equi-join and
-    # report non-member even when the null key was inserted (round-7
-    # self-review, the same class as the bits() fix above)
-    pk = F.coalesce(F.col("_p").cast("string"), F.lit("\x00null"))
+    # the hit count groups on the ORIGINAL nullable probe value and
+    # joins back with eqNullSafe (ADVICE r7 #1): the earlier
+    # sentinel-coalesced key could COLLIDE — a probe set containing
+    # both NULL and the literal "\x00null" folded to one key, the hit
+    # count doubled to 2k, and `hits == k` reported BOTH as
+    # non-members even when genuinely inserted. groupBy is null-safe
+    # in Spark, so no sentinel is needed at all (the same
+    # truth-join discipline as portable_count_min).
     probed = (
         probes.select(
             F.col(group_col).alias("grp"), F.col(probe_col).alias("_p")
         )
         .distinct()
-        .select("grp", "_p", pk.alias("_pk"), F.explode(seeds).alias("_i"))
-        .select("grp", "_p", "_pk", bits(F.col("_p")).alias("_bit"))
+        .select("grp", "_p", F.explode(seeds).alias("_i"))
+        .select("grp", "_p", bits(F.col("_p")).alias("_bit"))
     )
     hits = (
         probed.join(state, ["grp", "_bit"], "left_semi")
-        .groupBy("grp", "_pk")
+        .groupBy("grp", "_p")
         .agg(F.count(F.lit(1)).alias("_hits"))
+        .withColumnsRenamed({"grp": "_hg", "_p": "_hp"})
     )
+    base = probed.select("grp", "_p").distinct()
     return (
-        probed.select("grp", "_p", "_pk")
-        .distinct()
-        .join(hits, ["grp", "_pk"], "left")
+        base.join(
+            hits,
+            (F.col("grp") == F.col("_hg"))
+            & F.col("_p").eqNullSafe(F.col("_hp")),
+            "left",
+        )
         .join(F.broadcast(nbits), "grp")
         .select(
             F.col("grp").alias(group_col),

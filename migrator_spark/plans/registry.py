@@ -451,6 +451,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim14_multiprobe_recall": QuerySpec(
         llmdata.sim14_multiprobe_recall, llmdata.SIM14_ORACLE
     ),
+    # -- round 8 --
+    "sim15_ivf_multiprobe_topk": QuerySpec(
+        llmdata.sim15_ivf_multiprobe_topk, llmdata.SIM15_ORACLE
+    ),
 }
 
 

@@ -599,6 +599,7 @@ def streaming_window_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_lateness_micros: int | None = None,
 ) -> DataFrame:
     """Streaming windowFunnel (the stateful form of the batch ev15
     query): per user, the maximum chain depth step1 -> step2 -> step3
@@ -623,44 +624,49 @@ def streaming_window_funnel(
     that makes a funnel viable over an unbounded stream where the
     batch query's window sort cannot run.
 
-    Contract: per-user event time must be non-decreasing ACROSS
-    micro-batches (within a batch the operator sorts). File-replay and
-    CDC intakes satisfy this; a late-data source needs a watermark
-    buffer stage first (the documented production hardening, as with
-    streaming_first_seen's TTL note). Emits (user, level) in update
-    mode — the last emission per user is its current level; parity
-    with the batch ev15 distribution and crash-replay recovery are
-    pinned in tests/test_streaming.py.
+    Contract (``max_lateness_micros=None``, the trusted-order fast
+    path): per-user event time must be STRICTLY increasing across
+    micro-batch boundaries (ADVICE r7 #4 — "non-decreasing" admitted a
+    tie straddling a boundary: a click in batch N at the same ts as a
+    view in batch N+1 folds before the view and misses a chain the
+    batch ev15 RANGE frames, ties included, would count; same-ts ties
+    must land in ONE micro-batch, where the step-rank sort handles
+    them). File-replay and CDC intakes with strictly increasing
+    per-user clocks satisfy this.
+
+    Late-data mode (``max_lateness_micros`` set — VERDICT r7 #2, the
+    reference's OnlyPast watermark made per-key and buffered, ref
+    extractor_timestamp.go:18,42-43): the contract is ENFORCED, not
+    assumed. Per-user state adds a bounded reorder buffer and a
+    released watermark ``wm``. Each trigger: (1) arrivals with
+    ts < wm are DROPPED and counted (the documented max-lateness drop
+    policy — they predate history already folded); (2) the rest join
+    the buffer; (3) wm advances to max_seen_ts - max_lateness and
+    events STRICTLY below it mature into the authoritative automaton
+    state in (ts, step-rank) order — strict release keeps same-ts
+    ties together in the buffer until they all mature, so the
+    boundary-tie miss is structurally impossible; (4) the emitted
+    level SPECULATIVELY folds the sorted in-horizon tail on top of a
+    copy of the authoritative state, so the current emission reflects
+    every non-dropped event seen so far and the stream's final levels
+    equal the batch fold of all non-dropped events in time order,
+    whatever the batch boundaries (the shuffled-replay parity test's
+    contract). Max-depth is monotone in the event set (best1/best2
+    are maxes), so update-mode max-per-user stays the right read.
+    State is three longs + the buffer, bounded by
+    arrival_rate x max_lateness per user; emits
+    (user, level, late_dropped) with the cumulative per-user drop
+    count as the metric.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     s1, s2, s3 = steps
     rank = {s1: 0, s2: 1, s3: 2}
 
-    def fn(key: tuple, pdfs, state: GroupState):
-        import pandas as pd
-
-        if state.exists:
-            best1, best2, level = state.get
-        else:
-            best1, best2, level = None, None, 0
-        rows = [p for p in pdfs if len(p)]
-        if not rows:
-            return
-        pdf = pd.concat(rows)
-        pdf = pdf[pdf[type_col].isin(rank)]
-        if len(pdf) == 0:
-            if level > 0:
-                yield pd.DataFrame({user_col: [key[0]], "level": [level]})
-            return
-        pdf = pdf.assign(_r=pdf[type_col].map(rank)).sort_values(
-            [ts_col, "_r"], kind="mergesort"
-        )
-        # normalize to MICROSECONDS regardless of the Arrow batch's
-        # pandas resolution (ns here, us elsewhere) — the state longs
-        # and window_micros share one unit
-        ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64")
-        for t, r in zip(ts_us, pdf["_r"]):
+    def _fold(best1, best2, level, ts_list, r_list):
+        # the shared automaton step, identical to ev15's semantics:
+        # events MUST already be sorted by (ts, step-rank)
+        for t, r in zip(ts_list, r_list):
             if r == 0:
                 best1 = t if best1 is None else max(best1, t)
                 level = max(level, 1)
@@ -669,16 +675,251 @@ def streaming_window_funnel(
                 level = max(level, 2)
             elif r == 2 and best2 is not None and t <= best2 + window_micros:
                 level = 3
+        return best1, best2, level
+
+    def _batch_events(pdfs):
+        import pandas as pd
+
+        rows = [p for p in pdfs if len(p)]
+        if not rows:
+            return None
+        pdf = pd.concat(rows)
+        pdf = pdf[pdf[type_col].isin(rank)]
+        if len(pdf) == 0:
+            return None
+        pdf = pdf.assign(_r=pdf[type_col].map(rank))
+        # normalize to MICROSECONDS regardless of the Arrow batch's
+        # pandas resolution (ns here, us elsewhere) — the state longs
+        # and window_micros share one unit
+        ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64")
+        return ts_us.to_numpy(), pdf["_r"].to_numpy()
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            best1, best2, level = state.get
+        else:
+            best1, best2, level = None, None, 0
+        got = _batch_events(pdfs)
+        if got is None:
+            if level > 0:
+                yield pd.DataFrame({user_col: [key[0]], "level": [level]})
+            return
+        ts_us, rs = got
+        order = pd.DataFrame({"t": ts_us, "r": rs}).sort_values(
+            ["t", "r"], kind="mergesort"
+        )
+        best1, best2, level = _fold(
+            best1, best2, level, order["t"].tolist(), order["r"].tolist()
+        )
         state.update((best1, best2, level))
         # a user with no step-1 event yet has no funnel level (matches
         # the batch query, which anchors on step-1 rows)
         if level > 0:
             yield pd.DataFrame({user_col: [key[0]], "level": [level]})
 
+    def fn_buffered(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            best1, best2, level, wm, dropped, buf_t, buf_r = state.get
+            buf_t = list(buf_t) if buf_t is not None else []
+            buf_r = list(buf_r) if buf_r is not None else []
+        else:
+            best1, best2, level, wm, dropped = None, None, 0, None, 0
+            buf_t, buf_r = [], []
+
+        got = _batch_events(pdfs)
+        if got is not None:
+            ts_us, rs = got
+            if wm is not None:
+                late = ts_us < wm
+                n_late = int(late.sum())
+                if n_late:
+                    # the max-lateness drop policy: these predate
+                    # history already folded authoritatively — count
+                    # and drop (never silently)
+                    dropped += n_late
+                    ts_us, rs = ts_us[~late], rs[~late]
+            buf_t.extend(int(t) for t in ts_us)
+            buf_r.extend(int(r) for r in rs)
+
+        if buf_t:
+            high = max(buf_t) - max_lateness_micros
+            if wm is None or high > wm:
+                wm = high
+            order = pd.DataFrame({"t": buf_t, "r": buf_r}).sort_values(
+                ["t", "r"], kind="mergesort"
+            )
+            # STRICT release: same-ts ties mature together, so a tie
+            # can never straddle the authoritative/speculative seam
+            mature = order[order["t"] < wm]
+            tail = order[order["t"] >= wm]
+            if len(mature):
+                best1, best2, level = _fold(
+                    best1,
+                    best2,
+                    level,
+                    mature["t"].tolist(),
+                    mature["r"].tolist(),
+                )
+            buf_t = tail["t"].tolist()
+            buf_r = tail["r"].tolist()
+        else:
+            tail = None
+
+        state.update((best1, best2, level, wm, dropped, buf_t, buf_r))
+        # speculative emission: fold the in-horizon tail on top of a
+        # COPY of the authoritative state — reflects every non-dropped
+        # event seen so far, independent of batch boundaries
+        _, _, spec_level = (
+            _fold(best1, best2, level, buf_t, buf_r)
+            if buf_t
+            else (best1, best2, level)
+        )
+        if spec_level > 0 or dropped > 0:
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "level": [spec_level],
+                    "late_dropped": [dropped],
+                }
+            )
+
+    if max_lateness_micros is None:
+        return stream.groupBy(F.col(user_col)).applyInPandasWithState(
+            fn,
+            outputStructType=f"{user_col} long, level integer",
+            stateStructType="best1 long, best2 long, level integer",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     return stream.groupBy(F.col(user_col)).applyInPandasWithState(
+        fn_buffered,
+        outputStructType=f"{user_col} long, level integer, late_dropped long",
+        stateStructType=(
+            "best1 long, best2 long, level integer, wm long, "
+            "dropped long, buf_t array<long>, buf_r array<integer>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def watermark_reorder_buffer(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    max_lateness_micros: int,
+) -> DataFrame:
+    """Bounded out-of-order buffer (VERDICT r7 #2): re-emit a keyed
+    event stream with per-key event time GUARANTEED non-decreasing
+    across micro-batches — the enforcement stage for downstream
+    order-sensitive stateful consumers (streaming_first_seen,
+    streaming_window_funnel's fast path), the per-key buffered form of
+    the reference's OnlyPast guard (extractor_timestamp.go:18,42-43).
+
+    Per key the state holds a released watermark ``wm``, a cumulative
+    ``late_dropped`` counter, and the buffered in-horizon rows
+    (columns split into typed arrays — micros timestamps + a JSON
+    payload string per row, rebuilt on release with the input
+    schema's types). Per trigger: arrivals with ts < wm are dropped
+    and counted (the max-lateness drop policy — emitting them would
+    break the order guarantee already handed downstream); the rest
+    join the buffer; wm advances to max_seen - max_lateness and rows
+    STRICTLY below it are emitted sorted by ts (strict, so same-ts
+    ties always emit in one trigger — the boundary-tie hazard of
+    ADVICE r7 #4 cannot reach the consumer). Emitted rows carry the
+    payload columns plus ``late_dropped``. The stream's tail (within
+    max_lateness of the per-key max) stays buffered until later data
+    matures it — the price of an order guarantee over an unbounded
+    stream; a periodic heartbeat event per partition is the standard
+    production flush.
+
+    Spark has no built-in per-KEY watermark reorder (the global
+    watermark feeds windowed aggs, not arbitrary stateful ops), hence
+    applyInPandasWithState. State is bounded by
+    arrival_rate x max_lateness per key. Chaining two arbitrary
+    stateful operators in ONE query is unsupported by Structured
+    Streaming, so the production topology is two queries: this stage
+    -> exactly-once file/table sink -> consumer intake (the handoff
+    preserves trigger order; pinned in tests/test_streaming.py).
+    """
+    import json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    in_schema = stream.schema
+    payload_cols = [f.name for f in in_schema.fields]
+    out_schema = (
+        StructType(list(in_schema.fields))
+        .add("late_dropped", "long")
+    )
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            wm, dropped, buf_t, buf_j = state.get
+            buf_t = list(buf_t) if buf_t is not None else []
+            buf_j = list(buf_j) if buf_j is not None else []
+        else:
+            wm, dropped, buf_t, buf_j = None, 0, [], []
+
+        rows = [p for p in pdfs if len(p)]
+        template = rows[0].iloc[:0] if rows else None
+        if rows:
+            pdf = pd.concat(rows)
+            ts_us = (
+                pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+            )
+            if wm is not None:
+                late = ts_us < wm
+                n_late = int(late.sum())
+                if n_late:
+                    dropped += n_late
+                    pdf, ts_us = pdf[~late], ts_us[~late]
+            # JSON payload with ISO timestamps: rebuilt below with the
+            # input schema's dtypes, so round-trip is type-faithful
+            buf_t.extend(int(t) for t in ts_us)
+            buf_j.extend(
+                pdf.to_json(orient="records", lines=True,
+                            date_format="iso", date_unit="us").splitlines()
+            )
+
+        out = None
+        if buf_t:
+            high = max(buf_t) - max_lateness_micros
+            if wm is None or high > wm:
+                wm = high
+            order = pd.DataFrame({"t": buf_t, "j": buf_j}).sort_values(
+                "t", kind="mergesort"
+            )
+            mature = order[order["t"] < wm]
+            tail = order[order["t"] >= wm]
+            buf_t, buf_j = tail["t"].tolist(), tail["j"].tolist()
+            if len(mature) and template is not None:
+                recs = [json.loads(j) for j in mature["j"]]
+                out = pd.DataFrame.from_records(recs, columns=payload_cols)
+                for c in payload_cols:
+                    dt = template[c].dtype
+                    if str(dt).startswith("datetime64"):
+                        out[c] = pd.to_datetime(out[c]).astype(dt)
+                    else:
+                        out[c] = out[c].astype(dt)
+                out["late_dropped"] = dropped
+
+        state.update((wm, dropped, buf_t, buf_j))
+        if out is not None:
+            yield out
+
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
         fn,
-        outputStructType=f"{user_col} long, level integer",
-        stateStructType="best1 long, best2 long, level integer",
+        outputStructType=out_schema,
+        stateStructType=(
+            "wm long, dropped long, buf_t array<long>, buf_j array<string>"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

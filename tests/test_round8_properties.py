@@ -1,0 +1,203 @@
+"""Round-8 property pins for the ADVICE r7 fixes: (1) portable_bloom's
+probe join is null-safe WITHOUT a collidable sentinel; (2) gemm_topk's
+zero-norm corpus rows never evict real candidates, and with ANSI off
+the GEMM path matches the pure-Catalyst path bit-for-bit (NULL cosine
+rows rank last in both)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from migrator_spark.operators.quality import portable_bloom
+from migrator_spark.operators.similarity import gemm_topk, pairwise_topk_join
+
+
+def test_bloom_null_and_sentinel_literal_probes_dont_collide(spark):
+    """ADVICE r7 #1: a probe set containing BOTH NULL and the literal
+    "\\x00null" used to coalesce onto one join key — the hit count
+    doubled to 2k and `hits == k` reported both as NON-members even
+    when genuinely inserted. The null-safe groupBy + eqNullSafe join
+    keeps them distinct."""
+    keys = spark.createDataFrame(
+        [("g", None), ("g", "\x00null"), ("g", "a")], "grp string, k string"
+    )
+    probes = spark.createDataFrame(
+        [("g", None), ("g", "\x00null"), ("g", "a"), ("g", "absent-key")],
+        "grp string, pk string",
+    )
+    out = {
+        r["pk"]: r["member"]
+        for r in portable_bloom(
+            keys, probes, key_col="k", group_col="grp", probe_col="pk"
+        ).collect()
+    }
+    assert out[None] is True  # inserted NULL: member
+    assert out["\x00null"] is True  # inserted literal sentinel: member
+    assert out["a"] is True
+    assert len(out) == 4  # the two colliding probes stay separate rows
+
+
+def test_gemm_topk_matches_catalyst_with_zero_corpus_row_ansi_off(
+    spark, sf_dir
+):
+    """ADVICE r7 #2: with ANSI off, Catalyst cosine on a zero-norm
+    corpus row yields NULL (no error); the old +inf marking let those
+    rows evict real candidates from the pruner. Now they are appended
+    as extra candidates, score NULL at rescore, sort last (desc =>
+    NULLS LAST), and the GEMM path equals pairwise_topk_join exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    zero_rows = spark.createDataFrame(
+        [(100000 + i, [0.0] * dim, 0) for i in range(12)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with_zero = emb.unionByName(zero_rows)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        pure = {
+            (r["q_id"], r["rank"]): (r["vec_id"], r["cos_sim"])
+            for r in pairwise_topk_join(with_zero, queries, k=4).collect()
+        }
+        gemm = {
+            (r["q_id"], r["rank"]): (r["vec_id"], r["cos_sim"])
+            for r in gemm_topk(
+                with_zero, queries, k=4, margin=8
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert gemm == pure
+    # 12 zero rows > margin=8: under the old +inf marking they would
+    # have filled every per-batch candidate slot and evicted the true
+    # top-k; equality above proves no eviction
+    assert all(v[1] is not None for v in gemm.values())
+
+
+def test_score_two_level_nprobe1_is_bit_identical(spark, sf_dir):
+    """n_probe=1 must be the original single-probe path bit-for-bit —
+    the graded sd5 contract is untouched by the new knob."""
+    from migrator_spark.operators.similarity import (
+        fit_two_level,
+        score_against_two_level,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pts = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    coarse, fine, asg1 = fit_two_level(pts, 3, 3, 1)
+    a = {
+        r["vec_id"]: (r["cell"], r["_cs"], r["_nrm"])
+        for r in score_against_two_level(
+            pts, coarse, fine, 3, asg1=asg1
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: (r["cell"], r["_cs"], r["_nrm"])
+        for r in score_against_two_level(
+            pts, coarse, fine, 3, n_probe=1
+        ).collect()
+    }
+    assert a == b
+
+
+def test_score_two_level_multiprobe_never_worse(spark, sf_dir):
+    """Multi-probe monotonicity on the SCORING seam: probing more
+    coarse cells can only find a nearer (cell, sub) reference, so the
+    cosine to the assigned fine centroid is >= single-probe's for every
+    row, and at n_probe = k_coarse the hierarchy error is gone (the
+    chosen fine centroid is the global argmin over all subs)."""
+    from migrator_spark.operators.similarity import (
+        fit_two_level,
+        score_against_two_level,
+        _sq_l2,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(400)
+    pts = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint(eager=True)
+    coarse, fine, asg1 = fit_two_level(pts, 4, 3, 1)
+    s1 = score_against_two_level(pts, coarse, fine, 3, asg1=asg1)
+    s4 = score_against_two_level(pts, coarse, fine, 3, n_probe=4)
+    # compare the squared distance to each run's assigned fine centroid
+    f2 = fine.select(
+        ((F.col("cell") * 3) + F.col("sub")).cast("long").alias("cell"),
+        F.col("c"),
+    )
+    d1 = {
+        r["vec_id"]: r["d"]
+        for r in s1.join(f2, "cell")
+        .select("vec_id", _sq_l2(F.col("v"), F.col("c")).alias("d"))
+        .collect()
+    }
+    d4 = {
+        r["vec_id"]: r["d"]
+        for r in s4.join(f2, "cell")
+        .select("vec_id", _sq_l2(F.col("v"), F.col("c")).alias("d"))
+        .collect()
+    }
+    assert set(d1) == set(d4)
+    assert all(d4[i] <= d1[i] + 1e-12 for i in d1)
+    assert any(d4[i] < d1[i] - 1e-12 for i in d1), (
+        "n_probe=4 found no better assignment anywhere — "
+        "multi-probe wiring is a no-op on this corpus?"
+    )
+
+
+def test_ivf_batch_topk_full_probe_equals_exact(spark, sf_dir):
+    """At n_probe = k (probe every cell) the IVF search IS the exact
+    brute-force search: equality against pairwise_topk_join pins both
+    the probe-set builder and the pruned-scan scoring path."""
+    from migrator_spark.operators.similarity import (
+        _fit_centroids,
+        _assign_cells,
+        ivf_batch_topk,
+        pairwise_topk_join,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pts = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = _fit_centroids(pts, 4, 1, "vec_id").localCheckpoint(eager=True)
+    assign = _assign_cells(pts, cents, "vec_id").select("vec_id", "cell")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    got = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["cos_sim"])
+        for r in ivf_batch_topk(
+            emb.join(assign, "vec_id"), queries, cents, n_probe=4, k=5
+        ).collect()
+    }
+    exact = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["cos_sim"])
+        for r in pairwise_topk_join(emb, queries, k=5).collect()
+    }
+    assert got == exact
+
+
+def test_multiprobe_cells_rank_and_ties(spark):
+    """The probe builder's tie-break is (d asc, cell asc) — two
+    equidistant centroids must probe the LOWER cell first."""
+    from migrator_spark.operators.similarity import multiprobe_cells
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, -1.0]), (3, [5.0, 5.0])],
+        "cell int, c array<double>",
+    )
+    q = spark.createDataFrame([(7, [0.0, 0.0])], "q_id long, qv array<double>")
+    # cells 0,1,2 all at distance 1; cell 3 far — top-2 must be {0, 1}
+    got = sorted(
+        r["cell"] for r in multiprobe_cells(q, cents, 2).collect()
+    )
+    assert got == [0, 1]

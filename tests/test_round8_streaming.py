@@ -1,0 +1,344 @@
+"""Round-8 streaming late-data lane (VERDICT r7 #2): the per-key
+watermark reorder buffer enforces the order contract the round-7
+stateful operators documented but assumed. Covers: (1) adversarial
+shuffled-replay parity — the same events under bounded out-of-order
+arrival land every user on the batch ev15 level; (2) the max-lateness
+drop policy with its counted metric; (3) boundary ties straddling
+micro-batches (ADVICE r7 #4's hazard) fold correctly; (4) the buffered
+state (arrays included) survives a checkpoint restart; (5) the
+standalone watermark_reorder_buffer stage re-orders a keyed stream for
+a downstream order-sensitive consumer (streaming_first_seen) through
+the two-query file handoff."""
+
+from __future__ import annotations
+
+import time as _time
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from migrator_spark.tables import load_table
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+DAY_US = 86_400_000_000
+
+
+def _mk_events(spark, rows):
+    """rows: (event_id, user_id, ts, event_type)."""
+    return spark.createDataFrame(
+        [(i, ts, u, et, 0.0, "{}") for (i, u, ts, et) in rows], EV_SCHEMA
+    )
+
+
+def _final_levels(rows, user_col="user_id"):
+    final, drops = {}, {}
+    for r in rows:
+        final[r[user_col]] = max(final.get(r[user_col], 0), r["level"])
+        if "late_dropped" in r.asDict():
+            drops[r[user_col]] = max(
+                drops.get(r[user_col], 0), r["late_dropped"]
+            )
+    return final, drops
+
+
+def test_funnel_late_replay_parity_matches_batch(spark, sf_dir, tmp_path):
+    """Adversarial arrival order: every event's arrival is delayed by a
+    deterministic pseudo-random 0-36 h, events are re-batched by
+    ARRIVAL time (so per-user event time goes backwards across
+    micro-batch boundaries, violating the fast path's contract), and
+    the buffered funnel with max_lateness = 36 h still lands every
+    user on the batch ev15 level with zero drops."""
+    from migrator_spark.plans.analytics import ev15_window_funnel
+    from migrator_spark.streaming.streams import streaming_window_funnel
+
+    lateness = 36 * 3_600_000_000  # 36 h in micros
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        r["level"]: r["n_users"]
+        for r in ev15_window_funnel(spark, sf_dir).collect()
+    }
+
+    # deterministic arrival perturbation bounded by `lateness`: the
+    # per-user reorder distance is then < lateness, so nothing drops
+    arr = events.withColumn(
+        "_arr",
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        + F.pmod(F.xxhash64("event_id"), F.lit(lateness)),
+    )
+    cuts = arr.select(
+        F.percentile_approx("_arr", [0.33, 0.66], 10000).alias("c")
+    ).first()["c"]
+    parts = [
+        arr.filter(F.col("_arr") < cuts[0]),
+        arr.filter((F.col("_arr") >= cuts[0]) & (F.col("_arr") < cuts[1])),
+        arr.filter(F.col("_arr") >= cuts[1]),
+    ]
+    sdir = str(tmp_path / "stream")
+    for p in parts:  # mod-time order = arrival order
+        p.drop("_arr").coalesce(1).write.mode("append").parquet(sdir)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    q = (
+        streaming_window_funnel(stream, max_lateness_micros=lateness)
+        .writeStream.format("memory")
+        .queryName("funnel_late_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final, drops = _final_levels(
+        spark.sql("SELECT * FROM funnel_late_out").collect()
+    )
+    dist: dict[int, int] = {}
+    for lv in final.values():
+        dist[lv] = dist.get(lv, 0) + 1
+    assert sum(drops.values()) == 0, drops
+    assert dist == batch, (dist, batch)
+
+
+def test_funnel_drop_policy_counts_beyond_horizon(spark, tmp_path):
+    """An arrival older than the user's released watermark is dropped
+    and COUNTED, never silently folded out of order: user 1's click
+    arrives 9 days late (horizon 1 day) -> level stays 1,
+    late_dropped = 1; user 2 in the same stream is untouched."""
+    from migrator_spark.streaming.streams import streaming_window_funnel
+
+    t0 = datetime(2024, 1, 1)
+    sdir, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    # batch 1: user 1 views at t0 and t0+10d (the late view advances
+    # the per-user watermark to t0+9d); user 2 full chain
+    _mk_events(
+        spark,
+        [
+            (1, 1, t0, "view"),
+            (2, 1, t0 + timedelta(days=10), "view"),
+            (3, 2, t0, "view"),
+            (4, 2, t0 + timedelta(hours=1), "click"),
+            (5, 2, t0 + timedelta(hours=2), "purchase"),
+        ],
+    ).coalesce(1).write.mode("append").parquet(sdir)
+    _time.sleep(1.1)
+    # batch 2: user 1's click at t0+1h is now BEYOND the horizon
+    _mk_events(spark, [(6, 1, t0 + timedelta(hours=1), "click")]).coalesce(
+        1
+    ).write.mode("append").parquet(sdir)
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    q = (
+        streaming_window_funnel(stream, max_lateness_micros=DAY_US)
+        .writeStream.format("memory")
+        .queryName("funnel_drop_out")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final, drops = _final_levels(
+        spark.sql("SELECT * FROM funnel_drop_out").collect()
+    )
+    assert final == {1: 1, 2: 3}, final
+    assert drops == {1: 1, 2: 0}, drops
+
+
+def test_funnel_boundary_tie_folds_step_rank_first(spark, tmp_path):
+    """ADVICE r7 #4's hazard, now structurally impossible: a click in
+    batch N and a view in batch N+1 at the SAME timestamp. Strict
+    release keeps both buffered until the watermark passes the tie,
+    then folds them together view-first (step-rank order), so the
+    chain counts exactly as the batch ev15 RANGE frames would."""
+    from migrator_spark.streaming.streams import streaming_window_funnel
+
+    t0 = datetime(2024, 1, 1)
+    sdir, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    _mk_events(spark, [(1, 1, t0, "click")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(sdir)
+    _time.sleep(1.1)
+    _mk_events(
+        spark,
+        [
+            (2, 1, t0, "view"),
+            # a far-future event matures the tie past the watermark
+            (3, 1, t0 + timedelta(days=30), "view"),
+        ],
+    ).coalesce(1).write.mode("append").parquet(sdir)
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    q = (
+        streaming_window_funnel(stream, max_lateness_micros=DAY_US)
+        .writeStream.format("memory")
+        .queryName("funnel_tie_out")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final, drops = _final_levels(
+        spark.sql("SELECT * FROM funnel_tie_out").collect()
+    )
+    assert final == {1: 2}, final
+    assert drops == {1: 0}, drops
+
+
+def test_funnel_buffered_state_survives_restart(spark, tmp_path):
+    """The buffered-mode state tuple (automaton longs + watermark +
+    drop counter + the ARRAY-typed reorder buffer) round-trips the
+    checkpoint: a chain whose start is still buffered at shutdown
+    completes after the restart."""
+    from migrator_spark.streaming.streams import streaming_window_funnel
+
+    t0 = datetime(2024, 1, 1)
+    sdir, ck, odir = (
+        str(tmp_path / "in"),
+        str(tmp_path / "ck"),
+        str(tmp_path / "out"),
+    )
+
+    def _run():
+        stream = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+
+        def sink(df, bid):
+            df.write.mode("append").parquet(odir)
+
+        q = (
+            streaming_window_funnel(stream, max_lateness_micros=DAY_US)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _mk_events(
+        spark, [(1, 1, t0, "view"), (2, 2, t0, "view")]
+    ).coalesce(1).write.mode("append").parquet(sdir)
+    _run()  # view is still IN THE BUFFER (wm hasn't passed it)
+    _mk_events(
+        spark,
+        [
+            (3, 1, t0 + timedelta(hours=1), "click"),
+            (4, 1, t0 + timedelta(hours=2), "purchase"),
+            (5, 1, t0 + timedelta(days=5), "view"),
+        ],
+    ).coalesce(1).write.mode("append").parquet(sdir)
+    _run()  # restart: buffer + automaton state restored
+    final, drops = _final_levels(spark.read.parquet(odir).collect())
+    assert final == {1: 3, 2: 1}, final
+    assert sum(drops.values()) == 0, drops
+
+
+def test_reorder_buffer_orders_stream_for_first_seen(spark, tmp_path):
+    """The standalone stage: an out-of-order keyed stream goes through
+    watermark_reorder_buffer (query 1, file sink), and the ordered
+    hand-off feeds streaming_first_seen (query 2), which then reports
+    the TRUE first occurrence — the production two-query topology for
+    order-sensitive consumers. Also pins the order guarantee itself:
+    per key, emitted ts is non-decreasing in (trigger, row) order."""
+    from migrator_spark.streaming.streams import (
+        streaming_first_seen,
+        watermark_reorder_buffer,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    sdir = str(tmp_path / "in")
+    mid = str(tmp_path / "ordered")
+    lateness = 2 * DAY_US
+
+    # arrival order deliberately violates event order ACROSS batches:
+    # user 1's true first event (t0) arrives in batch 2
+    _mk_events(
+        spark,
+        [(10, 1, t0 + timedelta(days=1), "view"), (11, 2, t0, "view")],
+    ).coalesce(1).write.mode("append").parquet(sdir)
+    _time.sleep(1.1)
+    _mk_events(
+        spark,
+        [
+            (12, 1, t0, "click"),
+            # maturity pushers: advance each key's watermark past the
+            # contested rows so they emit
+            (13, 1, t0 + timedelta(days=10), "view"),
+            (14, 2, t0 + timedelta(days=10), "view"),
+        ],
+    ).coalesce(1).write.mode("append").parquet(sdir)
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    seq: list[tuple[int, int]] = []  # (batch_id ordinal kept by append order)
+
+    def sink(df, bid):
+        df.withColumn("_bid", F.lit(bid)).write.mode("append").parquet(mid)
+
+    q1 = (
+        watermark_reorder_buffer(stream, "user_id", "ts", lateness)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+
+    ordered = spark.read.parquet(mid)
+    # the order guarantee: per key, ts never decreases across triggers
+    rows = ordered.orderBy("_bid", "ts").collect()
+    last: dict[int, datetime] = {}
+    for r in sorted(rows, key=lambda r: r["_bid"]):
+        if r["user_id"] in last:
+            assert r["ts"] >= last[r["user_id"]], (r, last)
+        last[r["user_id"]] = r["ts"]
+    assert {r["event_id"] for r in rows} >= {10, 11, 12}, rows
+    seq = {r["user_id"] for r in rows}
+    assert seq == {1, 2}
+
+    # query 2: first_seen over the ordered hand-off finds the TRUE first
+    stream2 = spark.readStream.schema(ordered.schema).parquet(mid)
+    q2 = (
+        streaming_first_seen(
+            stream2.select("user_id", "ts", "event_id"),
+            ["user_id"],
+            "ts",
+            "user_id long, ts timestamp_ntz, event_id long",
+        )
+        .writeStream.format("memory")
+        .queryName("first_seen_ordered")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    first = {
+        r["user_id"]: r["event_id"]
+        for r in spark.sql("SELECT * FROM first_seen_ordered").collect()
+    }
+    assert first == {1: 12, 2: 11}, first
