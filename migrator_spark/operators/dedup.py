@@ -256,6 +256,42 @@ def simhash(
     return bit_sums.select(F.col(id_col), acc.alias("simhash"))
 
 
+def shingle_index(
+    docs: DataFrame,
+    attrs: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+) -> DataFrame:
+    """The SHARED shingled inverted index (VERDICT r7 #4): one exploded
+    token relation ``(id_col, *attrs, sz, s)`` — ``sz`` the doc's
+    distinct-shingle-set size, ``s`` each distinct ``k``-word shingle —
+    consumed by every set-similarity operator over documents
+    (ngram_jaccard_pairs/dd4, containment_pairs/dd12,
+    edit_distance_pairs/dd13, textops.similar_docs_topk/ta9). The
+    regex shingling pass is the measured dominant 1x term of the
+    family (SCALE.md); building it once and materializing
+    (localCheckpoint in-session; a bucketed-by-``s`` layout.py write
+    offline at 100 TB, which also makes every downstream
+    (block, s) self-join shuffle-free — HashPartitioning(s) satisfies
+    any clustering that contains s) replaces four independent
+    recomputations. ``attrs`` carries the union of every consumer's
+    blocking columns; consumers project the subset they need, so
+    outputs are bit-identical to the self-built form.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        *attrs,
+        F.array_distinct(word_shingles(text_col, k)).alias("sh"),
+    )
+    return sh.select(
+        F.col(id_col),
+        *attrs,
+        F.size("sh").alias("sz"),
+        F.explode("sh").alias("s"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     block_cols: list[str],
@@ -263,6 +299,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 2,
     threshold: float = 0.2,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Exact k-gram Jaccard pairs within blocking-column groups.
 
@@ -274,18 +311,26 @@ def ngram_jaccard_pairs(
     for any threshold > 0 (zero-overlap pairs have jaccard 0), ~7×
     faster at sf0.1 and sub-quadratic whenever shingle overlap is
     sparse. ``block_cols`` still bound the worst case.
+
+    ``index``: a prebuilt shingle_index(...) relation (same k, attrs ⊇
+    block_cols) — the shared-materialization seam; when given, the
+    shingling pass is skipped and only (id, blocks, sz, s) is
+    projected out of it.
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs never materialize)")
-    sh = docs.select(
-        F.col(id_col), *block_cols, F.array_distinct(word_shingles(text_col, k)).alias("sh")
-    )
-    # set size rides along each token row (8 bytes) so the union size
-    # falls out of the pair aggregate — the join-back-to-sizes form
-    # re-evaluated the shingle subtree twice more and added two joins
-    tok = sh.select(
-        F.col(id_col), *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("s")
-    )
+    if index is not None:
+        tok = index.select(F.col(id_col), *block_cols, "sz", "s")
+    else:
+        sh = docs.select(
+            F.col(id_col), *block_cols, F.array_distinct(word_shingles(text_col, k)).alias("sh")
+        )
+        # set size rides along each token row (8 bytes) so the union size
+        # falls out of the pair aggregate — the join-back-to-sizes form
+        # re-evaluated the shingle subtree twice more and added two joins
+        tok = sh.select(
+            F.col(id_col), *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("s")
+        )
     inter = (
         tok.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"), *block_cols, "s")
         .join(
@@ -964,6 +1009,7 @@ def containment_pairs(
     text_col: str = "text",
     k: int = 2,
     threshold: float = 0.5,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Overlap-coefficient (containment) pairs: |A∩B| / min(|A|, |B|)
     over distinct k-gram sets — the asymmetric companion to
@@ -1008,26 +1054,32 @@ def containment_pairs(
     materialize (threshold > 0 enforced)."""
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs never materialize)")
-    # materialize the shingled index ONCE: it feeds both sides of the
-    # self-join (different projections, so Spark can't reuse the
-    # exchange) and the regex shingling is the measured dominant term
-    # at 1x — without this it would recompute per side. The plan-scoped
-    # localCheckpoint discipline of sim2/dd7/cur2; at 100 TB this is
-    # the shingled corpus a pipeline materializes once, offline.
-    tok = (
-        docs.select(
-            F.col(id_col),
-            *block_cols,
-            F.array_distinct(word_shingles(text_col, k)).alias("sh"),
+    if index is not None:
+        # the SHARED materialized shingle index (shingle_index + the
+        # caller's localCheckpoint / bucketed layout) — already built
+        # once for the whole set-similarity family (VERDICT r7 #4)
+        tok = index.select(F.col(id_col), *block_cols, "sz", "s")
+    else:
+        # materialize the shingled index ONCE: it feeds both sides of the
+        # self-join (different projections, so Spark can't reuse the
+        # exchange) and the regex shingling is the measured dominant term
+        # at 1x — without this it would recompute per side. The plan-scoped
+        # localCheckpoint discipline of sim2/dd7/cur2; at 100 TB this is
+        # the shingled corpus a pipeline materializes once, offline.
+        tok = (
+            docs.select(
+                F.col(id_col),
+                *block_cols,
+                F.array_distinct(word_shingles(text_col, k)).alias("sh"),
+            )
+            .select(
+                F.col(id_col),
+                *block_cols,
+                F.size("sh").alias("sz"),
+                F.explode("sh").alias("s"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .select(
-            F.col(id_col),
-            *block_cols,
-            F.size("sh").alias("sz"),
-            F.explode("sh").alias("s"),
-        )
-        .localCheckpoint(eager=True)
-    )
     a = tok.select(
         F.col(id_col).alias("doc_a"), *block_cols, F.col("sz").alias("sz_a"), "s"
     )
@@ -1058,6 +1110,7 @@ def edit_distance_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 2,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """CHARACTER-level near-dup pairs: exact Levenshtein distance over
     an inverted-index candidate space — the edit-distance family the
@@ -1081,12 +1134,18 @@ def edit_distance_pairs(
     base = docs.select(
         F.col(id_col), *block_cols, normalized_text(text_col).alias("_nt")
     )
-    sh = docs.select(
-        F.col(id_col),
-        *block_cols,
-        F.array_distinct(word_shingles(text_col, k)).alias("sh"),
-    )
-    tok = sh.select(F.col(id_col), *block_cols, F.explode("sh").alias("s"))
+    if index is not None:
+        # the shared shingle index (VERDICT r7 #4) — candidate
+        # generation reads the materialized postings, only the
+        # normalized-text verify side still touches the docs
+        tok = index.select(F.col(id_col), *block_cols, "s")
+    else:
+        sh = docs.select(
+            F.col(id_col),
+            *block_cols,
+            F.array_distinct(word_shingles(text_col, k)).alias("sh"),
+        )
+        tok = sh.select(F.col(id_col), *block_cols, F.explode("sh").alias("s"))
     cand = (
         tok.select(F.col(id_col).alias("doc_a"), *block_cols, "s")
         .join(

@@ -308,6 +308,7 @@ def similar_docs_topk(
     shingle_k: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Query-by-document similarity search: the ``k`` corpus documents
     most similar to one query document by ``shingle_k``-word-shingle
@@ -329,10 +330,14 @@ def similar_docs_topk(
     carries more than (matching docs) rows; the probe set stays
     driver-bounded regardless of corpus size.
     """
-    sh = docs.select(
-        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_k)).alias("sh")
-    )
-    tok = sh.select(F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+    if index is not None:
+        # the shared shingle index (dedup.shingle_index, VERDICT r7 #4)
+        tok = index.select(F.col(id_col), "sz", "s")
+    else:
+        sh = docs.select(
+            F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_k)).alias("sh")
+        )
+        tok = sh.select(F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("s"))
     q = tok.filter(F.col(id_col) == query_doc_id).select(
         F.col("sz").alias("q_sz"), "s"
     )
