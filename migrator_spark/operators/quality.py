@@ -659,14 +659,59 @@ def portable_heavy_hitters(
     profiling pre-pass shape: one corpus scan builds cells + counts,
     one broadcast join reads them.
     """
+    seeds, pos, cells = _cm_state(keys, key_col, group_col, m, d)
+    return heavy_hitters_from_state(
+        cells, keys, key_col, group_col, phi=phi, m=m, d=d
+    )
+
+
+def heavy_hitters_from_state(
+    cells: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    group_col: str,
+    phi: tuple[int, int] = (1, 32),
+    m: int = 1024,
+    d: int = 3,
+) -> DataFrame:
+    """The heavy-hitter PROBE against an externally supplied Count-Min
+    state (VERDICT r7 #5): ``cells`` is any (grp, _i, _pos, _c)
+    relation built by _cm_state with the SAME (m, d) — the batch build
+    (portable_heavy_hitters delegates here), a union-merge of shard
+    sketches, or the LIVE versioned state table
+    streaming.profiling_ingest_stream maintains — and ``keys`` the
+    corpus prefix the state summarizes (candidate set + exact truth
+    columns). Because CM cells are a pure additive function of the key
+    multiset, probing the stream's mid-flight state reproduces the
+    batch-built verdicts bit-for-bit over the same prefix (pinned in
+    tests/test_round8_streaming.py) — the serving read that closes the
+    continuous-profiling loop.
+    """
     num, den = phi
     if num <= 0 or den <= 0 or num > den:
         raise ValueError(f"phi must be a rational in (0, 1]: {phi}")
+    from migrator_spark.functions.hashing import stable_hash64
+
+    seeds = F.array(*[F.lit(i) for i in range(d)])
+
+    def pos(col):
+        # identical null-safe position hash to _cm_state — the probe
+        # must address exactly the cells the build wrote
+        return F.pmod(
+            stable_hash64(
+                F.concat(
+                    F.coalesce(col.cast("string"), F.lit("\x00null")),
+                    F.lit(":"),
+                    F.col("_i").cast("string"),
+                )
+            ),
+            F.lit(m),
+        )
+
     # null-SAFE group/key joins throughout (the sm7 sentinel lesson,
     # ADVICE r6 #2, applied up front): a null group or key groups,
     # estimates, and reports like any other value instead of silently
     # vanishing at the first equi-join
-    seeds, pos, cells = _cm_state(keys, key_col, group_col, m, d)
     truth = (
         keys.select(F.col(group_col).alias("grp"), F.col(key_col).alias("_k"))
         .groupBy("grp", "_k")

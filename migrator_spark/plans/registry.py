@@ -455,6 +455,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim15_ivf_multiprobe_topk": QuerySpec(
         llmdata.sim15_ivf_multiprobe_topk, llmdata.SIM15_ORACLE
     ),
+    "pr14_stream_served_heavy_hitters": QuerySpec(
+        llmdata.pr14_stream_served_heavy_hitters, llmdata.PR14_ORACLE
+    ),
 }
 
 
