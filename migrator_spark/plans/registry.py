@@ -458,11 +458,37 @@ REGISTRY: dict[str, QuerySpec] = {
     "pr14_stream_served_heavy_hitters": QuerySpec(
         llmdata.pr14_stream_served_heavy_hitters, llmdata.PR14_ORACLE
     ),
+    # the late-data funnel stream grades against the BATCH ev15 oracle:
+    # the watermark reorder buffer is exactly what makes a 36h-shuffled
+    # arrival order reproduce the RANGE-frame distribution bit-for-bit
+    "st6_late_funnel_stream": QuerySpec(
+        cdc.st6_late_funnel_stream, analytics.EV15_ORACLE
+    ),
 }
 
 
 # ---------------------------------------------------------------------------
-# Round-7 graded window (stalest-first round-robin, ADVICE r3 #1).
+# Round-8 graded window (stalest-first round-robin; VERDICT r7 #1).
+#
+# Composition:
+#   1. NEW round-8 entries (sim15 multi-probe IVF serving, pr14
+#      stream-served heavy hitters, st6 late-data funnel stream) and
+#      dd12, whose PLAN changed this round (it now consumes the shared
+#      materialized shingle index — regrade the bit-identity claim).
+#   2. VERDICT r7 #1's prescribed rotation: q10_returned_items (r3 —
+#      the registry's single stalest row) + the r4-stale family — the
+#      §2 CDC core (l0/l2/l3/l4, a1-a3/a5, s1, p6-p8, w1, t2, st1-st5,
+#      f1-f3), dd1/dd5/dd7/dd9, sim2, ta9/ta10, dd10/dd11, mx2,
+#      ev7/ev8, dq2, fo2/fo3, sim7/sim8, TPC-H q2/q11/q16/q22, and
+#      dd4 — which, with dd13 (swapped in for the prescribed q2w) and
+#      ta9, doubles as a shared-shingle-index regrade.
+# Displaced to round 9's backfill head by the four head insertions:
+# q2w, mm5, dd3 (judge-listed; mm5's family carries fresher r7
+# evidence via mm10/mm11, q2w's plan core is graded via q2, and dd3's
+# simhash kernel is exercised inside dd7_simhash_pairs which stays)
+# and the two r5 top-ups (sm4, pk1).
+# ---------------------------------------------------------------------------
+# Round-7 window (kept for history; superseded below).
 #
 # Composition, stalest first by newest driver-green row (CORRECTNESS_r0*):
 #   1. NEW round-7 operators (pr12 heavy hitters, pr13 KMV set ops,
@@ -486,6 +512,61 @@ REGISTRY: dict[str, QuerySpec] = {
 # p6-p8, a1-a5, l0-l4, w1, st1-st5, dd1-dd9, sim2, f1-f3, t2, s1),
 # then the r5-green family, then round 6's head as it ages.
 _GRADED_WINDOW: list[str] = [
+    # -- NEW round 8 / plan-changed round 8 (head) --
+    "sim15_ivf_multiprobe_topk",  # NEW: the nprobe knob on the serving path
+    "pr14_stream_served_heavy_hitters",  # NEW: probe of the LIVE CM stream state
+    "st6_late_funnel_stream",  # NEW: watermark reorder buffer vs the batch oracle
+    "dd12_containment_pairs",  # plan changed: consumes the shared shingle index
+    # -- the r3-stale single + the r4-stale family (VERDICT r7 #1) --
+    "q10_returned_items",
+    "l0_apply_cdc_batch",
+    "l2_upsert_lastwins",
+    "l3_remove_antijoin",
+    "l4_pruned_merge",
+    "a1_max_offset",
+    "a2_ts_offset",
+    "a3_coalesce_offset",
+    "a5_group_by_method",
+    "s1_queue_topk",
+    "p6_composite_lookup",
+    "p7_tracking_lookup",
+    "p8_full_row_delete_match",
+    "w1_latest_by_key",
+    "t2_rename_routing",
+    "st1_windowed_counts",
+    "st2_session_windows",
+    "st3_stateful_first_seen",
+    "st4_stream_dedup",
+    "st5_interval_join",
+    "f1_scalar_suite",
+    "f2_json_props",
+    "f3_date_parts",
+    "dd1_exact_dedup",
+    "dd4_ngram_jaccard_pairs",  # also a shared-shingle-index regrade
+    "dd5_embedding_neardup",
+    "dd7_simhash_pairs",
+    "dd9_chunk_boilerplate",
+    "sim2_ivf_topk",
+    "ta9_similar_docs",  # also a shared-shingle-index regrade
+    "ta10_gopher_gate",
+    "dd10_dup_spans",
+    "dd11_despan",
+    "mx2_epoch_plan",
+    "ev7_sessionize",
+    "ev8_transition_matrix",
+    "dq2_spend_outliers",
+    "fo2_scd2_history",
+    "fo3_asof_snapshot",
+    "sim7_pq_encode",
+    "sim8_pq_adc_topk",
+    "dd13_edit_distance_pairs",  # also a shared-shingle-index regrade
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q22_global_sales_opportunity",
+]
+
+_ROUND7_WINDOW: list[str] = [
     # -- NEW round 7 / graded-contract-changed round 7 (head) --
     "pr12_heavy_hitters",  # NEW: CM-backed exact heavy hitters
     "pr13_kmv_setops",  # NEW: KMV/theta set-operation estimates (ladder's set rung)
@@ -545,6 +626,7 @@ _GRADED_WINDOW: list[str] = [
     # all twelve lead round 8's backfill)
 ]
 
+assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
 assert len(set(_GRADED_WINDOW)) == 50
 _missing = [n for n in _GRADED_WINDOW if n not in REGISTRY]
