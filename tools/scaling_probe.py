@@ -126,8 +126,79 @@ def main() -> int:
     names = sys.argv[3].split(",") if len(sys.argv) > 3 else DEFAULT_QUERIES
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    dirs = {k: build_scale(spark, sf_dir, k) for k in scales}
     out: dict[str, dict[int, float]] = {}
+
+    if "l4_merge_pruned_scale" in names:
+        # The merge/loader family's §5e row (VERDICT r7 #8): seed a
+        # k-times-larger range-clustered customer target (8k part-files,
+        # keys shifted per replica so the key span grows with k), then
+        # merge the SAME fixed key-localized CDC batch (keys < 400 —
+        # replica 0's low band) and measure wall + the file-skip ratio.
+        # The claim under test: touched files stay O(batch key span),
+        # NOT O(table files), so the pruned MERGE's wall is flat-ish in
+        # table size — the property that replaces full-table-rewrite
+        # write amplification at 100 TB. Each timed run RE-SEEDS the
+        # target first (a merge mutates table state; timing only the
+        # merge_pruned call keeps runs comparable).
+        names.remove("l4_merge_pruned_scale")
+        import tempfile
+
+        from migrator_spark.operators import load as ld
+        from migrator_spark.plans.cdc import _shaped_batch
+        from migrator_spark.sources.parquet import ParquetSource
+
+        customer = load_table(spark, sf_dir, "customer")
+        n_cust = customer.agg(F.max("c_custkey")).first()[0] + 1
+        batch = _shaped_batch(spark, sf_dir).filter(
+            F.col("c_custkey") < 400
+        ).localCheckpoint(eager=True)
+        root = tempfile.mkdtemp(prefix="l4_scale_")
+        out["l4_merge_pruned_scale"] = {}
+        skip_rows = {}
+        for k in scales:
+            parts = [customer]
+            for i in range(1, k):
+                parts.append(
+                    customer.withColumn(
+                        "c_custkey", F.col("c_custkey") + F.lit(i * n_cust)
+                    )
+                )
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionByName(p)
+            seeded = big.repartitionByRange(
+                8 * k, F.col("c_custkey")
+            ).sortWithinPartitions("c_custkey").localCheckpoint(eager=True)
+            src = ParquetSource(f"{root}/{k}")
+            runs, stats = [], None
+            for _ in range(2):
+                src.write(seeded, "cust", mode="overwrite")
+                t0 = time.monotonic()
+                stats = src.merge_pruned(
+                    spark,
+                    "cust",
+                    batch.select("c_custkey"),
+                    "c_custkey",
+                    lambda tdf: ld.apply_cdc_batch(
+                        tdf, batch, ["c_custkey"], "ts", "event_id"
+                    ),
+                )
+                runs.append(time.monotonic() - t0)
+            out["l4_merge_pruned_scale"][k] = round(min(runs), 3)
+            skip_rows[k] = (stats.touched_files, stats.total_files)
+        base = out["l4_merge_pruned_scale"][scales[0]]
+        curve = " ".join(
+            f"{k}x={out['l4_merge_pruned_scale'][k]}s"
+            f"({out['l4_merge_pruned_scale'][k] / base:.1f})"
+            f"[touch {skip_rows[k][0]}/{skip_rows[k][1]}]"
+            for k in scales
+        )
+        print(f"{'l4_merge_pruned_scale':28s} {curve}", flush=True)
+        out["l4_merge_pruned_files"] = {
+            k: skip_rows[k][0] / skip_rows[k][1] for k in scales
+        }
+
+    dirs = {k: build_scale(spark, sf_dir, k) for k in scales} if names else {}
     for name in names:
         if name in ("quantizer_flat_kprop", "quantizer_two_level_kprop"):
             # head-to-head cost of the k ∝ n assignment term: flat
@@ -211,6 +282,43 @@ def main() -> int:
                     tau=SD1_TAU,
                     dim=EMB_DIM,
                     build_sample_mod=SD1_BUILD_MOD,
+                )
+        elif name in ("ivf_nprobe1", "ivf_nprobe2", "ivf_nprobe4"):
+            # the COST half of sim14's recall curve (VERDICT r7 #3):
+            # the production multi-probe serving search (sim15's
+            # ivf_batch_topk) at n_probe 1/2/4 over the same 16-query
+            # batch sim14 grades — §5e pairs these walls with the
+            # graded mean recall@10 (0.33/0.51/0.73), pricing the knob
+            from migrator_spark.operators import similarity as _sim
+            from migrator_spark.plans.llmdata import (
+                KMEANS_ITERS,
+                KMEANS_K,
+                SIM14_NQ,
+            )
+
+            n_probe = int(name[-1])
+
+            def fn(spark, sf_dir, _scale=None):
+                emb = load_table(spark, sf_dir, "embeddings")
+                pts = emb.select(
+                    "vec_id",
+                    F.transform(
+                        F.col("embedding"), lambda x: x.cast("double")
+                    ).alias("v"),
+                )
+                cents = _sim._fit_centroids(
+                    pts, KMEANS_K, KMEANS_ITERS, "vec_id"
+                ).localCheckpoint(eager=True)
+                assign = _sim._assign_cells(pts, cents, "vec_id").select(
+                    "vec_id", "cell"
+                ).localCheckpoint(eager=True)
+                queries = emb.filter(F.col("vec_id") < SIM14_NQ).select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("qe"),
+                )
+                return _sim.ivf_batch_topk(
+                    emb.join(assign, "vec_id"), queries, cents,
+                    n_probe=n_probe, k=10,
                 )
         elif name in ("sim12_gemm32", "sim12_catalyst32"):
             # GEMM-pruned vs pure-Catalyst batch top-k, SAME 32-query
