@@ -234,3 +234,58 @@ def test_shared_shingle_index_outputs_bit_identical(spark, sf_dir):
     assert rows(
         tx.similar_docs_topk(docs, query_doc_id=0, k=10, index=idx)
     ) == rows(tx.similar_docs_topk(docs, query_doc_id=0, k=10))
+
+
+def test_ivf_pq_composition_takes_nprobe(spark, sf_dir):
+    """VERDICT r7 #3's sim10 half: the IVF+PQ composition is probe-set
+    parameterized — multiprobe_cells prunes the candidate slice for the
+    ADC scan, nested probe sets give nested candidates, and the ADC
+    result over the n_probe=2 slice equals the ADC scan restricted to
+    exactly those cells (same codebooks trained on the full corpus,
+    as a served index would)."""
+    from migrator_spark.operators.similarity import (
+        _assign_cells,
+        _fit_centroids,
+        multiprobe_cells,
+        pq_adc_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    pts = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = _fit_centroids(pts, 4, 1, "vec_id").localCheckpoint(eager=True)
+    assign = _assign_cells(pts, cents, "vec_id").select("vec_id", "cell")
+    q = pts.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("q_id"), F.col("v").alias("qv")
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+
+    def cand(n_probe):
+        probes = multiprobe_cells(q, cents, n_probe).select("cell")
+        return (
+            emb.filter(F.col("vec_id") != 0)
+            .join(assign, "vec_id")
+            .join(F.broadcast(probes), "cell", "leftsemi")
+            .select("vec_id", "embedding")
+        )
+
+    c1 = {r["vec_id"] for r in cand(1).select("vec_id").collect()}
+    c2 = {r["vec_id"] for r in cand(2).select("vec_id").collect()}
+    assert c1 < c2  # nested probe sets -> strictly nested candidates
+
+    got = pq_adc_topk(
+        cand(2), query, dim=dim, m=2, k=4, topk=5,
+        train=emb.filter(F.col("vec_id") != 0),
+    ).collect()
+    assert {r["vec_id"] for r in got} <= c2 and len(got) == 5
+    # determinism: re-running the composition reproduces it exactly
+    again = pq_adc_topk(
+        cand(2), query, dim=dim, m=2, k=4, topk=5,
+        train=emb.filter(F.col("vec_id") != 0),
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
