@@ -88,7 +88,10 @@ SMOKE_QUERIES = [
     "cur10_release_manifest",   # checkpointed cluster graph feeding three consumers
     "fo5_bitemporal_asof",      # union-arm pruned scans + WindowGroupLimit latest-version
     # -- round-8 shapes (VERDICT r7 #7: the applyInPandasWithState /
-    # foreachBatch lane under REAL executors, not just local[*]) --
+    # foreachBatch lane under REAL executors, not just local mode;
+    # NOTE: no bracket chars in these comments — the count assertion in
+    # tests/test_cluster_smoke.py parses this list up to the first
+    # closing bracket) --
     "sim15_ivf_multiprobe_topk",  # broadcast probe sets pruning the corpus scan
     "pr14_stream_served_heavy_hitters",  # foreachBatch CM fold + versioned-state probe
     "st6_late_funnel_stream",   # applyInPandasWithState reorder buffer + funnel automaton
