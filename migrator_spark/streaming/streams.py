@@ -907,7 +907,17 @@ def watermark_reorder_buffer(
                     if str(dt).startswith("datetime64"):
                         out[c] = pd.to_datetime(out[c]).astype(dt)
                     else:
-                        out[c] = out[c].astype(dt)
+                        try:
+                            out[c] = out[c].astype(dt)
+                        except (ValueError, TypeError):
+                            # template dtype can disagree with a
+                            # buffered row's content across triggers
+                            # (e.g. int64 template vs a buffered null
+                            # -> NaN): keep the JSON-inferred dtype and
+                            # let the Arrow output conversion coerce to
+                            # outputStructType, which governs the wire
+                            # format either way
+                            pass
                 out["late_dropped"] = dropped
 
         state.update((wm, dropped, buf_t, buf_j))

@@ -1109,3 +1109,28 @@ def test_fo5_valid_time_slice_pushed_to_both_version_scans(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     pushed = _pushed_filters(plan)
     assert sum("o_orderdate" in p for p in pushed) >= 2, pushed
+
+
+def test_sim15_probe_sets_broadcast_corpus_single_scan(spark, sf_dir):
+    """sim15's serving plan: the probe sets and the query batch arrive
+    as BROADCAST joins onto the cell-pruned corpus scan (the corpus is
+    never the build side), and the only exchange below the rank window
+    is the |Q|-partition window shuffle — the shape that holds at a
+    100 TB corpus."""
+    plan = _plan(spark, sf_dir, "sim15_ivf_multiprobe_topk")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # rank window prunes per-query top-k before full materialization
+    assert "WindowGroupLimit" in plan or "RunningWindowFunction" in plan, plan
+    # embeddings.parquet is scanned, never broadcast: no BroadcastExchange
+    # should carry the embedding column of the corpus-side scan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_shared_shingle_index_consumers_scan_checkpoint_not_docs(spark, sf_dir):
+    """dd12 on the shared index: both self-join sides read the
+    materialized postings (ExistingRDD / scan of the checkpoint), not
+    two fresh parses of documents.parquet — the regex shingling must
+    appear ZERO times in the consuming plan."""
+    plan = _plan(spark, sf_dir, "dd12_containment_pairs")
+    assert "regexp_replace" not in plan, plan
+    assert "documents.parquet" not in plan, plan
