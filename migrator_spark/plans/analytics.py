@@ -3406,3 +3406,165 @@ SELECT o_orderpriority,
        CAST(sum(price) AS DOUBLE) AS revenue_as_known
 FROM latest_known GROUP BY o_orderpriority
 """
+
+
+FO6_DROP_MOD, FO6_EXTEND_MOD, FO6_REOPEN_MOD = 7, 11, 13
+FO6_EXTEND_US = 3_600_000_000  # 1 h
+
+
+def fo6_scd2_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 VALIDITY AUDIT (round 8): the data-quality pass every
+    history table needs before an as-of query (fo3/fo5) can be
+    trusted — per key, versions must tile time with no gaps, no
+    overlaps, and exactly one open (current) interval. fo2 BUILDS
+    correct history; this op DETECTS corrupted history, so the query
+    deliberately injects deterministic corruption first (the dq4
+    injected-violation discipline): versions whose stable hash ≡ 0
+    (mod 7) are DROPPED (creating gaps, and lost currents when the
+    drop hits a user's last version) and surviving closed versions
+    with hash ≡ 0 (mod 11) get valid_to EXTENDED by 1 h (creating
+    overlaps), and surviving closed versions with hash ≡ 0 (mod 13,
+    and not already extended) get valid_to NULLed — a spuriously
+    REOPENED version, creating both multi_current keys and
+    open-interval adjacency anomalies the `reopened_mid` arm flags
+    (an open interval that is not the key's last). Output: one row per violation —
+    (user_id, version_no, violation, a_us, b_us) where adjacency rows
+    carry (prev end, next start) and per-key current-count rows carry
+    (n_open, null).
+
+    Shape: the history build and the adjacency audit share ONE
+    (user_id)-partitioned sort (two window families, one exchange);
+    the current-count check is a groupBy on the same key, planned as a
+    reused exchange. Nothing shuffles but the event rows; at 100 TB
+    this is one pass over the history table. All interval math in
+    exact epoch-micros, hash on the shared stable hash — both sides
+    reproduce bit-for-bit.
+    """
+    from migrator_spark.functions.hashing import stable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros(F.col("ts"))
+    hist = ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version_no"),
+        us.alias("valid_from_us"),
+        F.lead(us).over(w).alias("valid_to_us"),
+    )
+    h = stable_hash64(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("version_no").cast("string"),
+        )
+    )
+    corrupted = (
+        hist.withColumn("_h", h)
+        .filter(F.pmod(F.col("_h"), F.lit(FO6_DROP_MOD)) != 0)
+        .withColumn(
+            "valid_to_us",
+            F.when(
+                (F.pmod(F.col("_h"), F.lit(FO6_EXTEND_MOD)) == 0)
+                & F.col("valid_to_us").isNotNull(),
+                F.col("valid_to_us") + F.lit(FO6_EXTEND_US),
+            )
+            .when(
+                (F.pmod(F.col("_h"), F.lit(FO6_REOPEN_MOD)) == 0)
+                & (F.pmod(F.col("_h"), F.lit(FO6_EXTEND_MOD)) != 0)
+                & F.col("valid_to_us").isNotNull(),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(F.col("valid_to_us")),
+        )
+        .drop("_h")
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("valid_from_us").asc(), F.col("version_no").asc()
+    )
+    adj = (
+        corrupted.withColumn("_nxt", F.lead("valid_from_us").over(w2))
+        .filter(
+            F.col("_nxt").isNotNull()
+            & (
+                F.col("valid_to_us").isNull()
+                | (F.col("valid_to_us") != F.col("_nxt"))
+            )
+        )
+        .select(
+            "user_id",
+            "version_no",
+            F.when(F.col("valid_to_us").isNull(), "reopened_mid")
+            .when(F.col("valid_to_us") < F.col("_nxt"), "gap")
+            .otherwise("overlap")
+            .alias("violation"),
+            F.col("valid_to_us").alias("a_us"),
+            F.col("_nxt").alias("b_us"),
+        )
+    )
+    cur = (
+        corrupted.groupBy("user_id")
+        .agg(
+            F.sum(F.col("valid_to_us").isNull().cast("long")).alias("_n_open")
+        )
+        .filter(F.col("_n_open") != 1)
+        .select(
+            "user_id",
+            F.lit(None).cast("long").alias("version_no"),
+            F.when(F.col("_n_open") == 0, "no_current")
+            .otherwise("multi_current")
+            .alias("violation"),
+            F.col("_n_open").alias("a_us"),
+            F.lit(None).cast("long").alias("b_us"),
+        )
+    )
+    return adj.unionByName(cur)
+
+
+FO6_ORACLE = f"""
+WITH hist AS (
+  SELECT user_id,
+         CAST(row_number() OVER w AS BIGINT) AS version_no,
+         epoch_us(ts) AS valid_from_us,
+         lead(epoch_us(ts)) OVER w AS valid_to_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+hashed AS (
+  SELECT *,
+         ('0x' || substr(md5(user_id::VARCHAR || ':' || version_no::VARCHAR), 1, 15))::BIGINT AS h
+  FROM hist
+),
+corrupted AS (
+  SELECT user_id, version_no, valid_from_us,
+         CASE WHEN h % {FO6_EXTEND_MOD} = 0 AND valid_to_us IS NOT NULL
+              THEN valid_to_us + {FO6_EXTEND_US}
+              WHEN h % {FO6_REOPEN_MOD} = 0 AND h % {FO6_EXTEND_MOD} <> 0
+                   AND valid_to_us IS NOT NULL
+              THEN NULL
+              ELSE valid_to_us END AS valid_to_us
+  FROM hashed WHERE h % {FO6_DROP_MOD} <> 0
+),
+adj AS (
+  SELECT user_id, version_no,
+         CASE WHEN valid_to_us IS NULL THEN 'reopened_mid'
+              WHEN valid_to_us < nxt THEN 'gap' ELSE 'overlap' END AS violation,
+         valid_to_us AS a_us, nxt AS b_us
+  FROM (
+    SELECT *, lead(valid_from_us) OVER (
+      PARTITION BY user_id ORDER BY valid_from_us ASC, version_no ASC) AS nxt
+    FROM corrupted)
+  WHERE nxt IS NOT NULL AND (valid_to_us IS NULL OR valid_to_us <> nxt)
+),
+cur AS (
+  SELECT user_id, CAST(NULL AS BIGINT) AS version_no,
+         CASE WHEN n_open = 0 THEN 'no_current' ELSE 'multi_current' END AS violation,
+         n_open AS a_us, CAST(NULL AS BIGINT) AS b_us
+  FROM (
+    SELECT user_id, CAST(sum(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open
+    FROM corrupted GROUP BY user_id)
+  WHERE n_open <> 1
+)
+SELECT * FROM adj UNION ALL SELECT * FROM cur
+"""
