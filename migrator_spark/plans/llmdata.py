@@ -4700,3 +4700,138 @@ def pr14_stream_served_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFr
 # the stream-served probe must equal the batch build bit-for-bit —
 # same oracle as pr12 by construction (CM additivity)
 PR14_ORACLE = PR12_ORACLE
+
+
+CUR11_SLICE_MOD = 4  # release A = docs whose id-hash is nonzero mod 4 (~75%)
+
+
+def cur11_release_fate_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELEASE-TO-RELEASE FATE DIFF (round 8): the reproducibility
+    audit a dataset release pipeline runs when the corpus grows —
+    which documents' curation fate CHANGES between release A (last
+    snapshot's corpus, the deterministic ~75% id-hash slice) and
+    release B (the grown corpus)? Fates come from the NEAR-DUP
+    keep-one-per-cluster policy (cur3/cur10's representative = the
+    component-min doc id over the verified MinHash-LSH pair graph;
+    docs with no near-dup edge keep as singletons). Because
+    pairs(A) ⊆ pairs(B) restricted to A×A (same bands, same verify),
+    components only grow and the component-min only decreases, so the
+    keep-set symmetric difference decomposes EXACTLY into 'displaced'
+    (an A-keeper whose cluster gained a smaller-id arrival or merged
+    with another cluster — the instability ADVICE r7 #3 qualified for
+    leakage_safe_split, here measured as the concrete swap list) and
+    'new_keeper' (a B-only doc that wins or is new content). An
+    A-loser can never become a B-keeper — its A-component min
+    persists — and the one-directionality is itself implicitly graded
+    (a 'promoted' row would break the hash).
+
+    Shape: release B's pair graph is the SHARED artifact
+    (_shared_minhash_pairs); release A's is one banded self-join over
+    the filtered slice; components via the O(log n) star contraction;
+    the diff is two anti-joins on keeper ids. Integer/string output,
+    exact compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    a_docs = docs.filter(
+        F.pmod(
+            stable_hash64(F.col("doc_id").cast("string")),
+            F.lit(CUR11_SLICE_MOD),
+        )
+        != 0
+    )
+    pairs_a = dd.minhash_lsh_pairs(
+        a_docs,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESH,
+    )
+    pairs_b = _shared_minhash_pairs(spark, sf_dir)
+
+    def keep_set(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
+        losers = (
+            dd.duplicate_clusters_star(pairs)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id")
+        )
+        return corpus.select("doc_id").join(losers, "doc_id", "left_anti")
+
+    ka, kb = keep_set(a_docs, pairs_a), keep_set(docs, pairs_b)
+    return (
+        ka.join(kb, "doc_id", "left_anti")
+        .select("doc_id", F.lit("displaced").alias("status"))
+        .unionByName(
+            kb.join(ka, "doc_id", "left_anti").select(
+                "doc_id", F.lit("new_keeper").alias("status")
+            )
+        )
+    )
+
+
+def _cc_keep_cte(p: str, where: str) -> str:
+    """The docs -> shingles -> minhash -> banded LSH -> verified pairs
+    -> connected components -> keep-set CTE stack (the CUR3 oracle's
+    pipeline), name-prefixed so two releases can coexist in one WITH
+    RECURSIVE clause. ``where``: SQL filter on the documents scan."""
+    return f"""
+{p}docs AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents {where}
+),
+{p}sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                        j -> array_to_string(w[j:j+1], ' ')) AS sh
+  FROM {p}docs
+),
+{p}sig AS (
+  SELECT doc_id, sh, [{_SIG_MINS}] AS sig
+  FROM (SELECT doc_id, sh,
+               list_transform(sh, s -> {H.format(x="s")} % {MINHASH_P}) AS hv
+        FROM {p}sh)
+),
+{p}banded AS (
+  SELECT doc_id, sh, band,
+         {H.format(x="array_to_string(list_transform(sig[band*3+1:band*3+3], v -> v::VARCHAR), ',')")} AS band_hash
+  FROM {p}sig, LATERAL unnest(generate_series(0, {MINHASH_BANDS - 1})) AS t(band)
+),
+{p}cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {p}banded a JOIN {p}banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+{p}pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_distinct(list_intersect(sa.sh, sb.sh)))::DOUBLE
+             / len(list_distinct(sa.sh || sb.sh))::DOUBLE AS jaccard
+    FROM {p}cand
+    JOIN {p}sh sa ON sa.doc_id = doc_a
+    JOIN {p}sh sb ON sb.doc_id = doc_b
+  ) WHERE jaccard >= {MINHASH_THRESH}
+),
+{p}edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM {p}pairs
+  UNION
+  SELECT doc_b, doc_a FROM {p}pairs
+),
+{p}r AS (
+  SELECT u AS n, u AS m FROM {p}edges
+  UNION
+  SELECT {p}r.n, e.v FROM {p}r JOIN {p}edges e ON e.u = {p}r.m
+),
+{p}lab AS (SELECT n AS doc_id, min(m) AS cluster_id FROM {p}r GROUP BY n),
+{p}keep AS (
+  SELECT doc_id FROM {p}docs
+  WHERE doc_id NOT IN (SELECT doc_id FROM {p}lab WHERE doc_id <> cluster_id)
+)"""
+
+
+CUR11_ORACLE = f"""
+WITH RECURSIVE {_cc_keep_cte("a_", f"WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {CUR11_SLICE_MOD} <> 0")},
+{_cc_keep_cte("b_", "")}
+SELECT doc_id, 'displaced' AS status FROM a_keep
+WHERE doc_id NOT IN (SELECT doc_id FROM b_keep)
+UNION ALL
+SELECT doc_id, 'new_keeper' AS status FROM b_keep
+WHERE doc_id NOT IN (SELECT doc_id FROM a_keep)
+"""

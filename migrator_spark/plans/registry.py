@@ -469,6 +469,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "fo6_scd2_validity_audit": QuerySpec(
         analytics.fo6_scd2_validity_audit, analytics.FO6_ORACLE
     ),
+    "cur11_release_fate_diff": QuerySpec(
+        llmdata.cur11_release_fate_diff, llmdata.CUR11_ORACLE
+    ),
 }
 
 
