@@ -289,3 +289,25 @@ def test_ivf_pq_composition_takes_nprobe(spark, sf_dir):
         train=emb.filter(F.col("vec_id") != 0),
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_shared_artifact_caches_key_by_sf_dir(spark):
+    """The shared materialized artifacts (shingle index, MinHash pair
+    graph, flat quantizer) are keyed by (applicationId, sf_dir): one
+    session serving two scale factors must never hand sf0.1's artifact
+    to an sf0.001 query — a wrong key here would silently poison the
+    driver's correctness run from a preceding bench run."""
+    import migrator_spark.plans.llmdata as L
+
+    a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.1"
+    pa = L._shared_minhash_pairs(spark, a)
+    pb = L._shared_minhash_pairs(spark, b)
+    assert pa is not pb
+    ia = L._shared_shingle_index(spark, a)
+    ib = L._shared_shingle_index(spark, b)
+    assert ia is not ib
+    assert ib.count() > ia.count()  # sf0.1's corpus is strictly larger
+    # repeated calls hit the cache (same object back)
+    assert L._shared_minhash_pairs(spark, b) is pb
+    qa = L._shared_flat_quantizer(spark, a)
+    assert L._shared_flat_quantizer(spark, a) is qa
