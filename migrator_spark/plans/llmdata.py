@@ -4835,3 +4835,74 @@ UNION ALL
 SELECT doc_id, 'new_keeper' AS status FROM b_keep
 WHERE doc_id NOT IN (SELECT doc_id FROM a_keep)
 """
+
+
+MM12_MIN_DELTA = 2000  # scene-cut threshold on |Δ pixel_sum|
+
+
+def mm12_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-adaptive KEYFRAME selection (round 8): the video
+    training-data op mm2's fixed-stride sampling cannot express — keep
+    frame 0 plus every frame whose decoded pixel-sum jumps by at least
+    MM12_MIN_DELTA vs the previous frame (the classic frame-difference
+    scene-cut heuristic; FFmpeg's `select='gt(scene,t)'`). The right
+    engine split, stated by construction: per-frame DECODE runs in the
+    Arrow lane (avi_frame_stats at every_n=1 — real RIFF demux + full
+    JPEG entropy decode per frame, the mm10 evidence), while the
+    SELECTION is pure Catalyst — one per-video lag window over
+    (doc_id, frame_idx), so retuning the threshold or the cut
+    predicate never touches Python. Over the even-id half of the
+    corpus (decode-all-frames is deliberately the family's heaviest
+    body; the half keeps the soak honest about it without doubling
+    it). The oracle recomputes every pixel sum arithmetically
+    (mm10's formula) and replays the same window, so a decoder that
+    skips frames or a selection that misorders ties cannot pass."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        .select("doc_id", "n_chars")
+    )
+    stats = mm.avi_frame_stats(
+        mm.synth_mjpeg_avi_payloads(docs, width=16), every_n=1
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.col("pixel_sum") - F.lag("pixel_sum").over(w)
+    return (
+        stats.withColumn(
+            "delta_abs", F.abs(F.coalesce(delta, F.lit(0))).cast("long")
+        )
+        .filter(
+            (F.col("frame_idx") == 0)
+            | (F.col("delta_abs") >= MM12_MIN_DELTA)
+        )
+        .select("doc_id", "frame_idx", "pixel_sum", "delta_abs")
+    )
+
+
+MM12_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, 1 + (n_chars % 5) AS nfr, 1 + (n_chars % 3) AS nby
+  FROM documents WHERE doc_id % 2 = 0
+),
+fr AS (
+  SELECT d.doc_id, d.nby, f.i AS frame_idx
+  FROM d, LATERAL unnest(generate_series(0, d.nfr - 1)) AS f(i)
+),
+px AS (
+  SELECT fr.doc_id, fr.frame_idx,
+         CAST(sum(64 * ((23 * bx.i + 41 * by.j + 17 * fr.frame_idx) % 256))
+              AS BIGINT) AS pixel_sum
+  FROM fr,
+       LATERAL unnest(generate_series(0, 1)) AS bx(i),
+       LATERAL unnest(generate_series(0, fr.nby - 1)) AS by(j)
+  GROUP BY fr.doc_id, fr.frame_idx
+),
+dl AS (
+  SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, pixel_sum,
+         CAST(abs(coalesce(pixel_sum - lag(pixel_sum) OVER (
+           PARTITION BY doc_id ORDER BY frame_idx), 0)) AS BIGINT) AS delta_abs
+  FROM px
+)
+SELECT doc_id, frame_idx, pixel_sum, delta_abs FROM dl
+WHERE frame_idx = 0 OR delta_abs >= {MM12_MIN_DELTA}
+"""

@@ -472,6 +472,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "cur11_release_fate_diff": QuerySpec(
         llmdata.cur11_release_fate_diff, llmdata.CUR11_ORACLE
     ),
+    "mm12_keyframe_select": QuerySpec(
+        llmdata.mm12_keyframe_select, llmdata.MM12_ORACLE
+    ),
 }
 
 
