@@ -3568,3 +3568,141 @@ cur AS (
 )
 SELECT * FROM adj UNION ALL SELECT * FROM cur
 """
+
+
+def window_funnel_n(
+    ev: DataFrame,
+    steps: "tuple[str, ...]",
+    window_interval: str = "INTERVAL 1 DAY",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """N-step windowFunnel (round 8): ev15's two-pass suffix-min
+    algorithm generalized to ANY chain length — ClickHouse
+    windowFunnel takes arbitrary step lists; the repo's hand-built
+    3-step form becomes the N=3 case of this builder. Per user, the
+    maximum chain depth step1 -> ... -> stepN reachable from ANY
+    step-1 event, whole chain inside [t1, t1 + window], timestamps
+    non-decreasing. Output: (level, n_users).
+
+    The recurrence: comp[j..k](row) = earliest completion time of
+    steps j..k, each at-or-after its predecessor, starting at-or-after
+    ``row`` = suffix-min over step-j rows of comp[j+1..k] — so depth-d
+    chains derive from depth-(d-1) chains in one more window pass.
+    All passes share ONE (user, ts) sort: Spark plans a single
+    Exchange + Sort with N-1 Window nodes (the ev15 shape, deeper).
+    comp[2..k] is non-decreasing in k, so the level test is the
+    greatest k whose chain completes inside the window — one CASE.
+    Greedy-earliest dominance (the ev15 proof) applies per stage:
+    the earliest next-step completion weakly dominates any other
+    continuation, so suffix mins lose nothing.
+
+    Scale: one shuffle of the step-pruned event relation; every pass
+    is a per-user streaming RANGE frame with O(1) state per row;
+    column count grows as N(N-1)/2 but rows never re-shuffle.
+    """
+    n = len(steps)
+    if n < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    suffix = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    df = ev.filter(F.col(type_col).isin(*steps)).select(
+        user_col, ts_col, type_col
+    )
+    cols: dict[tuple[int, int], str] = {}
+    for k in range(2, n + 1):  # depth-0: per-step suffix-min ts
+        cname = f"_c{k}_{k}"
+        df = df.withColumn(
+            cname,
+            F.min(
+                F.when(F.col(type_col) == steps[k - 1], F.col(ts_col))
+            ).over(suffix),
+        )
+        cols[(k, k)] = cname
+    for depth in range(1, n - 1):  # deeper chains from shallower ones
+        for j in range(2, n + 1 - depth):
+            k = j + depth
+            cname = f"_c{j}_{k}"
+            df = df.withColumn(
+                cname,
+                F.min(
+                    F.when(
+                        F.col(type_col) == steps[j - 1],
+                        F.col(cols[(j + 1, k)]),
+                    )
+                ).over(suffix),
+            )
+            cols[(j, k)] = cname
+    lim = F.col(ts_col) + F.expr(window_interval)
+    depth_expr = F.lit(1)
+    for k in range(2, n + 1):  # comp[2..k] monotone in k: greatest wins
+        depth_expr = F.when(F.col(cols[(2, k)]) <= lim, F.lit(k)).otherwise(
+            depth_expr
+        )
+    return (
+        df.filter(F.col(type_col) == steps[0])
+        .select(user_col, depth_expr.alias("depth"))
+        .groupBy(user_col)
+        .agg(F.max("depth").cast("long").alias("level"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+EV17_STEPS = ("signup", "view", "click", "purchase")
+
+
+def ev17_window_funnel4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-step windowFunnel signup -> view -> click -> purchase — the
+    N-step builder (window_funnel_n) graded at a depth the hand-built
+    ev15 cannot express; brute-force-checked on random streams in
+    tests/test_round8_properties.py."""
+    return window_funnel_n(
+        load_table(spark, sf_dir, "events"), EV17_STEPS
+    )
+
+
+EV17_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+),
+p1 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS c22,
+         min(CASE WHEN event_type = 'click' THEN ts END) OVER w AS c33,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) OVER w AS c44
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+p2 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'view' THEN c33 END) OVER w AS c23,
+         min(CASE WHEN event_type = 'click' THEN c44 END) OVER w AS c34
+  FROM p1
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+p3 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'view' THEN c34 END) OVER w AS c24
+  FROM p2
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+lv AS (
+  SELECT user_id,
+         max(CASE WHEN c24 <= ts + INTERVAL 1 DAY THEN 4
+                  WHEN c23 <= ts + INTERVAL 1 DAY THEN 3
+                  WHEN c22 <= ts + INTERVAL 1 DAY THEN 2
+                  ELSE 1 END) AS level
+  FROM p3 WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT CAST(level AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_users
+FROM lv GROUP BY level
+"""

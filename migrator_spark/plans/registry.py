@@ -475,6 +475,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "mm12_keyframe_select": QuerySpec(
         llmdata.mm12_keyframe_select, llmdata.MM12_ORACLE
     ),
+    "ev17_window_funnel4": QuerySpec(
+        analytics.ev17_window_funnel4, analytics.EV17_ORACLE
+    ),
 }
 
 

@@ -311,3 +311,126 @@ def test_shared_artifact_caches_key_by_sf_dir(spark):
     assert L._shared_minhash_pairs(spark, b) is pb
     qa = L._shared_flat_quantizer(spark, a)
     assert L._shared_flat_quantizer(spark, a) is qa
+
+
+def test_window_funnel_n_matches_brute_force(spark):
+    """The N-step suffix-min recurrence (window_funnel_n) against a
+    brute-force chain search on random event streams: for every user,
+    level = max over step-1 events t1 of the deepest chain
+    t1 <= t2 <= ... <= tk <= t1 + W with the step types in order."""
+    import random
+    from datetime import datetime, timedelta
+
+    from migrator_spark.plans.analytics import window_funnel_n
+
+    rng = random.Random(80817)
+    steps = ("signup", "view", "click", "purchase")
+    W = timedelta(days=1)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    per_user = {}
+    for uid in range(40):
+        evs = []
+        for _ in range(rng.randint(1, 14)):
+            ts = t0 + timedelta(minutes=rng.randint(0, 3000))
+            et = rng.choice(steps + ("error",))
+            evs.append((ts, et))
+            rows.append((len(rows), ts, uid, et, 0.0, "{}"))
+        per_user[uid] = sorted(e for e in evs if e[1] in steps)
+
+    def brute(evs):
+        best = 0
+        n = len(evs)
+
+        def deepest(i, k):  # deepest chain from evs[i] matching steps[k:]
+            if k == len(steps):
+                return 0
+            got = 0
+            for j in range(i, n):
+                if evs[j][1] == steps[k] and evs[j][0] >= evs[i][0]:
+                    got = max(got, 1 + deepest(j, k + 1))
+            return got
+
+        for i, (ts, et) in enumerate(evs):
+            if et != steps[0]:
+                continue
+            # chain search bounded by the window from THIS start
+            within = [e for e in evs if ts <= e[0] <= ts + W]
+
+            def d2(pos, k, lo):
+                if k == len(steps):
+                    return 0
+                got = 0
+                for j in range(len(within)):
+                    if within[j][1] == steps[k] and within[j][0] >= lo:
+                        got = max(got, 1 + d2(j, k + 1, within[j][0]))
+                return got
+
+            best = max(best, 1 + d2(0, 1, ts))
+        return best
+
+    want = {}
+    for uid, evs in per_user.items():
+        lv = brute(evs)
+        if lv > 0:
+            want[lv] = want.get(lv, 0) + 1
+
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["level"]: r["n_users"] for r in window_funnel_n(ev, steps).collect()
+    }
+    assert got == want, (got, want)
+
+
+def test_streaming_funnel_4step_matches_batch(spark, sf_dir, tmp_path):
+    """The generalized O(N)-state automaton at N=4: the events table in
+    three time-ordered micro-batches lands every user on the batch
+    ev17 level distribution."""
+    import time as _time
+
+    from migrator_spark.plans.analytics import EV17_STEPS, ev17_window_funnel4
+    from migrator_spark.streaming.streams import streaming_window_funnel
+
+    from migrator_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        r["level"]: r["n_users"]
+        for r in ev17_window_funnel4(spark, sf_dir).collect()
+    }
+    sdir = str(tmp_path / "stream")
+    cuts = ("2024-01-11", "2024-01-21")
+    parts = [
+        events.filter(F.col("ts") < cuts[0]),
+        events.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        events.filter(F.col("ts") >= cuts[1]),
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(sdir)
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    q = (
+        streaming_window_funnel(stream, steps=EV17_STEPS)
+        .writeStream.format("memory")
+        .queryName("funnel4_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {}
+    for r in spark.sql("SELECT * FROM funnel4_out").collect():
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["level"])
+    dist = {}
+    for lv in final.values():
+        dist[lv] = dist.get(lv, 0) + 1
+    assert dist == batch, (dist, batch)
