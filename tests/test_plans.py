@@ -1134,3 +1134,14 @@ def test_shared_shingle_index_consumers_scan_checkpoint_not_docs(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dd12_containment_pairs")
     assert "regexp_replace" not in plan, plan
     assert "documents.parquet" not in plan, plan
+
+
+def test_ev17_one_exchange_n_window_passes(spark, sf_dir):
+    """The N-step funnel's load-bearing claim: all N-1 suffix-min
+    passes share ONE (user, ts) sort — a single Exchange under the
+    Window stack, no join, no extra shuffle per depth."""
+    plan = _plan(spark, sf_dir, "ev17_window_funnel4")
+    assert "Join" not in plan, plan
+    body = plan.split("AdaptiveSparkPlan")[0]
+    assert len(re.findall(r"\n\(\d+\) Exchange", body)) <= 2, plan  # windows + final agg
+    assert "CartesianProduct" not in plan, plan

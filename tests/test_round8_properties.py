@@ -434,3 +434,23 @@ def test_streaming_funnel_4step_matches_batch(spark, sf_dir, tmp_path):
     for lv in final.values():
         dist[lv] = dist.get(lv, 0) + 1
     assert dist == batch, (dist, batch)
+
+
+def test_window_funnel_n_at_3_equals_ev15(spark, sf_dir):
+    """The generalized builder at N=3 must reproduce the hand-built
+    (graded) ev15 exactly — same steps, same window, same output."""
+    from migrator_spark.plans.analytics import ev15_window_funnel, window_funnel_n
+    from migrator_spark.tables import load_table
+
+    want = {
+        (r["level"], r["n_users"])
+        for r in ev15_window_funnel(spark, sf_dir).collect()
+    }
+    got = {
+        (r["level"], r["n_users"])
+        for r in window_funnel_n(
+            load_table(spark, sf_dir, "events"),
+            ("view", "click", "purchase"),
+        ).collect()
+    }
+    assert got == want
