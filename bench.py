@@ -105,10 +105,10 @@ METHODOLOGY = (
     "ContextCleaner frees prior plans' checkpoint blocks before each "
     "timed row (since r8, VERDICT r7 'what's wrong' #1: a 2500-stage "
     "session tail perturbed q5 3x; isolated re-measure agreed with r1); "
-    "since r8, cur3 reads the session-shared MinHash pair graph "
-    "(built once per corpus like a production pair-graph table), so its "
-    "row prices the consumer stage — dd2 remains the build operator and "
-    "prices pair generation itself; "
+    "since r8, cur3 and dr2 read the session-shared MinHash pair graph "
+    "(built once per corpus like a production pair-graph table), so "
+    "their rows price the consumer stage — dd2 remains the build "
+    "operator and prices pair generation itself; "
     "r1/r2 were cold single-shot"
 )
 
