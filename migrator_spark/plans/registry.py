@@ -464,8 +464,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "st6_late_funnel_stream": QuerySpec(
         cdc.st6_late_funnel_stream, analytics.EV15_ORACLE
     ),
-    # landed after the round-8 window settled — heads round 9's queue
-    # with the displaced q2w/mm5/dd3/sm4/pk1 (window comment below)
+    # fo6/cur11/mm12/ev17 landed after the round-8 window settled —
+    # they head round 9's queue together with the displaced
+    # q2w/mm5/dd3/sm4/pk1 (window comment below)
     "fo6_scd2_validity_audit": QuerySpec(
         analytics.fo6_scd2_validity_audit, analytics.FO6_ORACLE
     ),
