@@ -703,7 +703,10 @@ def st6_late_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival_rate x 36 h per user; each trigger sorts only buffered
     events per active key (Arrow-batched), and the final aggregation
     is one groupBy over (user, max level)."""
+    import os
+    import shutil
     import tempfile
+    import time as _time
 
     from migrator_spark.streaming.streams import streaming_window_funnel
     from migrator_spark.tables import load_table
@@ -718,46 +721,67 @@ def st6_late_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("_arr", [0.33, 0.66], 10000).alias("c")
     ).first()["c"]
     root = tempfile.mkdtemp(prefix="st6_")
-    sdir, ck, odir = f"{root}/in", f"{root}/ck", f"{root}/out"
-    parts = [
-        arr.filter(F.col("_arr") < cuts[0]),
-        arr.filter((F.col("_arr") >= cuts[0]) & (F.col("_arr") < cuts[1])),
-        arr.filter(F.col("_arr") >= cuts[1]),
-    ]
-    import time as _time
-
-    for i, p in enumerate(parts):
-        # append order = arrival order: the file source replays by
-        # modification time, so distinct mod-times pin the batch order
-        # (equal stamps would tie-break on random part names)
-        if i:
-            _time.sleep(1.05)
-        p.drop("_arr").coalesce(1).write.mode("append").parquet(sdir)
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(sdir)
-    )
-
-    def sink(df: DataFrame, bid: int) -> None:
-        df.write.mode("append").parquet(odir)
-
-    q = (
-        streaming_window_funnel(
-            stream, max_lateness_micros=ST6_LATENESS_US
+    try:
+        sdir, ck, odir = f"{root}/in", f"{root}/ck", f"{root}/out"
+        parts = [
+            arr.filter(F.col("_arr") < cuts[0]),
+            arr.filter((F.col("_arr") >= cuts[0]) & (F.col("_arr") < cuts[1])),
+            arr.filter(F.col("_arr") >= cuts[1]),
+        ]
+        # Deterministic batch cut without wall-clock coupling (VERDICT
+        # r8 #4 — this replaced two time.sleep(1.05) calls): the file
+        # source replays by modification time, so each arrival slice
+        # becomes ONE data file with an explicitly STAMPED mtime 10 s
+        # after its predecessor (os.utime costs nothing and removes
+        # all tie-break ambiguity — the stamps, not the write clock,
+        # carry the order).
+        os.makedirs(sdir)
+        t0 = _time.time() - 120.0  # anchored in the past; spacing is all
+        for i, p in enumerate(parts):
+            stage = f"{root}/stage{i}"
+            p.drop("_arr").coalesce(1).write.parquet(stage)
+            part_file = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(sdir, f"batch-{i:05d}.parquet")
+            shutil.move(os.path.join(stage, part_file), dst)
+            os.utime(dst, (t0 + 10.0 * i, t0 + 10.0 * i))
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
         )
-        .writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    out = spark.read.parquet(odir)
-    return (
-        out.groupBy("user_id")
-        .agg(F.max("level").alias("level"))
-        .groupBy("level")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-        .select(F.col("level").cast("long"), F.col("n_users").cast("long"))
-    )
+
+        def sink(df: DataFrame, bid: int) -> None:
+            df.write.mode("append").parquet(odir)
+
+        q = (
+            streaming_window_funnel(
+                stream, max_lateness_micros=ST6_LATENESS_US
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # a partial replay graded as a hash miss would be a silent lie
+        # (ADVICE r8 #3): fail loudly if the availableNow drain stalls
+        assert q.awaitTermination(300), "st6 stream still running at 300 s"
+        q.stop()
+        out = spark.read.parquet(odir)
+        result = (
+            out.groupBy("user_id")
+            .agg(F.max("level").alias("level"))
+            .groupBy("level")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .select(
+                F.col("level").cast("long"), F.col("n_users").cast("long")
+            )
+        )
+        # materialize before dropping the temp root so soak loops don't
+        # accumulate event-table copies in /tmp (ADVICE r8 #3)
+        rows = result.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "level long, n_users long")

@@ -661,6 +661,17 @@ def streaming_window_funnel(
     arrival_rate x max_lateness per user; emits
     (user, level, late_dropped) with the cumulative per-user drop
     count as the metric.
+
+    CHECKPOINT COMPATIBILITY (ADVICE r8 #2): round 8 generalized the
+    fast-path state schema from ``best1 long, best2 long, level
+    integer`` to ``bests array<long>, level integer`` (any N). A query
+    restarted from a pre-round-8 checkpoint will fail to deserialize
+    its state — resume such a stream with a NEW checkpointLocation and
+    a replay from the source (the funnel's fold is deterministic over
+    the replayed history, so the rebuilt state converges to the same
+    levels). No legacy read path is kept: state stores carry no schema
+    version tag to dispatch on, and a silent best-effort cast is worse
+    than the explicit restart.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -833,7 +844,9 @@ def watermark_reorder_buffer(
     ``late_dropped`` counter, and the buffered in-horizon rows
     (columns split into typed arrays — micros timestamps + a JSON
     payload string per row, rebuilt on release with the input
-    schema's types). Per trigger: arrivals with ts < wm are dropped
+    schema's types; float columns are encoded as their IEEE-754 bit
+    patterns so the release is bit-identical — pandas to_json's
+    decimal rendering truncates doubles, ADVICE r8 #1). Per trigger: arrivals with ts < wm are dropped
     and counted (the max-lateness drop policy — emitting them would
     break the order guarantee already handed downstream); the rest
     join the buffer; wm advances to max_seen - max_lateness and rows
@@ -857,10 +870,24 @@ def watermark_reorder_buffer(
     """
     import json
 
+    import numpy as np
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DoubleType, FloatType
 
     in_schema = stream.schema
     payload_cols = [f.name for f in in_schema.fields]
+    # Float payload columns travel through the JSON state as their
+    # IEEE-754 bit patterns (int64): pandas to_json renders doubles
+    # with at most double_precision=15 decimal places, which silently
+    # truncates values like 1/3 (ADVICE r8 #1) — integers round-trip
+    # exactly, so released floats are bit-identical to the ingested
+    # ones (nulls were already NaN at the Arrow boundary).
+    float_cols = {
+        f.name
+        for f in in_schema.fields
+        if isinstance(f.dataType, (DoubleType, FloatType))
+    }
+    nan_bits = int(np.array(float("nan")).view("int64"))
     out_schema = (
         StructType(list(in_schema.fields))
         .add("late_dropped", "long")
@@ -889,11 +916,17 @@ def watermark_reorder_buffer(
                 if n_late:
                     dropped += n_late
                     pdf, ts_us = pdf[~late], ts_us[~late]
-            # JSON payload with ISO timestamps: rebuilt below with the
-            # input schema's dtypes, so round-trip is type-faithful
+            # JSON payload with ISO timestamps and bit-pattern floats:
+            # rebuilt below with the input schema's dtypes, so the
+            # round-trip is type- AND value-faithful
+            enc = pdf
+            if float_cols:
+                enc = pdf.copy()
+                for c in float_cols:
+                    enc[c] = enc[c].to_numpy(dtype="float64").view("int64")
             buf_t.extend(int(t) for t in ts_us)
             buf_j.extend(
-                pdf.to_json(orient="records", lines=True,
+                enc.to_json(orient="records", lines=True,
                             date_format="iso", date_unit="us").splitlines()
             )
 
@@ -915,6 +948,14 @@ def watermark_reorder_buffer(
                     dt = template[c].dtype
                     if str(dt).startswith("datetime64"):
                         out[c] = pd.to_datetime(out[c]).astype(dt)
+                    elif c in float_cols:
+                        bits = np.asarray(
+                            [nan_bits if v is None else v for v in out[c]],
+                            dtype="int64",
+                        )
+                        out[c] = pd.Series(
+                            bits.view("float64"), index=out.index
+                        ).astype(dt, copy=False)
                     else:
                         try:
                             out[c] = out[c].astype(dt)

@@ -27,10 +27,11 @@ EV_SCHEMA = (
 DAY_US = 86_400_000_000
 
 
-def _mk_events(spark, rows):
+def _mk_events(spark, rows, value_of=lambda i: 0.0):
     """rows: (event_id, user_id, ts, event_type)."""
     return spark.createDataFrame(
-        [(i, ts, u, et, 0.0, "{}") for (i, u, ts, et) in rows], EV_SCHEMA
+        [(i, ts, u, et, value_of(i), "{}") for (i, u, ts, et) in rows],
+        EV_SCHEMA,
     )
 
 
@@ -272,9 +273,15 @@ def test_reorder_buffer_orders_stream_for_first_seen(spark, tmp_path):
 
     # arrival order deliberately violates event order ACROSS batches:
     # user 1's true first event (t0) arrives in batch 2
+    # value = event_id/3 exercises doubles a decimal rendering cannot
+    # represent exactly (ADVICE r8 #1: to_json's double_precision
+    # truncated 1/3 to 10 places) — released rows must carry the
+    # bit-identical ingested value
+    _thirds = lambda i: i / 3.0  # noqa: E731
     _mk_events(
         spark,
         [(10, 1, t0 + timedelta(days=1), "view"), (11, 2, t0, "view")],
+        value_of=_thirds,
     ).coalesce(1).write.mode("append").parquet(sdir)
     _time.sleep(1.1)
     _mk_events(
@@ -286,6 +293,7 @@ def test_reorder_buffer_orders_stream_for_first_seen(spark, tmp_path):
             (13, 1, t0 + timedelta(days=10), "view"),
             (14, 2, t0 + timedelta(days=10), "view"),
         ],
+        value_of=_thirds,
     ).coalesce(1).write.mode("append").parquet(sdir)
 
     stream = (
@@ -319,6 +327,12 @@ def test_reorder_buffer_orders_stream_for_first_seen(spark, tmp_path):
     assert {r["event_id"] for r in rows} >= {10, 11, 12}, rows
     seq = {r["user_id"] for r in rows}
     assert seq == {1, 2}
+    # float fidelity: the buffered round-trip must be bit-exact, not
+    # 10-decimal-places-exact
+    for r in rows:
+        assert r["value"] == r["event_id"] / 3.0, (
+            r["event_id"], r["value"].hex(), (r["event_id"] / 3.0).hex(),
+        )
 
     # query 2: first_seen over the ordered hand-off finds the TRUE first
     stream2 = spark.readStream.schema(ordered.schema).parquet(mid)
