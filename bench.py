@@ -82,11 +82,18 @@ HEADLINE = [
     # sim14's recall curve priced, now on the serving path) and the
     # stream-served heavy-hitter probe (a real availableNow stream +
     # versioned-state read per run — the continuous-profiling loop
-    # end-to-end). st6_late_funnel_stream is deliberately NOT here:
-    # its wall is dominated by the 2.1 s of mod-time spacing sleeps
-    # the file-source replay needs, which would grade as fake cost.
+    # end-to-end). st6_late_funnel_stream was deliberately NOT here
+    # while its wall was dominated by 2.1 s of mod-time spacing
+    # sleeps; round 9 removed the sleeps (explicit utime stamps), so
+    # the row now prices real work (stream + reorder buffer + read).
     "sim15_ivf_multiprobe_topk",
     "pr14_stream_served_heavy_hitters",
+    # round 9: the full E->T->L pipeline-runner drain (three queue
+    # micro-batch cycles: extract join, merge rewrite, post-commit
+    # queue cleanup — the orchestration stack's end-to-end cost) and
+    # the de-slept late-data funnel stream
+    "pipeline_e2e_drain",
+    "st6_late_funnel_stream",
 ]
 
 REPEATS = 3  # median-of-3: one cold run can no longer swing the number 2x
@@ -108,7 +115,11 @@ METHODOLOGY = (
     "since r8, cur3 and dr2 read the session-shared MinHash pair graph "
     "(built once per corpus like a production pair-graph table), so "
     "their rows price the consumer stage — dd2 remains the build "
-    "operator and prices pair generation itself; "
+    "operator and prices pair generation itself; since r9, drift for "
+    "cur3/dr2 must be read against their r8 (post-redefinition) rows "
+    "(VERDICT r8 'what's wrong' #2), and st6 joined the headline only "
+    "after its 2.1 s of mod-time spacing sleeps were replaced by "
+    "explicit utime stamps (its row now prices stream+buffer work); "
     "r1/r2 were cold single-shot"
 )
 

@@ -479,11 +479,113 @@ REGISTRY: dict[str, QuerySpec] = {
     "ev17_window_funnel4": QuerySpec(
         analytics.ev17_window_funnel4, analytics.EV17_ORACLE
     ),
+    # -- NEW round 9 --
+    # the full E->T->L runner pass (config -> tracking -> queue drain
+    # -> loader -> post-commit cleanup) graded against the composed
+    # batch CDC algebra (VERDICT r8 #7)
+    "pipeline_e2e_drain": QuerySpec(
+        cdc.pipeline_e2e_drain, cdc.PIPELINE_E2E_ORACLE
+    ),
+    # release-carried stable cluster ids (VERDICT r8 #2): growth can't
+    # re-key a carried cluster; only merges can
+    "cur12_carried_cluster_ids": QuerySpec(
+        llmdata.cur12_carried_cluster_ids, llmdata.CUR12_ORACLE
+    ),
 }
 
 
 # ---------------------------------------------------------------------------
-# Round-8 graded window (stalest-first round-robin; VERDICT r7 #1).
+# Round-9 graded window (stalest-first round-robin; VERDICT r8 #1).
+#
+# Composition:
+#   1. NEW round-9 entries (pipeline_e2e_drain — the full runner pass,
+#      VERDICT r8 #7; cur12_carried_cluster_ids — release-carried
+#      stable cluster identity, VERDICT r8 #2) and the three entries
+#      whose PLAN or ORACLE changed this round: sm8/cur10 (split key
+#      re-derived from the cluster's min content fingerprint — regrade
+#      the new key end-to-end) and st6 (sleep-free deterministic batch
+#      cut + eager materialization — regrade the identical-semantics
+#      claim).
+#   2. VERDICT r8 #1's prescribed rotation: the four entries that
+#      landed after the round-8 window settled and were never
+#      driver-graded (fo6, cur11, mm12, ev17), the five displaced from
+#      round 8's head insertions (q2w, mm5, dd3, sm4, pk1), the two
+#      r4-stale rows (dd2, cur2), then the r5-stale family in registry
+#      order (pk2..sm6).
+#   3. The four shared-shingle-index consumers (dd4, dd12, dd13, ta9):
+#      their PLAN changed late in round 9 — the index is now a
+#      bucketed parquet table, not a localCheckpoint (scan node
+#      changed on both self-join sides; measured 6.5x consumer win) —
+#      so the regrade discipline puts them back in the window, at the
+#      cost of displacing the last four r5-stale backfills.
+# Left for round 10's backfill head: the r5-green remainder displaced
+# here (vb2, ev11, fo4, sd2) plus (dc2, ev13, ev14, mm7, fts4, pr8),
+# then the r6-green family.
+# ---------------------------------------------------------------------------
+_GRADED_WINDOW: list[str] = [
+    # -- NEW round 9 / plan-changed round 9 (head) --
+    "pipeline_e2e_drain",  # NEW: the orchestration stack end-to-end
+    "cur12_carried_cluster_ids",  # NEW: growth-stable cluster identity
+    "sm8_leakage_safe_split",  # plan+oracle changed: min-fingerprint key
+    "cur10_release_manifest",  # plan+oracle changed: min-fingerprint key
+    "st6_late_funnel_stream",  # plan changed: sleep-free batch cut
+    # -- never driver-graded (landed post-r8-window; VERDICT r8 #1) --
+    "fo6_scd2_validity_audit",
+    "cur11_release_fate_diff",
+    "mm12_keyframe_select",
+    "ev17_window_funnel4",
+    # -- displaced from round 8's window (VERDICT r8 #1) --
+    "q2w_top_supplier_per_nation",
+    "mm5_payload_dedup",
+    "dd3_simhash",
+    "sm4_three_way_split",
+    "pk1_sequence_packing",
+    # -- r4-stale (newest driver row = round 4) --
+    "dd2_minhash_lsh_pairs",
+    "cur2_training_mix",
+    # -- r5-stale family, registry order, stalest block first --
+    "pk2_incremental_packing",
+    "cur4_pack_curated",
+    "sim9_recall_eval",
+    "dq3_replica_checksum",
+    "dd6_dup_clusters",
+    "dd8_incremental_lsh",
+    "sim1_cosine_topk",
+    "sim5_ivf_build",
+    "sim3_pairwise_topk",
+    "w2_window_suite",
+    "w3_rolling_frames",
+    "fts2_bm25_search",
+    "ch1_overlap_chunks",
+    "cur5_token_budget",
+    "fts3_passage_search",
+    "dr1_source_dup_report",
+    "cur6_domain_cap",
+    "sh1_train_shards",
+    "bpe1_pair_stats",
+    "dv1_ngram_diversity",
+    "dr2_cross_source_leakage",
+    "ta11_lang_confusion",
+    "vb1_vocab_coverage",
+    "sim10_ivf_pq_topk",
+    "ev9_daily_top_events",
+    "ev10_top_user_paths",
+    "ta12_doc_keywords",
+    "seg1_rfm_segments",
+    "mm6_wav_roundtrip",
+    "sm6_temporal_split",
+    # -- plan changed round 9 (shared shingle index now a bucketed
+    # parquet table instead of a localCheckpoint — scan node changed
+    # on both self-join sides; outputs pinned bit-identical, but the
+    # regrade discipline applies) --
+    "dd4_ngram_jaccard_pairs",
+    "dd12_containment_pairs",
+    "dd13_edit_distance_pairs",
+    "ta9_similar_docs",
+]
+
+# ---------------------------------------------------------------------------
+# Round-8 graded window (kept for history; superseded above).
 #
 # Composition:
 #   1. NEW round-8 entries (sim15 multi-probe IVF serving, pr14
@@ -526,7 +628,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # Tail queue for round 8: the r4-green remainder (q2, q16, q11, q22,
 # p6-p8, a1-a5, l0-l4, w1, st1-st5, dd1-dd9, sim2, f1-f3, t2, s1),
 # then the r5-green family, then round 6's head as it ages.
-_GRADED_WINDOW: list[str] = [
+_ROUND8_WINDOW: list[str] = [
     # -- NEW round 8 / plan-changed round 8 (head) --
     "sim15_ivf_multiprobe_topk",  # NEW: the nprobe knob on the serving path
     "pr14_stream_served_heavy_hitters",  # NEW: probe of the LIVE CM stream state
@@ -642,6 +744,7 @@ _ROUND7_WINDOW: list[str] = [
 ]
 
 assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
+assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
 assert len(set(_GRADED_WINDOW)) == 50
 _missing = [n for n in _GRADED_WINDOW if n not in REGISTRY]

@@ -33,7 +33,9 @@ def test_cluster_smoke_lane_matches_oracles():
     block = src.split("SMOKE_QUERIES = [", 1)[1].split("]", 1)[0]
     n = len(re.findall(r'"\w+"', block))
     assert n >= 13, n
-    # +1: the live semantic_ingest_stream parity step (round 8) runs
-    # outside SMOKE_QUERIES — it has no stream-running registry entry
-    assert f"CLUSTER-SMOKE DONE mismatches=0 of={n + 1}" in proc.stdout, tail
+    # +2: the live semantic_ingest_stream parity step (round 8) and the
+    # live bucketed-artifact write/read/join (round 9) run outside
+    # SMOKE_QUERIES — neither has a registry entry that drives it
+    assert f"CLUSTER-SMOKE DONE mismatches=0 of={n + 2}" in proc.stdout, tail
     assert "OK semantic_ingest_stream[live]" in proc.stdout, tail
+    assert "OK bucketed_artifact_join[live]" in proc.stdout, tail

@@ -1,0 +1,146 @@
+"""Round-9 split-stability properties (VERDICT r8 #2): the near-dup
+split key must be stable under corpus growth. Covers: (1) growth that
+only ADDS members — whatever the new docs' ids or fingerprints — never
+re-keys a carried cluster (zero split flips, zero displaced keepers);
+(2) the bridge-merge re-key bound: exactly the non-surviving sides'
+docs change key; (3) the min-content-fingerprint key survives a doc-id
+renumbering that re-keys every legacy min-id group; (4) the fingerprint
+key never splits a cluster (the leakage guarantee is key-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from migrator_spark.operators.mixture import (
+    carry_cluster_ids,
+    leakage_safe_split,
+)
+
+MEMBERS_SCHEMA = "doc_id long, cluster_id long, fp string"
+PREV_SCHEMA = "doc_id long, stable_id string"
+
+
+def _carry(spark, members, prev):
+    return {
+        r["doc_id"]: (r["stable_id"], r["carried"])
+        for r in carry_cluster_ids(
+            spark.createDataFrame(members, MEMBERS_SCHEMA),
+            spark.createDataFrame(prev, PREV_SCHEMA),
+        ).collect()
+    }
+
+
+def test_carry_zero_rekeys_under_pure_growth(spark):
+    """Growth that only adds members to existing clusters (plus brand
+    new clusters) re-keys NOTHING: every release-A doc keeps its A
+    stable id, the arrivals inherit their cluster's carried id, and a
+    split keyed on stable_id therefore cannot flip — even though the
+    new member of cluster 1 carries the lexicographically SMALLEST
+    fingerprint (the case that re-keys a min-fingerprint group) and a
+    smaller doc id than the component min (the case that re-keys a
+    min-id group)."""
+    rel_a = [(1, 1, "cc"), (2, 1, "dd"), (5, 5, "ee"), (7, 7, "aa")]
+    prev = _carry(spark, rel_a, [])
+    assert prev == {
+        1: ("f:cc", False),
+        2: ("f:cc", False),
+        5: ("f:ee", False),
+        7: ("f:aa", False),
+    }
+    # release B: doc 0 joins cluster 1 (smaller id AND smaller
+    # fingerprint than every existing member); docs 20/21 are new
+    # content forming a new cluster. Component relabeling moves the
+    # cluster label to the new min id (0) — the label may churn, the
+    # carried identity must not.
+    rel_b = [
+        (0, 0, "00"),
+        (1, 0, "cc"),
+        (2, 0, "dd"),
+        (5, 5, "ee"),
+        (7, 7, "aa"),
+        (20, 20, "zz"),
+        (21, 20, "yy"),
+    ]
+    out = _carry(spark, rel_b, [(d, s) for d, (s, _) in prev.items()])
+    for doc, (sid, _) in prev.items():
+        assert out[doc] == (sid, True), (doc, out[doc], sid)
+    assert out[0] == ("f:cc", True)  # arrival inherits, never re-keys
+    assert out[20] == ("f:yy", False)  # new cluster mints from min fp
+    assert out[21] == ("f:yy", False)
+    # zero displaced: the set of docs whose key changed is empty
+    changed = {d for d in prev if out[d][0] != prev[d][0]}
+    assert changed == set()
+
+
+def test_carry_merge_rekeys_only_nonsurviving_side(spark):
+    """The documented bridge-merge bound: when clusters with carried
+    ids X < Y merge, the merged cluster takes X and ONLY the Y side's
+    docs change key — the re-key count equals the non-surviving sides'
+    sizes, never the whole merged cluster."""
+    rel_a = [(1, 1, "aa"), (2, 1, "bb"), (5, 5, "mm"), (6, 5, "nn")]
+    prev = _carry(spark, rel_a, [])
+    assert prev[1][0] == "f:aa" and prev[5][0] == "f:mm"
+    # doc 9 bridges the two clusters into one component
+    rel_b = [
+        (1, 1, "aa"),
+        (2, 1, "bb"),
+        (5, 1, "mm"),
+        (6, 1, "nn"),
+        (9, 1, "qq"),
+    ]
+    out = _carry(spark, rel_b, [(d, s) for d, (s, _) in prev.items()])
+    assert all(out[d][0] == "f:aa" for d in (1, 2, 5, 6, 9))
+    changed = {d for d in prev if out[d][0] != prev[d][0]}
+    assert changed == {5, 6}  # exactly the non-surviving side
+
+
+def test_fingerprint_key_survives_id_renumbering(spark):
+    """A re-crawl that renumbers every doc id re-keys every legacy
+    min-ID group but NO min-fingerprint group: the same texts under
+    shifted ids land on the same split side."""
+    texts = {
+        1: "alpha beta",
+        2: "alpha beta gamma",
+        3: "wholly different",
+        4: "another singleton",
+    }
+
+    def split_of(id_shift: int) -> dict:
+        docs = spark.createDataFrame(
+            [(i + id_shift, t) for i, t in texts.items()],
+            "doc_id long, text string",
+        )
+        clusters = spark.createDataFrame(
+            [(1 + id_shift, 1 + id_shift), (2 + id_shift, 1 + id_shift)],
+            "doc_id long, cluster_id long",
+        )
+        return {
+            texts[r["doc_id"] - id_shift]: r["split"]
+            for r in leakage_safe_split(
+                docs, clusters, key_fingerprint=F.md5("text")
+            ).collect()
+        }
+
+    assert split_of(0) == split_of(1000)
+
+
+def test_fingerprint_key_never_splits_a_cluster(spark):
+    """The leakage guarantee is independent of the key change: with
+    the fingerprint key, all members of a cluster still land on one
+    side."""
+    docs = spark.createDataFrame(
+        [(i, f"text number {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    # three clusters of ten by doc_id mod 3 (content matches the key)
+    clusters = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "doc_id long, cluster_id long"
+    )
+    rows = leakage_safe_split(
+        docs, clusters, key_fingerprint=F.md5("text")
+    ).collect()
+    sides: dict = {}
+    for r in rows:
+        sides.setdefault(r["group"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in sides.values()), sides

@@ -95,6 +95,10 @@ SMOKE_QUERIES = [
     "sim15_ivf_multiprobe_topk",  # broadcast probe sets pruning the corpus scan
     "pr14_stream_served_heavy_hitters",  # foreachBatch CM fold + versioned-state probe
     "st6_late_funnel_stream",   # applyInPandasWithState reorder buffer + funnel automaton
+    # -- round-9 shapes --
+    "pipeline_e2e_drain",       # the full E-T-L runner: point-lookup joins, merge
+                                # rewrites, rmw queue cleanup across real executors
+    "cur12_carried_cluster_ids",  # two star contractions + carry joins across exchanges
 ]
 
 
@@ -176,6 +180,66 @@ def smoke_semantic_stream(spark, sf: str) -> bool:
     return ok
 
 
+def smoke_bucketed_artifact(spark, sf: str) -> bool:
+    """The offline bucketed shingle index under REAL executors (round
+    9, VERDICT r8 #3): saveAsTable's bucketed write must produce files
+    every executor hash-bucket-reads correctly, the (lang, s)
+    self-join must plan WITHOUT an exchange (subset co-partitioning),
+    and the joined row count must equal the shuffle-join count over
+    the in-session index — a wrong bucket hash on either side would
+    drop or duplicate matches."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from migrator_spark.operators.dedup import shingle_index
+    from migrator_spark.sources.artifacts import ArtifactStore
+    from migrator_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    live = shingle_index(docs, attrs=["lang", "source"]).localCheckpoint(
+        eager=True
+    )
+    store = ArtifactStore(tempfile.mkdtemp(prefix="smoke_art_"))
+    store.write_shingle_index(live, buckets=8)
+    back = store.read_shingle_index(spark)
+
+    def self_join(idx):
+        a = idx.select("doc_id", "lang", "s")
+        b = idx.select(
+            F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+            F.col("s").alias("s_b"),
+        )
+        return a.hint("merge").join(
+            b.hint("merge"),
+            (a["lang"] == b["lang_b"]) & (a["s"] == b["s_b"])
+            & (a["doc_id"] < b["doc_b"]),
+        )
+
+    old = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try:
+        j = self_join(back)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = j._jdf.queryExecution().explainString(mode)
+        no_exchange = "Exchange" not in plan
+        n_bucketed = j.count()
+    finally:
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", old)
+    n_shuffle = self_join(live).count()
+    ok = no_exchange and n_bucketed == n_shuffle and n_bucketed > 0
+    print(
+        "OK" if ok else "MISMATCH",
+        "bucketed_artifact_join[live]",
+        n_bucketed,
+        f"no_exchange={no_exchange}",
+        flush=True,
+    )
+    return ok
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("cluster-smoke")
@@ -204,7 +268,9 @@ def main() -> int:
         bad += 0 if ok else 1
     # the live-stream member with no stream-running registry entry
     bad += 0 if smoke_semantic_stream(spark, sf) else 1
-    print(f"CLUSTER-SMOKE DONE mismatches={bad} of={len(SMOKE_QUERIES) + 1}")
+    # the offline bucketed-artifact write/read/join under real executors
+    bad += 0 if smoke_bucketed_artifact(spark, sf) else 1
+    print(f"CLUSTER-SMOKE DONE mismatches={bad} of={len(SMOKE_QUERIES) + 2}")
     spark.stop()
     return 1 if bad else 0
 
