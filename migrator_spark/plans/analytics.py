@@ -3706,3 +3706,256 @@ lv AS (
 SELECT CAST(level AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_users
 FROM lv GROUP BY level
 """
+
+
+def ev18_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING (round 9, post-window): the weekly
+    new / retained / resurrected / churned user decomposition behind
+    every growth dashboard (the classic "growth accounting" identity:
+    actives(w) = new + retained + resurrected; churned(w) = users
+    active in w-1 and silent in w). Weeks are epoch-aligned 7-day
+    integer buckets (fo4's discipline — no engine week-numbering or
+    locale can enter the compare). A user's status per active week
+    derives from the LAG of their distinct activity weeks:
+    no previous week = new, previous == w-1 = retained, previous
+    < w-1 = resurrected; churn is attributed to week w+1 for every
+    active week w whose NEXT activity week is not w+1 (bounded by the
+    corpus's global max week, so the final week churns nobody into an
+    unobserved week). Output weeks are the union of activity weeks
+    and churn-only weeks.
+
+    Shape: one distinct (user, week) aggregate (<= 52 rows per user
+    per year), ONE per-user sort shared by the lag and lead windows,
+    a 1-row global max broadcast, and two tiny per-week count
+    aggregates unioned — the corpus is scanned once, column-pruned to
+    (user_id, ts)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    act = (
+        ev.select(
+            "user_id",
+            F.floor(F.datediff(F.col("ts").cast("date"), epoch) / F.lit(7))
+            .cast("long")
+            .alias("w"),
+        )
+        .distinct()
+    )
+    win = Window.partitionBy("user_id").orderBy("w")
+    a = act.withColumn("prev", F.lag("w").over(win)).withColumn(
+        "nxt", F.lead("w").over(win)
+    )
+    status = a.select(
+        "w",
+        F.when(F.col("prev").isNull(), "new")
+        .when(F.col("prev") == F.col("w") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("st"),
+    )
+    max_w = act.agg(F.max("w").alias("_mx"))
+    churn = (
+        a.filter(F.col("nxt").isNull() | (F.col("nxt") > F.col("w") + 1))
+        .select((F.col("w") + 1).alias("w"))
+        .join(F.broadcast(max_w), F.col("w") <= F.col("_mx"))
+        .select("w")
+    )
+    per_week = status.groupBy("w").agg(
+        F.count(F.when(F.col("st") == "new", 1)).alias("n_new"),
+        F.count(F.when(F.col("st") == "retained", 1)).alias("n_retained"),
+        F.count(F.when(F.col("st") == "resurrected", 1)).alias(
+            "n_resurrected"
+        ),
+    )
+    churned = churn.groupBy("w").agg(F.count(F.lit(1)).alias("n_churned"))
+    weeks = per_week.join(churned, "w", "full_outer")
+    return weeks.select(
+        F.date_format(
+            F.date_add(epoch, (F.col("w") * 7).cast("int")), "yyyy-MM-dd"
+        ).alias("week_start"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+        F.coalesce("n_resurrected", F.lit(0))
+        .cast("long")
+        .alias("n_resurrected"),
+        F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+    )
+
+
+EV18_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS w
+  FROM events
+),
+a AS (
+  SELECT user_id, w,
+         lag(w)  OVER (PARTITION BY user_id ORDER BY w) AS prev,
+         lead(w) OVER (PARTITION BY user_id ORDER BY w) AS nxt
+  FROM act
+),
+status AS (
+  SELECT w,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN prev = w - 1 THEN 'retained'
+              ELSE 'resurrected' END AS st
+  FROM a
+),
+per_week AS (
+  SELECT w,
+         count(CASE WHEN st = 'new' THEN 1 END) AS n_new,
+         count(CASE WHEN st = 'retained' THEN 1 END) AS n_retained,
+         count(CASE WHEN st = 'resurrected' THEN 1 END) AS n_resurrected
+  FROM status GROUP BY w
+),
+churn AS (
+  SELECT w + 1 AS w FROM a
+  WHERE (nxt IS NULL OR nxt > w + 1)
+    AND w + 1 <= (SELECT max(w) FROM act)
+),
+churned AS (SELECT w, count(*) AS n_churned FROM churn GROUP BY w)
+SELECT strftime(DATE '1970-01-01' + to_days(CAST(coalesce(p.w, c.w) * 7 AS INTEGER)), '%Y-%m-%d') AS week_start,
+       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+       CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+       CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+FROM per_week p FULL OUTER JOIN churned c ON c.w = p.w
+"""
+
+
+DQ5_SLICE_MOD = 4  # release A = the cur11 ~75% id-hash slice
+
+
+def dq5_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELEASE-TO-RELEASE PROFILE DRIFT (round 9, post-window): the
+    data-contract audit a pipeline runs before publishing a corpus
+    refresh — per tracked column, exact profile metrics for release A
+    (the cur11 ~75% id-hash slice) vs release B (the grown corpus)
+    and the relative drift in integer parts-per-million
+    ((b-a)*1e6 div a — exact integer arithmetic, no float in the
+    compare). Metrics: row count, null count and distinct count for
+    the categorical columns (lang, source), min/max/sum for the
+    numeric n_chars. A threshold is deliberately NOT baked in: the
+    row set IS the contract surface; alerting picks its own bound.
+
+    Shape: ONE corpus scan computing both releases' aggregates as
+    conditional aggregates over the slice predicate (no second scan,
+    no join), then a constant-width unpivot into (column, metric)
+    rows — 12 rows total whatever the corpus size."""
+    from migrator_spark.functions.hashing import stable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    in_a = (
+        F.pmod(
+            stable_hash64(F.col("doc_id").cast("string")),
+            F.lit(DQ5_SLICE_MOD),
+        )
+        != 0
+    )
+
+    def both(metric_col, a_expr, b_expr):
+        return [a_expr.alias(f"a_{metric_col}"), b_expr.alias(f"b_{metric_col}")]
+
+    agg = docs.agg(
+        *both("rows", F.count(F.when(in_a, 1)), F.count(F.lit(1))),
+        *both(
+            "lang_nulls",
+            F.count(F.when(in_a & F.col("lang").isNull(), 1)),
+            F.count(F.when(F.col("lang").isNull(), 1)),
+        ),
+        *both(
+            "lang_distinct",
+            F.count_distinct(F.when(in_a, F.col("lang"))),
+            F.count_distinct(F.col("lang")),
+        ),
+        *both(
+            "source_nulls",
+            F.count(F.when(in_a & F.col("source").isNull(), 1)),
+            F.count(F.when(F.col("source").isNull(), 1)),
+        ),
+        *both(
+            "source_distinct",
+            F.count_distinct(F.when(in_a, F.col("source"))),
+            F.count_distinct(F.col("source")),
+        ),
+        *both(
+            "n_chars_min",
+            F.min(F.when(in_a, F.col("n_chars"))),
+            F.min("n_chars"),
+        ),
+        *both(
+            "n_chars_max",
+            F.max(F.when(in_a, F.col("n_chars"))),
+            F.max("n_chars"),
+        ),
+        *both(
+            "n_chars_sum",
+            F.sum(F.when(in_a, F.col("n_chars"))),
+            F.sum("n_chars"),
+        ),
+    )
+    metrics = [
+        ("corpus", "rows"),
+        ("lang", "lang_nulls"),
+        ("lang", "lang_distinct"),
+        ("source", "source_nulls"),
+        ("source", "source_distinct"),
+        ("n_chars", "n_chars_min"),
+        ("n_chars", "n_chars_max"),
+        ("n_chars", "n_chars_sum"),
+    ]
+    stack = ", ".join(
+        f"'{col}', '{m}', CAST(a_{m} AS BIGINT), CAST(b_{m} AS BIGINT)"
+        for col, m in metrics
+    )
+    rows = agg.selectExpr(
+        f"stack({len(metrics)}, {stack}) AS (column_name, metric, val_a, val_b)"
+    )
+    # `div` (Spark) and `//` (DuckDB) both truncate toward zero on
+    # integers (verified empirically) — the quotient is exact and
+    # engine-identical, including for the negative-drift n_chars_min
+    return rows.withColumn(
+        "drift_ppm",
+        F.when(
+            F.col("val_a") != 0,
+            F.expr("((val_b - val_a) * 1000000) div val_a"),
+        ).cast("long"),
+    )
+
+
+DQ5_ORACLE = f"""
+WITH tagged AS (
+  SELECT *,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {DQ5_SLICE_MOD}) <> 0 AS in_a
+  FROM documents
+),
+agg AS (
+  SELECT
+    count(CASE WHEN in_a THEN 1 END) AS a_rows, count(*) AS b_rows,
+    count(CASE WHEN in_a AND lang IS NULL THEN 1 END) AS a_lang_nulls,
+    count(CASE WHEN lang IS NULL THEN 1 END) AS b_lang_nulls,
+    count(DISTINCT CASE WHEN in_a THEN lang END) AS a_lang_distinct,
+    count(DISTINCT lang) AS b_lang_distinct,
+    count(CASE WHEN in_a AND source IS NULL THEN 1 END) AS a_source_nulls,
+    count(CASE WHEN source IS NULL THEN 1 END) AS b_source_nulls,
+    count(DISTINCT CASE WHEN in_a THEN source END) AS a_source_distinct,
+    count(DISTINCT source) AS b_source_distinct,
+    min(CASE WHEN in_a THEN n_chars END) AS a_n_chars_min, min(n_chars) AS b_n_chars_min,
+    max(CASE WHEN in_a THEN n_chars END) AS a_n_chars_max, max(n_chars) AS b_n_chars_max,
+    sum(CASE WHEN in_a THEN n_chars END) AS a_n_chars_sum, sum(n_chars) AS b_n_chars_sum
+  FROM tagged
+),
+rows_out(column_name, metric, val_a, val_b) AS (
+  SELECT 'corpus', 'rows', CAST(a_rows AS BIGINT), CAST(b_rows AS BIGINT) FROM agg
+  UNION ALL SELECT 'lang', 'lang_nulls', CAST(a_lang_nulls AS BIGINT), CAST(b_lang_nulls AS BIGINT) FROM agg
+  UNION ALL SELECT 'lang', 'lang_distinct', CAST(a_lang_distinct AS BIGINT), CAST(b_lang_distinct AS BIGINT) FROM agg
+  UNION ALL SELECT 'source', 'source_nulls', CAST(a_source_nulls AS BIGINT), CAST(b_source_nulls AS BIGINT) FROM agg
+  UNION ALL SELECT 'source', 'source_distinct', CAST(a_source_distinct AS BIGINT), CAST(b_source_distinct AS BIGINT) FROM agg
+  UNION ALL SELECT 'n_chars', 'n_chars_min', CAST(a_n_chars_min AS BIGINT), CAST(b_n_chars_min AS BIGINT) FROM agg
+  UNION ALL SELECT 'n_chars', 'n_chars_max', CAST(a_n_chars_max AS BIGINT), CAST(b_n_chars_max AS BIGINT) FROM agg
+  UNION ALL SELECT 'n_chars', 'n_chars_sum', CAST(a_n_chars_sum AS BIGINT), CAST(b_n_chars_sum AS BIGINT) FROM agg
+)
+SELECT column_name, metric, val_a, val_b,
+       CASE WHEN val_a <> 0
+            THEN CAST(((val_b - val_a) * 1000000) // val_a AS BIGINT)
+            END AS drift_ppm
+FROM rows_out
+"""

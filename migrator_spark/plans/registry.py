@@ -491,6 +491,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "cur12_carried_cluster_ids": QuerySpec(
         llmdata.cur12_carried_cluster_ids, llmdata.CUR12_ORACLE
     ),
+    # landed after the round-9 window settled — head round 10's queue
+    # (with the four r5-stale rows the dd4/dd12/dd13/ta9 regrade
+    # displaced: vb2, ev11, fo4, sd2)
+    "ev18_growth_accounting": QuerySpec(
+        analytics.ev18_growth_accounting, analytics.EV18_ORACLE
+    ),
+    "dq5_profile_drift": QuerySpec(
+        analytics.dq5_profile_drift, analytics.DQ5_ORACLE
+    ),
 }
 
 
