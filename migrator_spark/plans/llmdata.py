@@ -5038,6 +5038,39 @@ FROM b_memb m JOIN b_agg a ON a.cl = m.cl
 """
 
 
+def cur13_carried_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PRODUCTION SPLIT (round 9, the arc's capstone): train/val
+    keyed on the RELEASE-CARRIED cluster identity (cur12's
+    stable_id), md5-re-hashed into buckets like leakage_safe_split —
+    the composition where the split is leakage-safe (one key per
+    near-dup cluster), survives doc-id renumbering (ids never enter
+    the key), AND survives corpus growth outright: a cluster that
+    gains members keeps its carried id, so the only event that can
+    move a group between train and val is a cluster MERGE, bounded by
+    the non-surviving sides' sizes (carry_cluster_ids' documented
+    bound). sm8 grades the intrinsic-fingerprint key; this row grades
+    what a release pipeline actually ships.
+
+    Shape: cur12's carry plan (shared pair graph for release B, one
+    banded self-join for the A slice, two cluster-keyed joins) plus a
+    projection — the split itself adds nothing."""
+    out = cur12_carried_cluster_ids(spark, sf_dir)
+    bucket = F.substring(F.md5("stable_id"), 1, 2)
+    return out.select(
+        "doc_id",
+        "stable_id",
+        F.when(bucket < "cc", "train").otherwise("val").alias("split"),
+    )
+
+
+CUR13_ORACLE = f"""
+SELECT doc_id, stable_id,
+       CASE WHEN substr(md5(stable_id), 1, 2) < 'cc'
+            THEN 'train' ELSE 'val' END AS split
+FROM ({CUR12_ORACLE})
+"""
+
+
 MM12_MIN_DELTA = 2000  # scene-cut threshold on |Δ pixel_sum|
 
 

@@ -500,6 +500,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "dq5_profile_drift": QuerySpec(
         analytics.dq5_profile_drift, analytics.DQ5_ORACLE
     ),
+    # the split-stability arc's capstone: carried identity AS the
+    # split key — growth can never move a group; only merges can
+    "cur13_carried_split": QuerySpec(
+        llmdata.cur13_carried_split, llmdata.CUR13_ORACLE
+    ),
 }
 
 

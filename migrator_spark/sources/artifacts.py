@@ -30,6 +30,14 @@ Layouts, chosen per consumer access pattern (layout.py discipline):
   so neither needs bucketing; what they need is the per-snapshot
   atomic-publish semantics ParquetSource already provides.
 
+Concurrency: the bucketed shingle-index write is SINGLE-WRITER per
+store root (drop + rmtree + rewrite — no commit log); that matches
+its per-crawl-snapshot lifecycle, where one build job owns the
+snapshot directory. Readers of a COMMITTED snapshot are safe at any
+concurrency; for multi-writer publish semantics put each snapshot in
+its own root and flip a pointer, or use the ParquetSource tables
+(which carry OCC).
+
 Round-trip contract: consumers fed the READ-BACK artifact produce
 bit-identical output to the in-session build (tested for
 dd4/dd12/dd13/ta9 over the shingle index and the cluster/split
