@@ -3412,6 +3412,52 @@ FO6_DROP_MOD, FO6_EXTEND_MOD, FO6_REOPEN_MOD = 7, 11, 13
 FO6_EXTEND_US = 3_600_000_000  # 1 h
 
 
+def _fo6_corrupted_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared deterministically-corrupted SCD2 fixture: fo6
+    AUDITS it, fo7 REPAIRS it (identical corruption, so the repair's
+    oracle is checkable against the audit's violation list)."""
+    from migrator_spark.functions.hashing import stable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros(F.col("ts"))
+    hist = ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version_no"),
+        us.alias("valid_from_us"),
+        F.lead(us).over(w).alias("valid_to_us"),
+    )
+    h = stable_hash64(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("version_no").cast("string"),
+        )
+    )
+    return (
+        hist.withColumn("_h", h)
+        .filter(F.pmod(F.col("_h"), F.lit(FO6_DROP_MOD)) != 0)
+        .withColumn(
+            "valid_to_us",
+            F.when(
+                (F.pmod(F.col("_h"), F.lit(FO6_EXTEND_MOD)) == 0)
+                & F.col("valid_to_us").isNotNull(),
+                F.col("valid_to_us") + F.lit(FO6_EXTEND_US),
+            )
+            .when(
+                (F.pmod(F.col("_h"), F.lit(FO6_REOPEN_MOD)) == 0)
+                & (F.pmod(F.col("_h"), F.lit(FO6_EXTEND_MOD)) != 0)
+                & F.col("valid_to_us").isNotNull(),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(F.col("valid_to_us")),
+        )
+        .drop("_h")
+    )
+
+
 def fo6_scd2_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 VALIDITY AUDIT (round 8): the data-quality pass every
     history table needs before an as-of query (fo3/fo5) can be
@@ -3440,46 +3486,7 @@ def fo6_scd2_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact epoch-micros, hash on the shared stable hash — both sides
     reproduce bit-for-bit.
     """
-    from migrator_spark.functions.hashing import stable_hash64
-
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    us = F.unix_micros(F.col("ts"))
-    hist = ev.select(
-        "user_id",
-        F.row_number().over(w).cast("long").alias("version_no"),
-        us.alias("valid_from_us"),
-        F.lead(us).over(w).alias("valid_to_us"),
-    )
-    h = stable_hash64(
-        F.concat(
-            F.col("user_id").cast("string"),
-            F.lit(":"),
-            F.col("version_no").cast("string"),
-        )
-    )
-    corrupted = (
-        hist.withColumn("_h", h)
-        .filter(F.pmod(F.col("_h"), F.lit(FO6_DROP_MOD)) != 0)
-        .withColumn(
-            "valid_to_us",
-            F.when(
-                (F.pmod(F.col("_h"), F.lit(FO6_EXTEND_MOD)) == 0)
-                & F.col("valid_to_us").isNotNull(),
-                F.col("valid_to_us") + F.lit(FO6_EXTEND_US),
-            )
-            .when(
-                (F.pmod(F.col("_h"), F.lit(FO6_REOPEN_MOD)) == 0)
-                & (F.pmod(F.col("_h"), F.lit(FO6_EXTEND_MOD)) != 0)
-                & F.col("valid_to_us").isNotNull(),
-                F.lit(None).cast("long"),
-            )
-            .otherwise(F.col("valid_to_us")),
-        )
-        .drop("_h")
-    )
+    corrupted = _fo6_corrupted_history(spark, sf_dir)
     w2 = Window.partitionBy("user_id").orderBy(
         F.col("valid_from_us").asc(), F.col("version_no").asc()
     )
@@ -3567,6 +3574,72 @@ cur AS (
   WHERE n_open <> 1
 )
 SELECT * FROM adj UNION ALL SELECT * FROM cur
+"""
+
+
+def fo7_scd2_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 REPAIR (round 9, post-window): the deterministic fix for
+    every violation class fo6 detects, run on the SAME corrupted
+    fixture — the audit→repair pair every history table needs before
+    an as-of query can be trusted again. The canonical rebuild policy:
+    per key, order the surviving versions by (valid_from, version_no)
+    and set every valid_to to the NEXT version's valid_from — trimming
+    overlaps (extended intervals are cut back to the successor),
+    closing gaps (the predecessor absorbs the dropped version's span —
+    the standard last-known-state reading of missing history),
+    re-closing spuriously reopened mid-history versions, and leaving
+    exactly the last version open (repairing both multi_current and
+    no_current keys). The output tiles time per key with exactly one
+    current row BY CONSTRUCTION — fo6 over this output returns zero
+    rows, pinned in tests.
+
+    Shape: one (user_id)-partitioned sort shared by the rebuild's
+    lead window — one exchange over the history rows, no join; at
+    100 TB this is one pass over the history table, the same cost
+    class as the audit."""
+    corrupted = _fo6_corrupted_history(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("valid_from_us").asc(), F.col("version_no").asc()
+    )
+    nxt = F.lead("valid_from_us").over(w)
+    return corrupted.select(
+        "user_id",
+        "version_no",
+        "valid_from_us",
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+FO7_ORACLE = f"""
+WITH hist AS (
+  SELECT user_id,
+         CAST(row_number() OVER w AS BIGINT) AS version_no,
+         epoch_us(ts) AS valid_from_us,
+         lead(epoch_us(ts)) OVER w AS valid_to_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+hashed AS (
+  SELECT *,
+         ('0x' || substr(md5(user_id::VARCHAR || ':' || version_no::VARCHAR), 1, 15))::BIGINT AS h
+  FROM hist
+),
+corrupted AS (
+  SELECT user_id, version_no, valid_from_us,
+         CASE WHEN h % {FO6_EXTEND_MOD} = 0 AND valid_to_us IS NOT NULL
+              THEN valid_to_us + {FO6_EXTEND_US}
+              WHEN h % {FO6_REOPEN_MOD} = 0 AND h % {FO6_EXTEND_MOD} <> 0
+                   AND valid_to_us IS NOT NULL
+              THEN NULL
+              ELSE valid_to_us END AS valid_to_us
+  FROM hashed WHERE h % {FO6_DROP_MOD} <> 0
+)
+SELECT user_id, version_no, valid_from_us,
+       lead(valid_from_us) OVER w2 AS valid_to_us,
+       lead(valid_from_us) OVER w2 IS NULL AS is_current
+FROM corrupted
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us ASC, version_no ASC)
 """
 
 
@@ -3959,3 +4032,34 @@ SELECT column_name, metric, val_a, val_b,
             END AS drift_ppm
 FROM rows_out
 """
+
+
+def pr15_federated_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEDERATED SKETCH-STATE MERGE (round 9, post-window): pr9's
+    bottom-k quantile summary built INDEPENDENTLY on three disjoint
+    event shards (event_id-hash mod 3 — three "sites" whose raw rows
+    never cross the boundary), merged by union + re-bottom-k with
+    counts summed, quantiles picked from the merged state
+    (quality.sampled_quantiles_federated). The graded contract is
+    pr14's move applied to the quantile rung: the oracle IS pr9's
+    oracle, unchanged — merge exactness (every global bottom-k row
+    survives its own shard's bottom-k) makes the federated result
+    bit-identical to the directly-built summary, so a lost shard, a
+    double-merged state, or a rank off-by-one lands as a hash miss.
+    This is the property that lets a 1000-executor profiling pass (or
+    N data centers) combine O(k)-sized states instead of re-scanning
+    history."""
+    from migrator_spark.operators import quality as ql
+
+    return ql.sampled_quantiles_federated(
+        load_table(spark, sf_dir, "events"),
+        value_col="value",
+        group_col="event_type",
+        id_col="event_id",
+        shard_col=F.pmod(F.xxhash64("event_id"), F.lit(3)),
+    )
+
+
+# merge exactness: the federated build must equal the direct build
+# bit-for-bit — same oracle as pr9 by construction
+PR15_ORACLE = PR9_ORACLE

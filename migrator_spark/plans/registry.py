@@ -505,6 +505,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "cur13_carried_split": QuerySpec(
         llmdata.cur13_carried_split, llmdata.CUR13_ORACLE
     ),
+    # the audit->repair pair: fo6 detects, fo7 rebuilds (fo6 over
+    # fo7's output is empty by construction, pinned in tests)
+    "fo7_scd2_repair": QuerySpec(
+        analytics.fo7_scd2_repair, analytics.FO7_ORACLE
+    ),
+    # the portable-sketch ladder's MERGE rung: per-shard pr9 states
+    # combined by union + re-bottom-k == the direct build bit-for-bit
+    # (oracle = PR9's, unchanged — the pr14 move)
+    "pr15_federated_quantile_merge": QuerySpec(
+        analytics.pr15_federated_quantile_merge, analytics.PR15_ORACLE
+    ),
 }
 
 

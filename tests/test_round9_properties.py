@@ -144,3 +144,29 @@ def test_fingerprint_key_never_splits_a_cluster(spark):
     for r in rows:
         sides.setdefault(r["group"], set()).add(r["split"])
     assert all(len(s) == 1 for s in sides.values()), sides
+
+
+def test_fo7_repair_satisfies_fo6_invariants(spark, sf_dir):
+    """The audit->repair contract: fo6 finds real violations in the
+    corrupted fixture, and fo7's rebuild of the SAME fixture tiles
+    time per key with exactly one open (current) interval — every
+    fo6 violation class is gone by construction."""
+    from migrator_spark.plans.analytics import (
+        fo6_scd2_validity_audit,
+        fo7_scd2_repair,
+    )
+
+    assert fo6_scd2_validity_audit(spark, sf_dir).count() > 0
+    rows = fo7_scd2_repair(spark, sf_dir).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["user_id"], []).append(r)
+    assert by_key
+    for uid, vs in by_key.items():
+        vs.sort(key=lambda r: (r["valid_from_us"], r["version_no"]))
+        opens = [r for r in vs if r["valid_to_us"] is None]
+        assert len(opens) == 1 and opens[0] is vs[-1], uid  # one current, last
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], (uid, a, b)
+        for r in vs:
+            assert r["is_current"] == (r["valid_to_us"] is None), (uid, r)
