@@ -543,9 +543,14 @@ REGISTRY: dict[str, QuerySpec] = {
 #      changed on both self-join sides; measured 6.5x consumer win) —
 #      so the regrade discipline puts them back in the window, at the
 #      cost of displacing the last four r5-stale backfills.
-# Left for round 10's backfill head: the r5-green remainder displaced
-# here (vb2, ev11, fo4, sd2) plus (dc2, ev13, ev14, mm7, fts4, pr8),
-# then the r6-green family.
+# Round 10's queue head: the FIVE post-window round-9 entries, never
+# driver-graded (ev18_growth_accounting, dq5_profile_drift,
+# cur13_carried_split, fo7_scd2_repair,
+# pr15_federated_quantile_merge — all oracle-green in this round's
+# full sf0.01 and sf0.1 differentials), then the r5-green rows the
+# dd4/dd12/dd13/ta9 regrade displaced (vb2, ev11, fo4, sd2), then the
+# r5-green remainder (dc2, ev13, ev14, mm7, fts4, pr8), then the
+# r6-green family (stalest first).
 # ---------------------------------------------------------------------------
 _GRADED_WINDOW: list[str] = [
     # -- NEW round 9 / plan-changed round 9 (head) --
