@@ -109,6 +109,7 @@ def smoke_semantic_stream(spark, sf: str) -> bool:
     it directly — two embedding micro-batches through the frozen-
     quantizer intake on local-cluster, decisions compared bit-for-bit
     against the batch fold (the sd3-graded plan)."""
+    import shutil
     import tempfile
     import time
 
@@ -144,36 +145,44 @@ def smoke_semantic_stream(spark, sf: str) -> bool:
     ).localCheckpoint(eager=True)
 
     root = tempfile.mkdtemp(prefix="smoke_sem_")
-    in_dir, st_dir, out_dir, ckpt = (
-        f"{root}/{d}" for d in ("in", "st", "out", "ck")
-    )
-    b1 = emb.filter(
-        (F.col("vec_id") >= SD3_BOUNDS[0]) & (F.col("vec_id") < SD3_BOUNDS[1])
-    )
-    b2 = emb.filter(F.col("vec_id") >= SD3_BOUNDS[1])
-    b1.coalesce(1).write.mode("append").parquet(in_dir)
-    time.sleep(1.1)
-    b2.coalesce(1).write.mode("append").parquet(in_dir)
-    stream = (
-        spark.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
-    )
-    semantic_ingest_stream(
-        spark, stream, incumbents, cents, st_dir, ckpt, out_dir,
-        tau=SD1_TAU, dim=EMB_DIM,
-    ).awaitTermination(300)
-    cols = ["vec_id", "cell", "batch_id", "n_dups_old", "n_dups_new", "keep"]
-    got = sorted(
-        map(tuple, spark.read.option("basePath", out_dir).parquet(out_dir)
-            .select(*cols).collect())
-    )
-    want = sorted(
-        map(tuple, semdedup_fold(
-            emb, list(SD3_BOUNDS), k=KMEANS_K, iters=KMEANS_ITERS,
+    try:
+        in_dir, st_dir, out_dir, ckpt = (
+            f"{root}/{d}" for d in ("in", "st", "out", "ck")
+        )
+        b1 = emb.filter(
+            (F.col("vec_id") >= SD3_BOUNDS[0])
+            & (F.col("vec_id") < SD3_BOUNDS[1])
+        )
+        b2 = emb.filter(F.col("vec_id") >= SD3_BOUNDS[1])
+        b1.coalesce(1).write.mode("append").parquet(in_dir)
+        time.sleep(1.1)
+        b2.coalesce(1).write.mode("append").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        semantic_ingest_stream(
+            spark, stream, incumbents, cents, st_dir, ckpt, out_dir,
             tau=SD1_TAU, dim=EMB_DIM,
-        ).select(*cols).collect())
-    )
+        ).awaitTermination(300)
+        cols = [
+            "vec_id", "cell", "batch_id", "n_dups_old", "n_dups_new", "keep",
+        ]
+        got = sorted(
+            map(tuple, spark.read.option("basePath", out_dir).parquet(out_dir)
+                .select(*cols).collect())
+        )
+        want = sorted(
+            map(tuple, semdedup_fold(
+                emb, list(SD3_BOUNDS), k=KMEANS_K, iters=KMEANS_ITERS,
+                tau=SD1_TAU, dim=EMB_DIM,
+            ).select(*cols).collect())
+        )
+    finally:
+        # the st6/pr14 /tmp-hygiene rule (ADVICE r8 #3) applies to the
+        # smoke lane too: repeated runs must not accumulate copies
+        shutil.rmtree(root, ignore_errors=True)
     ok = got == want and len(got) > 0
     print("OK" if ok else "MISMATCH", "semantic_ingest_stream[live]",
           len(got), flush=True)
@@ -188,6 +197,7 @@ def smoke_bucketed_artifact(spark, sf: str) -> bool:
     and the joined row count must equal the shuffle-join count over
     the in-session index — a wrong bucket hash on either side would
     drop or duplicate matches."""
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -200,7 +210,8 @@ def smoke_bucketed_artifact(spark, sf: str) -> bool:
     live = shingle_index(docs, attrs=["lang", "source"]).localCheckpoint(
         eager=True
     )
-    store = ArtifactStore(tempfile.mkdtemp(prefix="smoke_art_"))
+    art_root = tempfile.mkdtemp(prefix="smoke_art_")
+    store = ArtifactStore(art_root)
     store.write_shingle_index(live, buckets=8)
     back = store.read_shingle_index(spark)
 
@@ -229,6 +240,8 @@ def smoke_bucketed_artifact(spark, sf: str) -> bool:
     finally:
         spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", old)
     n_shuffle = self_join(live).count()
+    spark.sql(f"DROP TABLE IF EXISTS {store.shingle_table_name()}")
+    shutil.rmtree(art_root, ignore_errors=True)
     ok = no_exchange and n_bucketed == n_shuffle and n_bucketed > 0
     print(
         "OK" if ok else "MISMATCH",
