@@ -600,8 +600,26 @@ def carry_cluster_ids(
         without merges re-keys nothing).
       * minted: a cluster with no previously-known member takes
         ``f:`` + its min member fingerprint — content-derived, so two
-        engines (or two runs) mint identically; the ``f:`` namespace
-        can never collide with a carried id's history.
+        engines (or two runs) mint identically.
+
+    Two edges the policy deliberately tolerates (ADVICE r9 #3):
+
+      * SPLITS are not re-keyed: carried ids are themselves
+        ``f:``-prefixed (every id was once minted), so when a previous
+        cluster splits, BOTH halves carry the same stable id — the
+        next ``prev`` then holds duplicate stable_ids. That is
+        leakage-CONSERVATIVE (both halves keep landing on the same
+        split side, strictly safer than separating near-dup history)
+        but it means ``stable_id`` is a GROUP key, not a unique
+        cluster key — don't use it as a primary key.
+      * mint collisions: a brand-new cluster whose min member
+        fingerprint equals the fingerprint some carried id was
+        originally minted from (i.e. exact-duplicate text re-entering
+        in an otherwise-disjoint cluster) re-uses that id. Same
+        direction — identical content shares split fate — so the
+        collision is conservative, not corrupting; a strict namespace
+        separation would need a release epoch in the minted id, which
+        would break the two-engines-mint-identically property.
 
     The output (id_col, cluster_col, stable_col, carried) IS the next
     release's ``prev``. Feed ``stable_id`` to the split as the group

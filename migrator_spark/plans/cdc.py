@@ -493,7 +493,12 @@ def st3_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # same silent-partial-grade guard as st6/pr14 (ADVICE r9 #2): an
+    # un-checked timeout would hand a half-drained memory sink to the
+    # grader as if it were the full result
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("st3 stream still running at 300 s")
     return spark.table(name)
 
 
@@ -766,8 +771,14 @@ def st6_late_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         # a partial replay graded as a hash miss would be a silent lie
-        # (ADVICE r8 #3): fail loudly if the availableNow drain stalls
-        assert q.awaitTermination(300), "st6 stream still running at 300 s"
+        # (ADVICE r8 #3): fail loudly if the availableNow drain stalls.
+        # Explicit check, not `assert` (ADVICE r9 #2): an assert is
+        # stripped under `python -O`, silently grading partial output;
+        # and the query must be STOPPED before the finally-block rmtree
+        # so cleanup never deletes dirs under a still-running stream.
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("st6 stream still running at 300 s")
         q.stop()
         out = spark.read.parquet(odir)
         result = (

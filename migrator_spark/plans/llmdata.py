@@ -135,7 +135,13 @@ def _session_store():
     deserialization vs columnar batches). localCheckpoint remains
     right for the SMALL artifacts (pair graph, centroids): their
     consumers read them once into broadcasts, where scan format is
-    noise."""
+    noise.
+
+    Lifecycle: atexit removal is the BACKSTOP; the primary cleanup is
+    per-cache-key eviction in ``_shared_shingle_index`` (ADVICE r9
+    #1) — a long session cycling many sf_dirs reclaims each evicted
+    store's temp dir and catalog table immediately, not at process
+    exit."""
     import atexit
     import shutil
     import tempfile
@@ -257,9 +263,24 @@ NGRAM_THRESH = 0.2
 # bit-identical to the self-built form (the operators project subsets
 # of the same relation); pinned in tests/test_round8_properties.py.
 # Bounded: at most _SHINGLE_IDX_KEEP entries retained (fresh sf_dirs
-# evict the oldest, so a long session never accumulates state).
+# evict the oldest, so a long session never accumulates state) — and
+# since round 10 (ADVICE r9 #1) eviction also reclaims a SESSION
+# store's temp parquet copy and catalog table, not just the DataFrame
+# ref: _SHINGLE_IDX_CLEANUP holds a per-key disposer for entries whose
+# store this module created (offline SPARK_GRAFT_ARTIFACT_ROOT stores
+# are durable by design and get no disposer).
 _SHINGLE_IDX_CACHE: "dict[tuple[str, str], DataFrame]" = {}
+_SHINGLE_IDX_CLEANUP: "dict[tuple[str, str], object]" = {}
 _SHINGLE_IDX_KEEP = 2
+
+
+def _evict_shingle_entries(spark: SparkSession) -> None:
+    while len(_SHINGLE_IDX_CACHE) >= _SHINGLE_IDX_KEEP:
+        old = next(iter(_SHINGLE_IDX_CACHE))
+        _SHINGLE_IDX_CACHE.pop(old)
+        dispose = _SHINGLE_IDX_CLEANUP.pop(old, None)
+        if dispose is not None:
+            dispose(spark)
 
 
 def _shared_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,6 +288,7 @@ def _shared_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _SHINGLE_IDX_CACHE.get(key)
     if idx is None:
         store = _artifact_store(sf_dir)
+        dispose = None
         if store is not None and store.has_shingle_index():
             idx = store.read_shingle_index(spark)
         else:
@@ -275,6 +297,15 @@ def _shared_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # localCheckpoint — vectorized scan, 6.5x consumer win
                 # (see _session_store)
                 store = _session_store()
+
+                def dispose(sp, _store=store):  # noqa: F811 — the disposer
+                    import shutil as _sh
+
+                    _store.unregister_shingle_index(sp)
+                    _sh.rmtree(_store.root, ignore_errors=True)
+                    if _store.root in _SESSION_ART_ROOTS:
+                        _SESSION_ART_ROOTS.remove(_store.root)
+
             store.write_shingle_index(
                 dd.shingle_index(
                     load_table(spark, sf_dir, "documents"),
@@ -282,9 +313,10 @@ def _shared_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             idx = store.read_shingle_index(spark)
-        while len(_SHINGLE_IDX_CACHE) >= _SHINGLE_IDX_KEEP:
-            _SHINGLE_IDX_CACHE.pop(next(iter(_SHINGLE_IDX_CACHE)))
+        _evict_shingle_entries(spark)
         _SHINGLE_IDX_CACHE[key] = idx
+        if dispose is not None:
+            _SHINGLE_IDX_CLEANUP[key] = dispose
     return idx
 
 
@@ -4792,8 +4824,13 @@ def pr14_stream_served_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFr
             m=PR12_M, d=PR12_D,
         )
         # grading a partially-folded state as a hash miss would be a
-        # silent lie (ADVICE r8 #3): fail loudly on a stalled drain
-        assert q.awaitTermination(300), "pr14 stream still running at 300 s"
+        # silent lie (ADVICE r8 #3): fail loudly on a stalled drain.
+        # Explicit check, not `assert` (ADVICE r9 #2): survives
+        # `python -O`, and the query is stopped BEFORE the finally
+        # rmtree so cleanup never races a still-running stream.
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("pr14 stream still running at 300 s")
         q.stop()
         cells = ParquetSource(st).table(spark, "cm_state").select(
             "grp", "_i", "_pos", "_c"

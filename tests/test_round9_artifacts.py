@@ -109,7 +109,7 @@ def test_shingle_index_reregisters_in_fresh_catalog(spark, sf_dir, tmp_path):
     store.write_shingle_index(live, buckets=8)
     n_live = live.count()
     # simulate the fresh catalog: drop the table (external -> data stays)
-    spark.sql(f"DROP TABLE {store.shingle_table_name()}")
+    store.unregister_shingle_index(spark)
     back = store.read_shingle_index(spark)
     assert back.count() == n_live
     a = back.select("doc_id", "s")

@@ -240,7 +240,7 @@ def smoke_bucketed_artifact(spark, sf: str) -> bool:
     finally:
         spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", old)
     n_shuffle = self_join(live).count()
-    spark.sql(f"DROP TABLE IF EXISTS {store.shingle_table_name()}")
+    store.unregister_shingle_index(spark)
     shutil.rmtree(art_root, ignore_errors=True)
     ok = no_exchange and n_bucketed == n_shuffle and n_bucketed > 0
     print(
