@@ -88,10 +88,12 @@ HEADLINE = [
     # the row now prices real work (stream + reorder buffer + read).
     "sim15_ivf_multiprobe_topk",
     "pr14_stream_served_heavy_hitters",
-    # round 9: the full E->T->L pipeline-runner drain (three queue
+    # round 9: the full E->T->L pipeline-runner drain (~4 queue
     # micro-batch cycles: extract join, merge rewrite, post-commit
-    # queue cleanup — the orchestration stack's end-to-end cost) and
-    # the de-slept late-data funnel stream
+    # queue cleanup — the orchestration stack's end-to-end cost; since
+    # r10 the parquet fixture is prebuilt per session and file-cloned
+    # per run, so the row prices the drain, not fixture Spark jobs)
+    # and the de-slept late-data funnel stream
     "pipeline_e2e_drain",
     "st6_late_funnel_stream",
 ]
@@ -120,6 +122,11 @@ METHODOLOGY = (
     "(VERDICT r8 'what's wrong' #2), and st6 joined the headline only "
     "after its 2.1 s of mod-time spacing sleeps were replaced by "
     "explicit utime stamps (its row now prices stream+buffer work); "
+    "since r10, pipeline_e2e_drain's parquet fixture is prebuilt once "
+    "per session and cloned per run at file level (VERDICT r9 #6 — "
+    "its r9 row of 6.4 s included the fixture's Spark write jobs; the "
+    "row now prices the drain plus the file clone, so compare its "
+    "drift against the r10 row, not r9's); "
     "r1/r2 were cold single-shot"
 )
 

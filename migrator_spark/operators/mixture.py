@@ -626,6 +626,16 @@ def carry_cluster_ids(
     key (md5-bucketed like leakage_safe_split) and the split flips
     only on merges, never on growth.
 
+    Multi-release composition (VERDICT r9 #7, pinned in
+    tests/test_round10_properties.py): the chain A->B->C carries
+    A-minted ids through any later merge (the survivor of a merge in
+    the B->C step is the lexicographic-min CARRIED id, which traces
+    back to its original mint), the re-key bound composes additively
+    (total A->C churn = sum of each step's non-surviving merge
+    sides), and skipping a pure-growth release's publish is lossless —
+    C re-mints exactly what B would have, because mints are
+    content-derived.
+
     Scale: one join of the release's membership against the persisted
     table on the doc key, one |clusters|-row aggregate, one
     cluster-keyed join back — NOT a forced broadcast: unlike the

@@ -798,6 +798,77 @@ def st6_late_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "level long, n_users long")
 
 
+# Prebuilt pipeline_e2e_drain fixtures, one per (app, sf_dir)
+# (VERDICT r9 #6): round 9's graded function rebuilt the
+# source/target/queue parquet fixture with Spark jobs inside its timed
+# row, so the 6.4 s headline priced fixture I/O alongside the drain it
+# advertises. The fixture is deterministic in sf_dir, so it is built
+# ONCE per (session, sf_dir) here and each invocation starts from a
+# cheap file-level clone (the run MUTATES the target table and the
+# queue, so invocations can't share a live copy). Same hygiene rules
+# as the shared shingle index: bounded cache, rmtree on eviction,
+# atexit backstop.
+_PIPE_FIXTURE_CACHE: "dict[tuple[str, str], tuple[str, int]]" = {}
+_PIPE_FIXTURE_KEEP = 2
+_PIPE_FIXTURE_ROOTS: "list[str]" = []
+
+
+def _pipeline_fixture(spark: SparkSession, sf_dir: str) -> "tuple[str, int]":
+    """Returns (fixture_root, n_queue). ``fixture_root/a`` is the CDC
+    source warehouse (shifted `customer` + `MigratorRecordQueue`),
+    ``fixture_root/b`` the pre-seeded destination — both ParquetSource
+    roots, cloned per run by pipeline_e2e_drain."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from migrator_spark.sources.parquet import ParquetSource
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PIPE_FIXTURE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="pipe_fx_")
+    if not _PIPE_FIXTURE_ROOTS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(r, ignore_errors=True)
+                for r in _PIPE_FIXTURE_ROOTS
+            ]
+        )
+    _PIPE_FIXTURE_ROOTS.append(root)
+    src, tgt = ParquetSource(f"{root}/a"), ParquetSource(f"{root}/b")
+    src.write(
+        customer.withColumn("c_acctbal", F.col("c_acctbal") + 1000),
+        "customer",
+    )
+    tgt.write(customer, "customer")
+    queue = events.filter(F.col("event_id") % 20 == 0).select(
+        F.lit("a").alias("sourceDatabase"),
+        F.lit("customer").alias("sourceTable"),
+        F.lit("c_custkey").alias("pkColumn"),
+        (F.col("user_id") * 11).cast("string").alias("pkValue"),
+        F.expr(
+            "timestampadd(SECOND, event_id,"
+            " TIMESTAMP '2024-01-01 00:00:00')"
+        ).alias("timestampUpdated"),
+        F.when(F.col("event_type") == "error", F.lit("REMOVE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("method"),
+    )
+    src.write(queue, "MigratorRecordQueue")
+    n_queue = queue.count()
+    while len(_PIPE_FIXTURE_CACHE) >= _PIPE_FIXTURE_KEEP:
+        old_root, _n = _PIPE_FIXTURE_CACHE.pop(next(iter(_PIPE_FIXTURE_CACHE)))
+        shutil.rmtree(old_root, ignore_errors=True)
+        if old_root in _PIPE_FIXTURE_ROOTS:
+            _PIPE_FIXTURE_ROOTS.remove(old_root)
+    _PIPE_FIXTURE_CACHE[key] = (root, n_queue)
+    return root, n_queue
+
+
 def pipeline_e2e_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE FULL PIPELINE RUNNER, DRIVER-GRADED (round 9, VERDICT r8
     #7): one complete Migrator.run_until_drained() pass over a
@@ -814,12 +885,17 @@ def pipeline_e2e_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id % 20 == 0 event (key = user_id*11 — the CDC fixture's
     sparse key map, so many UPDATEs point at keys the source does not
     have), timestamped uniquely by event_id so drain order is total.
-    The batch size is a quarter of the queue (floor 200), so the
-    drain takes multiple (~4) E->T->L cycles at EVERY scale factor —
-    the final state is batching-invariant (the composed algebra sees
-    global drain order, not the cut points; only the cycle count
-    moves), and queue entries are deleted only after their batch's
-    load commits.
+    The fixture is prebuilt once per session (_pipeline_fixture) and
+    cloned per run at file level, so the timed row prices the DRAIN,
+    not fixture Spark jobs (VERDICT r9 #6). The batch size is a
+    quarter of the queue (ceil, no floor since round 10 — ADVICE r9
+    #4: the old 200-row floor drained sub-200-row fixtures like the
+    sf0.001 cluster-smoke lane in ONE cycle, leaving the multi-batch
+    offsets/cleanup-ordering surface unexercised there), so the drain
+    takes ~4 E->T->L cycles at EVERY scale factor — the final state
+    is batching-invariant (the composed algebra sees global drain
+    order, not the cut points; only the cycle count moves), and queue
+    entries are deleted only after their batch's load commits.
 
     The oracle is the composed batch CDC algebra: per key the LAST
     EFFECTIVE event wins, where effective = any REMOVE, or an UPDATE
@@ -845,32 +921,15 @@ def pipeline_e2e_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from migrator_spark.pipeline.runner import Migrator
     from migrator_spark.sources.parquet import ParquetSource
 
-    customer = load_table(spark, sf_dir, "customer")
-    events = load_table(spark, sf_dir, "events")
+    fx_root, n_queue = _pipeline_fixture(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="pipe9_")
     try:
         src_dir, tgt_dir, trk = f"{root}/a", f"{root}/b", f"{root}/trk"
-        src, tgt = ParquetSource(src_dir), ParquetSource(tgt_dir)
-        src.write(
-            customer.withColumn("c_acctbal", F.col("c_acctbal") + 1000),
-            "customer",
-        )
-        tgt.write(customer, "customer")
-        queue = events.filter(F.col("event_id") % 20 == 0).select(
-            F.lit("a").alias("sourceDatabase"),
-            F.lit("customer").alias("sourceTable"),
-            F.lit("c_custkey").alias("pkColumn"),
-            (F.col("user_id") * 11).cast("string").alias("pkValue"),
-            F.expr(
-                "timestampadd(SECOND, event_id,"
-                " TIMESTAMP '2024-01-01 00:00:00')"
-            ).alias("timestampUpdated"),
-            F.when(F.col("event_type") == "error", F.lit("REMOVE"))
-            .otherwise(F.lit("UPDATE"))
-            .alias("method"),
-        )
-        src.write(queue, "MigratorRecordQueue")
-        n_queue = queue.count()
+        # clone the prebuilt warehouses (symlinks preserved; the commit
+        # log — ParquetSource's source of truth — resolves version dirs
+        # relative to each cloned root, so the clones are independent)
+        shutil.copytree(f"{fx_root}/a", src_dir, symlinks=True)
+        shutil.copytree(f"{fx_root}/b", tgt_dir, symlinks=True)
         cfg = MigratorConfig(
             migrations=[
                 MigrationSpec(
@@ -889,10 +948,10 @@ def pipeline_e2e_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                 )
             ],
-            parameters=Parameters(batch_size=max(200, -(-n_queue // 4))),
+            parameters=Parameters(batch_size=max(1, -(-n_queue // 4))),
         )
         Migrator(spark, cfg, trk).run_until_drained()
-        res = tgt.table(spark, "customer")
+        res = ParquetSource(tgt_dir).table(spark, "customer")
         schema, rows = res.schema, res.collect()
     finally:
         shutil.rmtree(root, ignore_errors=True)

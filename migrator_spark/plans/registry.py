@@ -516,11 +516,141 @@ REGISTRY: dict[str, QuerySpec] = {
     "pr15_federated_quantile_merge": QuerySpec(
         analytics.pr15_federated_quantile_merge, analytics.PR15_ORACLE
     ),
+    # -- NEW round 10 --
+    # the offline artifact store's warm-read path under a driver hash
+    # (VERDICT r9 #2): build the bucketed shingle-index store,
+    # unregister the catalog entry (fresh-deployment simulation),
+    # re-register strictly from the JSON sidecar, run the dd12
+    # containment consumer off the read-back table. Oracle = DD12's —
+    # warm read must be indistinguishable from the in-session build.
+    "art1_warm_artifact_read": QuerySpec(
+        llmdata.art1_warm_artifact_read,
+        llmdata.DD12_ORACLE,
+        note="oracle shared with dd12 by design: same relation, "
+        "different provenance (offline store vs in-session build)",
+    ),
+    # art1's sibling for the OCC ParquetSource artifact shape: the
+    # pair graph published via the commit log, resolved by a FRESH
+    # handle, consumed by dd6's connected components. Landed after the
+    # round-10 window settled — heads round 11's queue with the
+    # r6-stale SLO block. Oracle = DD6's (same relation, warm-read
+    # provenance).
+    "art2_warm_pair_graph_read": QuerySpec(
+        llmdata.art2_warm_pair_graph_read, llmdata.DD6_ORACLE
+    ),
 }
 
 
 # ---------------------------------------------------------------------------
-# Round-9 graded window (stalest-first round-robin; VERDICT r8 #1).
+# STALENESS SLO (round 10, VERDICT r9 #5): every registry row is
+# re-graded within 5 rounds of its newest driver-green row, and a row
+# whose PLAN or ORACLE changed re-enters the window in the same round
+# regardless of age. With 206 entries and a 50-row window the
+# steady-state cycle is ~4 rounds, so the SLO holds with one round of
+# slack; if the registry outgrows ~250 entries, widen the window or
+# accept a 6-round SLO — change the number HERE, in writing.
+# Round-10 compliance: after this window grades, the stalest rows are
+# the 18 r6-green leftovers (q6..pr11 below, 4 rounds old) — they MUST
+# head round 11's window to stay within the SLO.
+#
+# ---------------------------------------------------------------------------
+# Round-10 graded window (stalest-first round-robin).
+#
+# Composition:
+#   1. NEW round-10 entry art1_warm_artifact_read (the offline
+#      artifact store's warm-read seam, VERDICT r9 #2) and
+#      pipeline_e2e_drain, whose PLAN changed this round (fixture
+#      build hoisted out of the timed row into a session-shared
+#      prebuild + per-run file clone, VERDICT r9 #6; batch floor
+#      dropped so the drain is multi-cycle at every SF, ADVICE r9 #4).
+#   2. VERDICT r9 #1's prescribed rotation: the five entries that
+#      landed after the round-9 window settled and were never
+#      driver-graded (ev18, dq5, cur13, fo7, pr15), the four r5-green
+#      rows the dd4/dd12/dd13/ta9 regrade displaced (vb2, ev11, fo4,
+#      sd2), then the r5-green remainder (dc2, ev13, ev14, mm7, fts4,
+#      pr8).
+#   3. The four shared-shingle-index consumers (dd4, dd12, dd13,
+#      ta9): their scan CHANGED AGAIN this round — the index table is
+#      now published under a versioned directory with an atomic
+#      sidecar swap (VERDICT r9 #4), so the scan node's location and
+#      catalog name differ from round 9's. Outputs are pinned
+#      bit-identical in tests, but the regrade discipline applies.
+#   4. r6-stale backfill in registry order (f4..q4), topped to 50.
+# NOT re-windowed despite being touched: st6/pr14/st3's
+# awaitTermination fix (ADVICE r9 #2) changes only the
+# stalled-drain ERROR path — same plan, same results, and a stall now
+# raises instead of grading partial output, so the change cannot turn
+# a would-be failure into a pass.
+# Round 11's queue head: art2_warm_pair_graph_read (landed after this
+# window settled, never driver-graded), then the 18 r6-green leftovers
+# (q6, q7, q8, q8c, q19, cur8, ds1, sd1, cur9, pr7, mm8, sd3, ds2,
+# mm9, pr10, sim11, sd4, pr11 — the SLO block above), then the
+# r7-green family, stalest first.
+# ---------------------------------------------------------------------------
+_GRADED_WINDOW: list[str] = [
+    # -- NEW round 10 / plan-changed round 10 (head) --
+    "art1_warm_artifact_read",  # NEW: offline-store warm read, driver-hashed
+    "pipeline_e2e_drain",  # plan changed: fixture amortized + floorless batch
+    # -- never driver-graded (landed post-r9-window; VERDICT r9 #1) --
+    "ev18_growth_accounting",
+    "dq5_profile_drift",
+    "cur13_carried_split",
+    "fo7_scd2_repair",
+    "pr15_federated_quantile_merge",
+    # -- displaced from round 9's window (VERDICT r9 #1) --
+    "vb2_oov_rate",
+    "ev11_funnel",
+    "fo4_retention_cohorts",
+    "sd2_incremental_semdedup",
+    # -- r5-stale remainder --
+    "dc2_contamination_spans",
+    "ev13_conversion_latency",
+    "ev14_last_touch",
+    "mm7_png_roundtrip",
+    "fts4_proximity_search",
+    "pr8_portable_hll",
+    # -- plan changed round 10: versioned shingle-index publish
+    # (VERDICT r9 #4) moved the bucketed scan's location + catalog
+    # name; outputs pinned bit-identical, but the regrade discipline
+    # applies --
+    "dd4_ngram_jaccard_pairs",
+    "dd12_containment_pairs",
+    "dd13_edit_distance_pairs",
+    "ta9_similar_docs",
+    # -- r6-stale backfill, registry order (SLO block) --
+    "f4_string_suite",
+    "f5_array_suite",
+    "f6_regex_suite",
+    "sim4_incremental_topk",
+    "ta1_token_stats",
+    "ta2_quality_score",
+    "ta3_lang_guess",
+    "ta4_fingerprint",
+    "ta5_repetition",
+    "ta6_pii_scrub",
+    "pr2_length_percentiles",
+    "fts1_keyword_search",
+    "dq1_constraint_audit",
+    "sm1_hash_sample",
+    "sm2_stratified_sample",
+    "sm3_weighted_sample",
+    "cur1_curation_pipeline",
+    "mm1_decode_metadata",
+    "mm2_frame_sample",
+    "mm3_resize_plan",
+    "mm4_extract_features",
+    "dc1_decontaminate",
+    "ta7_lm_quality",
+    "sim6_hyperplane_topk",
+    "mx1_mixture_plan",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q4_order_priority",
+]
+
+# ---------------------------------------------------------------------------
+# Round-9 graded window (kept for history; superseded above).
 #
 # Composition:
 #   1. NEW round-9 entries (pipeline_e2e_drain — the full runner pass,
@@ -552,7 +682,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # r5-green remainder (dc2, ev13, ev14, mm7, fts4, pr8), then the
 # r6-green family (stalest first).
 # ---------------------------------------------------------------------------
-_GRADED_WINDOW: list[str] = [
+_ROUND9_WINDOW: list[str] = [
     # -- NEW round 9 / plan-changed round 9 (head) --
     "pipeline_e2e_drain",  # NEW: the orchestration stack end-to-end
     "cur12_carried_cluster_ids",  # NEW: growth-stable cluster identity
@@ -775,6 +905,7 @@ _ROUND7_WINDOW: list[str] = [
 
 assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
 assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)
+assert len(_ROUND9_WINDOW) == 50, len(_ROUND9_WINDOW)
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
 assert len(set(_GRADED_WINDOW)) == 50
 _missing = [n for n in _GRADED_WINDOW if n not in REGISTRY]

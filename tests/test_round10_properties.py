@@ -150,3 +150,166 @@ def test_session_store_eviction_reclaims_tmp_and_catalog(
                 disposer(spark)
         llmdata._SHINGLE_IDX_CACHE.update(saved_cache)
         llmdata._SHINGLE_IDX_CLEANUP.update(saved_clean)
+
+
+# ----------------------------------------- e2e drain batch-size floor
+
+
+def test_pipeline_drain_is_multibatch_at_smoke_sf(spark, sf_dir):
+    """ADVICE r9 #4: with the 200-row batch floor gone
+    (batch = ceil(n_queue/4)), the e2e drain takes ~4 E->T->L cycles
+    even at the sf0.001 smoke fixture — the multi-batch
+    offsets/cleanup-ordering surface is exercised at EVERY scale
+    factor, as the docstring claims."""
+    import shutil
+    import tempfile
+
+    from migrator_spark.pipeline.config import (
+        IterationSpec,
+        MigrationSpec,
+        MigratorConfig,
+        Parameters,
+    )
+    from migrator_spark.pipeline.runner import Migrator
+    from migrator_spark.plans import cdc as cdc_plans
+
+    fx_root, n_queue = cdc_plans._pipeline_fixture(spark, sf_dir)
+    assert n_queue >= 4, "fixture too small to be multi-batch at all"
+    root = tempfile.mkdtemp(prefix="pipe10_")
+    try:
+        shutil.copytree(f"{fx_root}/a", f"{root}/a", symlinks=True)
+        shutil.copytree(f"{fx_root}/b", f"{root}/b", symlinks=True)
+        cfg = MigratorConfig(
+            migrations=[
+                MigrationSpec(
+                    source_dsn=f"{root}/a",
+                    target_dsn=f"{root}/b",
+                    iterations=[
+                        IterationSpec(
+                            source_table="customer",
+                            source_key="c_custkey",
+                            target_table="customer",
+                            merge_key="c_custkey",
+                            extractor="queue",
+                            transformer="default",
+                            loader="default",
+                        )
+                    ],
+                )
+            ],
+            parameters=Parameters(batch_size=max(1, -(-n_queue // 4))),
+        )
+        total = Migrator(spark, cfg, f"{root}/trk").run_until_drained()
+        assert total >= 4, (total, n_queue)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------- carried-identity chain A->B->C
+
+
+MEMBERS_SCHEMA = "doc_id long, cluster_id long, fp string"
+PREV_SCHEMA = "doc_id long, stable_id string"
+
+
+def _carry(spark, members, prev):
+    from migrator_spark.operators.mixture import carry_cluster_ids
+
+    return {
+        r["doc_id"]: (r["stable_id"], r["carried"])
+        for r in carry_cluster_ids(
+            spark.createDataFrame(members, MEMBERS_SCHEMA),
+            spark.createDataFrame(prev, PREV_SCHEMA),
+        ).collect()
+    }
+
+
+def _as_prev(out):
+    return [(d, s) for d, (s, _) in out.items()]
+
+
+def test_carry_chain_survives_three_releases_through_a_merge(spark):
+    """VERDICT r9 #7: the release chain COMPOSES. Ids minted in
+    release A survive to release C through a pure-growth step (B) and
+    a merge arranged in the B->C step; the re-key bound composes —
+    total A->C churn is exactly the sum of each step's non-surviving
+    merge sides (zero for the growth step)."""
+    # A: four clusters
+    rel_a = [
+        (1, 1, "cc"), (2, 1, "dd"),      # -> f:cc
+        (5, 5, "ee"),                     # -> f:ee
+        (7, 7, "aa"),                     # -> f:aa
+        (10, 10, "mm"), (11, 10, "nn"),  # -> f:mm
+    ]
+    out_a = _carry(spark, rel_a, [])
+    assert out_a[1][0] == "f:cc" and out_a[10][0] == "f:mm"
+
+    # B: pure growth — doc 3 joins cluster(1,2); new cluster (30,31)
+    rel_b = [
+        (1, 1, "cc"), (2, 1, "dd"), (3, 1, "bb"),
+        (5, 5, "ee"),
+        (7, 7, "aa"),
+        (10, 10, "mm"), (11, 10, "nn"),
+        (30, 30, "22"), (31, 30, "11"),  # -> f:11 (minted in B)
+    ]
+    out_b = _carry(spark, rel_b, _as_prev(out_a))
+    assert {d for d in out_a if out_b[d][0] != out_a[d][0]} == set()
+    assert out_b[3] == ("f:cc", True)
+    assert out_b[30][0] == "f:11" and not out_b[30][1]
+
+    # C: doc 40 bridges cluster(1,2,3) with cluster(10,11); cluster 5
+    # grows; 50 is a new singleton
+    rel_c = [
+        (1, 1, "cc"), (2, 1, "dd"), (3, 1, "bb"),
+        (10, 1, "mm"), (11, 1, "nn"), (40, 1, "qq"),
+        (5, 5, "ee"), (6, 5, "ff"),
+        (7, 7, "aa"),
+        (30, 30, "22"), (31, 30, "11"),
+        (50, 50, "xx"),
+    ]
+    out_c = _carry(spark, rel_c, _as_prev(out_b))
+    # the id minted in A survives to C through the merge: the merged
+    # cluster takes min("f:cc", "f:mm") = "f:cc", an A-minted identity
+    assert all(
+        out_c[d] == ("f:cc", True) for d in (1, 2, 3, 10, 11, 40)
+    ), out_c
+    # untouched chains keep their A ids verbatim
+    assert out_c[5] == ("f:ee", True) and out_c[7] == ("f:aa", True)
+    assert out_c[6] == ("f:ee", True)  # growth inherits, step 2 deep
+    assert out_c[30] == ("f:11", True)  # B-minted id carried into C
+    assert out_c[50] == ("f:xx", False)
+    # composed churn bound: B->C re-keys exactly the non-surviving
+    # merge side; A->C total churn equals it (the growth step added 0)
+    changed_bc = {d for d in out_b if out_c[d][0] != out_b[d][0]}
+    assert changed_bc == {10, 11}
+    changed_ac = {d for d in out_a if out_c[d][0] != out_a[d][0]}
+    assert changed_ac == changed_bc
+
+
+def test_carry_chain_skipping_a_pure_growth_release_is_equivalent(spark):
+    """Composition across a missed release: when step B is PURE GROWTH
+    (no merges), carrying release C directly against release A's table
+    equals carrying it against B's — B's only contribution is mints,
+    and C re-mints them identically (content-derived ids), so a
+    pipeline that skips a release's publish loses nothing but the
+    carried=True flag on clusters BOTH releases would have minted
+    the same way."""
+    rel_a = [(1, 1, "cc"), (2, 1, "dd"), (5, 5, "ee")]
+    out_a = _carry(spark, rel_a, [])
+    rel_b = [
+        (1, 1, "cc"), (2, 1, "dd"), (3, 1, "bb"),
+        (5, 5, "ee"),
+        (30, 30, "22"), (31, 30, "11"),
+    ]
+    out_b = _carry(spark, rel_b, _as_prev(out_a))
+    rel_c = [
+        (1, 1, "cc"), (2, 1, "dd"), (3, 1, "bb"),
+        (5, 1, "ee"),  # C merges cluster 5 into cluster 1
+        (30, 30, "22"), (31, 30, "11"),
+        (50, 50, "xx"),
+    ]
+    via_b = _carry(spark, rel_c, _as_prev(out_b))
+    via_a = _carry(spark, rel_c, _as_prev(out_a))
+    assert {d: s for d, (s, _) in via_b.items()} == {
+        d: s for d, (s, _) in via_a.items()
+    }
