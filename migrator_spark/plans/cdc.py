@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from migrator_spark.operators import extract as ex
 from migrator_spark.operators import load as ld
+from migrator_spark.operators import maintenance as mnt
 from migrator_spark.tables import load_table
 
 # ---------------------------------------------------------------- E1
@@ -528,6 +529,76 @@ WHERE c_custkey NOT IN (SELECT c_custkey FROM final)
 UNION ALL
 SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM final
 WHERE _method <> 'REMOVE'
+"""
+
+
+def mnt1_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(batch) incremental AGGREGATE upkeep under CDC, driver-graded
+    (round 10): a per-segment (sum, count) rollup of `customer` is
+    patched with the batch delta — retract the touched keys' old
+    contributions (a broadcast semi-join of the fact table), add the
+    final non-REMOVE rows' new ones — instead of re-aggregating the
+    merged fact table (operators/maintenance.py:maintain_rollup; the
+    reference never faces this because MySQL is its storage, but a
+    100 TB continuously-loaded warehouse cannot recompute a 100 TB
+    GROUP BY per drip batch; the patch is O(batch + touched groups)).
+
+    The oracle RECOMPUTES the rollup from the L0-merged table, so the
+    hash pins patch == recompute across mixed REPLACE/REMOVE with
+    GROUP MIGRATION (an upsert that moves a key into segment 'CDC'
+    must move its contribution between groups) and unmatched-key
+    inserts. Sums run in DECIMAL(18,2) — exact, order-independent, so
+    the incremental retract/add order cannot drift from the
+    recompute — and cast to double at the end (the house float
+    discipline).
+
+    Scale: one broadcast semi-join + two O(batch) partial aggregates
+    + one broadcast full-outer patch join on |groups|; the fact table
+    is scanned once for the retract (with a PK-clustered layout the
+    semi-join prunes to the touched files — §2's l4 machinery)."""
+    customer = load_table(spark, sf_dir, "customer")
+    target = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    rollup = mnt.compute_rollup(target, ["c_mktsegment"], "bal")
+    batch = _shaped_batch(spark, sf_dir).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        ex.METHOD_COL,
+        "ts",
+        "event_id",
+    )
+    final = ld.latest_by_key(batch, ["c_custkey"], "ts", "event_id")
+    patched = mnt.maintain_rollup(
+        rollup, target, final, ["c_custkey"], ["c_mktsegment"], "bal"
+    )
+    return patched.select(
+        "c_mktsegment",
+        F.col("sum_val").cast("double").alias("sum_bal"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+MNT1_ORACLE = f"""
+WITH {CDC_CTE}, {SHAPED_CTE},
+final AS (
+  SELECT * FROM shaped
+  QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ts DESC, event_id DESC) = 1
+),
+merged AS (
+  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM final)
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM final WHERE _method <> 'REMOVE'
+)
+SELECT c_mktsegment, CAST(sum(bal) AS DOUBLE) AS sum_bal,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM merged GROUP BY c_mktsegment
 """
 
 

@@ -538,6 +538,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "art2_warm_pair_graph_read": QuerySpec(
         llmdata.art2_warm_pair_graph_read, llmdata.DD6_ORACLE
     ),
+    # O(batch) incremental rollup upkeep under CDC — patch == recompute
+    # pinned by the hash (group migration, REMOVEs, unmatched inserts;
+    # DECIMAL-exact sums). Landed post-window; heads round 11's queue
+    # with art2.
+    "mnt1_incremental_rollup": QuerySpec(
+        cdc.mnt1_incremental_rollup, cdc.MNT1_ORACLE
+    ),
 }
 
 
@@ -545,7 +552,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # STALENESS SLO (round 10, VERDICT r9 #5): every registry row is
 # re-graded within 5 rounds of its newest driver-green row, and a row
 # whose PLAN or ORACLE changed re-enters the window in the same round
-# regardless of age. With 206 entries and a 50-row window the
+# regardless of age. With 207 entries and a 50-row window the
 # steady-state cycle is ~4 rounds, so the SLO holds with one round of
 # slack; if the registry outgrows ~250 entries, widen the window or
 # accept a 6-round SLO — change the number HERE, in writing.
@@ -581,8 +588,9 @@ REGISTRY: dict[str, QuerySpec] = {
 # stalled-drain ERROR path — same plan, same results, and a stall now
 # raises instead of grading partial output, so the change cannot turn
 # a would-be failure into a pass.
-# Round 11's queue head: art2_warm_pair_graph_read (landed after this
-# window settled, never driver-graded), then the 18 r6-green leftovers
+# Round 11's queue head: art2_warm_pair_graph_read and
+# mnt1_incremental_rollup (landed after this window settled, never
+# driver-graded), then the 18 r6-green leftovers
 # (q6, q7, q8, q8c, q19, cur8, ds1, sd1, cur9, pr7, mm8, sd3, ds2,
 # mm9, pr10, sim11, sd4, pr11 — the SLO block above), then the
 # r7-green family, stalest first.
