@@ -552,10 +552,15 @@ def mnt1_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute — and cast to double at the end (the house float
     discipline).
 
-    Scale: one broadcast semi-join + two O(batch) partial aggregates
-    + one broadcast full-outer patch join on |groups|; the fact table
-    is scanned once for the retract (with a PK-clustered layout the
-    semi-join prunes to the touched files — §2's l4 machinery)."""
+    Scale: the retract is a BROADCAST left-semi join of the fact
+    table against the batch's keys (map-side, pinned in
+    tests/test_plans.py) followed by an O(batch) partial aggregate;
+    the patch join is a FULL OUTER on |groups| rows — full outer
+    cannot broadcast in Spark, so it plans as a sort-merge exchange,
+    which is trivial because BOTH sides are |groups|-sized (segment
+    cardinality, not data). The fact table is scanned once for the
+    retract; with a PK-clustered layout the semi-join prunes to the
+    touched files (§2's l4 machinery)."""
     customer = load_table(spark, sf_dir, "customer")
     target = customer.select(
         "c_custkey",

@@ -1145,3 +1145,20 @@ def test_ev17_one_exchange_n_window_passes(spark, sf_dir):
     body = plan.split("AdaptiveSparkPlan")[0]
     assert len(re.findall(r"\n\(\d+\) Exchange", body)) <= 2, plan  # windows + final agg
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mnt1_retract_is_broadcast_semi_join(spark, sf_dir):
+    """The incremental rollup's load-bearing scale claim: the fact
+    table is touched ONLY by a map-side broadcast left-semi join
+    against the batch's keys (the retract side never shuffles the
+    fact table), and the patch join — full outer, which Spark cannot
+    broadcast — runs over |groups|-sized inputs only."""
+    plan = _plan(spark, sf_dir, "mnt1_incremental_rollup")
+    assert re.search(r"BroadcastHashJoin LeftSemi", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    # the only non-broadcast join is the |groups|-row full-outer patch
+    # (tree lines carry the join type: "SortMergeJoin FullOuter (56)")
+    non_broadcast = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin) (\w+) \(\d+\)", plan
+    )
+    assert non_broadcast and all(t == "FullOuter" for t in non_broadcast), plan
