@@ -91,6 +91,25 @@ def maintain_rollup(
     for the touched keys (with a PK-bucketed or partitioned target
     this prunes to the matching files).
     """
+    return apply_rollup_delta(
+        rollup,
+        rollup_delta(target_before, batch_final, key_cols, group_cols, sum_col),
+        group_cols,
+    )
+
+
+def rollup_delta(
+    target_before: DataFrame,
+    batch_final: DataFrame,
+    key_cols: list[str],
+    group_cols: list[str],
+    sum_col: str,
+) -> DataFrame:
+    """The batch's rollup delta (group_cols, _dsum, _dn) — the
+    retract/add half of ``maintain_rollup``, exposed separately so the
+    pipeline runner can STAGE it before the load (a write-ahead delta:
+    once the loader has merged the batch, the pre-batch target state
+    this computation needs is gone)."""
     from migrator_spark.operators.extract import M_REMOVE, METHOD_COL
 
     keys = F.broadcast(batch_final.select(*key_cols).dropDuplicates(key_cols))
@@ -103,12 +122,19 @@ def maintain_rollup(
         .groupBy(*group_cols)
         .agg(F.sum(sum_col).alias("_dsum"), F.count(F.lit(1)).alias("_dn"))
     )
-    delta = (
+    return (
         retract.unionByName(add)
         .groupBy(*group_cols)
         .agg(F.sum("_dsum").alias("_dsum"), F.sum("_dn").alias("_dn"))
     )
-    merged = (
+
+
+def apply_rollup_delta(
+    rollup: DataFrame, delta: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Patch ``rollup`` with a staged delta; groups whose count reaches
+    0 drop, matching a recompute."""
+    return (
         rollup.join(F.broadcast(delta), on=group_cols, how="full_outer")
         .select(
             *group_cols,
@@ -121,7 +147,6 @@ def maintain_rollup(
         )
         .filter(F.col("n_rows") > 0)
     )
-    return merged
 
 
 def compute_rollup(target: DataFrame, group_cols: list[str], sum_col: str) -> DataFrame:

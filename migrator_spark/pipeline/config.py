@@ -51,6 +51,16 @@ class IterationSpec:
     # startup (tracking.bootstrap_from_target); a committed tracking
     # row always wins over the bootstrap
     bootstrap: bool = False
+    # continuously-maintained aggregates over the iteration's target
+    # table (round 10): each entry {"name": str, "group_by": [cols],
+    # "sum": col} keeps `<target>__rollup_<name>` fresh per drained
+    # batch via the staged-delta protocol (runner._maintain_rollups) —
+    # O(batch) upkeep instead of an O(table) re-aggregate, exact under
+    # batch replay. Sums run in DECIMAL(18,2): fixed-point addition is
+    # associative, which is what makes the patch batching-invariant
+    # and bit-equal to a recompute; float sums would drift with
+    # batch-cut placement. YAML: rollups: [{name, group-by, sum}].
+    rollups: list[dict] = field(default_factory=list)
 
     @property
     def merge_key_cols(self) -> list[str]:
@@ -111,6 +121,18 @@ def _iteration_from_dict(mig: dict[str, Any], it: dict[str, Any]) -> IterationSp
         loader=it.get("loader", "default"),
         transformer_parameters=dict(it.get("transformer-parameters") or {}),
         bootstrap=bool(it.get("bootstrap", False)),
+        rollups=[
+            {
+                "name": r["name"],
+                "group_by": (
+                    [c.strip() for c in r["group-by"].split(",")]
+                    if isinstance(r.get("group-by"), str)
+                    else list(r.get("group-by") or r.get("group_by") or [])
+                ),
+                "sum": r["sum"],
+            }
+            for r in (it.get("rollups") or [])
+        ],
     )
 
 

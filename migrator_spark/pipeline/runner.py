@@ -188,9 +188,20 @@ class Migrator:
                 spec.source_table, spec.target_table, spec.transformer_parameters
             )
             routed = transformer(res.batch, ctx)
+            staged_rollups = []
+            if spec.rollups:
+                for r in routed:
+                    if r.target_table == spec.target_table:
+                        # write-ahead deltas: MUST stage before the
+                        # loader merges the batch (the pre-batch target
+                        # state the delta needs is gone afterwards)
+                        staged_rollups = self._stage_rollups(b, spec, r.df)
+                        break
             loader = resolve("loader", spec.loader)
             for r in routed:
                 loader(self.spark, b.target, r.target_table, r.df, spec, params)
+            if staged_rollups:
+                self._apply_rollups(b, spec, staged_rollups)
         except Exception as e:  # noqa: BLE001
             self._error("load", e, spec, strict)
             # offset NOT committed -> this batch replays next cycle
@@ -222,6 +233,122 @@ class Migrator:
             self.error_callback(stage, e, ctx)
         elif strict:
             raise e
+
+    # ---------------------------------------- maintained rollups (r10)
+    #
+    # Config `rollups` keeps `<target>__rollup_<name>` fresh per batch
+    # at O(batch) cost (operators/maintenance.py) with EXACTLY-ONCE
+    # effect under the runner's at-least-once replay, via a staged
+    # write-ahead delta sequenced against the rollup table:
+    #
+    #   stage(seq = applied+1, delta from PRE-load target + batch)
+    #     -> load (idempotent merge)  -> apply(patch, publish seq)
+    #     -> commit offset
+    #
+    # Crash anywhere and the replay is safe: before the load, the
+    # staged delta is recomputed identically; between load and apply,
+    # the staged delta's seq still matches and is REUSED (the pre-load
+    # state it encodes is otherwise gone); after apply but before the
+    # offset commit, the published seq makes the re-stage compute a
+    # zero delta (the target already contains the batch), so nothing
+    # double-counts. A missing-or-empty rollup table falls back to a
+    # post-load full recompute — correct unconditionally because it
+    # depends only on the current target, not on history. Sums run in
+    # DECIMAL(18,2): fixed-point addition is associative, which is
+    # what makes patch == recompute independent of batch cuts.
+
+    def _rollup_tables(self, spec: IterationSpec, name: str) -> tuple[str, str]:
+        base = f"{spec.target_table}__rollup_{name}"
+        return base, f"{base}__staged"
+
+    def _rollup_seq(self, target: Source, table: str) -> int:
+        """Highest applied sequence, 0 if the table is missing or empty
+        (either way the next batch takes the recompute path)."""
+        from pyspark.sql import functions as F
+
+        if not target.exists(self.spark, table):
+            return 0
+        row = target.table(self.spark, table).agg(F.max("_seq")).first()
+        return int(row[0]) if row[0] is not None else 0
+
+    def _stage_rollups(self, b: BoundIteration, spec: IterationSpec, batch_df) -> list[dict]:
+        from pyspark.sql import functions as F
+
+        from migrator_spark.operators import extract as ex
+        from migrator_spark.operators import load as ld
+        from migrator_spark.operators import maintenance as mnt
+
+        key_cols = [c for c in spec.merge_key_cols if c in batch_df.columns]
+        final = ld.latest_by_key(batch_df, key_cols, "_order", "_tie")
+        staged = []
+        for rl in spec.rollups:
+            data_t, stage_t = self._rollup_tables(spec, rl["name"])
+            seq = self._rollup_seq(b.target, data_t)
+            if seq == 0 or not b.target.exists(self.spark, spec.target_table):
+                staged.append({"rollup": rl, "seq": 1, "recompute": True})
+                continue
+            expected = seq + 1
+            reuse = False
+            if b.target.exists(self.spark, stage_t):
+                srow = (
+                    b.target.table(self.spark, stage_t).agg(F.max("_seq")).first()
+                )
+                reuse = srow[0] is not None and int(srow[0]) == expected
+            if not reuse:
+                cast = F.col(rl["sum"]).cast("decimal(18,2)").alias("_rsum")
+                before = b.target.table(self.spark, spec.target_table).select(
+                    *key_cols, *rl["group_by"], cast
+                )
+                bfinal = final.select(
+                    *key_cols, *rl["group_by"], cast, ex.METHOD_COL
+                )
+                delta = mnt.rollup_delta(
+                    before, bfinal, key_cols, rl["group_by"], "_rsum"
+                )
+                b.target.write(
+                    delta.withColumn("_seq", F.lit(expected)),
+                    stage_t,
+                    mode="overwrite",
+                )
+            staged.append({"rollup": rl, "seq": expected, "recompute": False})
+        return staged
+
+    def _apply_rollups(self, b: BoundIteration, spec: IterationSpec, staged: list[dict]) -> None:
+        from pyspark.sql import functions as F
+
+        from migrator_spark.operators import maintenance as mnt
+
+        for srec in staged:
+            rl, seq = srec["rollup"], srec["seq"]
+            data_t, stage_t = self._rollup_tables(spec, rl["name"])
+            if not srec["recompute"] and self._rollup_seq(b.target, data_t) >= seq:
+                continue  # already applied; replay must not double-count
+            if srec["recompute"]:
+                cast = F.col(rl["sum"]).cast("decimal(18,2)").alias("_rsum")
+                new = mnt.compute_rollup(
+                    b.target.table(self.spark, spec.target_table).select(
+                        *rl["group_by"], cast
+                    ),
+                    rl["group_by"],
+                    "_rsum",
+                )
+            else:
+                delta = (
+                    b.target.table(self.spark, stage_t)
+                    .filter(F.col("_seq") == seq)
+                    .drop("_seq")
+                )
+                cur = b.target.table(self.spark, data_t).drop("_seq")
+                new = mnt.apply_rollup_delta(cur, delta, rl["group_by"])
+            b.target.write(
+                new.select(
+                    *rl["group_by"],
+                    F.col("sum_val").cast("decimal(28,2)").alias("sum_val"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                ).withColumn("_seq", F.lit(seq)),
+                data_t,
+                mode="overwrite",
+            )
 
     # ---------------------------------------------------------- drain
 

@@ -1034,6 +1034,88 @@ def pipeline_e2e_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def mnt2_runner_maintained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mnt1's operator run LIVE inside the pipeline (round 10): the
+    runner's config `rollups` keeps `customer__rollup_by_segment`
+    fresh across the full multi-batch queue drain of the
+    pipeline_e2e_drain fixture — each E->T->L cycle stages the batch's
+    write-ahead rollup delta BEFORE the load (the pre-batch target
+    state the delta needs is gone afterwards), patches the aggregate
+    after the load commits, and only then advances the offset
+    (runner._stage_rollups/_apply_rollups; exactly-once effect under
+    batch replay proven in tests/test_rollup_runner.py with injected
+    crashes in every window). The graded output is the MAINTAINED
+    rollup table; the oracle RECOMPUTES the aggregate from the
+    composed last-EFFECTIVE-event CDC algebra — so the hash pins the
+    patch chain across ~4 batches of mixed UPDATE/REMOVE, per-batch
+    group retraction, and the drain's cut placement (DECIMAL sums make
+    patch == recompute batching-invariant).
+
+    Scale: per batch, one broadcast-semi-join retract + O(batch)
+    partial aggregates + a |groups|-row patch — the aggregate stays
+    fresh without ever re-running the O(table) GROUP BY the oracle
+    performs."""
+    import shutil
+    import tempfile
+
+    from migrator_spark.pipeline.config import (
+        IterationSpec,
+        MigrationSpec,
+        MigratorConfig,
+        Parameters,
+    )
+    from migrator_spark.pipeline.runner import Migrator
+    from migrator_spark.sources.parquet import ParquetSource
+
+    fx_root, n_queue = _pipeline_fixture(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mnt2_")
+    try:
+        src_dir, tgt_dir, trk = f"{root}/a", f"{root}/b", f"{root}/trk"
+        shutil.copytree(f"{fx_root}/a", src_dir, symlinks=True)
+        shutil.copytree(f"{fx_root}/b", tgt_dir, symlinks=True)
+        cfg = MigratorConfig(
+            migrations=[
+                MigrationSpec(
+                    source_dsn=src_dir,
+                    target_dsn=tgt_dir,
+                    iterations=[
+                        IterationSpec(
+                            source_table="customer",
+                            source_key="c_custkey",
+                            target_table="customer",
+                            merge_key="c_custkey",
+                            extractor="queue",
+                            transformer="default",
+                            loader="default",
+                            rollups=[
+                                {
+                                    "name": "by_segment",
+                                    "group_by": ["c_mktsegment"],
+                                    "sum": "c_acctbal",
+                                }
+                            ],
+                        )
+                    ],
+                )
+            ],
+            parameters=Parameters(batch_size=max(1, -(-n_queue // 4))),
+        )
+        Migrator(spark, cfg, trk).run_until_drained()
+        res = (
+            ParquetSource(tgt_dir)
+            .table(spark, "customer__rollup_by_segment")
+            .select(
+                "c_mktsegment",
+                F.col("sum_val").cast("double").alias("sum_bal"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+            )
+        )
+        schema, rows = res.schema, res.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 PIPELINE_E2E_ORACLE = """
 WITH q AS (
   SELECT user_id * 11 AS k,
@@ -1059,3 +1141,12 @@ SELECT c.c_custkey, c.c_name, c.c_nationkey,
        c.c_acctbal + 1000 AS c_acctbal, c.c_mktsegment
 FROM customer c JOIN final f ON f.k = c.c_custkey AND f.method = 'UPDATE'
 """
+
+MNT2_ORACLE = f"""
+WITH merged AS ({PIPELINE_E2E_ORACLE})
+SELECT c_mktsegment,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM merged GROUP BY c_mktsegment
+"""
+

@@ -545,6 +545,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "mnt1_incremental_rollup": QuerySpec(
         cdc.mnt1_incremental_rollup, cdc.MNT1_ORACLE
     ),
+    # mnt1 run LIVE inside the pipeline runner: config `rollups` keeps
+    # the aggregate fresh across the full multi-batch e2e drain via
+    # the staged write-ahead delta protocol (exactly-once under batch
+    # replay, crash-window tests in tests/test_rollup_runner.py);
+    # oracle recomputes from the composed CDC algebra. Post-window;
+    # heads round 11's queue with art2/mnt1.
+    "mnt2_runner_maintained_rollup": QuerySpec(
+        cdc.mnt2_runner_maintained_rollup, cdc.MNT2_ORACLE
+    ),
 }
 
 
@@ -552,7 +561,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # STALENESS SLO (round 10, VERDICT r9 #5): every registry row is
 # re-graded within 5 rounds of its newest driver-green row, and a row
 # whose PLAN or ORACLE changed re-enters the window in the same round
-# regardless of age. With 207 entries and a 50-row window the
+# regardless of age. With 208 entries and a 50-row window the
 # steady-state cycle is ~4 rounds, so the SLO holds with one round of
 # slack; if the registry outgrows ~250 entries, widen the window or
 # accept a 6-round SLO — change the number HERE, in writing.
@@ -588,9 +597,10 @@ REGISTRY: dict[str, QuerySpec] = {
 # stalled-drain ERROR path — same plan, same results, and a stall now
 # raises instead of grading partial output, so the change cannot turn
 # a would-be failure into a pass.
-# Round 11's queue head: art2_warm_pair_graph_read and
-# mnt1_incremental_rollup (landed after this window settled, never
-# driver-graded), then the 18 r6-green leftovers
+# Round 11's queue head: art2_warm_pair_graph_read,
+# mnt1_incremental_rollup and mnt2_runner_maintained_rollup (landed
+# after this window settled, never driver-graded), then the 18
+# r6-green leftovers
 # (q6, q7, q8, q8c, q19, cur8, ds1, sd1, cur9, pr7, mm8, sd3, ds2,
 # mm9, pr10, sim11, sd4, pr11 — the SLO block above), then the
 # r7-green family, stalest first.
