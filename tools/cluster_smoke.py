@@ -99,6 +99,11 @@ SMOKE_QUERIES = [
     "pipeline_e2e_drain",       # the full E-T-L runner: point-lookup joins, merge
                                 # rewrites, rmw queue cleanup across real executors
     "cur12_carried_cluster_ids",  # two star contractions + carry joins across exchanges
+    # -- round-10 shapes --
+    "art1_warm_artifact_read",  # bucketed store build + sidecar re-register + no-exchange
+                                # consume, all through real executors
+    "mnt2_runner_maintained_rollup",  # staged write-ahead rollup deltas sequenced across
+                                      # the multi-batch drain on real executors
 ]
 
 
