@@ -226,3 +226,45 @@ def test_rollups_yaml_shape_parses():
     )
     rl = cfg.migrations[0].iterations[0].rollups[0]
     assert rl == {"name": "g", "group_by": ["grp", "seg"], "sum": "amount"}
+
+
+def test_rollup_protocol_is_loader_agnostic_pruned(spark, sf_dir, tmp_path):
+    """The staged-delta protocol sits above the loader seam: the same
+    drain through the file-pruned merge loader keeps the rollup equal
+    to the recompute."""
+    src, tgt, trk, n_queue = _clone_fixture(spark, sf_dir, tmp_path)
+    Migrator(
+        spark, _cfg(src, tgt, n_queue, loader="pruned"), trk
+    ).run_until_drained()
+    assert _rollup_rows(spark, tgt) == _recompute_rows(spark, tgt)
+
+
+def test_multiple_rollups_maintained_independently(spark, sf_dir, tmp_path):
+    """Two rollups on one iteration each stay equal to their own
+    recompute (independent staging/seq chains)."""
+    src, tgt, trk, n_queue = _clone_fixture(spark, sf_dir, tmp_path)
+    cfg = _cfg(src, tgt, n_queue)
+    cfg.migrations[0].iterations[0].rollups.append(
+        {"name": "by_nation", "group_by": ["c_nationkey"], "sum": "c_acctbal"}
+    )
+    Migrator(spark, cfg, trk).run_until_drained()
+    assert _rollup_rows(spark, tgt) == _recompute_rows(spark, tgt)
+    tgt_df = ParquetSource(tgt).table(spark, "customer")
+    want = sorted(
+        (r["c_nationkey"], float(r["sum_val"]), r["n_rows"])
+        for r in compute_rollup(
+            tgt_df.select(
+                "c_nationkey",
+                F.col("c_acctbal").cast("decimal(18,2)").alias("v"),
+            ),
+            ["c_nationkey"],
+            "v",
+        ).collect()
+    )
+    got = sorted(
+        (r["c_nationkey"], float(r["sum_val"]), r["n_rows"])
+        for r in ParquetSource(tgt)
+        .table(spark, "customer__rollup_by_nation")
+        .collect()
+    )
+    assert got == want
