@@ -3712,6 +3712,55 @@ def art1_warm_artifact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def art3_warm_quantizer_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact trio's third seam under a driver hash (round 10,
+    completing art1/art2): the flat quantizer (centroids + cell
+    assignment — the ~1/1000th-sized serving tables every IVF probe
+    joins against) persists as two OCC ParquetSource tables; this row
+    builds them, publishes to a store, re-resolves through a FRESH
+    handle from the on-disk commit log alone, and runs the sim2
+    IVF-pruned top-10 off the read-back assignment. Oracle = SIM2's —
+    serving from the warm-read quantizer must be indistinguishable
+    from serving off the in-session build.
+
+    Scale: the build is the one deterministic Lloyd pass a snapshot
+    job runs (sim5's priced territory); the consume is sim2's
+    cell-pruned scan with the broadcast-sized probe/assignment
+    tables read back instead of recomputed — the serving-tier
+    deployment shape."""
+    import shutil
+    import tempfile
+
+    from migrator_spark.sources.artifacts import ArtifactStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    root = tempfile.mkdtemp(prefix="art3_")
+    try:
+        cents = sim._fit_centroids(pts, KMEANS_K, KMEANS_ITERS, "vec_id")
+        assign = sim._assign_cells(pts, cents, "vec_id").select(
+            "vec_id", "cell"
+        )
+        ArtifactStore(root).write_quantizer(cents, assign)
+        # fresh-deployment simulation: resolve from the commit log only
+        _cents2, assign2 = ArtifactStore(root).read_quantizer(spark)
+        emb_cells = emb.filter(F.col("vec_id") != 0).join(assign2, on="vec_id")
+        probe = assign2.filter(F.col("vec_id") == 0).select("cell")
+        res = sim.ivf_topk(
+            emb_cells, _query_vec(spark, sf_dir), probe, k=10,
+            cluster_col="cell",
+        )
+        # materialize before dropping the temp root (the plan reads the
+        # versioned parquet from it)
+        schema, rows = res.schema, res.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def art2_warm_pair_graph_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """art1's sibling for the store's OTHER artifact shape (round 10):
     the verified MinHash pair graph persists through the VERSIONED OCC
