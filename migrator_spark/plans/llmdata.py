@@ -2566,6 +2566,91 @@ LIMIT {BPE1_TOP_K}
 """
 
 
+BPE2_MERGES = 6
+
+
+def bpe2_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a BPE merge table on the corpus (textops.bpe_train_merges,
+    round 10): {BPE2_MERGES} rounds of count-adjacent-pairs ->
+    adopt-argmax -> re-segment over the word-frequency table — the
+    iterative tokenizer-training step bpe1's single pair-count pass
+    feeds, with the greedy left-to-right non-overlap rule stated
+    positionally (even offset within a candidate run) so both engines
+    run the identical algorithm. Driver loop of {BPE2_MERGES} bounded
+    vocabulary-sized rounds, per-round localCheckpoint (the dd6
+    iterative-algorithm discipline); the oracle unrolls the same
+    rounds as chained CTEs."""
+    return tx.bpe_train_merges(
+        load_table(spark, sf_dir, "documents"), num_merges=BPE2_MERGES
+    )
+
+
+def _bpe2_oracle(num_merges: int) -> str:
+    lvls = []
+    for i in range(num_merges):
+        lvls.append(f"""
+counts_{i} AS (
+  SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT w, freq, sym,
+               lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM state_{i})
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+best_{i} AS (
+  SELECT l, r, cnt FROM counts_{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+flag_{i} AS (
+  SELECT s.w, s.freq, s.pos, s.sym, b.l, b.r,
+         (s.sym = b.l
+          AND lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = b.r)
+           AS is_cand
+  FROM state_{i} s, best_{i} b
+),
+blk_{i} AS (
+  SELECT *, CASE WHEN is_cand THEN
+      pos - sum(CASE WHEN is_cand THEN 1 ELSE 0 END)
+              OVER (PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING)
+    END AS blk
+  FROM flag_{i}
+),
+take_{i} AS (
+  SELECT *, (is_cand
+             AND (pos - min(pos) OVER (PARTITION BY w, blk)) % 2 = 0)
+            AS taken
+  FROM blk_{i}
+),
+state_{i + 1} AS (
+  SELECT w, freq,
+         row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+         CASE WHEN taken THEN l || r ELSE sym END AS sym
+  FROM (SELECT *, lag(taken) OVER (PARTITION BY w ORDER BY pos)
+                    AS prev_taken
+        FROM take_{i})
+  WHERE NOT coalesce(prev_taken, FALSE)
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT {i + 1} AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" cnt AS pair_count FROM best_{i}"
+        for i in range(num_merges)
+    )
+    return f"""
+WITH {DOCS_CTE},
+wf AS (
+  SELECT wd AS w, CAST(count(*) AS BIGINT) AS freq
+  FROM docs, LATERAL unnest(w) AS t(wd) GROUP BY wd
+),
+state_0 AS (
+  SELECT w, freq, g.i - 1 AS pos, substring(w, g.i, 1) AS sym
+  FROM wf, LATERAL unnest(generate_series(1, length(w))) AS g(i)
+),
+{",".join(lvls)}
+{finals}
+"""
+
+
+BPE2_ORACLE = _bpe2_oracle(BPE2_MERGES)
+
+
 def dv1_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source trigram diversity (textops.ngram_diversity):
     distinct/total n-gram ratio — the type-token ratio generalized to

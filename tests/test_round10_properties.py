@@ -313,3 +313,62 @@ def test_carry_chain_skipping_a_pure_growth_release_is_equivalent(spark):
     assert {d: s for d, (s, _) in via_b.items()} == {
         d: s for d, (s, _) in via_a.items()
     }
+
+
+# ------------------------------------------------- BPE merge training
+
+
+def test_bpe_train_matches_classic_reference(spark):
+    """The distributed trainer must equal the classic sequential BPE
+    reference (Sennrich get_stats/merge_vocab with greedy left-to-right
+    non-overlapping application and (count DESC, left ASC, right ASC)
+    tiebreak) — including the run cases ('aaa', 'aaaa') where greedy
+    non-overlap actually bites."""
+    import collections
+    import re
+
+    from migrator_spark.operators.textops import bpe_train_merges
+
+    texts = [
+        "aaa aaa abab low lower lowest low low",
+        "newer newest new abab aaaa",
+        "aaaa aaaa baa aab",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train_merges(docs, num_merges=8).collect()
+    ]
+
+    wf = collections.Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower().strip()).split(" "):
+            wf[w] += 1
+    vocab = dict(collections.Counter({tuple(w): f for w, f in wf.items()}))
+    ref = []
+    for rank in range(1, 9):
+        stats = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        if not stats:
+            break
+        (l, r), c = sorted(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        ref.append((rank, l, r, c))
+        nv = collections.Counter()
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += f
+        vocab = dict(nv)
+    assert got == ref, (got, ref)
