@@ -861,8 +861,11 @@ def pmi_collocations(
 
 
 def bpe_train_merges(
-    docs: DataFrame, text_col: str = "text", num_merges: int = 6
-) -> DataFrame:
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 6,
+    return_state: bool = False,
+):
     """TRAIN a byte-pair-encoding merge table on the corpus (Sennrich
     et al. 2016) — the iterative step bpe1's single pair-count pass
     feeds: ``num_merges`` rounds of (count adjacent symbol pairs over
@@ -965,7 +968,56 @@ def bpe_train_merges(
             .localCheckpoint(eager=True)
         )
     spark = docs.sparkSession
-    return spark.createDataFrame(
+    merges = spark.createDataFrame(
         out,
         "merge_rank long, left_sym string, right_sym string, pair_count long",
+    )
+    if return_state:
+        return merges, state
+    return merges
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    num_merges: int = 6,
+) -> DataFrame:
+    """Per-source tokenizer FERTILITY under the learned BPE merges —
+    tokens per word, the standard multilingual-mix health metric (a
+    source whose text the tokenizer fragments into many symbols pays
+    more sequence length per word of content; temperature mixing and
+    vocab sizing decisions read exactly this table). Trains the same
+    ``num_merges`` table as ``bpe_train_merges`` (identical corpus,
+    identical argmax chain), takes the trainer's FINAL per-word
+    segmentation, and aggregates per source:
+    (source, n_words, n_tokens, fertility_micro) with fertility in
+    exact integer micro-units (1e6 * n_tokens DIV n_words — no float
+    division crosses the engine boundary).
+
+    Scale: the vocabulary's tokens-per-word table is broadcast-sized;
+    the corpus is scanned once more to weight it by per-source word
+    occurrences (one broadcast join + one aggregate)."""
+    _merges, state = bpe_train_merges(
+        docs, text_col=text_col, num_merges=num_merges, return_state=True
+    )
+    tpw = state.groupBy("w").agg(F.count(F.lit(1)).alias("n_toks"))
+    ws = docs.select(
+        F.col(source_col), F.explode(words(text_col)).alias("w")
+    )
+    return (
+        ws.join(F.broadcast(tpw), "w")
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .select(
+            source_col,
+            F.col("n_words").cast("long"),
+            F.col("n_tokens").cast("long"),
+            F.expr("1000000 * n_tokens div n_words")
+            .cast("long")
+            .alias("fertility_micro"),
+        )
     )

@@ -2633,7 +2633,7 @@ state_{i + 1} AS (
         f" cnt AS pair_count FROM best_{i}"
         for i in range(num_merges)
     )
-    return f"""
+    chain = f"""
 WITH {DOCS_CTE},
 wf AS (
   SELECT wd AS w, CAST(count(*) AS BIGINT) AS freq
@@ -2643,12 +2643,44 @@ state_0 AS (
   SELECT w, freq, g.i - 1 AS pos, substring(w, g.i, 1) AS sym
   FROM wf, LATERAL unnest(generate_series(1, length(w))) AS g(i)
 ),
-{",".join(lvls)}
-{finals}
+{",".join(lvls)}"""
+    return chain, finals
+
+
+_BPE2_CHAIN, _BPE2_FINALS = _bpe2_oracle(BPE2_MERGES)
+BPE2_ORACLE = f"{_BPE2_CHAIN}\n{_BPE2_FINALS}"
+
+
+def bpe3_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer FERTILITY under the bpe2-learned merges
+    (textops.bpe_fertility, round 10) — tokens per word after applying
+    the trained merge table, the multilingual-mix health metric that
+    vocab sizing and temperature mixing read: a source the tokenizer
+    fragments pays more sequence length per word of content. Exact
+    integer micro-units (1e6 * n_tokens DIV n_words); the oracle runs
+    the SAME unrolled training chain as BPE2 and aggregates its final
+    per-word segmentation over the corpus's per-source word stream."""
+    return tx.bpe_fertility(
+        load_table(spark, sf_dir, "documents"), num_merges=BPE2_MERGES
+    )
+
+
+BPE3_ORACLE = f"""{_BPE2_CHAIN},
+tpw AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_toks
+  FROM state_{BPE2_MERGES} GROUP BY w
+),
+ws AS (
+  SELECT source, wd AS w FROM docs, LATERAL unnest(w) AS t(wd)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST((1000000 * CAST(sum(n_toks) AS BIGINT))
+            // CAST(count(*) AS BIGINT) AS BIGINT) AS fertility_micro
+FROM ws JOIN tpw USING (w)
+GROUP BY source
 """
-
-
-BPE2_ORACLE = _bpe2_oracle(BPE2_MERGES)
 
 
 def dv1_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:

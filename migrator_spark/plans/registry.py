@@ -567,6 +567,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "bpe2_train_merges": QuerySpec(
         llmdata.bpe2_train_merges, llmdata.BPE2_ORACLE
     ),
+    # bpe2's serving half: per-source tokenizer fertility under the
+    # learned merges (integer micro-units). Post-window; r11 queue.
+    "bpe3_fertility": QuerySpec(
+        llmdata.bpe3_fertility, llmdata.BPE3_ORACLE
+    ),
 }
 
 
@@ -574,7 +579,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # STALENESS SLO (round 10, VERDICT r9 #5): every registry row is
 # re-graded within 5 rounds of its newest driver-green row, and a row
 # whose PLAN or ORACLE changed re-enters the window in the same round
-# regardless of age. With 210 entries and a 50-row window the
+# regardless of age. With 211 entries and a 50-row window the
 # steady-state cycle is ~4 rounds, so the SLO holds with one round of
 # slack; if the registry outgrows ~250 entries, widen the window or
 # accept a 6-round SLO — change the number HERE, in writing.
@@ -612,8 +617,9 @@ REGISTRY: dict[str, QuerySpec] = {
 # a would-be failure into a pass.
 # Round 11's queue head: art2_warm_pair_graph_read,
 # mnt1_incremental_rollup, mnt2_runner_maintained_rollup and
-# art3_warm_quantizer_read and bpe2_train_merges (landed after this
-# window settled, never driver-graded), then the 18 r6-green leftovers
+# art3_warm_quantizer_read, bpe2_train_merges and bpe3_fertility
+# (landed after this window settled, never driver-graded), then the
+# 18 r6-green leftovers
 # (q6, q7, q8, q8c, q19, cur8, ds1, sd1, cur9, pr7, mm8, sd3, ds2,
 # mm9, pr10, sim11, sd4, pr11 — the SLO block above), then the
 # r7-green family, stalest first.
