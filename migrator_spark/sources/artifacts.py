@@ -148,6 +148,14 @@ class ArtifactStore:
         os.makedirs(self.root, exist_ok=True)
         on_disk = self._shingle_versions_on_disk()
         version = (on_disk[-1] + 1) if on_disk else 1
+        # the generation to RETAIN is the committed one the sidecar
+        # names, not merely the newest directory: a crashed previous
+        # write leaves an orphan dir with no sidecar, and pruning
+        # "all but the newest" would then delete the committed version
+        # out from under in-flight readers while keeping the orphan
+        prev_committed = (
+            self.shingle_index_version() if self.has_shingle_index() else None
+        )
         name = self.shingle_table_name(version)
         # a crashed previous attempt at this version number can leave a
         # stale catalog entry in THIS session; clear it before reuse
@@ -167,8 +175,13 @@ class ArtifactStore:
         with open(tmp, "w") as fh:
             json.dump({"buckets": buckets, "ddl": ddl, "version": version}, fh)
         os.replace(tmp, self._shingle_meta())  # atomic publish
-        # prune: keep the just-published version and its predecessor
-        for old in on_disk[:-1]:
+        # prune: keep the just-published version and the PREVIOUSLY
+        # COMMITTED one (for its in-flight readers); orphans from
+        # crashed writes and older generations go
+        keep = {version, prev_committed}
+        for old in on_disk:
+            if old in keep:
+                continue
             spark.sql(f"DROP TABLE IF EXISTS {self.shingle_table_name(old)}")
             shutil.rmtree(self._shingle_version_path(old), ignore_errors=True)
 

@@ -372,3 +372,28 @@ def test_bpe_train_matches_classic_reference(spark):
             nv[tuple(out)] += f
         vocab = dict(nv)
     assert got == ref, (got, ref)
+
+
+def test_republish_after_crashed_write_retains_committed_not_orphan(
+    spark, sf_dir, tmp_path
+):
+    """Crash path: a write that died after creating its version dir
+    but before the sidecar swap leaves an ORPHAN. The next publish
+    must prune the orphan and retain the COMMITTED previous version
+    (its in-flight readers depend on it) — not the other way around."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = dd.shingle_index(docs, attrs=["lang"])
+    store = ArtifactStore(str(tmp_path / "art"))
+    store.write_shingle_index(idx, buckets=4)  # committed v1
+    reader = store.read_shingle_index(spark)
+    n1 = reader.count()
+    # simulate the crashed write: v2 dir exists, sidecar still says 1
+    os.makedirs(store._shingle_version_path(2))
+    with open(f"{store._shingle_version_path(2)}/part-junk.parquet", "wb") as fh:
+        fh.write(b"not a real file")
+    assert store.shingle_index_version() == 1
+    store.write_shingle_index(idx, buckets=4)  # becomes v3
+    assert store.shingle_index_version() == 3
+    assert os.path.isdir(store._shingle_version_path(1))  # committed kept
+    assert not os.path.isdir(store._shingle_version_path(2))  # orphan gone
+    assert reader.count() == n1  # the in-flight reader survives
