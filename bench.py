@@ -2,9 +2,16 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (VERDICT r10 #2 — the driver records only the LAST
+~2 kB of stdout, and round 10's single verbose line outgrew it, losing
+the round's perf record to ``parsed: null``): the verbose record
+(full-precision walls + the METHODOLOGY string) prints FIRST as a
+human/audit line, then the FINAL stdout line is a compact machine JSON
+``{"metric", "value", "unit", "queries", "sf", "methodology_ref"}``
+kept under 1,500 bytes (3-decimal walls; methodology by reference).
+The final line alone is the driver contract and parses standalone.
 
 Each query executes fully via the noop sink (no driver collect skew);
 the JVM is warmed with a trivial job first so measured time is query
@@ -182,6 +189,8 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    # Verbose audit record first (full precision + methodology) ...
     print(
         json.dumps(
             {
@@ -189,10 +198,51 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "sf": sf_val,
                 "methodology": METHODOLOGY,
             }
         )
+    )
+    # ... then the compact machine record as the FINAL line (driver
+    # contract): must stay within the driver's ~2 kB tail capture.
+    print(compact_record(total, timings, sf_val))
+
+
+def compact_record(
+    total: float, timings: dict[str, float], sf, limit: int = 1500
+) -> str:
+    """One-line machine JSON ≤ ``limit`` bytes (VERDICT r10 #2).
+
+    3-decimal walls; the methodology string is replaced by a pointer at
+    bench.py's METHODOLOGY constant. If the query map ever outgrows the
+    budget at 3 decimals, precision steps down before anything is
+    dropped; as a last resort the per-query map is replaced by its size
+    (the total always survives).
+    """
+    for ndigits in (3, 2, 1):
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {n: round(t, ndigits) for n, t in timings.items()},
+                "sf": sf,
+                "methodology_ref": "bench.py METHODOLOGY",
+            },
+            separators=(",", ":"),
+        )
+        if len(line.encode()) <= limit:
+            return line
+    return json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "n_queries": len(timings),
+            "sf": sf,
+            "methodology_ref": "bench.py METHODOLOGY",
+        },
+        separators=(",", ":"),
     )
 
 

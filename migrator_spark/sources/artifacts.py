@@ -226,6 +226,15 @@ class ArtifactStore:
         plans/llmdata (ADVICE r9 #1 — a long session must not
         accumulate catalog tables for evicted stores) and the art1
         graded row, which uses it to simulate a FRESH session before
-        exercising the sidecar re-registration path."""
+        exercising the sidecar re-registration path.
+
+        Also drops the legacy UNVERSIONED catalog name (ADVICE r10 #4):
+        a pre-r10 store has no ``shingle_index.v<N>`` directories, so
+        the version loop alone would silently no-op while
+        ``read_shingle_index`` had registered the unsuffixed name —
+        leaking one catalog entry per evicted legacy store in long
+        sessions. The unconditional extra DROP IF EXISTS is free."""
         for v in self._shingle_versions_on_disk():
             spark.sql(f"DROP TABLE IF EXISTS {self.shingle_table_name(v)}")
+        legacy = self.shingle_table_name(0).removesuffix("_v0")
+        spark.sql(f"DROP TABLE IF EXISTS {legacy}")

@@ -37,5 +37,9 @@ def test_cluster_smoke_lane_matches_oracles():
     # live bucketed-artifact write/read/join (round 9) run outside
     # SMOKE_QUERIES — neither has a registry entry that drives it
     assert f"CLUSTER-SMOKE DONE mismatches=0 of={n + 2}" in proc.stdout, tail
+    # the lane's own count self-check printed and agreed (VERDICT r10 #8)
+    assert (
+        f"CLUSTER-SMOKE SHAPES queries={n} live=2 total={n + 2}" in proc.stdout
+    ), tail
     assert "OK semantic_ingest_stream[live]" in proc.stdout, tail
     assert "OK bucketed_artifact_join[live]" in proc.stdout, tail

@@ -106,6 +106,13 @@ SMOKE_QUERIES = [
                                       # the multi-batch drain on real executors
 ]
 
+# Total shape count the lane COMMITS to (VERDICT r10 #8): SMOKE_QUERIES
+# plus the two live steps (semantic_ingest_stream, bucketed artifact)
+# that run outside the registry. main() asserts and PRINTS this, so the
+# number documented in SCALE.md §5 can never silently drift from the
+# list — update BOTH when extending the lane.
+N_SHAPES = 49
+
 
 def smoke_semantic_stream(spark, sf: str) -> bool:
     """semantic_ingest_stream under real executors (VERDICT r7 #7): the
@@ -265,6 +272,16 @@ def main() -> int:
         spark.sparkContext.master
     )
     spark.sparkContext.setLogLevel("ERROR")
+    n_shapes = len(SMOKE_QUERIES) + 2  # +2 live steps below
+    assert n_shapes == N_SHAPES, (
+        f"shape-count drift: list yields {n_shapes}, N_SHAPES says "
+        f"{N_SHAPES} — update N_SHAPES and SCALE.md §5 together"
+    )
+    print(
+        f"CLUSTER-SMOKE SHAPES queries={len(SMOKE_QUERIES)} live=2 "
+        f"total={n_shapes}",
+        flush=True,
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
