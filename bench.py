@@ -103,6 +103,11 @@ HEADLINE = [
     # and the de-slept late-data funnel stream
     "pipeline_e2e_drain",
     "st6_late_funnel_stream",
+    # round 11: the tokenizer SERVING row (train-on-rest + rank-order
+    # apply to the held-out source — two full BPE training chains plus
+    # the K-round serving loop, the round's heaviest addition); prior
+    # 30 unchanged so round-over-round subsets stay protocol-matched
+    "bpe4_apply_heldout",
 ]
 
 REPEATS = 3  # median-of-3: one cold run can no longer swing the number 2x

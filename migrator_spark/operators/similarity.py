@@ -1122,6 +1122,7 @@ def semdedup_fold(
     quantizer: str = "flat",
     k_coarse: int | None = None,
     k_fine: int | None = None,
+    prebuilt_two_level: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Sequential micro-batch semantic dedup — the BATCH-EQUIVALENT of
     the streaming intake (streaming.semantic_ingest_stream): the
@@ -1155,6 +1156,13 @@ def semdedup_fold(
     §5e). Both train ONLY on the incumbent store and score every
     vector through the same frozen artifact; downstream fold
     semantics are identical.
+
+    ``prebuilt_two_level`` (round 11, VERDICT r10 #5): a (coarse,
+    fine) codebook pair — e.g. ArtifactStore.read_two_level_quantizer
+    — used INSTEAD of fitting on the incumbent store. The warm-read
+    production path: the fold off a read-back artifact is bit-equal to
+    the in-session build (pinned in tests/test_round9_artifacts.py),
+    because scoring is a pure function of (pts, coarse, fine).
     """
     if not boundaries:
         raise ValueError("need at least one batch boundary")
@@ -1162,6 +1170,8 @@ def semdedup_fold(
         raise ValueError(
             f"boundaries must be strictly increasing: {boundaries!r}"
         )
+    if prebuilt_two_level is not None and quantizer != "two_level":
+        raise ValueError("prebuilt_two_level requires quantizer='two_level'")
     pts = emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -1171,9 +1181,12 @@ def semdedup_fold(
     if quantizer == "two_level":
         if not (k_coarse and k_fine):
             raise ValueError("two_level quantizer needs k_coarse and k_fine")
-        coarse, fine, _ = fit_two_level(
-            build_pts, k_coarse, k_fine, iters, id_col
-        )
+        if prebuilt_two_level is not None:
+            coarse, fine = prebuilt_two_level
+        else:
+            coarse, fine, _ = fit_two_level(
+                build_pts, k_coarse, k_fine, iters, id_col
+            )
         scored = score_against_two_level(pts, coarse, fine, k_fine, id_col)
     elif quantizer == "flat":
         cents = _require_centroids(

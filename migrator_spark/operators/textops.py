@@ -860,6 +860,55 @@ def pmi_collocations(
     )
 
 
+def _bpe_merge_step(state: DataFrame, left: str, right: str) -> DataFrame:
+    """One greedy left-to-right non-overlapping application of the
+    merge (left, right) over a segmentation state (w, pos, sym,
+    [carry...]) — as pure window arithmetic (no self-join — a take-list
+    join here shares lineage with its left side, the classic
+    ambiguous-self-join trap): candidate runs get a block id from
+    (pos - running candidate count); even offset within the block
+    merges; the position after a merge is skipped. SHARED by the
+    trainer (bpe_train_merges) and the serving tokenizer
+    (bpe_apply_merges) so training-time and apply-time segmentation run
+    the IDENTICAL positional rule."""
+    win = Window.partitionBy("w").orderBy("pos")
+    carry = [c for c in state.columns if c not in ("pos", "sym")]
+    flag = state.withColumn("nxt", F.lead("sym").over(win)).withColumn(
+        "is_cand",
+        (F.col("sym") == left) & (F.col("nxt") == right),
+    )
+    flag = flag.withColumn(
+        "blk",
+        F.when(
+            F.col("is_cand"),
+            F.col("pos")
+            - F.sum(F.col("is_cand").cast("long")).over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ),
+    )
+    flag = flag.withColumn(
+        "taken",
+        F.col("is_cand")
+        & (
+            (F.col("pos") - F.min("pos").over(Window.partitionBy("w", "blk")))
+            % 2
+            == 0
+        ),
+    )
+    return (
+        flag.withColumn("prev_taken", F.lag("taken").over(win))
+        .filter(~F.coalesce(F.col("prev_taken"), F.lit(False)))
+        .select(
+            *carry,
+            (F.row_number().over(win) - 1).alias("pos"),
+            F.when(F.col("taken"), F.lit(left + right))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+
+
 def bpe_train_merges(
     docs: DataFrame,
     text_col: str = "text",
@@ -923,49 +972,8 @@ def bpe_train_merges(
             break
         left, right, cnt = best["sym"], best["nxt"], int(best["cnt"])
         out.append((rank, left, right, cnt))
-        # merge application as pure window arithmetic (no self-join —
-        # a take-list join here shares lineage with its left side, the
-        # classic ambiguous-self-join trap): candidate runs get a block
-        # id from (pos - running candidate count); even offset within
-        # the block merges; the position after a merge is skipped.
-        flag = paired.withColumn(
-            "is_cand",
-            (F.col("sym") == left) & (F.col("nxt") == right),
-        )
-        flag = flag.withColumn(
-            "blk",
-            F.when(
-                F.col("is_cand"),
-                F.col("pos")
-                - F.sum(F.col("is_cand").cast("long")).over(
-                    win.rowsBetween(Window.unboundedPreceding, 0)
-                ),
-            ),
-        )
-        flag = flag.withColumn(
-            "taken",
-            F.col("is_cand")
-            & (
-                (
-                    F.col("pos")
-                    - F.min("pos").over(Window.partitionBy("w", "blk"))
-                )
-                % 2
-                == 0
-            ),
-        )
-        state = (
-            flag.withColumn("prev_taken", F.lag("taken").over(win))
-            .filter(~F.coalesce(F.col("prev_taken"), F.lit(False)))
-            .select(
-                "w",
-                "freq",
-                (F.row_number().over(win) - 1).alias("pos"),
-                F.when(F.col("taken"), F.lit(left + right))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-            .localCheckpoint(eager=True)
+        state = _bpe_merge_step(state, left, right).localCheckpoint(
+            eager=True
         )
     spark = docs.sparkSession
     merges = spark.createDataFrame(
@@ -975,6 +983,60 @@ def bpe_train_merges(
     if return_state:
         return merges, state
     return merges
+
+
+def bpe_apply_merges(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """SERVE a learned BPE merge table on NEW text — the tokenize half
+    of the loop bpe_train_merges learns and bpe_fertility scores. Per
+    DISTINCT word of ``docs``, every merge applies in RANK ORDER
+    (lowest merge_rank first, one full greedy pass per merge — the
+    Sennrich application order) with the same positional non-overlap
+    rule as training (_bpe_merge_step). For a self-consistently trained
+    table this equals priority-queue application: a merge's input
+    symbols are only ever produced by LOWER-rank merges, so no
+    later-rank pass can create an occurrence an earlier pass missed.
+    Returns one row per word: (w, n_toks, toks) with ``toks`` the
+    '|'-joined final segmentation.
+
+    Held-out semantics: ``merges`` may come from a DIFFERENT corpus —
+    a word whose pairs never match stays at finer granularity
+    (character level at worst), the standard OOV behavior of a BPE
+    tokenizer; nothing is dropped.
+
+    Scale: state is the SERVING VOCABULARY (distinct words × symbol
+    positions), never the corpus; the merge table is K rows collected
+    once; K bounded driver rounds with per-round localCheckpoint (the
+    dd6/bpe2 iterative-algorithm discipline)."""
+    mrows = sorted(
+        (int(r["merge_rank"]), r["left_sym"], r["right_sym"])
+        for r in merges.collect()
+    )
+    state = (
+        docs.select(F.explode(words(text_col)).alias("w"))
+        .distinct()
+        .select("w", F.posexplode(F.split(F.col("w"), "(?!^)")))
+        .withColumnRenamed("col", "sym")
+        .filter(F.col("sym") != "")
+        .localCheckpoint(eager=True)
+    )
+    for _rank, left, right in mrows:
+        state = _bpe_merge_step(state, left, right).localCheckpoint(
+            eager=True
+        )
+    return state.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda s: s["sym"],
+            ),
+            "|",
+        ).alias("toks"),
+    )
 
 
 def bpe_fertility(

@@ -41,6 +41,25 @@ from migrator_spark.pipeline.transformers import TransformContext
 from migrator_spark.sources.base import Source, open_source
 
 
+# Recompute-path rollup writes range-cluster the table at this many
+# groups per part-file so later delta applies can file-prune (footer
+# min/max on the leading group column). Tests shrink it to pin the
+# pruned-apply behavior on small fixtures.
+ROLLUP_GROUPS_PER_FILE = 4096
+
+# The delta apply file-prunes only when the batch touches at most this
+# fraction of the rollup's groups. Pruning pays when touched keys are a
+# localized sliver of a large table (the 100 TB CDC shape: recent keys
+# cluster in few file ranges); when a batch's keys spread across most
+# file ranges, merge_pruned rewrites everything anyway and its footer
+# reads + key collect + range-recluster are pure overhead — MEASURED at
+# sf0.1 (14.7k c_custkey groups, 1250 uniformly-spread keys/batch):
+# pruned 13.1 s vs full-rewrite 10.1 s median drain. Above the fraction
+# the apply takes the plain O(|groups|) overwrite, which is the cheaper
+# bound there (SCALE.md §5f).
+ROLLUP_PRUNE_MAX_TOUCHED = 0.05
+
+
 class State(Enum):
     NEW = "new"
     RUNNING = "running"
@@ -190,13 +209,16 @@ class Migrator:
             routed = transformer(res.batch, ctx)
             staged_rollups = []
             if spec.rollups:
-                for r in routed:
-                    if r.target_table == spec.target_table:
-                        # write-ahead deltas: MUST stage before the
-                        # loader merges the batch (the pre-batch target
-                        # state the delta needs is gone afterwards)
-                        staged_rollups = self._stage_rollups(b, spec, r.df)
-                        break
+                # write-ahead deltas: MUST stage before the loader
+                # merges the batch (the pre-batch target state the
+                # delta needs is gone afterwards). Keyed on the ROUTED
+                # target (VERDICT r10 #4 / ADVICE r10 #2): a renaming
+                # transformer maintains the RENAMED table's rollup
+                # instead of silently no-opping, and multiple frames
+                # routed to one target stage ONE loader-faithful
+                # combined delta, mirroring what the loader loop below
+                # actually merges.
+                staged_rollups = self._stage_rollups(b, spec, routed)
             loader = resolve("loader", spec.loader)
             for r in routed:
                 loader(self.spark, b.target, r.target_table, r.df, spec, params)
@@ -234,31 +256,62 @@ class Migrator:
         elif strict:
             raise e
 
-    # ---------------------------------------- maintained rollups (r10)
+    # ------------------------------------ maintained rollups (r10/r11)
     #
-    # Config `rollups` keeps `<target>__rollup_<name>` fresh per batch
-    # at O(batch) cost (operators/maintenance.py) with EXACTLY-ONCE
-    # effect under the runner's at-least-once replay, via a staged
-    # write-ahead delta sequenced against the rollup table:
+    # Config `rollups` keeps `<routed target>__rollup_<name>` fresh per
+    # batch at O(batch) cost (operators/maintenance.py) with
+    # EXACTLY-ONCE effect under the runner's at-least-once replay, via
+    # a staged write-ahead delta sequenced against the rollup table:
     #
-    #   stage(seq = applied+1, delta from PRE-load target + batch)
+    #   stage(seq = applied+1, delta from PRE-load target + batch,
+    #         + the batch's FINGERPRINT: row count + order-independent
+    #           xor-hash of the resolved (key, _order, _tie, method)
+    #           set — ADVICE r10 #1)
     #     -> load (idempotent merge)  -> apply(patch, publish seq)
     #     -> commit offset
     #
-    # Crash anywhere and the replay is safe: before the load, the
-    # staged delta is recomputed identically; between load and apply,
-    # the staged delta's seq still matches and is REUSED (the pre-load
+    # Crash anywhere and the replay is safe: before the load, an
+    # IDENTICAL replayed batch re-uses the staged delta (or recomputes
+    # it identically); between load and apply, the staged delta's
+    # (seq, fingerprint) still match and it is REUSED (the pre-load
     # state it encodes is otherwise gone); after apply but before the
     # offset commit, the published seq makes the re-stage compute a
     # zero delta (the target already contains the batch), so nothing
-    # double-counts. A missing-or-empty rollup table falls back to a
-    # post-load full recompute — correct unconditionally because it
-    # depends only on the current target, not on history. Sums run in
-    # DECIMAL(18,2): fixed-point addition is associative, which is
-    # what makes patch == recompute independent of batch cuts.
+    # double-counts.
+    #
+    # If the replayed batch DIFFERS from the staged one (seq matches,
+    # fingerprint does not — a queue extractor's partial tail slice
+    # that GREW with new arrivals before the replay, ADVICE r10 #1),
+    # the staged delta is stale and the batch falls back to a FULL
+    # post-load recompute. A recomputed *delta* would NOT be a correct
+    # fallback here: if the crash was in the load->apply window, the
+    # target already contains the old batch's effect while the rollup
+    # does not, so a delta computed against the post-load target misses
+    # the old batch's transition (e.g. key k: target 10, old batch set
+    # it to 20 and loaded, rollup still says 10; a fresh delta for the
+    # grown batch retracts 20/adds 20 for k — net zero — and the rollup
+    # lands 10 short). The replay cannot tell whether the crashed
+    # attempt got past its load, so the only unconditionally-correct
+    # fallback is the recompute, which depends on the current target
+    # alone. It is O(table), but only on the crash-AND-queue-growth
+    # replay path — never in steady state.
+    #
+    # A missing-or-empty rollup table also takes the post-load full
+    # recompute. Sums run in DECIMAL(18,2): fixed-point addition is
+    # associative, which is what makes patch == recompute independent
+    # of batch cuts.
+    #
+    # APPLY cost (VERDICT r10 #3): for parquet targets the delta patch
+    # goes through ParquetSource.merge_pruned — only part-files whose
+    # footer range intersects the touched group keys rewrite, the rest
+    # carry forward as hardlinks — so per-batch apply I/O is
+    # O(files containing touched groups), not O(|groups|). The full
+    # rewrite remains only for non-parquet sinks, non-prunable group
+    # key types, and the (rare) recompute path, which seeds the table
+    # range-clustered so subsequent merges prune.
 
-    def _rollup_tables(self, spec: IterationSpec, name: str) -> tuple[str, str]:
-        base = f"{spec.target_table}__rollup_{name}"
+    def _rollup_tables(self, target_table: str, name: str) -> tuple[str, str]:
+        base = f"{target_table}__rollup_{name}"
         return base, f"{base}__staged"
 
     def _rollup_seq(self, target: Source, table: str) -> int:
@@ -271,32 +324,113 @@ class Migrator:
         row = target.table(self.spark, table).agg(F.max("_seq")).first()
         return int(row[0]) if row[0] is not None else 0
 
-    def _stage_rollups(self, b: BoundIteration, spec: IterationSpec, batch_df) -> list[dict]:
+    def _routed_finals(self, spec: IterationSpec, routed) -> dict:
+        """Per ROUTED target table, the batch's final per-key state AS
+        THE LOADER LEAVES IT: within each frame, last-write-wins by
+        (_order, _tie); across multiple frames routed to the same
+        target, the LATER frame wins a shared key regardless of event
+        order — the loader loop merges frames sequentially, so frame
+        position (not _order) decides cross-frame conflicts, and the
+        staged delta must mirror that or it diverges from the loaded
+        table (ADVICE r10 #2). Returns {target_table: (key_cols,
+        final_df)}."""
+        from pyspark.sql import functions as F
+
+        from migrator_spark.operators import load as ld
+
+        by_target: dict[str, list] = {}
+        for r in routed:
+            by_target.setdefault(r.target_table, []).append(r.df)
+        out = {}
+        for tgt, dfs in by_target.items():
+            key_cols = [c for c in spec.merge_key_cols if c in dfs[0].columns]
+            finals = [
+                ld.latest_by_key(df, key_cols, "_order", "_tie").withColumn(
+                    "_fidx", F.lit(i)
+                )
+                for i, df in enumerate(dfs)
+            ]
+            u = finals[0]
+            for f in finals[1:]:
+                u = u.unionByName(f)
+            if len(finals) > 1:
+                # per key, one row per frame survives the step above;
+                # _fidx is therefore unique per key and needs no tie
+                u = ld.latest_by_key(u, key_cols, "_fidx")
+            out[tgt] = (key_cols, u.drop("_fidx"))
+        return out
+
+    def _batch_fingerprint(self, final, key_cols: list[str]) -> tuple[int, int]:
+        """(row count, order-independent xor of xxhash64 over the
+        resolved (key, _order, _tie, method) tuples). The staged delta
+        is a pure function of (pre-load target, resolved batch), so two
+        batches with equal fingerprints stage the same delta; xor is
+        commutative and collision-safe here because resolution leaves
+        at most one row per key."""
         from pyspark.sql import functions as F
 
         from migrator_spark.operators import extract as ex
-        from migrator_spark.operators import load as ld
+
+        row = final.agg(
+            F.count(F.lit(1)),
+            F.bit_xor(
+                F.xxhash64(*key_cols, "_order", "_tie", ex.METHOD_COL)
+            ),
+        ).first()
+        return int(row[0]), int(row[1]) if row[1] is not None else 0
+
+    def _stage_rollups(self, b: BoundIteration, spec: IterationSpec, routed) -> list[dict]:
+        from pyspark.sql import functions as F
+
+        from migrator_spark.operators import extract as ex
         from migrator_spark.operators import maintenance as mnt
 
-        key_cols = [c for c in spec.merge_key_cols if c in batch_df.columns]
-        final = ld.latest_by_key(batch_df, key_cols, "_order", "_tie")
         staged = []
-        for rl in spec.rollups:
-            data_t, stage_t = self._rollup_tables(spec, rl["name"])
-            seq = self._rollup_seq(b.target, data_t)
-            if seq == 0 or not b.target.exists(self.spark, spec.target_table):
-                staged.append({"rollup": rl, "seq": 1, "recompute": True})
-                continue
-            expected = seq + 1
-            reuse = False
-            if b.target.exists(self.spark, stage_t):
-                srow = (
-                    b.target.table(self.spark, stage_t).agg(F.max("_seq")).first()
-                )
-                reuse = srow[0] is not None and int(srow[0]) == expected
-            if not reuse:
+        for tgt_table, (key_cols, final) in self._routed_finals(
+            spec, routed
+        ).items():
+            fp = None  # one fingerprint job per routed target, lazily
+            for rl in spec.rollups:
+                data_t, stage_t = self._rollup_tables(tgt_table, rl["name"])
+                rec = {"rollup": rl, "table": tgt_table}
+                seq = self._rollup_seq(b.target, data_t)
+                if seq == 0 or not b.target.exists(self.spark, tgt_table):
+                    staged.append({**rec, "seq": 1, "recompute": True})
+                    continue
+                expected = seq + 1
+                if fp is None:
+                    fp = self._batch_fingerprint(final, key_cols)
+                srow = None
+                if b.target.exists(self.spark, stage_t):
+                    st = b.target.table(self.spark, stage_t)
+                    if {"_seq", "_fp_n", "_fp_hash"} <= set(st.columns):
+                        srow = st.select("_seq", "_fp_n", "_fp_hash").first()
+                    else:  # pre-fingerprint staged table (legacy): can't
+                        # verify it matches this batch -> recompute
+                        srow = st.select("_seq").first()
+                        if srow is not None and int(srow[0]) == expected:
+                            staged.append(
+                                {**rec, "seq": expected, "recompute": True}
+                            )
+                            continue
+                        srow = None
+                if srow is not None and int(srow[0]) == expected:
+                    if (int(srow[1]), int(srow[2])) == fp:
+                        # same seq, same batch: reuse the write-ahead
+                        # delta (mandatory in the load->apply window)
+                        staged.append(
+                            {**rec, "seq": expected, "recompute": False}
+                        )
+                        continue
+                    # same seq, DIFFERENT batch: a crashed attempt whose
+                    # slice has since changed (queue growth). Whether its
+                    # load committed is unknowable here, so neither the
+                    # stale delta nor a fresh one is safe — full
+                    # post-load recompute (see protocol comment above).
+                    staged.append({**rec, "seq": expected, "recompute": True})
+                    continue
                 cast = F.col(rl["sum"]).cast("decimal(18,2)").alias("_rsum")
-                before = b.target.table(self.spark, spec.target_table).select(
+                before = b.target.table(self.spark, tgt_table).select(
                     *key_cols, *rl["group_by"], cast
                 )
                 bfinal = final.select(
@@ -306,49 +440,118 @@ class Migrator:
                     before, bfinal, key_cols, rl["group_by"], "_rsum"
                 )
                 b.target.write(
-                    delta.withColumn("_seq", F.lit(expected)),
+                    delta.withColumn("_seq", F.lit(expected))
+                    .withColumn("_fp_n", F.lit(fp[0]))
+                    .withColumn("_fp_hash", F.lit(fp[1])),
                     stage_t,
                     mode="overwrite",
                 )
-            staged.append({"rollup": rl, "seq": expected, "recompute": False})
+                staged.append({**rec, "seq": expected, "recompute": False})
         return staged
 
     def _apply_rollups(self, b: BoundIteration, spec: IterationSpec, staged: list[dict]) -> None:
         from pyspark.sql import functions as F
 
         from migrator_spark.operators import maintenance as mnt
+        from migrator_spark.pipeline.loaders import _PRUNABLE_KEY_TYPES
+        from migrator_spark.sources.parquet import ParquetSource
 
         for srec in staged:
-            rl, seq = srec["rollup"], srec["seq"]
-            data_t, stage_t = self._rollup_tables(spec, rl["name"])
+            rl, seq, tgt_table = srec["rollup"], srec["seq"], srec["table"]
+            group_cols = rl["group_by"]
+            data_t, stage_t = self._rollup_tables(tgt_table, rl["name"])
             if not srec["recompute"] and self._rollup_seq(b.target, data_t) >= seq:
                 continue  # already applied; replay must not double-count
+            out_cols = [
+                *group_cols,
+                F.col("sum_val").cast("decimal(28,2)").alias("sum_val"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+            ]
             if srec["recompute"]:
                 cast = F.col(rl["sum"]).cast("decimal(18,2)").alias("_rsum")
                 new = mnt.compute_rollup(
-                    b.target.table(self.spark, spec.target_table).select(
-                        *rl["group_by"], cast
+                    b.target.table(self.spark, tgt_table).select(
+                        *group_cols, cast
                     ),
-                    rl["group_by"],
+                    group_cols,
                     "_rsum",
-                )
-            else:
-                delta = (
-                    b.target.table(self.spark, stage_t)
-                    .filter(F.col("_seq") == seq)
-                    .drop("_seq")
-                )
-                cur = b.target.table(self.spark, data_t).drop("_seq")
-                new = mnt.apply_rollup_delta(cur, delta, rl["group_by"])
-            b.target.write(
-                new.select(
-                    *rl["group_by"],
-                    F.col("sum_val").cast("decimal(28,2)").alias("sum_val"),
-                    F.col("n_rows").cast("long").alias("n_rows"),
-                ).withColumn("_seq", F.lit(seq)),
-                data_t,
-                mode="overwrite",
+                ).select(*out_cols).withColumn("_seq", F.lit(seq))
+                self._write_rollup_clustered(b, data_t, new, group_cols)
+                continue
+            delta = (
+                b.target.table(self.spark, stage_t)
+                .filter(F.col("_seq") == seq)
+                .drop("_seq", "_fp_n", "_fp_hash")
             )
+            lead = group_cols[0]
+            prunable = isinstance(b.target, ParquetSource) and isinstance(
+                b.target.table(self.spark, data_t).schema[lead].dataType,
+                _PRUNABLE_KEY_TYPES,
+            )
+            if prunable:
+                dkeys = delta.select(lead).cache()
+                n_touched = dkeys.count()
+                n_groups = b.target.table(self.spark, data_t).count()
+                if (
+                    # footer stats can't represent NULL keys, so a NULL
+                    # group in the delta would miss its existing rollup
+                    # row and double-insert — such batches full-rewrite
+                    dkeys.filter(F.col(lead).isNull()).limit(1).count() > 0
+                    # pruning pays only for key-LOCALIZED batches; see
+                    # ROLLUP_PRUNE_MAX_TOUCHED
+                    or n_touched > ROLLUP_PRUNE_MAX_TOUCHED * max(n_groups, 1)
+                ):
+                    prunable = False
+                    dkeys.unpersist()
+            if prunable:
+                b.target.merge_pruned(
+                    self.spark,
+                    data_t,
+                    dkeys,
+                    lead,
+                    lambda touched, d=delta, oc=out_cols, s=seq: (
+                        mnt.apply_rollup_delta(
+                            touched.drop("_seq"), d, group_cols
+                        )
+                        .select(*oc)
+                        .withColumn("_seq", F.lit(s))
+                    ),
+                    cluster_cols=group_cols,
+                )
+                dkeys.unpersist()
+                continue
+            cur = b.target.table(self.spark, data_t).drop("_seq")
+            new = (
+                mnt.apply_rollup_delta(cur, delta, group_cols)
+                .select(*out_cols)
+                .withColumn("_seq", F.lit(seq))
+            )
+            b.target.write(new, data_t, mode="overwrite")
+
+    def _write_rollup_clustered(
+        self, b: BoundIteration, data_t: str, new, group_cols: list[str]
+    ) -> None:
+        """Recompute-path full write; for parquet sinks the table is
+        RANGE-CLUSTERED on the group key so every later delta apply can
+        file-prune (footer min/max of the leading group column)."""
+        from pyspark.sql import functions as F
+
+        from migrator_spark.sources.parquet import ParquetSource
+
+        if not isinstance(b.target, ParquetSource):
+            b.target.write(new, data_t, mode="overwrite")
+            return
+        new = new.cache()
+        n_groups = new.count()
+        files = max(1, min(32, -(-n_groups // ROLLUP_GROUPS_PER_FILE)))
+        b.target.write(
+            new.repartitionByRange(
+                files, *[F.col(c) for c in group_cols]
+            ).sortWithinPartitions(*group_cols),
+            data_t,
+            mode="overwrite",
+        )
+        new.unpersist()
 
     # ---------------------------------------------------------- drain
 

@@ -572,6 +572,25 @@ REGISTRY: dict[str, QuerySpec] = {
     "bpe3_fertility": QuerySpec(
         llmdata.bpe3_fertility, llmdata.BPE3_ORACLE
     ),
+    # -- NEW round 11 --
+    # the tokenizer loop's SERVING row (VERDICT r10 #6): train on every
+    # source except the holdout, tokenize the holdout's words in rank
+    # order under the identical positional rule — the hash pins every
+    # symbol boundary of OOV-ish application, not a training replay.
+    "bpe4_apply_heldout": QuerySpec(
+        llmdata.bpe4_apply_heldout, llmdata.BPE4_ORACLE
+    ),
+    # the artifact quartet's two-level seam (VERDICT r10 #5): the
+    # super+fine codebook pair published as OCC tables, re-resolved by
+    # a fresh handle, sim11's assignment re-run off the read-back
+    # artifact. Oracle = SIM11's (same relation, warm-read provenance —
+    # the art1/art3 pattern).
+    "art4_warm_two_level_read": QuerySpec(
+        llmdata.art4_warm_two_level_read,
+        llmdata.SIM11_ORACLE,
+        note="oracle shared with sim11 by design: same relation, "
+        "different provenance (offline store vs in-session build)",
+    ),
 }
 
 
@@ -583,12 +602,95 @@ REGISTRY: dict[str, QuerySpec] = {
 # steady-state cycle is ~4 rounds, so the SLO holds with one round of
 # slack; if the registry outgrows ~250 entries, widen the window or
 # accept a 6-round SLO — change the number HERE, in writing.
-# Round-10 compliance: after this window grades, the stalest rows are
-# the 18 r6-green leftovers (q6..pr11 below, 4 rounds old) — they MUST
-# head round 11's window to stay within the SLO.
+# Round-11 compliance: the 18 r6-green leftovers (q6..pr11, 5 rounds
+# stale — the SLO boundary) are IN this round's window; after it
+# grades, the stalest rows are the 23 r7-green leftovers (q15..cur3,
+# 5 rounds stale by round 12) — they MUST head round 12's window.
 #
 # ---------------------------------------------------------------------------
-# Round-10 graded window (stalest-first round-robin).
+# Round-11 graded window (stalest-first round-robin).
+#
+# Composition (VERDICT r10 #1, executed exactly as queued at the old
+# window's comment):
+#   1. The six entries that landed after the round-10 window settled
+#      and were never driver-graded: art2, mnt1, mnt2, art3, bpe2,
+#      bpe3. mnt2 ALSO changed plan this round (stage fingerprint +
+#      routed-target keying + file-pruned apply, VERDICT r10 #3/#4,
+#      ADVICE r10 #1/#2) and bpe2/bpe3's trainer was refactored onto
+#      the shared _bpe_merge_step — the regrade discipline would put
+#      all three back regardless.
+#   2. NEW round-11 entries: bpe4 (the tokenizer serving row, VERDICT
+#      r10 #6) and art4 (the two-level quantizer's warm-read seam,
+#      VERDICT r10 #5).
+#   3. The 18-row r6-green SLO block (q6..pr11) — 5 rounds stale by
+#      now, the STALENESS SLO's boundary (see above).
+#   4. r7-green backfill in round-7 window order (stalest first),
+#      topped to exactly 50: pr12..q14.
+# Round 12's queue head: the r7-green remainder (q15, q17, q18, q20,
+# q21, q23, ev1–ev6, sk1, sk2, fo1, set1, pr1, pr4, pr5, dd6b, q24,
+# q25, cur3 — 23 rows, 5 rounds stale by r12: the SLO boundary again),
+# then the r8-green family, stalest first.
+# ---------------------------------------------------------------------------
+_GRADED_WINDOW: list[str] = [
+    # -- never driver-graded (landed post-r10-window; VERDICT r10 #1);
+    # mnt2 also plan-changed round 11 --
+    "art2_warm_pair_graph_read",
+    "mnt1_incremental_rollup",
+    "mnt2_runner_maintained_rollup",
+    "art3_warm_quantizer_read",
+    "bpe2_train_merges",
+    "bpe3_fertility",
+    # -- NEW round 11 --
+    "bpe4_apply_heldout",  # NEW: tokenizer serving on held-out text
+    "art4_warm_two_level_read",  # NEW: two-level codebooks via the store
+    # -- r6-stale SLO block (the staleness SLO's first compliance test) --
+    "q6_forecast_revenue",
+    "q7_trade_volume",
+    "q8_rollup_sales",
+    "q8c_cube_orders",
+    "q19_disjunctive_filter",
+    "cur8_best_copy_dedup",
+    "ds1_dsir_weights",
+    "sd1_semdedup",
+    "cur9_dsir_select",
+    "pr7_psi_drift",
+    "mm8_jpeg_roundtrip",
+    "sd3_stream_semdedup_batch",
+    "ds2_dsir_unseen",
+    "mm9_image_features",
+    "pr10_bloom_membership",
+    "sim11_two_level_quantizer",
+    "sd4_semdedup_two_level",
+    "pr11_count_min",
+    # -- r7-green backfill, round-7 window order (stalest first) --
+    "pr12_heavy_hitters",
+    "pr13_kmv_setops",
+    "mm10_mjpeg_frames",
+    "mm11_audio_features",
+    "sim12_gemm_topk",
+    "ev15_window_funnel",
+    "dq4_referential_audit",
+    "sim13_two_level_recall",
+    "ev16_rolling_active_users",
+    "ta14_pmi_collocations",
+    "fo5_bitemporal_asof",
+    "sim14_multiprobe_recall",
+    "sd5_stream_semdedup_two_level",
+    "pr9_sampled_quantiles",
+    "sm7_stratified_sample",
+    "e1_seq_scan",
+    "e2_ts_scan_onlypast",
+    "e3_coalesce_scan",
+    "e4_queue_drain",
+    "e4_point_lookup_join",
+    "q9_product_profit",
+    "q12_priority_lateness",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+]
+
+# ---------------------------------------------------------------------------
+# Round-10 graded window (kept for history; superseded above).
 #
 # Composition:
 #   1. NEW round-10 entry art1_warm_artifact_read (the offline
@@ -624,7 +726,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # mm9, pr10, sim11, sd4, pr11 — the SLO block above), then the
 # r7-green family, stalest first.
 # ---------------------------------------------------------------------------
-_GRADED_WINDOW: list[str] = [
+_ROUND10_WINDOW: list[str] = [
     # -- NEW round 10 / plan-changed round 10 (head) --
     "art1_warm_artifact_read",  # NEW: offline-store warm read, driver-hashed
     "pipeline_e2e_drain",  # plan changed: fixture amortized + floorless batch
@@ -943,6 +1045,7 @@ _ROUND7_WINDOW: list[str] = [
 assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
 assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)
 assert len(_ROUND9_WINDOW) == 50, len(_ROUND9_WINDOW)
+assert len(_ROUND10_WINDOW) == 50, len(_ROUND10_WINDOW)
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
 assert len(set(_GRADED_WINDOW)) == 50
 _missing = [n for n in _GRADED_WINDOW if n not in REGISTRY]

@@ -64,6 +64,8 @@ from migrator_spark.sources.parquet import ParquetSource
 PAIR_GRAPH = "minhash_pair_graph"
 QUANT_CENTROIDS = "quantizer_centroids"
 QUANT_ASSIGN = "quantizer_assign"
+QUANT2_COARSE = "quantizer2_coarse"
+QUANT2_FINE = "quantizer2_fine"
 
 
 class ArtifactStore:
@@ -99,6 +101,33 @@ class ArtifactStore:
     def has_quantizer(self, spark: SparkSession) -> bool:
         return self._src.exists(spark, QUANT_CENTROIDS) and self._src.exists(
             spark, QUANT_ASSIGN
+        )
+
+    def write_two_level_quantizer(
+        self, coarse: DataFrame, fine: DataFrame
+    ) -> None:
+        """Persist the HIERARCHICAL quantizer (round 11, VERDICT r10
+        #5): the k_coarse coarse centroids (cell, c) and the per-
+        coarse-cell fine codebooks (cell, sub, c) —
+        similarity.fit_two_level's artifact shape (the sim11/sd4 build,
+        operators/similarity.py fit_two_level/score_against_two_level).
+        Both are broadcast-sized serving tables; what they need from
+        the store is the per-snapshot atomic OCC publish, same as the
+        flat quantizer."""
+        self._src.write(coarse, QUANT2_COARSE)
+        self._src.write(fine, QUANT2_FINE)
+
+    def read_two_level_quantizer(
+        self, spark: SparkSession
+    ) -> "tuple[DataFrame, DataFrame]":
+        return (
+            self._src.table(spark, QUANT2_COARSE),
+            self._src.table(spark, QUANT2_FINE),
+        )
+
+    def has_two_level_quantizer(self, spark: SparkSession) -> bool:
+        return self._src.exists(spark, QUANT2_COARSE) and self._src.exists(
+            spark, QUANT2_FINE
         )
 
     # ------------------------------------------- bucketed shingle index

@@ -14,6 +14,8 @@ Ground truth is always a full recompute from the final target table.
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta
+
 from pyspark.sql import functions as F
 
 from migrator_spark.operators.maintenance import compute_rollup
@@ -24,8 +26,9 @@ from migrator_spark.pipeline.config import (
     Parameters,
 )
 from migrator_spark.pipeline.loaders import load_default
-from migrator_spark.pipeline.registries import register_loader
+from migrator_spark.pipeline.registries import register_loader, register_transformer
 from migrator_spark.pipeline.runner import Migrator
+from migrator_spark.pipeline.transformers import Routed
 from migrator_spark.plans import cdc as cdc_plans
 from migrator_spark.sources.parquet import ParquetSource
 
@@ -109,30 +112,56 @@ def test_runner_rollup_equals_recompute_over_multibatch_drain(
     assert seq >= 4
 
 
-_FLAKY_CALLS = {"n": 0}
+_FLAKY_CALLS = {"n": 0, "crash_at": 1}
 
 
 @register_loader("flaky_default")
 def _flaky_loader(spark, target, table, batch, it, params):
-    """Fails the FIRST call after rollup staging already happened —
-    the crash-between-stage-and-load window."""
+    """Fails the call numbered ``crash_at`` after rollup staging already
+    happened — the crash-between-stage-and-load window."""
     _FLAKY_CALLS["n"] += 1
-    if _FLAKY_CALLS["n"] == 1:
+    if _FLAKY_CALLS["n"] == _FLAKY_CALLS["crash_at"]:
         raise RuntimeError("injected loader crash (post-staging)")
     load_default(spark, target, table, batch, it, params)
 
 
 def test_rollup_survives_crash_between_stage_and_load(spark, sf_dir, tmp_path):
-    _FLAKY_CALLS["n"] = 0
+    """ADVICE r10 #3: the crash must hit a batch whose staging wrote a
+    REAL staged delta (batch >= 2 — batch 1 takes the seq==0 recompute
+    path and stages nothing), so the replay exercises reuse of a
+    write-ahead delta that exists on disk before any load of its
+    batch."""
+    # crash the SECOND loader call: batch 1 runs clean (recompute,
+    # publishes seq 1), batch 2 stages delta seq 2 then its load crashes
+    _FLAKY_CALLS.update(n=0, crash_at=2)
     src, tgt, trk, n_queue = _clone_fixture(spark, sf_dir, tmp_path)
     errors = []
     cfg = _cfg(src, tgt, n_queue, loader="flaky_default")
     Migrator(
         spark, cfg, trk, error_callback=lambda s, e, c: errors.append(s)
     ).run_until_drained()
-    assert errors == ["load"]  # first cycle crashed, drain stopped
-    # replay: a fresh runner drains to quiescence; nothing lost or doubled
-    Migrator(spark, cfg, trk).run_until_drained()
+    assert errors == ["load"]  # second cycle crashed, drain stopped
+    # the staged write-ahead delta for seq 2 exists BEFORE any load of
+    # its batch — the window the crash claims to exercise
+    staged = ParquetSource(tgt).table(
+        spark, "customer__rollup_by_segment__staged"
+    )
+    assert staged.agg(F.max("_seq")).first()[0] == 2
+    # replay: a fresh runner drains to quiescence; the identical batch's
+    # fingerprint matches, so the staged delta is REUSED (not recomputed)
+    m2 = Migrator(spark, cfg, trk)
+    stage_records = []
+    orig_stage = m2._stage_rollups
+
+    def spy(b, spec, routed):
+        out = orig_stage(b, spec, routed)
+        stage_records.append(out)
+        return out
+
+    m2._stage_rollups = spy
+    m2.run_until_drained()
+    assert stage_records[0][0]["seq"] == 2
+    assert stage_records[0][0]["recompute"] is False  # reused, as designed
     assert _rollup_rows(spark, tgt) == _recompute_rows(spark, tgt)
 
 
@@ -205,6 +234,311 @@ def test_rollup_replay_after_full_apply_does_not_double_count(
     m._run_batch(it, cfg.parameters)  # full replay of the same batch
     m.run_until_drained()
     assert _rollup_rows(spark, tgt) == _recompute_rows(spark, tgt)
+
+
+# ------------------------------------------------ replayed-slice growth
+#
+# ADVICE r10 #1: the queue extractor slices the oldest batch_size rows;
+# if a PARTIAL tail batch is staged, its load or apply crashes, and new
+# queue rows arrive before the replay, the replayed slice GROWS. The
+# staged delta then describes a different batch — reusing it would merge
+# and queue-clean the full new slice while patching only the old rows'
+# contributions (silent, permanent divergence). The fingerprint staged
+# alongside _seq detects this; the fallback is a FULL post-load
+# recompute, because a recomputed *delta* is wrong whenever the crashed
+# attempt's load already committed (see runner.py protocol comment).
+
+
+def _mini_src_tgt(spark, sf_dir, tmp_path):
+    """Small controllable fixture: `customer` slice with source
+    balances shifted +1000 and a queue the test APPENDS to between
+    cycles, so replayed slices can grow."""
+    from migrator_spark.tables import load_table
+
+    customer = (
+        load_table(spark, sf_dir, "customer").orderBy("c_custkey").limit(40)
+    )
+    src_dir, tgt_dir = f"{tmp_path}/a", f"{tmp_path}/b"
+    ParquetSource(src_dir).write(
+        customer.withColumn("c_acctbal", F.col("c_acctbal") + 1000),
+        "customer",
+    )
+    ParquetSource(tgt_dir).write(customer, "customer")
+    return src_dir, tgt_dir, f"{tmp_path}/trk"
+
+
+def _enqueue(spark, src_dir, entries):
+    """entries: [(custkey, ts_offset_sec, method)] appended to the CDC
+    queue."""
+    rows = [
+        (
+            "a",
+            "customer",
+            "c_custkey",
+            str(k),
+            datetime(2024, 1, 1) + timedelta(seconds=s),
+            m,
+        )
+        for k, s, m in entries
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "sourceDatabase string, sourceTable string, pkColumn string, "
+        "pkValue string, timestampUpdated timestamp, method string",
+    )
+    src = ParquetSource(src_dir)
+    mode = "append" if src.exists(spark, "MigratorRecordQueue") else "overwrite"
+    src.write(df, "MigratorRecordQueue", mode=mode)
+
+
+def _mini_cfg(src_dir, tgt_dir, loader="default"):
+    return MigratorConfig(
+        migrations=[
+            MigrationSpec(
+                source_dsn=src_dir,
+                target_dsn=tgt_dir,
+                iterations=[
+                    IterationSpec(
+                        source_table="customer",
+                        source_key="c_custkey",
+                        target_table="customer",
+                        merge_key="c_custkey",
+                        extractor="queue",
+                        loader=loader,
+                        rollups=[dict(ROLLUP)],
+                    )
+                ],
+            )
+        ],
+        parameters=Parameters(batch_size=4),
+    )
+
+
+def _spy_stage(m):
+    records = []
+    orig = m._stage_rollups
+
+    def spy(b, spec, routed):
+        out = orig(b, spec, routed)
+        records.append(out)
+        return out
+
+    m._stage_rollups = spy
+    return records
+
+
+def test_rollup_replayed_slice_growth_after_stage_load_crash(
+    spark, sf_dir, tmp_path
+):
+    """Crash in the stage->load window on a partial tail batch, then
+    GROW the queue before the replay: the staged delta's fingerprint
+    mismatches and the batch recomputes — nothing from the new rows is
+    lost (pre-fingerprint code reused the stale delta and permanently
+    dropped their contributions)."""
+    src, tgt, trk = _mini_src_tgt(spark, sf_dir, tmp_path)
+    _enqueue(spark, src, [(1, 1, "UPDATE"), (2, 2, "UPDATE")])
+    cfg = _mini_cfg(src, tgt)
+    m = Migrator(spark, cfg, trk)
+    m.run_until_drained()  # batch A clean: recompute publishes seq 1
+
+    _enqueue(spark, src, [(3, 3, "UPDATE"), (4, 4, "UPDATE")])
+    _FLAKY_CALLS.update(n=0, crash_at=1)
+    errors = []
+    Migrator(
+        spark,
+        _mini_cfg(src, tgt, loader="flaky_default"),
+        trk,
+        error_callback=lambda s, e, c: errors.append(s),
+    ).run_until_drained()
+    assert errors == ["load"]  # staged delta seq 2 exists, load crashed
+
+    # growth: two new arrivals, one re-updating key 2 — replayed slice
+    # becomes {3, 4, 5, 2} (batch_size 4), a superset of the staged {3, 4}
+    _enqueue(spark, src, [(5, 5, "UPDATE"), (2, 6, "UPDATE")])
+    m3 = Migrator(spark, cfg, trk)
+    records = _spy_stage(m3)
+    m3.run_until_drained()
+    assert records[0][0]["seq"] == 2
+    assert records[0][0]["recompute"] is True  # fingerprint caught the growth
+    assert _rollup_rows(spark, tgt) == _recompute_rows(spark, tgt)
+
+
+def test_rollup_replayed_slice_growth_after_load_apply_crash(
+    spark, sf_dir, tmp_path
+):
+    """The hard window: the crashed attempt's LOAD already committed
+    (pre-batch target state gone), then the replayed slice grows. A
+    recomputed DELTA against the post-load target would miss the old
+    batch's transition entirely (retract 20 / add 20 for an
+    already-loaded key nets zero while the rollup still holds 10) —
+    only the full post-load recompute is correct, and this pins it."""
+    src, tgt, trk = _mini_src_tgt(spark, sf_dir, tmp_path)
+    _enqueue(spark, src, [(1, 1, "UPDATE"), (2, 2, "UPDATE")])
+    cfg = _mini_cfg(src, tgt)
+    m = Migrator(spark, cfg, trk)
+    m.run_until_drained()  # batch A clean: seq 1
+
+    # batch B (partial tail, 2 of 4): load commits, apply crashes
+    _enqueue(spark, src, [(3, 3, "UPDATE"), (4, 4, "UPDATE")])
+    real_apply = m._apply_rollups
+    crashed = {"n": 0}
+
+    def crash_once(b, spec, staged):
+        if crashed["n"] == 0:
+            crashed["n"] += 1
+            raise RuntimeError("injected apply crash (post-load)")
+        real_apply(b, spec, staged)
+
+    m._apply_rollups = crash_once
+    more, failed = m._run_batch(m.iterations[0], cfg.parameters, strict=False)
+    assert failed and crashed["n"] == 1
+    m._apply_rollups = real_apply
+
+    # growth before the replay
+    _enqueue(spark, src, [(5, 5, "UPDATE"), (2, 6, "UPDATE")])
+    records = _spy_stage(m)
+    m.run_until_drained()
+    assert records[0][0]["recompute"] is True
+    assert _rollup_rows(spark, tgt) == _recompute_rows(spark, tgt)
+
+
+# --------------------------------------------- transformer routing (r11)
+
+
+def test_rollup_follows_renamed_target(spark, sf_dir, tmp_path):
+    """VERDICT r10 #4: with the tablerenamer transformer, the rollup is
+    maintained on the table the rows actually LAND in — pre-r11 the
+    `rollups` config silently no-opped because no routed frame matched
+    the configured target_table."""
+    src, tgt, trk, n_queue = _clone_fixture(spark, sf_dir, tmp_path)
+    cfg = _cfg(src, tgt, n_queue)
+    it = cfg.migrations[0].iterations[0]
+    it.transformer = "tablerenamer"
+    it.transformer_parameters = {"TableName": "customer_renamed"}
+    Migrator(spark, cfg, trk).run_until_drained()
+
+    rolled = sorted(
+        (r["c_mktsegment"], float(r["sum_val"]), r["n_rows"])
+        for r in ParquetSource(tgt)
+        .table(spark, "customer_renamed__rollup_by_segment")
+        .collect()
+    )
+    want = sorted(
+        (r["c_mktsegment"], float(r["sum_val"]), r["n_rows"])
+        for r in compute_rollup(
+            ParquetSource(tgt)
+            .table(spark, "customer_renamed")
+            .select(
+                "c_mktsegment",
+                F.col("c_acctbal").cast("decimal(18,2)").alias("v"),
+            ),
+            ["c_mktsegment"],
+            "v",
+        ).collect()
+    )
+    assert rolled == want
+    # no phantom rollup under the configured-but-unrouted name
+    assert not ParquetSource(tgt).exists(spark, "customer__rollup_by_segment")
+
+
+@register_transformer("split_overlap")
+def _split_overlap(batch, ctx):
+    """Routes TWO frames to the same target with overlapping keys: the
+    later frame carries stale-_order copies of the %4 keys. The loader
+    merges frames sequentially, so those rows WIN their keys in the
+    final table despite the older _order — the staged delta must mirror
+    frame-position precedence or it diverges from the loaded table."""
+    even = batch.filter(F.col("c_custkey") % 2 == 0)
+    odd = batch.filter(F.col("c_custkey") % 2 == 1)
+    dup = (
+        even.filter(F.col("c_custkey") % 4 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 55)
+        .withColumn("_order", F.expr("timestampadd(SECOND, -100000, _order)"))
+    )
+    return [
+        Routed(even, ctx.target_table),
+        Routed(odd.unionByName(dup), ctx.target_table),
+    ]
+
+
+def test_rollup_multi_frame_same_target_unions_all_frames(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r10 #2: a transformer routing MULTIPLE frames to the
+    rollup's table gets ONE combined loader-faithful delta — pre-r11
+    only the first matching frame was staged, silently diverging."""
+    src, tgt, trk, n_queue = _clone_fixture(spark, sf_dir, tmp_path)
+    cfg = _cfg(src, tgt, n_queue)
+    cfg.migrations[0].iterations[0].transformer = "split_overlap"
+    Migrator(spark, cfg, trk).run_until_drained()
+    assert _rollup_rows(spark, tgt) == _recompute_rows(spark, tgt)
+
+
+# ------------------------------------------------- pruned apply (r11)
+
+
+def test_rollup_apply_file_prunes_high_cardinality(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r10 #3: the delta APPLY must not rewrite the whole
+    rollup table per batch. With a high-cardinality group key
+    (c_custkey — one group per customer) and the recompute seeding the
+    table range-clustered across multiple files, each batch's apply
+    goes through ParquetSource.merge_pruned: part-files outside the
+    touched key ranges are carried forward as hardlinks ("keep-"
+    files), so apply I/O is O(files containing touched groups)."""
+    from migrator_spark.pipeline import runner as runner_mod
+
+    monkeypatch.setattr(runner_mod, "ROLLUP_GROUPS_PER_FILE", 8)
+    src, tgt, trk = _mini_src_tgt(spark, sf_dir, tmp_path)
+    # batch A seeds the recompute: 40 customers / 8 per file = 5 files
+    _enqueue(spark, src, [(1, 1, "UPDATE"), (2, 2, "UPDATE")])
+    cfg = _mini_cfg(src, tgt)
+    cfg.migrations[0].iterations[0].rollups = [
+        {"name": "by_cust", "group_by": ["c_custkey"], "sum": "c_acctbal"}
+    ]
+    m = Migrator(spark, cfg, trk)
+    m.run_until_drained()
+    import os
+
+    def _current_files():
+        cur = ParquetSource(tgt)._current_dir("customer__rollup_by_cust")
+        return sorted(
+            f for f in os.listdir(cur) if f.endswith(".parquet")
+        )
+
+    seeded = _current_files()
+    assert len(seeded) >= 4, seeded  # range-clustered multi-file seed
+
+    # batch B touches two adjacent keys -> at most a couple of files
+    # rewrite; the rest carry forward as hardlinked "keep-" files
+    _enqueue(spark, src, [(3, 3, "UPDATE"), (4, 4, "UPDATE")])
+    m.run_until_drained()
+    after = _current_files()
+    kept = [f for f in after if f.startswith("keep-")]
+    assert kept, after  # pruning engaged: untouched files carried
+    assert len(after) - len(kept) <= 2, after  # only touched files rewrote
+    # and the patched table still equals a recompute
+    got = sorted(
+        (r["c_custkey"], float(r["sum_val"]), r["n_rows"])
+        for r in ParquetSource(tgt)
+        .table(spark, "customer__rollup_by_cust")
+        .collect()
+    )
+    want = sorted(
+        (r["c_custkey"], float(r["sum_val"]), r["n_rows"])
+        for r in compute_rollup(
+            ParquetSource(tgt)
+            .table(spark, "customer")
+            .select(
+                "c_custkey",
+                F.col("c_acctbal").cast("decimal(18,2)").alias("v"),
+            ),
+            ["c_custkey"],
+            "v",
+        ).collect()
+    )
+    assert got == want
 
 
 def test_rollups_yaml_shape_parses():

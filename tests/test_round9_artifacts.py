@@ -202,3 +202,51 @@ def test_quantizer_roundtrip_bit_identical(spark, sf_dir, tmp_path):
     c2, a2 = store.read_quantizer(spark)
     assert _rows(c2) == _rows(cents)
     assert _rows(a2) == _rows(assign)
+
+
+def test_two_level_quantizer_roundtrip_and_sd5_fold_parity(
+    spark, sf_dir, tmp_path
+):
+    """Round 11 (VERDICT r10 #5): the super+fine codebook pair persists
+    as OCC tables and the PRODUCTION two-level semdedup fold (sd5's
+    plan) run off the READ-BACK quantizer is bit-identical to the
+    in-session build — scoring is a pure function of (pts, coarse,
+    fine) and parquet doubles round-trip exactly."""
+    from migrator_spark.plans.llmdata import (
+        EMB_DIM,
+        SD1_TAU,
+        SD3_BOUNDS,
+        SIM11_ITERS,
+        SIM11_KC,
+        SIM11_KF,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    build_pts = pts.filter(F.col("vec_id") < SD3_BOUNDS[0])
+    coarse, fine, _ = sim.fit_two_level(
+        build_pts, SIM11_KC, SIM11_KF, SIM11_ITERS, "vec_id"
+    )
+    store = ArtifactStore(str(tmp_path / "art"))
+    assert not store.has_two_level_quantizer(spark)
+    store.write_two_level_quantizer(coarse, fine)
+    assert store.has_two_level_quantizer(spark)
+    c2, f2 = store.read_two_level_quantizer(spark)
+    assert _rows(c2) == _rows(coarse)
+    assert _rows(f2) == _rows(fine)
+
+    kwargs = dict(
+        boundaries=list(SD3_BOUNDS),
+        iters=SIM11_ITERS,
+        tau=SD1_TAU,
+        dim=EMB_DIM,
+        quantizer="two_level",
+        k_coarse=SIM11_KC,
+        k_fine=SIM11_KF,
+    )
+    in_session = sim.semdedup_fold(emb, **kwargs)
+    warm = sim.semdedup_fold(emb, prebuilt_two_level=(c2, f2), **kwargs)
+    assert _rows(warm) == _rows(in_session)
