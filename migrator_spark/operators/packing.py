@@ -40,6 +40,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     totals: DataFrame | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign every document a position in a packed token stream.
 
@@ -66,15 +67,25 @@ def pack_sequences(
     each bucket's stream starts at its persisted end offset instead of
     0: the incremental-append form (one broadcast of n_buckets rows on
     top of the same single-window plan).
+
+    ``n_tokens_col`` (round 11): pack by a PRECOMPUTED per-document
+    token count instead of the whitespace proxy — the production form,
+    where lengths come from the real tokenizer (e.g. the BPE serving
+    table, textops.bpe_apply_merges) and the loader's sequence budget
+    must be exact in model tokens, not words. Same single-window plan;
+    only the length expression changes.
     """
     if token_budget <= 0:
         raise ValueError("token_budget must be positive")
     hkey = stable_hash64(F.col(id_col).cast("string"))
+    ntok = (
+        F.col(n_tokens_col) if n_tokens_col else F.size(words(text_col))
+    ).cast("long")
     base = docs.select(
         F.col(id_col),
         (hkey % F.lit(n_buckets)).cast("long").alias("bucket"),
         hkey.alias("hkey"),
-        F.size(words(text_col)).cast("long").alias("n_tokens"),
+        ntok.alias("n_tokens"),
     )
     w = (
         Window.partitionBy("bucket")

@@ -2711,12 +2711,14 @@ def bpe4_apply_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe4_oracle(num_merges: int, holdout: str) -> str:
+def _bpe4_chain(num_merges: int, holdout: str) -> str:
     """Unrolled train-on-rest + apply-to-holdout chain: the training
     CTEs are _bpe2_oracle's with the holdout filtered OUT of the word
     frequency table; the apply CTEs run the SAME flag/blk/take/state
     positional rule over the holdout's distinct words, consuming each
-    round's best_{{i}} in rank order."""
+    round's best_{{i}} in rank order. Ends at ``astate_{num_merges}``
+    (w, pos, sym) — BPE4's per-word select and PK3's per-doc token
+    sums both read from it."""
     chain, _finals = _bpe2_oracle(
         num_merges, train_where=f"WHERE source != '{holdout}'"
     )
@@ -2760,14 +2762,88 @@ astate_0 AS (
         WHERE source = '{holdout}'),
        LATERAL unnest(generate_series(1, length(w))) AS g(i)
 ),
-{",".join(lvls)}
+{",".join(lvls)}"""
+
+
+BPE4_ORACLE = f"""{_bpe4_chain(BPE2_MERGES, BPE4_HOLDOUT)}
 SELECT w, CAST(count(*) AS BIGINT) AS n_toks,
        string_agg(sym, '|' ORDER BY pos) AS toks
-FROM astate_{num_merges} GROUP BY w
+FROM astate_{BPE2_MERGES} GROUP BY w
 """
 
 
-BPE4_ORACLE = _bpe4_oracle(BPE2_MERGES, BPE4_HOLDOUT)
+def pk3_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by REAL tokenizer length (round 11): pk1's
+    deterministic hash-bucket packing, but the per-document length is
+    the learned BPE tokenizer's token count (bpe4's serving table
+    aggregated per document) instead of the whitespace proxy — the
+    production loader packs in MODEL tokens, because a 512-token
+    training sequence is 512 BPE tokens, and a fertility>1 source
+    would silently overflow whitespace-budgeted chunks. Composition:
+    train merges on every source except '{BPE4_HOLDOUT}', tokenize the
+    holdout's vocabulary, per-doc token sums via one broadcast join of
+    the vocabulary-sized tokens-per-word table, then the pk1
+    single-window packing over (bucket) — the hash pins the learned
+    segmentation, the per-doc sums, AND every chunk boundary they
+    produce.
+
+    Scale: the tokens-per-word table is vocabulary-sized (broadcast);
+    the corpus is scanned once for the sums; packing stays the one
+    partitioned window with one row per document of shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train_merges(
+        docs.filter(F.col("source") != BPE4_HOLDOUT), num_merges=BPE2_MERGES
+    )
+    held = docs.filter(F.col("source") == BPE4_HOLDOUT)
+    tpw = tx.bpe_apply_merges(held, merges).select("w", "n_toks")
+    per_doc = (
+        held.select("doc_id", F.explode(words("text")).alias("w"))
+        .join(F.broadcast(tpw), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_toks").cast("long").alias("bpe_tokens"))
+    )
+    return pk.pack_sequences(
+        per_doc,
+        token_budget=PK1_TOKEN_BUDGET,
+        n_buckets=PK1_BUCKETS,
+        n_tokens_col="bpe_tokens",
+    )
+
+
+PK3_ORACLE = f"""{_bpe4_chain(BPE2_MERGES, BPE4_HOLDOUT)},
+tpw3 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_toks
+  FROM astate_{BPE2_MERGES} GROUP BY w
+),
+hd3 AS (
+  SELECT doc_id, wd AS w FROM docs, LATERAL unnest(w) AS t(wd)
+  WHERE source = '{BPE4_HOLDOUT}'
+),
+pd3 AS (
+  SELECT doc_id, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+  FROM hd3 JOIN tpw3 USING (w) GROUP BY doc_id
+),
+base3 AS (
+  SELECT doc_id,
+         {H.format(x="CAST(doc_id AS VARCHAR)")} % {PK1_BUCKETS} AS bucket,
+         {H.format(x="CAST(doc_id AS VARCHAR)")} AS hkey,
+         n_tokens
+  FROM pd3
+),
+cum3 AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY bucket
+                                  ORDER BY hkey ASC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM base3
+)
+SELECT doc_id, bucket, n_tokens, start_offset,
+       start_offset // {PK1_TOKEN_BUDGET} AS chunk_id,
+       (start_offset + n_tokens - 1) // {PK1_TOKEN_BUDGET}
+         > start_offset // {PK1_TOKEN_BUDGET} AS crosses_chunk
+FROM cum3
+"""
 
 
 def dv1_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -591,6 +591,12 @@ REGISTRY: dict[str, QuerySpec] = {
         note="oracle shared with sim11 by design: same relation, "
         "different provenance (offline store vs in-session build)",
     ),
+    # packing by REAL tokenizer length: pk1's single-window packing
+    # driven by bpe4's served token counts (per-doc sums via one
+    # vocabulary-sized broadcast) — the production loader packs in
+    # MODEL tokens, not whitespace words. The hash pins the learned
+    # segmentation, the per-doc sums, and every chunk boundary.
+    "pk3_bpe_packing": QuerySpec(llmdata.pk3_bpe_packing, llmdata.PK3_ORACLE),
 }
 
 
@@ -620,16 +626,17 @@ REGISTRY: dict[str, QuerySpec] = {
 #      the shared _bpe_merge_step — the regrade discipline would put
 #      all three back regardless.
 #   2. NEW round-11 entries: bpe4 (the tokenizer serving row, VERDICT
-#      r10 #6) and art4 (the two-level quantizer's warm-read seam,
-#      VERDICT r10 #5).
+#      r10 #6), art4 (the two-level quantizer's warm-read seam,
+#      VERDICT r10 #5), and pk3 (packing by served BPE token counts —
+#      the bpe4->pk1 composition).
 #   3. The 18-row r6-green SLO block (q6..pr11) — 5 rounds stale by
 #      now, the STALENESS SLO's boundary (see above).
 #   4. r7-green backfill in round-7 window order (stalest first),
-#      topped to exactly 50: pr12..q14.
-# Round 12's queue head: the r7-green remainder (q15, q17, q18, q20,
-# q21, q23, ev1–ev6, sk1, sk2, fo1, set1, pr1, pr4, pr5, dd6b, q24,
-# q25, cur3 — 23 rows, 5 rounds stale by r12: the SLO boundary again),
-# then the r8-green family, stalest first.
+#      topped to exactly 50: pr12..q13.
+# Round 12's queue head: the r7-green remainder (q14, q15, q17, q18,
+# q20, q21, q23, ev1–ev6, sk1, sk2, fo1, set1, pr1, pr4, pr5, dd6b,
+# q24, q25, cur3 — 24 rows, 5 rounds stale by r12: the SLO boundary
+# again), then the r8-green family, stalest first.
 # ---------------------------------------------------------------------------
 _GRADED_WINDOW: list[str] = [
     # -- never driver-graded (landed post-r10-window; VERDICT r10 #1);
@@ -643,6 +650,7 @@ _GRADED_WINDOW: list[str] = [
     # -- NEW round 11 --
     "bpe4_apply_heldout",  # NEW: tokenizer serving on held-out text
     "art4_warm_two_level_read",  # NEW: two-level codebooks via the store
+    "pk3_bpe_packing",  # NEW: packing by served BPE token counts
     # -- r6-stale SLO block (the staleness SLO's first compliance test) --
     "q6_forecast_revenue",
     "q7_trade_volume",
@@ -686,7 +694,8 @@ _GRADED_WINDOW: list[str] = [
     "q9_product_profit",
     "q12_priority_lateness",
     "q13_customer_distribution",
-    "q14_promo_effect",
+    # (q14_promo_effect displaced by the pk3 head insertion — it leads
+    # round 12's r7-green queue with the q15..cur3 block)
 ]
 
 # ---------------------------------------------------------------------------

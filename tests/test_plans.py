@@ -628,6 +628,21 @@ def test_pk1_one_partitioned_window_no_global_sort(spark, sf_dir):
     assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), plan
 
 
+def test_pk3_broadcast_tokens_single_bucket_window(spark, sf_dir):
+    # packing by served BPE token counts (round 11): the per-word
+    # token table joins BROADCAST (vocabulary-sized — the corpus side
+    # is never shuffled for the join), and the packing itself stays
+    # the single bucket-partitioned window with no global-range Sort.
+    # (The bpe4 training chain contributes its own bounded driver
+    # rounds upstream; the pin targets the serving composition.)
+    plan = _plan(spark, sf_dir, "pk3_bpe_packing")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # exactly one bucket-hash exchange feeds the packing window
+    assert len(re.findall(r"hashpartitioning\(bucket", plan)) >= 1, plan
+
+
 def test_dq3_single_scan_partial_agg(spark, sf_dir):
     # the checksum is scan -> partial agg -> one exchange -> final agg:
     # no join, no window, map-side partials carry 16 rows per task

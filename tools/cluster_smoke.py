@@ -104,6 +104,10 @@ SMOKE_QUERIES = [
                                 # consume, all through real executors
     "mnt2_runner_maintained_rollup",  # staged write-ahead rollup deltas sequenced across
                                       # the multi-batch drain on real executors
+    # -- round-11 shapes --
+    "bpe4_apply_heldout",       # K-round driver-looped window re-segmentation
+                                # (train + serve) with per-round localCheckpoints
+                                # under real executors
 ]
 
 # Total shape count the lane COMMITS to (VERDICT r10 #8): SMOKE_QUERIES
@@ -111,7 +115,7 @@ SMOKE_QUERIES = [
 # that run outside the registry. main() asserts and PRINTS this, so the
 # number documented in SCALE.md §5 can never silently drift from the
 # list — update BOTH when extending the lane.
-N_SHAPES = 49
+N_SHAPES = 50
 
 
 def smoke_semantic_stream(spark, sf: str) -> bool:
