@@ -989,7 +989,8 @@ def bpe_apply_merges(
     docs: DataFrame,
     merges: DataFrame,
     text_col: str = "text",
-) -> DataFrame:
+    return_state: bool = False,
+):
     """SERVE a learned BPE merge table on NEW text — the tokenize half
     of the loop bpe_train_merges learns and bpe_fertility scores. Per
     DISTINCT word of ``docs``, every merge applies in RANK ORDER
@@ -1010,7 +1011,11 @@ def bpe_apply_merges(
     Scale: state is the SERVING VOCABULARY (distinct words × symbol
     positions), never the corpus; the merge table is K rows collected
     once; K bounded driver rounds with per-round localCheckpoint (the
-    dd6/bpe2 iterative-algorithm discipline)."""
+    dd6/bpe2 iterative-algorithm discipline).
+
+    ``return_state``: return the raw final segmentation state
+    (w, pos, sym) instead of the per-word aggregate — what
+    ``bpe_encode`` consumes to emit per-document token-id streams."""
     mrows = sorted(
         (int(r["merge_rank"]), r["left_sym"], r["right_sym"])
         for r in merges.collect()
@@ -1027,6 +1032,8 @@ def bpe_apply_merges(
         state = _bpe_merge_step(state, left, right).localCheckpoint(
             eager=True
         )
+    if return_state:
+        return state
     return state.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("n_toks"),
         F.array_join(
@@ -1036,6 +1043,78 @@ def bpe_apply_merges(
             ),
             "|",
         ).alias("toks"),
+    )
+
+
+def bpe_vocab(
+    train_docs: DataFrame, merges: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The learned tokenizer's VOCABULARY (sym, id): the training
+    corpus's base characters plus every merge output (left||right),
+    densely numbered by binary symbol order — the standard BPE vocab
+    definition, deterministic and engine-mirrorable. A served symbol
+    outside it (a character the training corpus never saw) encodes as
+    the -1 unk sentinel in ``bpe_encode``.
+
+    Scale: vocabulary-sized by construction (|alphabet| + K rows); the
+    single-partition id window is over that tiny set, never data."""
+    chars = (
+        train_docs.select(F.explode(words(text_col)).alias("w"))
+        .select(F.explode(F.split(F.col("w"), "(?!^)")).alias("sym"))
+        .filter(F.col("sym") != "")
+    )
+    merged = merges.select(
+        F.concat(F.col("left_sym"), F.col("right_sym")).alias("sym")
+    )
+    win = Window.orderBy("sym")
+    return (
+        chars.unionByName(merged)
+        .distinct()
+        .select("sym", F.row_number().over(win).cast("long").alias("id"))
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE documents into model-ready token-id streams under the
+    learned tokenizer — the loop's last serving step (train ->
+    fertility -> segment -> pack -> encode). Per document:
+    (id_col, n_tokens, ids) with ``ids`` the '|'-joined vocab ids of
+    the document's tokens in (word position, symbol position) order;
+    symbols outside the vocabulary encode as -1 (unk).
+
+    Scale: the segmentation state and the vocab are both
+    vocabulary-sized broadcasts; the corpus is scanned once (word
+    stream with positions), and the per-doc assembly is one
+    aggregation — no corpus self-join, no global sort."""
+    state = bpe_apply_merges(docs, merges, text_col, return_state=True)
+    wordseq = docs.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("wi", "w")
+    )
+    tok = (
+        wordseq.join(F.broadcast(state), "w")
+        .join(F.broadcast(vocab), "sym", "left")
+        .select(
+            id_col,
+            "wi",
+            "pos",
+            F.coalesce(F.col("id"), F.lit(-1)).cast("long").alias("tid"),
+        )
+    )
+    return tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wi", "pos", "tid"))),
+                lambda s: s["tid"].cast("string"),
+            ),
+            "|",
+        ).alias("ids"),
     )
 
 

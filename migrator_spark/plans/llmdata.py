@@ -2772,6 +2772,58 @@ FROM astate_{BPE2_MERGES} GROUP BY w
 """
 
 
+def bpe5_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the held-out corpus into model-ready token-id streams
+    (round 11 — the tokenizer loop's last serving step: bpe2 trains,
+    bpe3 scores fertility, bpe4 segments, pk3 packs by length, THIS
+    emits what the training loader actually reads). Vocabulary = the
+    train slice's base characters + every merge output, densely
+    numbered by binary symbol order (textops.bpe_vocab); each holdout
+    document becomes the '|'-joined id sequence of its tokens in
+    (word, symbol) order, with unseen characters encoding as -1 unk
+    (textops.bpe_encode) — so the hash pins the vocabulary numbering,
+    the OOV rule, and every document's full id stream.
+
+    Scale: segmentation state + vocab are vocabulary-sized broadcasts;
+    one corpus scan; per-doc assembly is a single aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != BPE4_HOLDOUT)
+    held = docs.filter(F.col("source") == BPE4_HOLDOUT)
+    merges = tx.bpe_train_merges(train, num_merges=BPE2_MERGES)
+    vocab = tx.bpe_vocab(train, merges)
+    return tx.bpe_encode(held, merges, vocab)
+
+
+_BPE5_VOCAB_UNION = "\n    UNION\n".join(
+    f"    SELECT l || r AS sym FROM best_{i}" for i in range(BPE2_MERGES)
+)
+
+BPE5_ORACLE = f"""{_bpe4_chain(BPE2_MERGES, BPE4_HOLDOUT)},
+vocab5 AS (
+  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id
+  FROM (
+    SELECT DISTINCT substring(w, g.i, 1) AS sym
+    FROM wf, LATERAL unnest(generate_series(1, length(w))) AS g(i)
+    UNION
+{_BPE5_VOCAB_UNION}
+  )
+),
+ws5 AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS wi, unnest(w) AS word
+  FROM docs WHERE source = '{BPE4_HOLDOUT}'
+),
+tok5 AS (
+  SELECT d.doc_id, d.wi, s.pos, coalesce(v.id, -1) AS tid
+  FROM ws5 d
+  JOIN astate_{BPE2_MERGES} s ON s.w = d.word
+  LEFT JOIN vocab5 v ON v.sym = s.sym
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(CAST(tid AS VARCHAR), '|' ORDER BY wi, pos) AS ids
+FROM tok5 GROUP BY doc_id
+"""
+
+
 def pk3_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing by REAL tokenizer length (round 11): pk1's
     deterministic hash-bucket packing, but the per-document length is

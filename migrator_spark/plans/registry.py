@@ -597,6 +597,14 @@ REGISTRY: dict[str, QuerySpec] = {
     # MODEL tokens, not whitespace words. The hash pins the learned
     # segmentation, the per-doc sums, and every chunk boundary.
     "pk3_bpe_packing": QuerySpec(llmdata.pk3_bpe_packing, llmdata.PK3_ORACLE),
+    # the loop's last serving step: held-out documents encoded into
+    # '|'-joined vocab-id streams (base chars + merge outputs, dense
+    # binary-order ids, -1 unk) — what the training loader reads. The
+    # hash pins the vocabulary numbering, the OOV rule, and every
+    # document's full id stream.
+    "bpe5_encode_corpus": QuerySpec(
+        llmdata.bpe5_encode_corpus, llmdata.BPE5_ORACLE
+    ),
 }
 
 
@@ -627,16 +635,17 @@ REGISTRY: dict[str, QuerySpec] = {
 #      all three back regardless.
 #   2. NEW round-11 entries: bpe4 (the tokenizer serving row, VERDICT
 #      r10 #6), art4 (the two-level quantizer's warm-read seam,
-#      VERDICT r10 #5), and pk3 (packing by served BPE token counts —
-#      the bpe4->pk1 composition).
+#      VERDICT r10 #5), pk3 (packing by served BPE token counts — the
+#      bpe4->pk1 composition), and bpe5 (documents -> vocab-id
+#      streams, the loop's last serving step).
 #   3. The 18-row r6-green SLO block (q6..pr11) — 5 rounds stale by
 #      now, the STALENESS SLO's boundary (see above).
 #   4. r7-green backfill in round-7 window order (stalest first),
-#      topped to exactly 50: pr12..q13.
-# Round 12's queue head: the r7-green remainder (q14, q15, q17, q18,
-# q20, q21, q23, ev1–ev6, sk1, sk2, fo1, set1, pr1, pr4, pr5, dd6b,
-# q24, q25, cur3 — 24 rows, 5 rounds stale by r12: the SLO boundary
-# again), then the r8-green family, stalest first.
+#      topped to exactly 50: pr12..q12.
+# Round 12's queue head: the r7-green remainder (q13, q14, q15, q17,
+# q18, q20, q21, q23, ev1–ev6, sk1, sk2, fo1, set1, pr1, pr4, pr5,
+# dd6b, q24, q25, cur3 — 25 rows, 5 rounds stale by r12: the SLO
+# boundary again), then the r8-green family, stalest first.
 # ---------------------------------------------------------------------------
 _GRADED_WINDOW: list[str] = [
     # -- never driver-graded (landed post-r10-window; VERDICT r10 #1);
@@ -651,6 +660,7 @@ _GRADED_WINDOW: list[str] = [
     "bpe4_apply_heldout",  # NEW: tokenizer serving on held-out text
     "art4_warm_two_level_read",  # NEW: two-level codebooks via the store
     "pk3_bpe_packing",  # NEW: packing by served BPE token counts
+    "bpe5_encode_corpus",  # NEW: documents -> vocab-id streams (+unk rule)
     # -- r6-stale SLO block (the staleness SLO's first compliance test) --
     "q6_forecast_revenue",
     "q7_trade_volume",
@@ -693,9 +703,9 @@ _GRADED_WINDOW: list[str] = [
     "e4_point_lookup_join",
     "q9_product_profit",
     "q12_priority_lateness",
-    "q13_customer_distribution",
-    # (q14_promo_effect displaced by the pk3 head insertion — it leads
-    # round 12's r7-green queue with the q15..cur3 block)
+    # (q13_customer_distribution and q14_promo_effect displaced by the
+    # pk3/bpe5 head insertions — they lead round 12's r7-green queue
+    # with the q15..cur3 block)
 ]
 
 # ---------------------------------------------------------------------------

@@ -72,6 +72,51 @@ def test_bpe_apply_matches_classic_reference_on_holdout(spark):
     assert got == want
 
 
+def test_bpe_encode_matches_classic_reference_with_unk(spark):
+    """bpe_encode == the sequential reference id-for-id: vocab = train
+    base chars + merge outputs densely numbered in binary order;
+    held-out text containing characters the trainer never saw ('z',
+    'q') encodes them as -1 unk; ids concatenate in (word, symbol)
+    order across each document."""
+    train_texts = ["aaa abab low lower ab ab", "newer new aaaa"]
+    held_texts = [("d0", "ab lowz aaa"), ("d1", "qq unseen lower")]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    held = spark.createDataFrame(
+        held_texts, "doc_id string, text string"
+    )
+    from migrator_spark.operators.textops import bpe_encode, bpe_vocab
+
+    merges_df = bpe_train_merges(train, num_merges=6)
+    vocab_df = bpe_vocab(train, merges_df)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ids"])
+        for r in bpe_encode(held, merges_df, vocab_df).collect()
+    }
+
+    ref_merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in sorted(merges_df.collect(), key=lambda r: r["merge_rank"])
+    ]
+    chars = set()
+    for t in train_texts:
+        for w in re.sub(r"\s+", " ", t.lower().strip()).split(" "):
+            chars.update(w)
+    vocab = {
+        s: i + 1
+        for i, s in enumerate(sorted(chars | {l + r for l, r in ref_merges}))
+    }
+    want = {}
+    for doc_id, t in held_texts:
+        ids = []
+        for w in re.sub(r"\s+", " ", t.lower().strip()).split(" "):
+            for s in _ref_tokenize(w, ref_merges):
+                ids.append(vocab.get(s, -1))
+        want[doc_id] = (len(ids), "|".join(map(str, ids)))
+    assert got == want
+
+
 def test_bpe_apply_rank_order_matters(spark):
     """The application ORDER contract is load-bearing: applying the
     learned merges in reverse rank order yields a different
