@@ -133,17 +133,37 @@ def apply_rollup_delta(
     rollup: DataFrame, delta: DataFrame, group_cols: list[str]
 ) -> DataFrame:
     """Patch ``rollup`` with a staged delta; groups whose count reaches
-    0 drop, matching a recompute."""
+    0 drop, matching a recompute.
+
+    The join is NULL-SAFE on the group columns (round 11): groupBy
+    treats NULL as a real group, so the patch must too — a plain
+    equi-join never matches the NULL group and would SPLIT it into a
+    stale row plus a delta-only row, silently diverging from the
+    recompute the moment a nullable group-by column holds NULLs.
+    eqNullSafe is still an equi-join expression, so the broadcast hash
+    join is preserved."""
+    r, d = rollup.alias("r"), F.broadcast(delta).alias("d")
+    cond = None
+    for c in group_cols:
+        e = F.col(f"r.{c}").eqNullSafe(F.col(f"d.{c}"))
+        cond = e if cond is None else cond & e
     return (
-        rollup.join(F.broadcast(delta), on=group_cols, how="full_outer")
+        r.join(d, cond, "full_outer")
         .select(
-            *group_cols,
-            (F.coalesce(F.col("sum_val"), F.lit(0)) + F.coalesce(F.col("_dsum"), F.lit(0))).alias(
-                "sum_val"
-            ),
-            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))).alias(
-                "n_rows"
-            ),
+            *[
+                F.when(F.col(f"d.{c}").isNotNull(), F.col(f"d.{c}"))
+                .otherwise(F.col(f"r.{c}"))
+                .alias(c)
+                for c in group_cols
+            ],
+            (
+                F.coalesce(F.col("r.sum_val"), F.lit(0))
+                + F.coalesce(F.col("d._dsum"), F.lit(0))
+            ).alias("sum_val"),
+            (
+                F.coalesce(F.col("r.n_rows"), F.lit(0))
+                + F.coalesce(F.col("d._dn"), F.lit(0))
+            ).alias("n_rows"),
         )
         .filter(F.col("n_rows") > 0)
     )

@@ -68,9 +68,13 @@ def _clone_fixture(spark, sf_dir, tmp_path):
     return f"{root}/a", f"{root}/b", f"{root}/trk", n_queue
 
 
+def _null_safe_sort(rows):
+    return sorted(rows, key=lambda t: ((t[0] is None, t[0]), t[1:]))
+
+
 def _rollup_rows(spark, tgt_dir):
     df = ParquetSource(tgt_dir).table(spark, "customer__rollup_by_segment")
-    return sorted(
+    return _null_safe_sort(
         (r["c_mktsegment"], float(r["sum_val"]), r["n_rows"])
         for r in df.collect()
     )
@@ -85,7 +89,7 @@ def _recompute_rows(spark, tgt_dir):
         ["c_mktsegment"],
         "v",
     )
-    return sorted(
+    return _null_safe_sort(
         (r["c_mktsegment"], float(r["sum_val"]), r["n_rows"])
         for r in df.collect()
     )
@@ -472,6 +476,38 @@ def test_rollup_multi_frame_same_target_unions_all_frames(
     cfg.migrations[0].iterations[0].transformer = "split_overlap"
     Migrator(spark, cfg, trk).run_until_drained()
     assert _rollup_rows(spark, tgt) == _recompute_rows(spark, tgt)
+
+
+def test_rollup_null_group_key_patches_not_splits(spark, sf_dir, tmp_path):
+    """Round 11: a NULL group-by value is a real group to groupBy, so
+    the maintained rollup must patch it in place — the pre-fix
+    null-unsafe apply join split it into a stale row plus a delta-only
+    row. The NULL group also routes the pruned apply to the full
+    rewrite (footer stats can't represent NULLs)."""
+    src, tgt, trk = _mini_src_tgt(spark, sf_dir, tmp_path)
+    # poke NULL segments into BOTH sides' low keys so batches touch them
+    for d in (src, tgt):
+        cur = ParquetSource(d).table(spark, "customer")
+        ParquetSource(d).write(
+            cur.withColumn(
+                "c_mktsegment",
+                F.when(F.col("c_custkey") <= 4, F.lit(None)).otherwise(
+                    F.col("c_mktsegment")
+                ),
+            ),
+            "customer",
+            mode="overwrite",
+        )
+    cfg = _mini_cfg(src, tgt)
+    m = Migrator(spark, cfg, trk)
+    _enqueue(spark, src, [(1, 1, "UPDATE"), (7, 2, "UPDATE")])
+    m.run_until_drained()  # seq 1 recompute (NULL group present)
+    _enqueue(spark, src, [(2, 3, "UPDATE"), (3, 4, "REMOVE"), (8, 5, "UPDATE")])
+    m.run_until_drained()  # seq 2 DELTA patch touches the NULL group
+    rows = _rollup_rows(spark, tgt)
+    null_rows = [t for t in rows if t[0] is None]
+    assert len(null_rows) == 1, rows  # patched in place, never split
+    assert rows == _recompute_rows(spark, tgt)
 
 
 # ------------------------------------------------- pruned apply (r11)
