@@ -108,6 +108,13 @@ HEADLINE = [
     # the K-round serving loop, the round's heaviest addition); prior
     # 30 unchanged so round-over-round subsets stay protocol-matched
     "bpe4_apply_heldout",
+    # round 12: the tokenizer-ARTIFACT serving loop (train -> OCC
+    # publish to the store -> fresh-handle warm read -> bpe5 encode of
+    # the held-out corpus — the deployment path every tokenizer
+    # consumer now takes, priced end-to-end incl. the atomic publish);
+    # prior 31 unchanged so round-over-round subsets stay
+    # protocol-matched
+    "art5_warm_bpe_read",
 ]
 
 REPEATS = 3  # median-of-3: one cold run can no longer swing the number 2x
@@ -142,12 +149,25 @@ METHODOLOGY = (
     "since r12, both records carry a CONTENTION SENTINEL (VERDICT r11 "
     "#4 — the official r11 capture read 3.12x on diff-identical plans "
     "and only a judge re-run could adjudicate): 'load1' = 1-min "
-    "loadavg at [start, end], 'calib' = median-of-3 wall of the fixed "
-    "range(1e6).sum() micro-job run [before, after] the timed loop, "
-    "and 'contended' = true when max(calib)/min(calib) > 1.5 or "
-    "load1[0] > 1.5 x the session's CPU count — outside that band the "
-    "capture self-reports as a loaded-box artifact and drift verdicts "
-    "must come from an isolated re-run, not this record; "
+    "loadavg at [start, end], 'calib' = median-of-3 walls of the fixed "
+    "range(1e6).sum() micro-job behind a GC barrier, measured [right "
+    "after JVM warmup, every ~8 rows THROUGH the timed loop, after "
+    "it] — interleaved because load that comes and goes inside the "
+    "loop is invisible to endpoint-only probes (observed: a capture "
+    "with 2-3x-inflated small rows whose endpoints read clean). The "
+    "job WARMS 2-3.5x from fresh to deep-aged (measured 0.246 -> "
+    "0.071 s across one idle session — JIT tiering), so calib[0] "
+    "carries no contention signal; 'contended' = true when load1[0] "
+    "> 1.5 x the session's CPU count (box loaded before the run), "
+    "any session-aged calibration (calib[1:]) > 0.25 s (idle band "
+    "0.07-0.16 s on this box-protocol — r11's 1.5-3x-inflated capture "
+    "would have cleared this), or the aged walls spread > 3x among "
+    "themselves (their own idle spread reaches ~2.3x — GC "
+    "neighborhoods — so the spread rule is only a coarse backstop; "
+    "the absolute band is the primary mid-run signal). Outside those "
+    "bands the capture self-reports as a "
+    "loaded-box artifact and drift verdicts must come from an "
+    "isolated re-run, not this record; "
     "r1/r2 were cold single-shot"
 )
 
@@ -155,7 +175,12 @@ METHODOLOGY = (
 def _calibration_wall(spark) -> float:
     """Median-of-3 wall of a FIXED micro-job (the JVM-warmup shape):
     constant work, so its wall moves only with box contention. Recorded
-    before and after the timed loop as the contention sentinel."""
+    before and after the timed loop as the contention sentinel. Runs
+    behind the same GC barrier as the timed rows — without it the PRE
+    calibration lands in the warm-up passes' GC shadow and reads ~1.5x
+    high on an idle box (observed on the first r12 capture), biasing
+    the sentinel toward false 'contended'."""
+    _gc_barrier(spark)
     walls = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -164,17 +189,44 @@ def _calibration_wall(spark) -> float:
     return round(statistics.median(walls), 4)
 
 
+# the session-aged (post-loop) calibration wall measured on an idle
+# box under this exact protocol: 0.07-0.16 s across today's runs. A
+# capture whose aged wall clears ~2x the top of that band is running
+# on a loaded box (the r11 failure mode inflated every row 1.5-3x).
+CALIB_POST_IDLE_MAX = 0.25
+
+
 def sentinel_fields(
     load1: list[float], calib: list[float], n_cpus: int
 ) -> dict:
     """The contention-sentinel fields both records carry (VERDICT r11
-    #4). The band (named in METHODOLOGY): a capture self-reports as
-    contended when the fixed calibration job's wall moved more than
-    1.5x between the start and end of the run, or the box already
-    carried load1 > 1.5 x this session's CPUs before the run began."""
+    #4). ``calib`` = the fixed job's wall [pre, every ~8 rows through
+    the timed loop, post] — INTERLEAVED because external load that
+    comes and goes inside the loop is invisible to endpoint-only
+    measurements (observed on this box). The bands (named in
+    METHODOLOGY): contended when the box already carried load1 > 1.5 x
+    this session's CPUs before the run began, when any SESSION-AGED
+    calibration (all but calib[0]) exceeds CALIB_POST_IDLE_MAX, or
+    when the AGED walls spread more than 3x among themselves — the
+    job WARMS 2-3.5x from fresh to deep-aged (JIT tiering, measured
+    0.246 -> 0.071 idle), so calib[0] is excluded from both rules,
+    and the aged points' own idle spread reaches ~2.3x (each sits in
+    a different heavy query's GC neighborhood), which is why the
+    spread rule is a coarse backstop and the absolute band is the
+    primary mid-run signal."""
+    aged = calib[1:] if len(calib) > 1 else calib
     contended = (
-        max(calib) / max(min(calib), 1e-9) > 1.5
-        or load1[0] > 1.5 * n_cpus
+        load1[0] > 1.5 * n_cpus
+        or any(v > CALIB_POST_IDLE_MAX for v in aged)
+        # spread over AGED points only: calib[0] is the fresh-session
+        # wall, 2-3.5x the deep-aged floor by JIT warm-up alone
+        # (measured 0.246 vs 0.071 on an idle box). The aged points
+        # themselves are noisy at the 0.07-0.15 s scale — idle runs
+        # measured spreads up to 2.3x (each calibration sits in a
+        # different heavy query's GC neighborhood) — so only a >3x
+        # spread is load; the absolute band above is the primary
+        # mid-run signal
+        or max(aged) / max(min(aged), 1e-9) > 3.0
     )
     return {
         "load1": [round(v, 2) for v in load1],
@@ -204,6 +256,13 @@ def main() -> None:
     spark = get_spark("migrator_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # PRE calibration runs HERE — after the JVM warmup (so the micro-job
+    # is JIT-hot) but BEFORE the plan warm-up passes: measured twice on
+    # an idle box, a calibration taken after the warm-ups reads 1.5-2.8x
+    # high in their ContextCleaner/GC shadow and false-flags contention;
+    # the sentinel's job is to measure the BOX, not this bench's own
+    # warm-up wake.
+    calib_pre = _calibration_wall(spark)
 
     # Steady-state measurement: run each plan once at the smallest SF so
     # whole-stage-codegen JIT compiles before the timed run (first
@@ -222,10 +281,9 @@ def main() -> None:
         if spec is not None:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    calib_pre = _calibration_wall(spark)
-
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    calib = [calib_pre]
+    for i, name in enumerate(HEADLINE):
         spec = REGISTRY.get(name)
         if spec is None:
             continue
@@ -236,10 +294,16 @@ def main() -> None:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        if (i + 1) % 8 == 0:
+            # mid-run calibrations: external load that comes and goes
+            # INSIDE the timed loop is invisible to endpoint-only
+            # measurements (observed: a capture with 2-3x-inflated
+            # small rows whose post-loop calibration read clean)
+            calib.append(_calibration_wall(spark))
 
-    calib_post = _calibration_wall(spark)
+    calib.append(_calibration_wall(spark))
     sentinel = sentinel_fields(
-        [load1_start, os.getloadavg()[0]], [calib_pre, calib_post], n_cpus
+        [load1_start, os.getloadavg()[0]], calib, n_cpus
     )
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf

@@ -738,6 +738,7 @@ class Migrator:
                 .drop("_seq", "_fp_n", "_fp_hash")
             )
             lead = group_cols[0]
+            n_touched = None
             # the lead type comes from the DELTA's schema (same origin
             # column as the rollup table's), not a .table() open of the
             # rollup — steady state must not touch the full table at
@@ -796,8 +797,14 @@ class Migrator:
             # full rewrite through the range-clustering writer (ADVICE
             # r11 #3): a plain overwrite here would lose the footer-range
             # layout one spread batch at a time, so every batch after it
-            # would prune poorly or not at all
-            self._write_rollup_clustered(b, data_t, new, group_cols)
+            # would prune poorly or not at all. File sizing from footer
+            # stats + touched count — no second materialization of `new`.
+            hint = None
+            if isinstance(b.target, ParquetSource):
+                hint = b.target.footer_num_rows(data_t) + (n_touched or 1)
+            self._write_rollup_clustered(
+                b, data_t, new, group_cols, n_groups_hint=hint
+            )
 
     def _apply_minmax(
         self, b: BoundIteration, tgt_table: str, rl: dict, seq: int, recompute: bool
@@ -895,14 +902,30 @@ class Migrator:
             return
         cur = b.target.table(self.spark, data_t).drop("_seq")
         new = _patch(cur).select(*out_cols).withColumn("_seq", F.lit(seq))
-        self._write_rollup_clustered(b, data_t, new, gcols)
+        hint = None
+        if isinstance(b.target, ParquetSource):
+            hint = b.target.footer_num_rows(data_t) + len(leads)
+        self._write_rollup_clustered(b, data_t, new, gcols, n_groups_hint=hint)
 
     def _write_rollup_clustered(
-        self, b: BoundIteration, data_t: str, new, group_cols: list[str]
+        self,
+        b: BoundIteration,
+        data_t: str,
+        new,
+        group_cols: list[str],
+        n_groups_hint: int | None = None,
     ) -> None:
-        """Recompute-path full write; for parquet sinks the table is
+        """Full rollup write; for parquet sinks the table is
         RANGE-CLUSTERED on the group key so every later delta apply can
-        file-prune (footer min/max of the leading group column)."""
+        file-prune (footer min/max of the leading group column).
+
+        ``n_groups_hint`` sizes the file count without materializing
+        ``new`` twice (cache + count + write): the steady-state
+        full-rewrite callers pass the CURRENT table's footer row count
+        plus the batch's touched-group count — an upper bound within
+        one batch of exact, and file sizing only needs the right order
+        of magnitude. The recompute path (no trustworthy prior table)
+        passes None and pays the one cache+count."""
         from pyspark.sql import functions as F
 
         from migrator_spark.sources.parquet import ParquetSource
@@ -910,8 +933,11 @@ class Migrator:
         if not isinstance(b.target, ParquetSource):
             b.target.write(new, data_t, mode="overwrite")
             return
-        new = new.cache()
-        n_groups = new.count()
+        if n_groups_hint is None:
+            new = new.cache()
+            n_groups = new.count()
+        else:
+            n_groups = n_groups_hint
         files = max(1, min(32, -(-n_groups // ROLLUP_GROUPS_PER_FILE)))
         b.target.write(
             new.repartitionByRange(
@@ -920,7 +946,8 @@ class Migrator:
             data_t,
             mode="overwrite",
         )
-        new.unpersist()
+        if n_groups_hint is None:
+            new.unpersist()
 
     # ---------------------------------------------------------- drain
 

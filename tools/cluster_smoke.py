@@ -108,6 +108,13 @@ SMOKE_QUERIES = [
     "bpe4_apply_heldout",       # K-round driver-looped window re-segmentation
                                 # (train + serve) with per-round localCheckpoints
                                 # under real executors
+    # -- round-12 shapes --
+    "mnt3_minmax_rollup",       # staged-touched-groups scoped recompute (the
+                                # non-invertible aggregate arm) sequenced across
+                                # the drain on real executors
+    "art5_warm_bpe_read",       # tokenizer train -> OCC publish -> fresh-handle
+                                # warm read -> encode, store round-trip across
+                                # real executors
 ]
 
 # Total shape count the lane COMMITS to (VERDICT r10 #8): SMOKE_QUERIES
@@ -115,7 +122,7 @@ SMOKE_QUERIES = [
 # that run outside the registry. main() asserts and PRINTS this, so the
 # number documented in SCALE.md §5 can never silently drift from the
 # list — update BOTH when extending the lane.
-N_SHAPES = 50
+N_SHAPES = 52
 
 
 def smoke_semantic_stream(spark, sf: str) -> bool:
