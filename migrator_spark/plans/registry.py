@@ -563,6 +563,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "mnt3_minmax_rollup": QuerySpec(
         cdc.mnt3_minmax_rollup, cdc.MNT3_ORACLE
     ),
+    # AVG served from the maintained (sum, count) rollup (round 12):
+    # the documented "avg = sum_val / n_rows" derivation made
+    # executable and graded — double-cast-then-one-divide on both
+    # engines so the derived average is hash-exact. Landed post-window;
+    # heads round 13's queue.
+    "mnt4_avg_from_rollup": QuerySpec(
+        cdc.mnt4_avg_from_rollup, cdc.MNT4_ORACLE
+    ),
     # the artifact trio's third warm-read seam: flat quantizer via OCC
     # commit log, consumed by sim2's IVF probe. Post-window; r11 queue.
     "art3_warm_quantizer_read": QuerySpec(
@@ -661,11 +669,12 @@ REGISTRY: dict[str, QuerySpec] = {
 #      lists them.
 #   4. r8-green backfill in round-8 window order (stalest first),
 #      topped to exactly 50: sim15..st5.
-# Round 13's queue head: the r8-green remainder (f1, f2, f3, dd1,
-# dd5, dd7, dd9, sim2, ta10, dd10, dd11, mx2, ev7, ev8, dq2, fo2,
-# fo3, sim7, sim8, q2, q11, q16, q22 — 23 rows, 5 rounds stale by
-# r13: the SLO boundary again), then the r9-green family, stalest
-# first.
+# Round 13's queue head: mnt4_avg_from_rollup (landed after this
+# window settled, never driver-graded), then the r8-green remainder
+# (f1, f2, f3, dd1, dd5, dd7, dd9, sim2, ta10, dd10, dd11, mx2, ev7,
+# ev8, dq2, fo2, fo3, sim7, sim8, q2, q11, q16, q22 — 23 rows, 5
+# rounds stale by r13: the SLO boundary again), then the r9-green
+# family, stalest first.
 # ---------------------------------------------------------------------------
 _GRADED_WINDOW: list[str] = [
     # -- plan-changed round 12 (payload fingerprint + footer-stats
