@@ -181,9 +181,10 @@ class IterationSpec:
     #
     # SINGLE SEQUENCER (VERDICT r11 #6): at most ONE iteration may
     # load (and roll up) a given target table — enforced at bind time
-    # (runner._check_rollup_sequencers); a transformer dynamically
-    # routing two iterations into one table is the unenforceable
-    # residue and is documented there.
+    # for configured targets (runner._check_rollup_sequencers) and at
+    # first maintenance touch for dynamically-ROUTED ones (the
+    # in-process runner._claim_sequencer registry); across processes
+    # it is a documented deployment constraint.
     rollups: list[dict] = field(default_factory=list)
 
     @property

@@ -561,3 +561,76 @@ def test_full_rewrite_apply_preserves_clustering(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_dynamic_routing_to_claimed_rollup_target_rejected(
+    spark, sf_dir, tmp_path
+):
+    """The single-sequencer invariant's RUNTIME arm: two iterations
+    whose CONFIGURED targets differ (so the bind-time check passes)
+    but whose renaming transformers route into one shared table must
+    fail loudly at the second iteration's first maintenance touch —
+    before any staged state is written — because two live sequencers
+    overwrite each other's write-ahead state (a crashed writer's
+    staged delta clobbered by the other is silent, permanent rollup
+    divergence)."""
+    from migrator_spark.pipeline.config import (
+        IterationSpec,
+        MigrationSpec,
+        MigratorConfig,
+        Parameters,
+    )
+    from migrator_spark.tables import load_table
+
+    src_dir, tgt_dir, trk = f"{tmp_path}/a", f"{tmp_path}/b", f"{tmp_path}/trk"
+    customer = (
+        load_table(spark, sf_dir, "customer").orderBy("c_custkey").limit(20)
+    )
+    ps = ParquetSource(src_dir)
+    # two distinct source tables feeding the same physical rows
+    ps.write(customer, "cust_x")
+    ps.write(customer, "cust_y")
+    ParquetSource(tgt_dir).write(customer, "shared")
+
+    def it(src_table, tgt_table):
+        return IterationSpec(
+            source_table=src_table,
+            source_key="c_custkey",
+            target_table=tgt_table,
+            merge_key="c_custkey",
+            extractor="queue",
+            transformer="tablerenamer",
+            transformer_parameters={"TableName": "shared"},
+            rollups=[dict(ROLLUP)],
+        )
+
+    cfg = MigratorConfig(
+        migrations=[
+            MigrationSpec(
+                source_dsn=src_dir,
+                target_dsn=tgt_dir,
+                # configured targets DIFFER -> bind-time check passes
+                iterations=[it("cust_x", "tx"), it("cust_y", "ty")],
+            )
+        ],
+        parameters=Parameters(batch_size=4),
+    )
+    from datetime import datetime, timedelta
+
+    rows = [
+        ("a", t, "c_custkey", str(k), datetime(2024, 1, 1) + timedelta(seconds=s), "UPDATE")
+        for t, k, s in [("cust_x", 1, 1), ("cust_x", 2, 2), ("cust_y", 3, 3), ("cust_y", 4, 4)]
+    ]
+    ps.write(
+        spark.createDataFrame(
+            rows,
+            "sourceDatabase string, sourceTable string, pkColumn string, "
+            "pkValue string, timestampUpdated timestamp, method string",
+        ),
+        "MigratorRecordQueue",
+    )
+    errors = []
+    m = Migrator(spark, cfg, trk, error_callback=lambda s, e, c: errors.append(e))
+    m.run_until_drained()
+    # the first iteration claimed 'shared'; the second's touch raised
+    assert errors and "already maintained" in str(errors[0]), errors
