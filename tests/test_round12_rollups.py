@@ -634,3 +634,32 @@ def test_dynamic_routing_to_claimed_rollup_target_rejected(
     m.run_until_drained()
     # the first iteration claimed 'shared'; the second's touch raised
     assert errors and "already maintained" in str(errors[0]), errors
+
+
+def test_footer_stats_fallback_without_statistics(spark, tmp_path):
+    """footer_column_max must report stats_ok=False when any non-empty
+    file lacks column statistics, and _rollup_seq must then fall back
+    to the real scan — footer reading is an optimization, never a
+    correctness dependency."""
+    import types
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ps = ParquetSource(str(tmp_path))
+    ps.write(spark.range(10).withColumn("_seq", F.lit(3)), "t")
+    cur = ps._current_dir("t")
+    pq.write_table(
+        pa.table({"id": pa.array([100], pa.int64()),
+                  "_seq": pa.array([9], pa.int64())}),
+        os.path.join(cur, "nostats.parquet"),
+        write_statistics=False,
+    )
+    mx, ok = ps.footer_column_max("t", "_seq")
+    assert not ok
+    # row counts come from footer metadata regardless of stats
+    assert ps.footer_num_rows("t") == 11
+    # the seq read falls back to a Spark scan and sees the stats-less
+    # file's higher value
+    stub = types.SimpleNamespace(spark=spark)
+    assert Migrator._rollup_seq(stub, ps, "t") == 9
