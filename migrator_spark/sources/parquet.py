@@ -272,13 +272,26 @@ class ParquetSource:
                 total += pq.read_metadata(e.path).num_rows
         return total
 
+    # Physical types whose footer min/max are EXACT by the parquet spec.
+    # String/binary (BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY) statistics may be
+    # TRUNCATED bounds — still valid for range pruning (_file_key_range:
+    # a truncated max is adjusted upward, so [min, max] remains a cover),
+    # but wrong as a VALUE: footer_column_max returns the statistic
+    # itself, so it must refuse them (ADVICE r12 #4). FLOAT/DOUBLE are
+    # excluded too: NaN handling makes legacy writer stats unreliable.
+    _EXACT_STATS_PHYSICAL = frozenset({"INT32", "INT64", "INT96", "BOOLEAN"})
+
     def footer_column_max(self, name: str, col: str):
         """(max of ``col`` across ``name``, stats_ok) from footers only.
 
         ``stats_ok`` is False when any non-empty row group lacks usable
-        min/max statistics for ``col`` (or the column is missing from a
-        file) — the caller must fall back to a real scan. A table with
-        zero rows returns (None, True)."""
+        min/max statistics for ``col``, the column is missing from a
+        file, OR the column's physical type is outside
+        ``_EXACT_STATS_PHYSICAL`` (integer/temporal storage) — parquet
+        writers may store truncated min/max for string/binary columns,
+        which are correct as pruning BOUNDS but not as the max VALUE
+        this helper returns — the caller must fall back to a real scan.
+        A table with zero rows returns (None, True)."""
         current = self._current_dir(name)
         hi = None
         for e in os.scandir(current):
@@ -290,6 +303,8 @@ class ParquetSource:
             try:
                 idx = md.schema.names.index(col)
             except ValueError:
+                return None, False
+            if md.schema.column(idx).physical_type not in self._EXACT_STATS_PHYSICAL:
                 return None, False
             for rg in range(md.num_row_groups):
                 grp = md.row_group(rg)

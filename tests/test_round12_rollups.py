@@ -499,6 +499,42 @@ def test_footer_stats_helpers(spark, tmp_path):
     assert ok and mx is None
 
 
+def test_footer_column_max_refuses_string_columns(spark, tmp_path):
+    """ADVICE r12 #4: parquet writers may store TRUNCATED min/max for
+    string/binary columns — valid as pruning bounds, wrong as the max
+    VALUE — so footer_column_max must report stats_ok=False for any
+    column outside the exact-stats physical types (integer/temporal),
+    forcing the caller's real-scan fallback."""
+    ps = ParquetSource(str(tmp_path))
+    df = spark.range(10).select(
+        F.col("id"),
+        F.concat(F.lit("val-"), F.col("id").cast("string")).alias("s"),
+        F.col("id").cast("double").alias("d"),
+        (F.lit("2024-01-01").cast("date")).alias("day"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+    # timestamps as INT64 micros (the modern layout; Spark's legacy
+    # INT96 default carries no row-group stats at all, so it takes the
+    # stats-missing fallback arm regardless of this guard)
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        ps.write(df, "t")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    _, ok = ps.footer_column_max("t", "s")
+    assert not ok  # BYTE_ARRAY: truncation-capable, refused
+    _, ok = ps.footer_column_max("t", "d")
+    assert not ok  # DOUBLE: NaN-ordering hazards, refused
+    mx, ok = ps.footer_column_max("t", "id")
+    assert ok and mx == 9  # INT64: exact
+    # temporal columns store as INT32/INT64 physical — still exact
+    for c in ("day", "ts"):
+        _, ok = ps.footer_column_max("t", c)
+        assert ok, c
+
+
 def test_full_rewrite_apply_preserves_clustering(spark, sf_dir, tmp_path):
     """ADVICE r11 #3: after a SPREAD batch forces the full-rewrite
     apply (touched fraction above ROLLUP_PRUNE_MAX_TOUCHED), the table
