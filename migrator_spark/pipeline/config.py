@@ -36,9 +36,15 @@ from typing import Any
 #              invertible, so a batch's retract/add delta applied to
 #              the rollup is bit-equal to a recompute (O(batch)).
 #   * count  — free: every rollup carries n_rows alongside its value.
-#   * avg    — derive it at read time as sum_val / n_rows; maintaining
-#              a stored average directly would just denormalize those
-#              two retraction-safe components.
+#   * avg    — config sugar over sum (round 13, VERDICT r12 #8): an
+#              ``avg: col`` rollup MAINTAINS the (sum_val, n_rows)
+#              pair through the identical staged-delta protocol (a
+#              stored average is not retraction-safe; its components
+#              are), and the READ path derives avg_val = sum_val /
+#              n_rows with both operands cast to double before one
+#              double divide (operators/maintenance.read_rollup — the
+#              mnt4 arithmetic, hash-exact cross-engine where decimal
+#              division scale rules would not be).
 #   * min/max — NOT retraction-safe under the delta algebra (removing
 #              the row that held a group's current minimum cannot be
 #              patched; the new minimum lives in rows the delta never
@@ -53,7 +59,7 @@ from typing import Any
 #              the truly touched groups.
 # Anything else ("median", "count-distinct", ...) needs sketch-backed
 # state and is rejected loudly below rather than silently ignored.
-ROLLUP_AGGS = ("sum", "min", "max")
+ROLLUP_AGGS = ("sum", "min", "max", "avg")
 
 _ROLLUP_KEYS = {"name", "group_by", "group-by", "agg", "column", "table"} | set(
     ROLLUP_AGGS
@@ -66,8 +72,8 @@ def normalize_rollup(r: dict[str, Any]) -> dict[str, Any]:
 
     Accepted input shapes (YAML and programmatic):
       * ``{name, group-by, sum: col}``   — the original shorthand;
-        ``min:``/``max:`` name the other supported aggregates the same
-        way;
+        ``min:``/``max:``/``avg:`` name the other supported aggregates
+        the same way;
       * ``{name, group-by, agg: sum, column: col}`` — explicit form;
       * optional ``table:`` pins the rollup to ONE routed target table
         (ADVICE r11 #2) instead of every routed target whose frames
@@ -83,10 +89,11 @@ def normalize_rollup(r: dict[str, Any]) -> dict[str, Any]:
         raise ValueError(
             f"rollup {r.get('name')!r}: unsupported key(s) {sorted(unknown)}. "
             f"Supported aggregates: {list(ROLLUP_AGGS)} (count is always "
-            "maintained as n_rows; avg = sum_val / n_rows at read time; "
-            "min/max are maintained by scoped recompute because they are "
-            "not retraction-safe under the delta algebra — see "
-            "pipeline/config.py ROLLUP_AGGS)"
+            "maintained as n_rows; avg maintains the (sum, count) pair and "
+            "derives avg_val at read time via "
+            "operators/maintenance.read_rollup; min/max are maintained by "
+            "scoped recompute because they are not retraction-safe under "
+            "the delta algebra — see pipeline/config.py ROLLUP_AGGS)"
         )
     if "name" not in r:
         raise ValueError(f"rollup entry missing 'name': {r!r}")
@@ -179,12 +186,20 @@ class IterationSpec:
     # high-cardinality rollup there only if that write amplification
     # is acceptable.
     #
-    # SINGLE SEQUENCER (VERDICT r11 #6): at most ONE iteration may
-    # load (and roll up) a given target table — enforced at bind time
-    # for configured targets (runner._check_rollup_sequencers) and at
-    # first maintenance touch for dynamically-ROUTED ones (the
-    # in-process runner._claim_sequencer registry); across processes
-    # it is a documented deployment constraint.
+    # SINGLE SEQUENCER (VERDICT r11 #6, r12 #1): at most ONE live
+    # sequencer may load (and roll up) a given target table — enforced
+    # at bind time for configured targets
+    # (runner._check_rollup_sequencers), at first maintenance touch for
+    # dynamically-ROUTED ones (the in-process runner._claim_sequencer
+    # registry), ACROSS PROCESSES for parquet stores via a
+    # liveness-arbitrated claim file under the store root (round 13,
+    # runner._acquire_claim_file — pid-death / heartbeat-TTL stale
+    # policy, released on clean shutdown), and for every routed LOAD —
+    # including rollup-less iterations' — by a read-only consult of
+    # both registries before the loader runs
+    # (runner._check_routed_claims). Residual: cross-process collisions
+    # on non-parquet targets (no shared filesystem to carry the claim)
+    # remain a deployment constraint.
     rollups: list[dict] = field(default_factory=list)
 
     @property

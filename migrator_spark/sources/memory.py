@@ -10,12 +10,15 @@ from pyspark.sql import DataFrame, SparkSession
 class MemorySource:
     _instances: ClassVar[dict[str, "MemorySource"]] = {}
 
-    def __init__(self) -> None:
+    def __init__(self, name: str = "") -> None:
         self.tables: dict[str, DataFrame] = {}
+        # stable store identity (runner._store_key keys sequencer
+        # claims on it, ADVICE r12 #1 — never on the recyclable id())
+        self.name = name
 
     @classmethod
     def named(cls, name: str) -> "MemorySource":
-        return cls._instances.setdefault(name, cls())
+        return cls._instances.setdefault(name, cls(name))
 
     def table(self, spark: SparkSession, name: str) -> DataFrame:
         return self.tables[name]

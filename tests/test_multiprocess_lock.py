@@ -120,3 +120,107 @@ def test_concurrent_append_and_rewrite_two_processes(spark, tmp_path):
     missing = expected - got
     assert not missing, f"lost {len(missing)} appended/base rows: {sorted(missing)[:10]}"
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# 3. Sequencer claim across PROCESSES (round 13, VERDICT r12 #1): a second
+#    runner process maintaining the same rollup target — the stray duplicate
+#    deployment — must fail loudly BEFORE staging while the first process's
+#    claim is live, and claim freely after the first shuts down cleanly.
+# ---------------------------------------------------------------------------
+
+_SEQUENCER_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = "1g"
+    from migrator_spark.session import get_spark
+    from migrator_spark.pipeline.config import (
+        IterationSpec, MigrationSpec, MigratorConfig, Parameters,
+    )
+    from migrator_spark.pipeline.runner import Migrator
+    from migrator_spark.sources.parquet import ParquetSource
+
+    src_dir, tgt_dir, trk = sys.argv[1], sys.argv[2], sys.argv[3]
+    spark = get_spark("mp-sequencer-child", cpus=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = MigratorConfig(
+        migrations=[MigrationSpec(
+            source_dsn=src_dir, target_dsn=tgt_dir,
+            iterations=[IterationSpec(
+                source_table="customer", source_key="c_custkey",
+                target_table="customer", merge_key="c_custkey",
+                extractor="queue",
+                rollups=[{{"name": "by_segment",
+                           "group_by": ["c_mktsegment"],
+                           "sum": "c_acctbal"}}],
+            )],
+        )],
+        parameters=Parameters(batch_size=100),
+    )
+    ps = ParquetSource(tgt_dir)
+    staged_before = ps.current_commit("customer__rollup_by_segment__staged")[0]
+    try:
+        Migrator(spark, cfg, trk).run_until_drained()
+        print("DRAINED", flush=True)
+    except ValueError as e:
+        staged_after = ps.current_commit(
+            "customer__rollup_by_segment__staged")[0]
+        print("REJECTED staged_untouched=%s :: %s"
+              % (staged_after == staged_before, str(e)[:300]), flush=True)
+    spark.stop()
+    """
+)
+
+
+def test_second_process_sequencer_rejected_then_new_owner_after_shutdown(
+    spark, sf_dir, tmp_path
+):
+    from migrator_spark.pipeline.runner import Migrator
+    from tests.test_rollup_runner import _enqueue, _mini_cfg, _mini_src_tgt
+
+    src, tgt, trk = _mini_src_tgt(spark, sf_dir, tmp_path)
+    _enqueue(spark, src, [(1, 1, "UPDATE"), (2, 2, "UPDATE")])
+    cfg = _mini_cfg(src, tgt)
+    cfg.parameters.sleep_between_runs = 3600.0  # drain once, then sleep
+    m = Migrator(spark, cfg, trk)
+    m.start()
+    claim = os.path.join(tgt, ".v", "customer.sequencer.json")
+    deadline = time.time() + 180
+    while time.time() < deadline and not os.path.exists(claim):
+        time.sleep(0.2)
+    assert os.path.exists(claim), "first process never claimed"
+    # wait for the first process's CYCLE to fully finish (its post-
+    # commit queue cleanup rewrites the queue; enqueueing the child's
+    # row mid-rewrite would race the version swap) — footer read, no
+    # Spark job
+    from migrator_spark.sources.parquet import ParquetSource
+
+    qsrc = ParquetSource(src)
+    while time.time() < deadline and (
+        not qsrc.exists(spark, "MigratorRecordQueue")
+        or qsrc.footer_num_rows("MigratorRecordQueue") > 0
+    ):
+        time.sleep(0.2)
+    assert qsrc.footer_num_rows("MigratorRecordQueue") == 0, "cycle never finished"
+
+    def run_child():
+        out = subprocess.run(
+            [sys.executable, "-c", _SEQUENCER_WORKER.format(repo=REPO),
+             src, tgt, str(tmp_path / f"trk-child-{time.time_ns()}")],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout
+
+    # work for the child (the first process is asleep for an hour and
+    # will not race it onto the queue)
+    _enqueue(spark, src, [(3, 3, "UPDATE")])
+    got = run_child()
+    assert "REJECTED staged_untouched=True" in got, got
+    assert "LIVE sequencer in another process" in got, got
+
+    m.quit()  # clean shutdown: claim released
+    assert not os.path.exists(claim)
+    got = run_child()  # new owner process claims freely
+    assert "DRAINED" in got, got
