@@ -2585,63 +2585,70 @@ def bpe2_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe2_oracle(num_merges: int, train_where: str = "") -> str:
+def _bpe2_oracle(
+    num_merges: int, train_where: str = "", prefix: str = "", with_docs: bool = True
+) -> str:
+    """Unrolled BPE training chain. ``prefix`` namespaces every CTE so
+    TWO trainings (e.g. tokenizer version v1 on a subset and v2 on the
+    grown corpus, art6) compose in one query; ``with_docs=False`` omits
+    the shared ``WITH docs`` head for the second chain. Defaults keep
+    BPE2/3/4/5's oracles byte-identical to their pre-r13 text."""
+    p = prefix
     lvls = []
     for i in range(num_merges):
         lvls.append(f"""
-counts_{i} AS (
+{p}counts_{i} AS (
   SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
   FROM (SELECT w, freq, sym,
                lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
-        FROM state_{i})
+        FROM {p}state_{i})
   WHERE nxt IS NOT NULL GROUP BY 1, 2
 ),
-best_{i} AS (
-  SELECT l, r, cnt FROM counts_{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+{p}best_{i} AS (
+  SELECT l, r, cnt FROM {p}counts_{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
 ),
-flag_{i} AS (
+{p}flag_{i} AS (
   SELECT s.w, s.freq, s.pos, s.sym, b.l, b.r,
          (s.sym = b.l
           AND lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = b.r)
            AS is_cand
-  FROM state_{i} s, best_{i} b
+  FROM {p}state_{i} s, {p}best_{i} b
 ),
-blk_{i} AS (
+{p}blk_{i} AS (
   SELECT *, CASE WHEN is_cand THEN
       pos - sum(CASE WHEN is_cand THEN 1 ELSE 0 END)
               OVER (PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING)
     END AS blk
-  FROM flag_{i}
+  FROM {p}flag_{i}
 ),
-take_{i} AS (
+{p}take_{i} AS (
   SELECT *, (is_cand
              AND (pos - min(pos) OVER (PARTITION BY w, blk)) % 2 = 0)
             AS taken
-  FROM blk_{i}
+  FROM {p}blk_{i}
 ),
-state_{i + 1} AS (
+{p}state_{i + 1} AS (
   SELECT w, freq,
          row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
          CASE WHEN taken THEN l || r ELSE sym END AS sym
   FROM (SELECT *, lag(taken) OVER (PARTITION BY w ORDER BY pos)
                     AS prev_taken
-        FROM take_{i})
+        FROM {p}take_{i})
   WHERE NOT coalesce(prev_taken, FALSE)
 )""")
     finals = "\nUNION ALL ".join(
         f"SELECT {i + 1} AS merge_rank, l AS left_sym, r AS right_sym,"
-        f" cnt AS pair_count FROM best_{i}"
+        f" cnt AS pair_count FROM {p}best_{i}"
         for i in range(num_merges)
     )
-    chain = f"""
-WITH {DOCS_CTE},
-wf AS (
+    head = f"\nWITH {DOCS_CTE},\n" if with_docs else "\n"
+    chain = f"""{head}{p}wf AS (
   SELECT wd AS w, CAST(count(*) AS BIGINT) AS freq
   FROM docs, LATERAL unnest(w) AS t(wd) {train_where} GROUP BY wd
 ),
-state_0 AS (
+{p}state_0 AS (
   SELECT w, freq, g.i - 1 AS pos, substring(w, g.i, 1) AS sym
-  FROM wf, LATERAL unnest(generate_series(1, length(w))) AS g(i)
+  FROM {p}wf, LATERAL unnest(generate_series(1, length(w))) AS g(i)
 ),
 {",".join(lvls)}"""
     return chain, finals
@@ -2711,51 +2718,65 @@ def bpe4_apply_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe4_chain(num_merges: int, holdout: str) -> str:
+def _bpe4_chain(
+    num_merges: int,
+    holdout: str,
+    prefix: str = "",
+    with_docs: bool = True,
+    train_where: str | None = None,
+) -> str:
     """Unrolled train-on-rest + apply-to-holdout chain: the training
     CTEs are _bpe2_oracle's with the holdout filtered OUT of the word
-    frequency table; the apply CTEs run the SAME flag/blk/take/state
-    positional rule over the holdout's distinct words, consuming each
-    round's best_{{i}} in rank order. Ends at ``astate_{num_merges}``
-    (w, pos, sym) — BPE4's per-word select and PK3's per-doc token
-    sums both read from it."""
-    chain, _finals = _bpe2_oracle(
-        num_merges, train_where=f"WHERE source != '{holdout}'"
-    )
+    frequency table (or a caller-supplied ``train_where`` — art6's
+    version-v1 subset), and the apply CTEs run the SAME
+    flag/blk/take/state positional rule over the holdout's distinct
+    words, consuming each round's best_{{i}} in rank order. Ends at
+    ``{{prefix}}astate_{num_merges}`` (w, pos, sym) — BPE4's per-word
+    select and PK3's per-doc token sums both read from it; ``prefix``/
+    ``with_docs`` compose two chains in one query (art6)."""
+    p = prefix
+    chain = _bpe2_oracle(
+        num_merges,
+        train_where=(
+            f"WHERE source != '{holdout}'" if train_where is None else train_where
+        ),
+        prefix=prefix,
+        with_docs=with_docs,
+    )[0]
     lvls = []
     for i in range(num_merges):
         lvls.append(f"""
-aflag_{i} AS (
+{p}aflag_{i} AS (
   SELECT s.w, s.pos, s.sym, b.l, b.r,
          (s.sym = b.l
           AND lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = b.r)
            AS is_cand
-  FROM astate_{i} s, best_{i} b
+  FROM {p}astate_{i} s, {p}best_{i} b
 ),
-ablk_{i} AS (
+{p}ablk_{i} AS (
   SELECT *, CASE WHEN is_cand THEN
       pos - sum(CASE WHEN is_cand THEN 1 ELSE 0 END)
               OVER (PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING)
     END AS blk
-  FROM aflag_{i}
+  FROM {p}aflag_{i}
 ),
-atake_{i} AS (
+{p}atake_{i} AS (
   SELECT *, (is_cand
              AND (pos - min(pos) OVER (PARTITION BY w, blk)) % 2 = 0)
             AS taken
-  FROM ablk_{i}
+  FROM {p}ablk_{i}
 ),
-astate_{i + 1} AS (
+{p}astate_{i + 1} AS (
   SELECT w,
          row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
          CASE WHEN taken THEN l || r ELSE sym END AS sym
   FROM (SELECT *, lag(taken) OVER (PARTITION BY w ORDER BY pos)
                     AS prev_taken
-        FROM atake_{i})
+        FROM {p}atake_{i})
   WHERE NOT coalesce(prev_taken, FALSE)
 )""")
     return f"""{chain},
-astate_0 AS (
+{p}astate_0 AS (
   SELECT w, g.i - 1 AS pos, substring(w, g.i, 1) AS sym
   FROM (SELECT DISTINCT wd AS w
         FROM docs, LATERAL unnest(w) AS t(wd)
@@ -4191,6 +4212,147 @@ def art5_warm_bpe_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the in-session build — the oracle IS bpe5's unrolled train+apply CTE
 # chain
 ART5_ORACLE = BPE5_ORACLE
+
+
+# tokenizer version v1 trains on the corpus BEFORE it grew (the 'de'
+# slice alone — a slice whose pair statistics genuinely differ, so the
+# drift report is non-degenerate: an even/odd doc split learned the
+# SAME merge table at test SFs and the report could not distinguish
+# versions); v2 is the retrain on the grown full non-holdout corpus
+ART6_V1_WHERE = f"WHERE source != '{BPE4_HOLDOUT}' AND lang = 'de'"
+
+
+def art6_tokenizer_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER VERSION MIGRATION — the retrain loop (round 13,
+    VERDICT r12 #4): train the merge table + vocabulary on half the
+    non-holdout corpus and publish it as store version 1; retrain on
+    the GROWN corpus (the full non-holdout slice) and publish as
+    version 2 — one atomic tagged-table commit per publish, previous
+    versions retained (sources/artifacts.write_bpe_tokenizer). A fresh
+    handle then reads BOTH versions back (version-pinned — in-flight
+    consumers of v1 are undisturbed by the republish, pinned in
+    tests/test_round13_tokenizer.py) and serves each on the held-out
+    source, producing the DRIFT REPORT a production team reads before
+    flipping serving to the new tokenizer: per version, held-out
+    fertility (tokens per word, exact integer micro-units — the bpe3
+    metric) and the OOV token rate (segmentation symbols outside that
+    version's vocabulary — the bpe5 unk rule, stream-weighted). The
+    oracle unrolls BOTH training+apply chains as namespaced CTEs and
+    recomputes the same report.
+
+    Scale: two vocabulary-sized training chains + two broadcast serves
+    of one holdout scan each; the store adds one atomic commit per
+    version and the report is 2 rows."""
+    import shutil
+    import tempfile
+
+    from migrator_spark.sources.artifacts import ArtifactStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    held = docs.filter(F.col("source") == BPE4_HOLDOUT)
+    grown = docs.filter(F.col("source") != BPE4_HOLDOUT)
+    t1 = grown.filter(F.col("lang") == "de")  # the pre-growth corpus
+    root = tempfile.mkdtemp(prefix="art6_")
+    try:
+        store = ArtifactStore(root)
+        m1 = tx.bpe_train_merges(t1, num_merges=BPE2_MERGES)
+        v1 = store.write_bpe_tokenizer(m1, tx.bpe_vocab(t1, m1))
+        m2 = tx.bpe_train_merges(grown, num_merges=BPE2_MERGES)
+        v2 = store.write_bpe_tokenizer(m2, tx.bpe_vocab(grown, m2))
+        reports = []
+        for v in (v1, v2):
+            # fresh handle + version pin: the commit log alone resolves
+            merges, vocab = ArtifactStore(root).read_bpe_tokenizer(
+                spark, version=v
+            )
+            state = tx.bpe_apply_merges(held, merges, return_state=True)
+            pw = (
+                state.join(F.broadcast(vocab), "sym", "left")
+                .groupBy("w")
+                .agg(
+                    F.count(F.lit(1)).alias("n_toks"),
+                    F.sum(
+                        F.when(F.col("id").isNull(), 1).otherwise(0)
+                    ).alias("n_unk"),
+                )
+            )
+            ws = held.select(F.explode(words("text")).alias("w"))
+            reports.append(
+                ws.join(F.broadcast(pw), "w")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_words"),
+                    F.sum("n_toks").cast("long").alias("n_tokens"),
+                    F.sum("n_unk").cast("long").alias("oov_tokens"),
+                )
+                .select(
+                    F.lit(v).cast("int").alias("tokenizer_version"),
+                    "n_words",
+                    "n_tokens",
+                    F.expr("1000000 * n_tokens div n_words")
+                    .cast("long")
+                    .alias("fertility_micro"),
+                    "oov_tokens",
+                    F.expr("1000000 * oov_tokens div n_tokens")
+                    .cast("long")
+                    .alias("oov_micro"),
+                )
+            )
+        res = reports[0].unionByName(reports[1])
+        schema, rows = res.schema, res.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _art6_vocab_cte(prefix: str, num_merges: int) -> str:
+    union = "\n    UNION\n".join(
+        f"    SELECT l || r AS sym FROM {prefix}best_{i}"
+        for i in range(num_merges)
+    )
+    return f"""{prefix}vocab6 AS (
+  SELECT sym FROM (
+    SELECT DISTINCT substring(w, g.i, 1) AS sym
+    FROM {prefix}wf, LATERAL unnest(generate_series(1, length(w))) AS g(i)
+    UNION
+{union}
+  )
+)"""
+
+
+def _art6_report_cte(prefix: str, version: int, num_merges: int) -> str:
+    return f"""{prefix}pw6 AS (
+  SELECT s.w, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(CASE WHEN v.sym IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unk
+  FROM {prefix}astate_{num_merges} s
+  LEFT JOIN {prefix}vocab6 v ON v.sym = s.sym
+  GROUP BY s.w
+),
+{prefix}rep6 AS (
+  SELECT {version} AS tokenizer_version,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         CAST((1000000 * CAST(sum(n_toks) AS BIGINT))
+              // CAST(count(*) AS BIGINT) AS BIGINT) AS fertility_micro,
+         CAST(sum(n_unk) AS BIGINT) AS oov_tokens,
+         CAST((1000000 * CAST(sum(n_unk) AS BIGINT))
+              // CAST(sum(n_toks) AS BIGINT) AS BIGINT) AS oov_micro
+  FROM ws6 JOIN {prefix}pw6 USING (w)
+)"""
+
+
+ART6_ORACLE = f"""{_bpe4_chain(BPE2_MERGES, BPE4_HOLDOUT, train_where=ART6_V1_WHERE)},
+{_bpe4_chain(BPE2_MERGES, BPE4_HOLDOUT, prefix="g", with_docs=False)},
+ws6 AS (
+  SELECT wd AS w FROM docs, LATERAL unnest(w) AS t(wd)
+  WHERE source = '{BPE4_HOLDOUT}'
+),
+{_art6_vocab_cte("", BPE2_MERGES)},
+{_art6_vocab_cte("g", BPE2_MERGES)},
+{_art6_report_cte("", 1, BPE2_MERGES)},
+{_art6_report_cte("g", 2, BPE2_MERGES)}
+SELECT * FROM rep6 UNION ALL SELECT * FROM grep6
+"""
 
 
 def art2_warm_pair_graph_read(spark: SparkSession, sf_dir: str) -> DataFrame:

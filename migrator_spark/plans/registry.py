@@ -580,6 +580,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "mnt5_avg_rollup_serving": QuerySpec(
         cdc.mnt5_avg_rollup_serving, cdc.MNT5_ORACLE
     ),
+    # tokenizer VERSION MIGRATION (round 13, VERDICT r12 #4): v1 trains
+    # on half the corpus, the grown-corpus retrain publishes as v2 (one
+    # atomic tagged-table commit per version, ADVICE r12 #3), a fresh
+    # handle reads both versions back pinned, and the graded output is
+    # the fertility/OOV drift report between them on the held-out
+    # source — the measurement a team reads before flipping serving.
+    # Oracle = both training+apply chains unrolled as namespaced CTEs.
+    "art6_tokenizer_version_drift": QuerySpec(
+        llmdata.art6_tokenizer_version_drift, llmdata.ART6_ORACLE
+    ),
     # the artifact trio's third warm-read seam: flat quantizer via OCC
     # commit log, consumed by sim2's IVF probe. Post-window; r11 queue.
     "art3_warm_quantizer_read": QuerySpec(

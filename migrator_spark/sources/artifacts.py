@@ -29,7 +29,12 @@ Layouts, chosen per consumer access pattern (layout.py discipline):
   OCC): the pair graph is joined on doc ids and the
   codebook/assignment/merge-table/vocab are broadcast-sized, so none
   needs bucketing; what they need is the per-snapshot atomic-publish
-  semantics ParquetSource already provides.
+  semantics ParquetSource already provides. The tokenizer's two
+  halves publish as tagged rows of ONE table stamped with a
+  ``tokenizer_version`` (round 13, ADVICE r12 #3): the pair swaps
+  atomically as a unit, a retrain lands as a NEW version while
+  in-flight consumers of the previous one stay undisturbed
+  (KEEP_TOKENIZER_VERSIONS retained), and reads can pin a version.
 
 Concurrency (round 10, VERDICT r9 #4): the bucketed shingle-index
 write is still SINGLE-WRITER per store root (one build job owns a
@@ -67,8 +72,16 @@ QUANT_CENTROIDS = "quantizer_centroids"
 QUANT_ASSIGN = "quantizer_assign"
 QUANT2_COARSE = "quantizer2_coarse"
 QUANT2_FINE = "quantizer2_fine"
-BPE_MERGES = "bpe_merges"
-BPE_VOCAB = "bpe_vocab"
+BPE_MERGES = "bpe_merges"  # legacy pre-r13 two-table layout (read-only)
+BPE_VOCAB = "bpe_vocab"  # legacy pre-r13 two-table layout (read-only)
+BPE_TOKENIZER = "bpe_tokenizer"  # r13 single versioned tagged table
+
+# Tokenizer versions retained in the serving table after a republish:
+# the current one plus this many predecessors — in-flight consumers
+# pinned to a previous version keep resolving it, and the version-drift
+# report (art6) needs at least two to compare. Rows are vocabulary-
+# sized, so retention is a few K rows per version.
+KEEP_TOKENIZER_VERSIONS = 3
 
 
 class ArtifactStore:
@@ -133,38 +146,136 @@ class ArtifactStore:
             spark, QUANT2_FINE
         )
 
-    def write_bpe_tokenizer(self, merges: DataFrame, vocab: DataFrame) -> None:
-        """Persist the LEARNED TOKENIZER (round 12, VERDICT r11 #3 —
-        the one shared artifact a production serving path reads most
-        often, and the last of the repo's derived artifacts that still
-        retrained inside every consumer): the merge table
-        (merge_rank, left_sym, right_sym, pair_count) from
-        textops.bpe_train_merges, plus the vocabulary (sym, id) from
-        textops.bpe_vocab. Both are vocabulary-sized (K + |alphabet|
-        rows) broadcast serving tables; like the quantizers, what they
-        need from the store is the per-snapshot atomic OCC publish — a
-        deployment trains once per corpus snapshot and every
-        bpe_apply_merges / bpe_encode / pack-by-token-length consumer
-        reads the committed version.
+    def _tokenizer_rows(
+        self, merges: DataFrame, vocab: DataFrame, version: int
+    ) -> DataFrame:
+        """Both tokenizer halves as one tagged, version-stamped
+        relation (types pinned so a read-back filter restores the
+        training outputs' exact schema — bit-identity depends on it)."""
+        from pyspark.sql import functions as F
 
-        Write order note: vocab FIRST, merges last — has_bpe_tokenizer
-        keys on both tables, so a reader racing the first publish never
-        sees a merges table without its vocab."""
-        self._src.write(vocab, BPE_VOCAB)
-        self._src.write(merges, BPE_MERGES)
+        mt = merges.select(
+            F.lit("merge").alias("part"),
+            F.lit(version).cast("int").alias("tokenizer_version"),
+            F.col("merge_rank").cast("long").alias("merge_rank"),
+            F.col("left_sym").cast("string").alias("left_sym"),
+            F.col("right_sym").cast("string").alias("right_sym"),
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.lit(None).cast("string").alias("sym"),
+            F.lit(None).cast("long").alias("id"),
+        )
+        vt = vocab.select(
+            F.lit("vocab").alias("part"),
+            F.lit(version).cast("int").alias("tokenizer_version"),
+            F.lit(None).cast("long").alias("merge_rank"),
+            F.lit(None).cast("string").alias("left_sym"),
+            F.lit(None).cast("string").alias("right_sym"),
+            F.lit(None).cast("long").alias("pair_count"),
+            F.col("sym").cast("string").alias("sym"),
+            F.col("id").cast("long").alias("id"),
+        )
+        return mt.unionByName(vt)
+
+    def write_bpe_tokenizer(self, merges: DataFrame, vocab: DataFrame) -> int:
+        """Persist the LEARNED TOKENIZER (round 12, VERDICT r11 #3) as
+        a new VERSION (round 13, VERDICT r12 #4): the merge table
+        (merge_rank, left_sym, right_sym, pair_count) from
+        textops.bpe_train_merges plus the vocabulary (sym, id) from
+        textops.bpe_vocab, published together as tagged rows of ONE
+        versioned OCC table — so the pair swaps atomically as a unit
+        (ADVICE r12 #3: the previous two-table layout protected only
+        the FIRST publish; on a retrain each table swapped atomically
+        but the pair did not, and a racing reader could pair merges
+        from version N with vocab from version N+1 — a mismatched
+        tokenizer that encodes silently wrong). Returns the new
+        version number.
+
+        A republish retains the previous KEEP_TOKENIZER_VERSIONS
+        versions' rows, so in-flight consumers pinned to an older
+        version keep resolving it and version-drift reports can
+        compare adjacent versions. Concurrent retrainers go through
+        the store's read-modify-write (a loser rebases and lands as
+        the NEXT version rather than silently overwriting)."""
+        spark = merges.sparkSession
+        if not self._src.exists(spark, BPE_TOKENIZER):
+            self._src.write(self._tokenizer_rows(merges, vocab, 1), BPE_TOKENIZER)
+            return 1
+        from pyspark.sql import functions as F
+
+        published = {"v": None}
+
+        def _bump(cur: DataFrame) -> DataFrame:
+            row = cur.agg(F.max("tokenizer_version")).first()
+            version = (int(row[0]) if row[0] is not None else 0) + 1
+            published["v"] = version
+            keep_from = version - KEEP_TOKENIZER_VERSIONS
+            return cur.filter(
+                F.col("tokenizer_version") >= keep_from
+            ).unionByName(self._tokenizer_rows(merges, vocab, version))
+
+        self._src.rmw(spark, BPE_TOKENIZER, _bump)
+        return published["v"]
+
+    def bpe_tokenizer_versions(self, spark: SparkSession) -> "list[int]":
+        """Retained tokenizer versions, ascending (legacy pre-r13
+        two-table stores report [1])."""
+        if self._src.exists(spark, BPE_TOKENIZER):
+            rows = (
+                self._src.table(spark, BPE_TOKENIZER)
+                .select("tokenizer_version")
+                .distinct()
+                .collect()
+            )
+            return sorted(int(r[0]) for r in rows)
+        if self._src.exists(spark, BPE_MERGES) and self._src.exists(
+            spark, BPE_VOCAB
+        ):
+            return [1]
+        return []
 
     def read_bpe_tokenizer(
-        self, spark: SparkSession
+        self, spark: SparkSession, version: "int | None" = None
     ) -> "tuple[DataFrame, DataFrame]":
-        """(merges, vocab) — the committed tokenizer tables."""
-        return (
-            self._src.table(spark, BPE_MERGES),
-            self._src.table(spark, BPE_VOCAB),
+        """(merges, vocab) of the given retained ``version`` (default:
+        newest committed). Both halves filter from ONE committed table
+        snapshot, so they can never mix versions (ADVICE r12 #3).
+        Raises KeyError for an unknown/expired version — like
+        ParquetSource.table_at, pinned history is bounded, in writing
+        (KEEP_TOKENIZER_VERSIONS)."""
+        from pyspark.sql import functions as F
+
+        if not self._src.exists(spark, BPE_TOKENIZER):
+            # legacy pre-r13 layout: a single unversioned pair
+            if version not in (None, 1):
+                raise KeyError(
+                    f"tokenizer version {version!r} not retained "
+                    "(legacy single-version store)"
+                )
+            return (
+                self._src.table(spark, BPE_MERGES),
+                self._src.table(spark, BPE_VOCAB),
+            )
+        t = self._src.table(spark, BPE_TOKENIZER)
+        versions = self.bpe_tokenizer_versions(spark)
+        if version is None:
+            version = versions[-1]
+        elif version not in versions:
+            raise KeyError(
+                f"tokenizer version {version!r} not retained (have "
+                f"{versions}; KEEP_TOKENIZER_VERSIONS="
+                f"{KEEP_TOKENIZER_VERSIONS})"
+            )
+        t = t.filter(F.col("tokenizer_version") == version)
+        merges = t.filter(F.col("part") == "merge").select(
+            "merge_rank", "left_sym", "right_sym", "pair_count"
         )
+        vocab = t.filter(F.col("part") == "vocab").select("sym", "id")
+        return merges, vocab
 
     def has_bpe_tokenizer(self, spark: SparkSession) -> bool:
-        return self._src.exists(spark, BPE_MERGES) and self._src.exists(
-            spark, BPE_VOCAB
+        return self._src.exists(spark, BPE_TOKENIZER) or (
+            self._src.exists(spark, BPE_MERGES)
+            and self._src.exists(spark, BPE_VOCAB)
         )
 
     # ------------------------------------------- bucketed shingle index
