@@ -695,7 +695,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # rounds stale by r13: the SLO boundary again), then the r9-green
 # family, stalest first.
 # ---------------------------------------------------------------------------
-_GRADED_WINDOW: list[str] = [
+_ROUND12_WINDOW: list[str] = [
     # -- plan-changed round 12 (payload fingerprint + footer-stats
     # steady state + clustered full rewrite) --
     "mnt2_runner_maintained_rollup",
@@ -753,6 +753,95 @@ _GRADED_WINDOW: list[str] = [
     "st5_interval_join",
     # (f1_scalar_suite..q22_global_sales_opportunity — the 23-row
     # r8-green remainder — lead round 13's queue)
+]
+
+# ---------------------------------------------------------------------------
+# Round-13 graded window (stalest-first round-robin).
+#
+# Composition (VERDICT r12 #2, executed exactly as queued at the
+# round-12 window's comment, plus the SLO's plan-changed rule):
+#   1. mnt4_avg_from_rollup at the head — landed after the r12 window
+#      settled, never driver-graded (VERDICT r12 "what's missing" #2).
+#   2. Plan-changed this round (SLO: re-enter immediately):
+#      mnt2/mnt3 — their executed runner path gained the
+#      cross-process sequencer claim + release lifecycle and the
+#      avg-as-sum dispatch (VERDICT r12 #1/#8); art5 — the tokenizer
+#      store layout moved to the single versioned tagged table
+#      (ADVICE r12 #3), so its publish/read path is new code.
+#   3. NEW round-13 entries: mnt5_avg_rollup_serving (`avg:` config
+#      sugar end-to-end, VERDICT r12 #8) and
+#      art6_tokenizer_version_drift (the retrain migration loop,
+#      VERDICT r12 #4).
+#   4. The 23-row r8-green SLO block (f1..q22 — 5 rounds stale, the
+#      staleness SLO's boundary), exactly as VERDICT r12 #2 lists
+#      them.
+#   5. r9-green backfill in round-9 window order (stalest first),
+#      topped to exactly 50: cur12..dd8.
+# Round 14's queue head: the r9-green remainder in round-9 window
+# order (sim1, sim5, sim3, w2, w3, fts2, ch1, cur5, fts3, dr1, cur6,
+# sh1, bpe1, dv1, dr2, ta11, vb1, sim10, ev9, ev10, ta12, seg1, mm6,
+# sm6 — 24 rows, 5 rounds stale by r14: the SLO boundary), then
+# r10-green stalest-first.
+# ---------------------------------------------------------------------------
+_GRADED_WINDOW: list[str] = [
+    # -- never driver-graded (r12 post-window) --
+    "mnt4_avg_from_rollup",
+    # -- plan-changed round 13 (sequencer claims + avg dispatch in the
+    # runner path; tokenizer store re-layout under art5) --
+    "mnt2_runner_maintained_rollup",
+    "mnt3_minmax_rollup",
+    "art5_warm_bpe_read",
+    # -- NEW round 13 --
+    "mnt5_avg_rollup_serving",  # NEW: avg config sugar through the runner
+    "art6_tokenizer_version_drift",  # NEW: tokenizer retrain migration
+    # -- r8-stale SLO block (VERDICT r12 #2's queued 23) --
+    "f1_scalar_suite",
+    "f2_json_props",
+    "f3_date_parts",
+    "dd1_exact_dedup",
+    "dd5_embedding_neardup",
+    "dd7_simhash_pairs",
+    "dd9_chunk_boilerplate",
+    "sim2_ivf_topk",
+    "ta10_gopher_gate",
+    "dd10_dup_spans",
+    "dd11_despan",
+    "mx2_epoch_plan",
+    "ev7_sessionize",
+    "ev8_transition_matrix",
+    "dq2_spend_outliers",
+    "fo2_scd2_history",
+    "fo3_asof_snapshot",
+    "sim7_pq_encode",
+    "sim8_pq_adc_topk",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q22_global_sales_opportunity",
+    # -- r9-green backfill, round-9 window order (stalest first) --
+    "cur12_carried_cluster_ids",
+    "sm8_leakage_safe_split",
+    "cur10_release_manifest",
+    "st6_late_funnel_stream",
+    "fo6_scd2_validity_audit",
+    "cur11_release_fate_diff",
+    "mm12_keyframe_select",
+    "ev17_window_funnel4",
+    "q2w_top_supplier_per_nation",
+    "mm5_payload_dedup",
+    "dd3_simhash",
+    "sm4_three_way_split",
+    "pk1_sequence_packing",
+    "dd2_minhash_lsh_pairs",
+    "cur2_training_mix",
+    "pk2_incremental_packing",
+    "cur4_pack_curated",
+    "sim9_recall_eval",
+    "dq3_replica_checksum",
+    "dd6_dup_clusters",
+    "dd8_incremental_lsh",
+    # (sim1_cosine_topk..sm6_temporal_split — the 24-row r9-green
+    # remainder — lead round 14's queue)
 ]
 
 # ---------------------------------------------------------------------------
@@ -1200,6 +1289,7 @@ assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)
 assert len(_ROUND9_WINDOW) == 50, len(_ROUND9_WINDOW)
 assert len(_ROUND10_WINDOW) == 50, len(_ROUND10_WINDOW)
 assert len(_ROUND11_WINDOW) == 50, len(_ROUND11_WINDOW)
+assert len(_ROUND12_WINDOW) == 50, len(_ROUND12_WINDOW)
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
 assert len(set(_GRADED_WINDOW)) == 50
 _missing = [n for n in _GRADED_WINDOW if n not in REGISTRY]
