@@ -53,6 +53,16 @@ from typing import Any
 #              groups alone are re-aggregated from the target
 #              (O(target rows in touched groups) per batch — file-
 #              pruned on a group-clustered table — vs sum's O(batch)).
+#              MEASURED crossover (round 13, tools/rollup_cost_probe
+#              at the every-batch-touches-every-group worst case,
+#              unclustered target): min/max upkeep is ~0.25 s/batch
+#              CHEAPER than sum below ~1M touched target rows (no
+#              delta, no fingerprint job) and overtakes it at ~3-4M
+#              touched rows/batch, growing ~0.11 s per million
+#              touched rows on a 32-thread box — configure min/max on
+#              a hot high-fanout group with that number in hand, and
+#              group-cluster the target so the scoped read prunes
+#              (SCALE.md round-13 rollup-cost row).
 #              Correct under replay because a scoped recompute is an
 #              idempotent function of the post-load target, and the
 #              staged group set only ever needs to be a SUPERSET of
