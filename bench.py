@@ -159,13 +159,18 @@ METHODOLOGY = (
     "0.071 s across one idle session — JIT tiering), so calib[0] "
     "carries no contention signal; 'contended' = true when load1[0] "
     "> 1.5 x the session's CPU count (box loaded before the run), "
-    "any session-aged calibration (calib[1:]) > 0.25 s (idle band "
-    "0.07-0.16 s on this box-protocol — r11's 1.5-3x-inflated capture "
-    "would have cleared this), or the aged walls spread > 3x among "
-    "themselves (their own idle spread reaches ~2.3x — GC "
-    "neighborhoods — so the spread rule is only a coarse backstop; "
-    "the absolute band is the primary mid-run signal). Outside those "
-    "bands the capture self-reports as a "
+    "when any aged point exceeds CALIB_AGED_REL_MAX (3x) times the "
+    "session's own deep-aged floor min(calib[1:]) — the PRIMARY rule "
+    "since r13 (VERDICT r12 #5): self-relative, so it travels to "
+    "other boxes, and the record carries calib_floor/calib_rel so the "
+    "verdict audits from the fields alone (the aged points' own idle "
+    "spread reaches ~2.3x — GC neighborhoods — hence 3x) — or when "
+    "any session-aged calibration > 0.25 s absolute (idle band "
+    "0.07-0.16 s on this box-protocol; r11's 1.5-3x-inflated capture "
+    "would have cleared this), the SECONDARY box-pinned rail that "
+    "catches load uniform across the whole run, where the session "
+    "floor itself is inflated and the relative rule reads clean. "
+    "Outside those bands the capture self-reports as a "
     "loaded-box artifact and drift verdicts must come from an "
     "isolated re-run, not this record; "
     "r1/r2 were cold single-shot"
@@ -189,10 +194,21 @@ def _calibration_wall(spark) -> float:
     return round(statistics.median(walls), 4)
 
 
-# the session-aged (post-loop) calibration wall measured on an idle
-# box under this exact protocol: 0.07-0.16 s across today's runs. A
-# capture whose aged wall clears ~2x the top of that band is running
-# on a loaded box (the r11 failure mode inflated every row 1.5-3x).
+# PRIMARY aged-calibration rule (round 13, VERDICT r12 #5 — the rule
+# that TRAVELS to other boxes): an aged point more than this multiple
+# above the session's own deep-aged floor (min of the aged points) is
+# load. Self-relative, so it needs no box constant: the aged points'
+# own idle spread reaches ~2.3x (GC neighborhoods, measured), hence 3x.
+CALIB_AGED_REL_MAX = 3.0
+
+# SECONDARY rail, box-pinned: the session-aged calibration wall
+# measured on an idle box under this exact protocol is 0.07-0.16 s. An
+# aged wall clearing ~2x that band means the box is loaded even when
+# the load is UNIFORM across the whole run — the one case the
+# self-relative rule is blind to (a uniformly-inflated session inflates
+# its own floor). Named as box-calibrated in METHODOLOGY; on different
+# hardware only this rail needs recalibration, the relative rule and
+# the recorded calib_floor/calib_rel fields carry over.
 CALIB_POST_IDLE_MAX = 0.25
 
 
@@ -203,34 +219,36 @@ def sentinel_fields(
     #4). ``calib`` = the fixed job's wall [pre, every ~8 rows through
     the timed loop, post] — INTERLEAVED because external load that
     comes and goes inside the loop is invisible to endpoint-only
-    measurements (observed on this box). The bands (named in
-    METHODOLOGY): contended when the box already carried load1 > 1.5 x
-    this session's CPUs before the run began, when any SESSION-AGED
-    calibration (all but calib[0]) exceeds CALIB_POST_IDLE_MAX, or
-    when the AGED walls spread more than 3x among themselves — the
-    job WARMS 2-3.5x from fresh to deep-aged (JIT tiering, measured
-    0.246 -> 0.071 idle), so calib[0] is excluded from both rules,
-    and the aged points' own idle spread reaches ~2.3x (each sits in
-    a different heavy query's GC neighborhood), which is why the
-    spread rule is a coarse backstop and the absolute band is the
-    primary mid-run signal."""
+    measurements (observed on this box). The job WARMS 2-3.5x from
+    fresh to deep-aged (JIT tiering, measured 0.246 -> 0.071 idle), so
+    calib[0] is excluded from every rule.
+
+    Bands (named in METHODOLOGY), in rule order:
+      * pre-run loadavg > 1.5 x this session's CPUs — box loaded
+        before the run began;
+      * PRIMARY, self-relative (r13): any aged point >
+        CALIB_AGED_REL_MAX x the session's own deep-aged floor
+        (min(aged)) — catches load that comes and goes inside the
+        loop, and travels to other boxes because it carries its own
+        reference; the record exposes calib_floor and calib_rel so
+        the verdict is auditable from the fields alone;
+      * SECONDARY box-pinned rail: any aged point >
+        CALIB_POST_IDLE_MAX absolute — catches load that is UNIFORM
+        across the whole run, where the session floor itself is
+        inflated and the relative rule reads clean."""
     aged = calib[1:] if len(calib) > 1 else calib
+    floor = min(aged)
+    rel = max(aged) / max(floor, 1e-9)
     contended = (
         load1[0] > 1.5 * n_cpus
+        or rel > CALIB_AGED_REL_MAX
         or any(v > CALIB_POST_IDLE_MAX for v in aged)
-        # spread over AGED points only: calib[0] is the fresh-session
-        # wall, 2-3.5x the deep-aged floor by JIT warm-up alone
-        # (measured 0.246 vs 0.071 on an idle box). The aged points
-        # themselves are noisy at the 0.07-0.15 s scale — idle runs
-        # measured spreads up to 2.3x (each calibration sits in a
-        # different heavy query's GC neighborhood) — so only a >3x
-        # spread is load; the absolute band above is the primary
-        # mid-run signal
-        or max(aged) / max(min(aged), 1e-9) > 3.0
     )
     return {
         "load1": [round(v, 2) for v in load1],
         "calib": [round(v, 3) for v in calib],
+        "calib_floor": round(floor, 3),
+        "calib_rel": round(rel, 2),
         "contended": contended,
     }
 

@@ -15,6 +15,7 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 from bench import (  # noqa: E402
+    CALIB_POST_IDLE_MAX,
     HEADLINE,
     METHODOLOGY,
     compact_record,
@@ -91,6 +92,47 @@ def test_sentinel_band():
     )
     # box already loaded before the run began -> contended
     assert sentinel_fields([49.0, 30.0], [0.05, 0.05], 32)["contended"] is True
+
+
+def test_sentinel_self_relative_rule_round12_captures():
+    """VERDICT r12 #5 regression vectors: the round-12 ledger's
+    recorded captures must classify identically under the r13
+    self-relative primary rule, and the rule must TRAVEL — the same
+    loaded-run shape on a 2x-faster box, where every absolute value
+    sits inside this box's idle band, still reads contended.
+
+    Vectors from SCALE.md's round-12 drift ledger: the 67.8 s clean
+    capture recorded aged calibrations 0.069-0.113; the official
+    76.47 s clean capture 0.081-0.121; the 100.0 s loaded capture's
+    signature was clean ENDPOINTS with 2-3x-inflated mid-run rows
+    (q18 2.87 vs 1.11-1.42 same-day) — under the final interleaved
+    protocol its mid-run calibrations read at that same 2-3x over the
+    clean floor (interior points of the clean vectors interpolated;
+    the loaded capture predates the interleaved sentinel, so its
+    mid-run points are the ledger's documented inflation applied to
+    the measured clean floor)."""
+    # 67.8 s clean capture: floor 0.069, top 0.113 -> rel 1.64, clean
+    s = sentinel_fields([2.1, 30.0], [0.246, 0.113, 0.097, 0.082, 0.069], 32)
+    assert s["contended"] is False
+    assert s["calib_floor"] == 0.069 and s["calib_rel"] == 1.64
+    # official r12 capture (76.47 s): aged 0.081-0.121, clean
+    assert (
+        sentinel_fields([1.4, 30.0], [0.21, 0.121, 0.104, 0.093, 0.081], 32)[
+            "contended"
+        ]
+        is False
+    )
+    # the 100.0 s loaded capture: clean endpoints, 2-3x mid-run
+    s = sentinel_fields([2.0, 30.0], [0.24, 0.09, 0.29, 0.32, 0.10], 32)
+    assert s["contended"] is True
+    assert s["calib_rel"] > 3.0  # the relative rule alone catches it
+    # travel: same shape on a 2x-faster box — every point inside this
+    # box's 0.25 s rail, so the old absolute-primary rule was blind;
+    # the self-relative rule still fires
+    s = sentinel_fields([2.0, 30.0], [0.12, 0.045, 0.145, 0.16, 0.05], 32)
+    assert s["contended"] is True
+    assert s["calib_rel"] > 3.0
+    assert max([0.045, 0.145, 0.16, 0.05]) < CALIB_POST_IDLE_MAX
 
 
 def test_compact_record_fits_even_with_many_more_queries():
