@@ -139,8 +139,14 @@ def test_stage_fingerprint_still_reuses_identical_replay(
 
 
 def test_unsupported_aggregate_fails_loudly():
-    with pytest.raises(ValueError, match="unsupported key.*avg"):
-        normalize_rollup({"name": "r", "group_by": ["g"], "avg": "x"})
+    # avg: was rejected-with-advice in r12; r13 made it config sugar
+    # over the (sum, count) pair (VERDICT r12 #8, test_round13_avg) —
+    # it now normalizes instead of raising
+    assert normalize_rollup({"name": "r", "group_by": ["g"], "avg": "x"})[
+        "agg"
+    ] == "avg"
+    with pytest.raises(ValueError, match="unsupported key.*median"):
+        normalize_rollup({"name": "r", "group_by": ["g"], "median": "x"})
     with pytest.raises(ValueError, match="unsupported agg"):
         normalize_rollup(
             {"name": "r", "group_by": ["g"], "agg": "median", "column": "x"}
