@@ -778,9 +778,9 @@ _ROUND12_WINDOW: list[str] = [
 #   5. r9-green backfill in round-9 window order (stalest first),
 #      topped to exactly 50: cur12..dd8.
 # Round 14's queue head: the r9-green remainder in round-9 window
-# order (sim1, sim5, sim3, w2, w3, fts2, ch1, cur5, fts3, dr1, cur6,
-# sh1, bpe1, dv1, dr2, ta11, vb1, sim10, ev9, ev10, ta12, seg1, mm6,
-# sm6 — 24 rows, 5 rounds stale by r14: the SLO boundary), then
+# order (dd8, sim1, sim5, sim3, w2, w3, fts2, ch1, cur5, fts3, dr1,
+# cur6, sh1, bpe1, dv1, dr2, ta11, vb1, sim10, ev9, ev10, ta12, seg1,
+# mm6, sm6 — 25 rows, 5 rounds stale by r14: the SLO boundary), then
 # r10-green stalest-first.
 # ---------------------------------------------------------------------------
 _GRADED_WINDOW: list[str] = [
@@ -839,9 +839,14 @@ _GRADED_WINDOW: list[str] = [
     "sim9_recall_eval",
     "dq3_replica_checksum",
     "dd6_dup_clusters",
-    "dd8_incremental_lsh",
-    # (sim1_cosine_topk..sm6_temporal_split — the 24-row r9-green
-    # remainder — lead round 14's queue)
+    # plan-changed late in round 13: the shingle-index WRITE path
+    # gained flock+mkdir version allocation (concurrent builders take
+    # distinct versions) and age-graced orphan pruning — art1
+    # exercises publish -> sidecar re-registration end-to-end, so it
+    # re-enters and displaces dd8_incremental_lsh to round 14's queue
+    "art1_warm_artifact_read",
+    # (dd8_incremental_lsh + sim1_cosine_topk..sm6_temporal_split —
+    # the 25-row r9-green remainder — lead round 14's queue)
 ]
 
 # ---------------------------------------------------------------------------

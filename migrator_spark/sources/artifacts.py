@@ -36,9 +36,14 @@ Layouts, chosen per consumer access pattern (layout.py discipline):
   in-flight consumers of the previous one stay undisturbed
   (KEEP_TOKENIZER_VERSIONS retained), and reads can pin a version.
 
-Concurrency (round 10, VERDICT r9 #4): the bucketed shingle-index
-write is still SINGLE-WRITER per store root (one build job owns a
-crawl snapshot), but republish is now ATOMIC for readers: each write
+Concurrency (round 10, VERDICT r9 #4; multi-writer since round 13):
+the bucketed shingle-index write allocates its version directory
+under the store's per-path flock (mkdir as the exclusive claim), so
+two concurrent build jobs take DISTINCT versions and the sidecar swap
+is last-publisher-wins — the pre-r13 single-writer ASSUMPTION (two
+builders could claim one version directory and interleave writes
+under a committed sidecar) is now an enforced allocation. Republish
+is ATOMIC for readers: each write
 lands in a fresh versioned directory (``shingle_index.v<N>``), the
 JSON sidecar — which carries the version it describes — is published
 with a write-temp-then-``os.replace`` swap, and the PREVIOUS version
@@ -307,6 +312,15 @@ class ArtifactStore:
         base = re.sub(r"[^0-9a-zA-Z]+", "_", self.root).strip("_").lower()
         return f"artifact_shingle_index_{base}_v{version}"
 
+    # A version directory NEWER than the committed one with no sidecar
+    # naming it is either a CONCURRENT builder's in-flight write or a
+    # crashed build's orphan. Pruning cannot tell them apart by name,
+    # so in-flight candidates are graced by directory age: younger than
+    # this stays (a live build refreshes nothing — it simply finishes
+    # and publishes long before a crawl-cadence republish ages it out);
+    # older is a crashed orphan and goes. Tests shrink it.
+    SHINGLE_ORPHAN_GRACE_SECS = 3600.0
+
     def write_shingle_index(self, idx: DataFrame, buckets: int = 32) -> None:
         """Materialize the postings relation bucketed (and sorted)
         by ``s``. Bucket count is a layout decision: at 100 TB pick it
@@ -320,11 +334,30 @@ class ArtifactStore:
         version's files are RETAINED for one generation so an
         in-flight reader of the old sidecar still has a complete
         snapshot; anything older is pruned (files and catalog entry).
-        """
+
+        Concurrent BUILDERS are safe since round 13: the version
+        number is allocated under the store's per-path flock with the
+        directory mkdir as the exclusive claim, so two simultaneous
+        builds take DISTINCT version directories instead of silently
+        interleaving writes into one (the pre-r13 torn-data window of
+        the documented single-writer assumption); each then builds
+        outside the lock and the sidecar swap is last-publisher-wins —
+        the same semantics two sequential builds would have. Pruning
+        distinguishes a concurrent in-flight build from a crashed
+        orphan by directory age (SHINGLE_ORPHAN_GRACE_SECS)."""
+        import time
+
+        from migrator_spark.sources.parquet import _lock_for
+
         spark = idx.sparkSession
         os.makedirs(self.root, exist_ok=True)
-        on_disk = self._shingle_versions_on_disk()
-        version = (on_disk[-1] + 1) if on_disk else 1
+        # claim a version: list + mkdir must be atomic vs other
+        # builders (thread or process) or both claim v<N> and write
+        # into one directory
+        with _lock_for(os.path.join(self.root, "shingle_index")):
+            on_disk = self._shingle_versions_on_disk()
+            version = (on_disk[-1] + 1) if on_disk else 1
+            os.makedirs(self._shingle_version_path(version))
         # the generation to RETAIN is the committed one the sidecar
         # names, not merely the newest directory: a crashed previous
         # write leaves an orphan dir with no sidecar, and pruning
@@ -334,8 +367,8 @@ class ArtifactStore:
             self.shingle_index_version() if self.has_shingle_index() else None
         )
         name = self.shingle_table_name(version)
-        # a crashed previous attempt at this version number can leave a
-        # stale catalog entry in THIS session; clear it before reuse
+        # a stale catalog entry can only come from a crashed attempt in
+        # THIS session at a now-reclaimed number; clear before reuse
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
             idx.write.mode("overwrite")
@@ -353,14 +386,25 @@ class ArtifactStore:
             json.dump({"buckets": buckets, "ddl": ddl, "version": version}, fh)
         os.replace(tmp, self._shingle_meta())  # atomic publish
         # prune: keep the just-published version and the PREVIOUSLY
-        # COMMITTED one (for its in-flight readers); orphans from
-        # crashed writes and older generations go
+        # COMMITTED one (for its in-flight readers); versions newer
+        # than the committed one may be a CONCURRENT builder mid-write
+        # — grace them by age — while aged ones are crashed orphans
         keep = {version, prev_committed}
         for old in on_disk:
             if old in keep:
                 continue
+            path = self._shingle_version_path(old)
+            if prev_committed is None or old > prev_committed:
+                try:
+                    if (
+                        time.time() - os.path.getmtime(path)
+                        < self.SHINGLE_ORPHAN_GRACE_SECS
+                    ):
+                        continue  # possibly in-flight: leave it
+                except OSError:
+                    continue
             spark.sql(f"DROP TABLE IF EXISTS {self.shingle_table_name(old)}")
-            shutil.rmtree(self._shingle_version_path(old), ignore_errors=True)
+            shutil.rmtree(path, ignore_errors=True)
 
     def has_shingle_index(self) -> bool:
         return os.path.exists(self._shingle_meta())
