@@ -172,7 +172,14 @@ METHODOLOGY = (
     "floor itself is inflated and the relative rule reads clean. "
     "Outside those bands the capture self-reports as a "
     "loaded-box artifact and drift verdicts must come from an "
-    "isolated re-run, not this record; "
+    "isolated re-run, not this record. Since r13 the loop is also "
+    "ROW-ADAPTIVE: a timed median far above the same row's "
+    "same-session warm-up wall (suspect_row: >1.5x with a 0.3 s "
+    "floor — the r13 st6-straddle signature, 17.9 s between clean "
+    "calibration points) triggers an immediate calibration that "
+    "joins the aged set, and the record carries n_suspect (+ the "
+    "verbose record the per-row [timed, warm] pairs) plus r1_12q, "
+    "the r1-comparable 12-query subset sum the baseline ratio reads; "
     "r1/r2 were cold single-shot"
 )
 
@@ -253,6 +260,27 @@ def sentinel_fields(
     }
 
 
+# The 12 rows comparable to the round-1 baseline record; their sum is
+# the "within 2x of baseline" headline ratio, carried in the record so
+# the verdict needs no external row list.
+R1_SUBSET = HEADLINE[:12]
+
+
+def suspect_row(timed: float, warm: float) -> bool:
+    """A timed median far above the SAME row's same-session warm-up
+    wall is the signature of transient load the ~8-row interleaved
+    calibration can straddle (observed round 13: st6 17.9 s vs ~8 s
+    with every calibration clean — the inflation landed between
+    sampling points). Warm-up runs the identical plan at the identical
+    SF moments earlier, so timed ≈ warm on a quiet box; 1.5x with a
+    0.3 s absolute floor stays outside the §5e ±30% row-variance band
+    and small-row jitter. A suspect row triggers an immediate
+    calibration, which joins the aged set the contended rules read —
+    so a transient that actually inflated measurements now lands a
+    probe INSIDE its window instead of being invisible."""
+    return timed > max(1.5 * warm, warm + 0.3)
+
+
 def _gc_barrier(spark) -> None:
     """Quiesce between queries: drop Python-side plan refs, force a JVM
     GC so the ContextCleaner reclaims localCheckpoint blocks and
@@ -293,14 +321,21 @@ def main() -> None:
 
     # Warm-up pass at the target SF (populates OS page cache for the
     # parquet files + finishes codegen at real plan shapes), then
-    # median-of-REPEATS timed runs per query.
+    # median-of-REPEATS timed runs per query. The warm-up walls are
+    # kept: a timed row far above its own warm-up wall marks a
+    # transient the fixed-cadence calibrations can straddle
+    # (suspect_row) and earns an immediate probe.
+    warm_walls: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is not None:
+            t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm_walls[name] = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
     calib = [calib_pre]
+    suspects: dict[str, list[float]] = {}
     for i, name in enumerate(HEADLINE):
         spec = REGISTRY.get(name)
         if spec is None:
@@ -312,7 +347,12 @@ def main() -> None:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
-        if (i + 1) % 8 == 0:
+        if suspect_row(timings[name], warm_walls.get(name, float("inf"))):
+            # probe INSIDE the anomaly's window: the extra calibration
+            # joins the aged set the contended rules read
+            suspects[name] = [timings[name], round(warm_walls[name], 3)]
+            calib.append(_calibration_wall(spark))
+        elif (i + 1) % 8 == 0:
             # mid-run calibrations: external load that comes and goes
             # INSIDE the timed loop is invisible to endpoint-only
             # measurements (observed: a capture with 2-3x-inflated
@@ -323,7 +363,9 @@ def main() -> None:
     sentinel = sentinel_fields(
         [load1_start, os.getloadavg()[0]], calib, n_cpus
     )
+    sentinel["n_suspect"] = len(suspects)
     total = round(sum(timings.values()), 4)
+    r1_12q = round(sum(timings.get(n, 0.0) for n in R1_SUBSET), 3)
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     # Verbose audit record first (full precision + methodology) ...
     print(
@@ -334,14 +376,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "r1_12q": r1_12q,
                 **sentinel,
+                "suspects": suspects,
                 "methodology": METHODOLOGY,
             }
         )
     )
     # ... then the compact machine record as the FINAL line (driver
     # contract): must stay within the driver's ~2 kB tail capture.
-    print(compact_record(total, timings, sf_val, sentinel))
+    print(compact_record(total, timings, sf_val, {**sentinel, "r1_12q": r1_12q}))
 
 
 def compact_record(

@@ -28,11 +28,13 @@ def _fake_timings(names):
 
 
 def _fake_sentinel(contended=False):
-    return sentinel_fields(
+    s = sentinel_fields(
         [40.0 if contended else 2.1, 30.5],
         [0.221, 0.151, 0.112, 0.098, 0.104, 0.091],  # pre + 4 mid + post
         32,
     )
+    # ride-along fields main() adds to the compact record
+    return {**s, "n_suspect": 1, "r1_12q": 8.564}
 
 
 def test_compact_record_parses_and_fits_at_current_headline():
@@ -92,6 +94,22 @@ def test_sentinel_band():
     )
     # box already loaded before the run began -> contended
     assert sentinel_fields([49.0, 30.0], [0.05, 0.05], 32)["contended"] is True
+
+
+def test_suspect_row_trigger():
+    """The row-adaptive probe (round 13): a timed median far above the
+    same row's same-session warm-up wall fires an immediate
+    calibration. Thresholds sit outside the §5e ±30% row-variance band
+    and small-row jitter."""
+    from bench import suspect_row
+
+    assert suspect_row(17.9, 8.0) is True  # the r13 st6 straddle
+    assert suspect_row(8.3, 8.0) is False  # in-band variance
+    assert suspect_row(10.3, 8.0) is False  # 1.29x: inside ±30%
+    assert suspect_row(12.5, 8.0) is True  # 1.56x on a big row
+    assert suspect_row(0.35, 0.2) is False  # small-row jitter floored
+    assert suspect_row(0.55, 0.2) is True  # 0.3 s past a small warm
+    assert suspect_row(1.0, float("inf")) is False  # no warm wall: never
 
 
 def test_sentinel_self_relative_rule_round12_captures():
