@@ -47,7 +47,13 @@ def get_spark(app_name: str = "migrator_spark", cpus: int | None = None) -> Spar
         # pin session tz so literals compare identically to DuckDB.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for bench/test sessions (constant overhead); the
+        # optimization probe (tools/opt_probe.py) flips it on to read
+        # job/stage/task counts from the REST API.
+        .config(
+            "spark.ui.enabled",
+            os.environ.get("SPARK_GRAFT_UI", "false"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Executor Python workers must import this package: under
         # local[N] they inherit the driver's sys.path, but real executor

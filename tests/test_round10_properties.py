@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -387,10 +388,15 @@ def test_republish_after_crashed_write_retains_committed_not_orphan(
     store.write_shingle_index(idx, buckets=4)  # committed v1
     reader = store.read_shingle_index(spark)
     n1 = reader.count()
-    # simulate the crashed write: v2 dir exists, sidecar still says 1
+    # simulate the crashed write: v2 dir exists, sidecar still says 1.
+    # Since r13 pruning graces YOUNG uncommitted dirs (they may be a
+    # concurrent builder mid-write) and ages out crashed orphans, so
+    # the crash is simulated as an AGED dir — past the grace window.
     os.makedirs(store._shingle_version_path(2))
     with open(f"{store._shingle_version_path(2)}/part-junk.parquet", "wb") as fh:
         fh.write(b"not a real file")
+    aged = time.time() - store.SHINGLE_ORPHAN_GRACE_SECS - 5
+    os.utime(store._shingle_version_path(2), (aged, aged))
     assert store.shingle_index_version() == 1
     store.write_shingle_index(idx, buckets=4)  # becomes v3
     assert store.shingle_index_version() == 3
