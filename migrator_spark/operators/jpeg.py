@@ -43,6 +43,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from migrator_spark.functions.parallelism import fan_out
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -535,7 +536,7 @@ def synth_jpeg_payloads(
                 }
             )
 
-    return docs.mapInPandas(batches, schema=schema)
+    return fan_out(docs, id_col).mapInPandas(batches, schema=schema)
 
 
 JPEG_STATS_SCHEMA = StructType(

@@ -22,6 +22,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from migrator_spark.functions.parallelism import fan_out
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -379,7 +380,7 @@ def synth_wav_payloads(
                 {"doc_id": pdf[id_col], "payload": pdf[len_col].map(lambda n: build(int(n)))}
             )
 
-    return docs.mapInPandas(batches, schema=schema)
+    return fan_out(docs, id_col).mapInPandas(batches, schema=schema)
 
 
 def synth_bmp_payloads(
@@ -417,7 +418,7 @@ def synth_bmp_payloads(
                 {"doc_id": pdf[id_col], "payload": pdf[len_col].map(lambda n: build(int(n)))}
             )
 
-    return docs.mapInPandas(batches, schema=schema)
+    return fan_out(docs, id_col).mapInPandas(batches, schema=schema)
 
 
 def synth_mixed_payloads(docs: DataFrame) -> DataFrame:
@@ -431,6 +432,7 @@ def synth_mixed_payloads(docs: DataFrame) -> DataFrame:
     heterogeneous media."""
     from migrator_spark.operators.jpeg import synth_jpeg_payloads
 
+    docs = fan_out(docs, "doc_id")
     five = F.col("doc_id") % 5
     return (
         synth_bmp_payloads(docs.filter(five == 0))
@@ -629,7 +631,7 @@ def synth_png_payloads(
                 }
             )
 
-    return docs.mapInPandas(batches, schema=schema)
+    return fan_out(docs, id_col).mapInPandas(batches, schema=schema)
 
 
 IMG_FEATURE_SCHEMA = StructType(
@@ -837,7 +839,7 @@ def synth_mjpeg_avi_payloads(
                 }
             )
 
-    return docs.mapInPandas(batches, schema=schema)
+    return fan_out(docs, id_col).mapInPandas(batches, schema=schema)
 
 
 def avi_jpeg_frames(payload: bytes, max_depth: int = 16) -> list[bytes]:

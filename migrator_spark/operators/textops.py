@@ -860,52 +860,54 @@ def pmi_collocations(
     )
 
 
-def _bpe_merge_step(state: DataFrame, left: str, right: str) -> DataFrame:
+def _bpe_merge_syms(syms: F.Column, left: str, right: str) -> F.Column:
     """One greedy left-to-right non-overlapping application of the
-    merge (left, right) over a segmentation state (w, pos, sym,
-    [carry...]) — as pure window arithmetic (no self-join — a take-list
-    join here shares lineage with its left side, the classic
-    ambiguous-self-join trap): candidate runs get a block id from
-    (pos - running candidate count); even offset within the block
-    merges; the position after a merge is skipped. SHARED by the
-    trainer (bpe_train_merges) and the serving tokenizer
-    (bpe_apply_merges) so training-time and apply-time segmentation run
-    the IDENTICAL positional rule."""
-    win = Window.partitionBy("w").orderBy("pos")
-    carry = [c for c in state.columns if c not in ("pos", "sym")]
-    flag = state.withColumn("nxt", F.lead("sym").over(win)).withColumn(
-        "is_cand",
-        (F.col("sym") == left) & (F.col("nxt") == right),
-    )
-    flag = flag.withColumn(
-        "blk",
-        F.when(
-            F.col("is_cand"),
-            F.col("pos")
-            - F.sum(F.col("is_cand").cast("long")).over(
-                win.rowsBetween(Window.unboundedPreceding, 0)
+    merge (left, right) over a word's symbol ARRAY — a single
+    higher-order fold, replacing the round-12 per-position window form
+    (three window functions + an exchange hashpartitioning(w) per
+    round; guide §2.4 "remove shuffles outright": the fold is map-only,
+    so a K-merge chain runs in ONE stage with zero exchanges — measured
+    round 13, see OPTIMIZATION_r13.md 'bpe family').
+
+    Greedy non-overlap falls out of the fold directly: scanning left to
+    right, merge when (last accumulated symbol, current) == (left,
+    right). A just-merged element can never retrigger — it equals
+    left||right, which equals ``left`` only if ``right`` were empty,
+    and empty symbols cannot exist — so no skip flag is needed; this is
+    the same positional rule the window form computed (even offset
+    within a candidate run), proven equivalent by the unchanged oracles
+    and the classic-reference property test. ``F.get`` (NULL on
+    out-of-range, unlike element_at under ANSI) guards the empty
+    accumulator of the first element."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
             ),
-        ),
+        ).otherwise(F.concat(acc, F.array(x))),
     )
-    flag = flag.withColumn(
-        "taken",
-        F.col("is_cand")
-        & (
-            (F.col("pos") - F.min("pos").over(Window.partitionBy("w", "blk")))
-            % 2
-            == 0
-        ),
-    )
-    return (
-        flag.withColumn("prev_taken", F.lag("taken").over(win))
-        .filter(~F.coalesce(F.col("prev_taken"), F.lit(False)))
-        .select(
-            *carry,
-            (F.row_number().over(win) - 1).alias("pos"),
-            F.when(F.col("taken"), F.lit(left + right))
-            .otherwise(F.col("sym"))
-            .alias("sym"),
-        )
+
+
+def _bpe_char_syms(w: F.Column) -> F.Column:
+    """A word's initial segmentation: its characters, as an array.
+    Spark's split keeps a trailing empty element (limit -1); drop it."""
+    return F.filter(F.split(w, "(?!^)"), lambda x: x != "")
+
+
+def _bpe_adjacent_pairs(syms: F.Column) -> F.Column:
+    """All adjacent symbol pairs of one word, in position order —
+    (sym, nxt) structs; empty for single-symbol words (slice of
+    length size-1 = 0). Every occurrence counts ("aaa" contributes
+    (a,a) twice), matching the reference get_stats semantics."""
+    return F.zip_with(
+        F.slice(syms, 1, F.size(syms) - 1),
+        F.slice(syms, 2, F.size(syms) - 1),
+        lambda a, b: F.struct(a.alias("sym"), b.alias("nxt")),
     )
 
 
@@ -939,31 +941,34 @@ def bpe_train_merges(
     tokenizer-training convention).
 
     Scale: the state is the VOCABULARY (distinct words x their symbol
-    positions), not the corpus — one corpus pass builds the word
-    frequency table, then every round runs on vocabulary-sized data
-    (the classic BPE trainer shape). Rounds are a driver loop like
-    dd6's label propagation: K bounded iterations, per-round
-    localCheckpoint so lineage stays flat, one tiny argmax collect per
-    round (a single row — not a data-sized driver pull)."""
+    arrays), not the corpus — one corpus pass builds the word frequency
+    table (checkpointed once), then every round runs on
+    vocabulary-sized data (the classic BPE trainer shape). Rounds are a
+    driver loop like dd6's label propagation: K bounded iterations, one
+    tiny argmax collect per round (a single row — not a data-sized
+    driver pull). Since round 13 the per-word state is a symbol ARRAY
+    and a merge round is one map-only fold (_bpe_merge_syms) — no
+    per-round exchange, no per-round checkpoint: round r's argmax
+    re-runs r map-only folds over the checkpointed vocab, O(K^2 x
+    vocab) interpreted array ops total, which is far below the
+    K exchanges + K checkpoint jobs the per-position window form paid
+    (guide §2.4; measured in OPTIMIZATION_r13.md)."""
     wf = (
         docs.select(F.explode(words(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    # Spark's split keeps a trailing empty element (limit -1); drop it
-    state = (
-        wf.select("w", "freq", F.posexplode(F.split(F.col("w"), "(?!^)")))
-        .withColumnRenamed("col", "sym")
-        .filter(F.col("sym") != "")
-        .localCheckpoint(eager=True)
-    )
-    win = Window.partitionBy("w").orderBy("pos")
+    state = wf.select(
+        "w", "freq", _bpe_char_syms(F.col("w")).alias("syms")
+    ).localCheckpoint(eager=True)
     out: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):
-        paired = state.withColumn("nxt", F.lead("sym").over(win))
         best = (
-            paired.filter(F.col("nxt").isNotNull())
-            .groupBy("sym", "nxt")
+            state.select(
+                "freq",
+                F.explode(_bpe_adjacent_pairs(F.col("syms"))).alias("p"),
+            )
+            .groupBy("p.sym", "p.nxt")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("sym"), F.asc("nxt"))
             .first()
@@ -972,8 +977,8 @@ def bpe_train_merges(
             break
         left, right, cnt = best["sym"], best["nxt"], int(best["cnt"])
         out.append((rank, left, right, cnt))
-        state = _bpe_merge_step(state, left, right).localCheckpoint(
-            eager=True
+        state = state.withColumn(
+            "syms", _bpe_merge_syms(F.col("syms"), left, right)
         )
     spark = docs.sparkSession
     merges = spark.createDataFrame(
@@ -981,8 +986,19 @@ def bpe_train_merges(
         "merge_rank long, left_sym string, right_sym string, pair_count long",
     )
     if return_state:
-        return merges, state
+        return merges, _explode_state(state)
     return merges
+
+
+def _explode_state(state: DataFrame) -> DataFrame:
+    """The (w, [carry...], pos, sym) per-position view of an array
+    state — the ``return_state`` contract every downstream consumer
+    (bpe_encode's join, bpe_fertility's per-word counts, the vb2/art6
+    OOV reports) was written against."""
+    carry = [c for c in state.columns if c != "syms"]
+    return state.select(
+        *carry, F.posexplode(F.col("syms")).alias("pos", "sym")
+    )
 
 
 def bpe_apply_merges(
@@ -1009,9 +1025,14 @@ def bpe_apply_merges(
     tokenizer; nothing is dropped.
 
     Scale: state is the SERVING VOCABULARY (distinct words × symbol
-    positions), never the corpus; the merge table is K rows collected
-    once; K bounded driver rounds with per-round localCheckpoint (the
-    dd6/bpe2 iterative-algorithm discipline).
+    arrays), never the corpus; the merge table is K rows collected
+    once. Since round 13 the K rank-ordered passes compose as ONE
+    map-only chain of array folds (_bpe_merge_syms) — the whole serve
+    is a single stage with zero exchanges and zero checkpoints, where
+    the per-position window form paid K exchanges + K checkpoint jobs
+    plus a final groupBy (guide §2.4; the per-word aggregate is now
+    size()/array_join() on the array — no shuffle at all after the
+    distinct).
 
     ``return_state``: return the raw final segmentation state
     (w, pos, sym) instead of the per-word aggregate — what
@@ -1023,26 +1044,18 @@ def bpe_apply_merges(
     state = (
         docs.select(F.explode(words(text_col)).alias("w"))
         .distinct()
-        .select("w", F.posexplode(F.split(F.col("w"), "(?!^)")))
-        .withColumnRenamed("col", "sym")
-        .filter(F.col("sym") != "")
-        .localCheckpoint(eager=True)
+        .select("w", _bpe_char_syms(F.col("w")).alias("syms"))
     )
     for _rank, left, right in mrows:
-        state = _bpe_merge_step(state, left, right).localCheckpoint(
-            eager=True
+        state = state.withColumn(
+            "syms", _bpe_merge_syms(F.col("syms"), left, right)
         )
     if return_state:
-        return state
-    return state.groupBy("w").agg(
-        F.count(F.lit(1)).cast("long").alias("n_toks"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
-                lambda s: s["sym"],
-            ),
-            "|",
-        ).alias("toks"),
+        return _explode_state(state)
+    return state.select(
+        "w",
+        F.size(F.col("syms")).cast("long").alias("n_toks"),
+        F.array_join(F.col("syms"), "|").alias("toks"),
     )
 
 
