@@ -1143,9 +1143,10 @@ def semdedup_fold(
 
     Scale: the Lloyd build and the scored relation materialize once;
     each round adds one O(|batch| x cell-occupancy) cell-keyed join
-    (never a corpus self-join) and the kept set grows by reference
-    through per-round localCheckpoints — the steady-state cost
-    profile of the stream, with batch count fixed (a handful of
+    (never a corpus self-join); per-round DECISIONS are the
+    checkpointed artifact (each round's judge executes exactly once)
+    and the kept set grows by reference over them — the steady-state
+    cost profile of the stream, with batch count fixed (a handful of
     trigger-sized folds), not data-dependent.
 
     ``quantizer``: ``"flat"`` (one k-cell Lloyd codebook) or
@@ -1209,13 +1210,22 @@ def semdedup_fold(
         dec = _judge_scored_batch(batch, kept, tau, dim, id_col).withColumn(
             "batch_id", F.lit(i).cast("long")
         )
-        out = dec if out is None else out.unionByName(dec)
         if hi is not None:  # the last batch's keepers judge nobody
+            # checkpoint the DECISION, not the kept set (round 13): dec
+            # feeds both the output union and the next round's kept set,
+            # so materializing it once removes the double execution of
+            # the judge's exchange tree the old kept-side checkpoint
+            # paid (the final action re-ran every non-final round's
+            # judge); kept itself stays lazy — its lineage is filters
+            # and semi-joins over the scored checkpoint and the dec
+            # checkpoints, one level deep (guide §1.2/§2.4).
+            dec = dec.localCheckpoint(eager=True)
             kept = kept.unionByName(
                 batch.join(
                     dec.filter(F.col("keep")).select(id_col), id_col, "leftsemi"
                 )
-            ).localCheckpoint(eager=True)
+            )
+        out = dec if out is None else out.unionByName(dec)
     return out
 
 
