@@ -804,28 +804,47 @@ def st6_late_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="st6_")
     try:
         sdir, ck, odir = f"{root}/in", f"{root}/ck", f"{root}/out"
-        parts = [
-            arr.filter(F.col("_arr") < cuts[0]),
-            arr.filter((F.col("_arr") >= cuts[0]) & (F.col("_arr") < cuts[1])),
-            arr.filter(F.col("_arr") >= cuts[1]),
-        ]
         # Deterministic batch cut without wall-clock coupling (VERDICT
         # r8 #4 — this replaced two time.sleep(1.05) calls): the file
         # source replays by modification time, so each arrival slice
         # becomes ONE data file with an explicitly STAMPED mtime 10 s
         # after its predecessor (os.utime costs nothing and removes
         # all tie-break ambiguity — the stamps, not the write clock,
-        # carry the order).
+        # carry the order). Since round 13 the three slices land in
+        # ONE pass: a bucket column + hash repartition on it + a
+        # partitionBy write (each bucket's rows sit wholly inside one
+        # task, so each directory holds exactly one data file), where
+        # the old form ran three separate filter + coalesce(1) full
+        # scans of the events table — guide §2.4 "remove
+        # shuffles/passes outright" (3 single-threaded scans -> 1 scan
+        # + one narrow-row shuffle; measured in OPTIMIZATION_r13.md).
         os.makedirs(sdir)
+        stage = f"{root}/stage"
+        (
+            arr.withColumn(
+                "_b",
+                F.when(F.col("_arr") < cuts[0], 0)
+                .when(F.col("_arr") < cuts[1], 1)
+                .otherwise(2),
+            )
+            .drop("_arr")
+            .repartition(F.col("_b"))
+            .write.partitionBy("_b")
+            .parquet(stage)
+        )
         t0 = _time.time() - 120.0  # anchored in the past; spacing is all
-        for i, p in enumerate(parts):
-            stage = f"{root}/stage{i}"
-            p.drop("_arr").coalesce(1).write.parquet(stage)
+        for i in range(3):
+            bdir = os.path.join(stage, f"_b={i}")
+            if not os.path.isdir(bdir):
+                # degenerate cut left this arrival slice empty — the
+                # old per-slice write produced an empty file (and so an
+                # empty micro-batch); keep that batch structure
+                arr.drop("_arr").limit(0).coalesce(1).write.parquet(bdir)
             part_file = next(
-                f for f in os.listdir(stage) if f.endswith(".parquet")
+                f for f in os.listdir(bdir) if f.endswith(".parquet")
             )
             dst = os.path.join(sdir, f"batch-{i:05d}.parquet")
-            shutil.move(os.path.join(stage, part_file), dst)
+            shutil.move(os.path.join(bdir, part_file), dst)
             os.utime(dst, (t0 + 10.0 * i, t0 + 10.0 * i))
         stream = (
             spark.readStream.schema(events.schema)

@@ -5556,12 +5556,40 @@ def pr14_stream_served_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFr
         sdir, ck, st = f"{root}/in", f"{root}/ck", f"{root}/state"
         # two deterministic doc-level arrival slices; additivity makes
         # the final state independent of the slicing (and of replay
-        # order, so no mtime pinning is needed here, unlike st6)
-        half = docs.withColumn("_h", F.pmod(F.xxhash64("doc_id"), F.lit(2)))
+        # order, so no mtime pinning is needed here, unlike st6).
+        # Since round 13 both slices land in ONE pass (guide §2.4 —
+        # the old form ran two filter + coalesce(1) full scans of the
+        # documents table): hash-repartition on the slice column, then
+        # a partitionBy write puts each slice wholly inside one task =
+        # exactly one data file per slice directory; the two files are
+        # then moved into the flat stream dir (each file = one
+        # maxFilesPerTrigger micro-batch, exactly as before).
+        import os
+
+        stage = f"{root}/stage"
+        (
+            docs.withColumn("_h", F.pmod(F.xxhash64("doc_id"), F.lit(2)))
+            .select("lang", "doc_id", "text", "_h")
+            .repartition(F.col("_h"))
+            .write.partitionBy("_h")
+            .parquet(stage)
+        )
+        os.makedirs(sdir)
         for part in (0, 1):
-            half.filter(F.col("_h") == part).select(
-                "lang", "doc_id", "text"
-            ).coalesce(1).write.mode("append").parquet(sdir)
+            hdir = os.path.join(stage, f"_h={part}")
+            if not os.path.isdir(hdir):
+                # degenerate split left this slice empty — keep the
+                # two-batch structure the old per-slice write produced
+                docs.select("lang", "doc_id", "text").limit(0).coalesce(
+                    1
+                ).write.parquet(hdir)
+            part_file = next(
+                f for f in os.listdir(hdir) if f.endswith(".parquet")
+            )
+            shutil.move(
+                os.path.join(hdir, part_file),
+                os.path.join(sdir, f"batch-{part:05d}.parquet"),
+            )
         stream = (
             spark.readStream.schema("lang string, doc_id long, text string")
             .option("maxFilesPerTrigger", 1)

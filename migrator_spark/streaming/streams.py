@@ -730,21 +730,43 @@ def streaming_window_funnel(
         return bests, level
 
     def _batch_events(pdfs):
-        import pandas as pd
+        # per-GROUP hot path: this runs once per (user, micro-batch) —
+        # numpy end-to-end, no pandas DataFrame construction (guide §4:
+        # the per-call constant dominated the stream's wall; measured
+        # round 13, OPTIMIZATION_r13.md st6)
+        import numpy as np
 
-        rows = [p for p in pdfs if len(p)]
-        if not rows:
+        ts_parts, r_parts = [], []
+        for p in pdfs:
+            if not len(p):
+                continue
+            r = p[type_col].map(rank)
+            mask = r.notna()
+            if not mask.all():
+                r = r[mask]
+                if not len(r):
+                    continue
+                t_src = p[ts_col][mask]
+            else:
+                t_src = p[ts_col]
+            # normalize to MICROSECONDS regardless of the Arrow batch's
+            # pandas resolution (ns here, us elsewhere) — the state
+            # longs and window_micros share one unit
+            ts_parts.append(
+                t_src.astype("datetime64[us]").astype("int64").to_numpy()
+            )
+            r_parts.append(r.astype("int64").to_numpy())
+        if not ts_parts:
             return None
-        pdf = pd.concat(rows)
-        pdf = pdf[pdf[type_col].isin(rank)]
-        if len(pdf) == 0:
-            return None
-        pdf = pdf.assign(_r=pdf[type_col].map(rank))
-        # normalize to MICROSECONDS regardless of the Arrow batch's
-        # pandas resolution (ns here, us elsewhere) — the state longs
-        # and window_micros share one unit
-        ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64")
-        return ts_us.to_numpy(), pdf["_r"].to_numpy()
+        return np.concatenate(ts_parts), np.concatenate(r_parts)
+
+    def _sorted_events(ts_us, rs):
+        import numpy as np
+
+        # stable (ts, step-rank) order — same total order as the old
+        # pandas mergesort sort_values(["t", "r"])
+        order = np.lexsort((rs, ts_us))
+        return ts_us[order], rs[order]
 
     def fn(key: tuple, pdfs, state: GroupState):
         import pandas as pd
@@ -759,13 +781,8 @@ def streaming_window_funnel(
             if level > 0:
                 yield pd.DataFrame({user_col: [key[0]], "level": [level]})
             return
-        ts_us, rs = got
-        order = pd.DataFrame({"t": ts_us, "r": rs}).sort_values(
-            ["t", "r"], kind="mergesort"
-        )
-        bests, level = _fold(
-            bests, level, order["t"].tolist(), order["r"].tolist()
-        )
+        ts_us, rs = _sorted_events(*got)
+        bests, level = _fold(bests, level, ts_us.tolist(), rs.tolist())
         state.update((bests, level))
         # a user with no step-1 event yet has no funnel level (matches
         # the batch query, which anchors on step-1 rows)
@@ -800,25 +817,27 @@ def streaming_window_funnel(
             buf_r.extend(int(r) for r in rs)
 
         if buf_t:
+            import numpy as np
+
             high = max(buf_t) - max_lateness_micros
             if wm is None or high > wm:
                 wm = high
-            order = pd.DataFrame({"t": buf_t, "r": buf_r}).sort_values(
-                ["t", "r"], kind="mergesort"
+            st, sr = _sorted_events(
+                np.asarray(buf_t, dtype="int64"),
+                np.asarray(buf_r, dtype="int64"),
             )
             # STRICT release: same-ts ties mature together, so a tie
             # can never straddle the authoritative/speculative seam
-            mature = order[order["t"] < wm]
-            tail = order[order["t"] >= wm]
-            if len(mature):
+            n_mature = int(np.searchsorted(st, wm, side="left"))
+            if n_mature:
                 bests, level = _fold(
                     bests,
                     level,
-                    mature["t"].tolist(),
-                    mature["r"].tolist(),
+                    st[:n_mature].tolist(),
+                    sr[:n_mature].tolist(),
                 )
-            buf_t = tail["t"].tolist()
-            buf_r = tail["r"].tolist()
+            buf_t = st[n_mature:].tolist()
+            buf_r = sr[n_mature:].tolist()
 
         state.update((bests, level, wm, dropped, buf_t, buf_r))
         # speculative emission: fold the in-horizon tail on top of a
@@ -836,6 +855,18 @@ def streaming_window_funnel(
                 }
             )
 
+    # project to the three columns the automaton reads and drop
+    # non-step events BEFORE the stateful exchange (guide §4 "pass only
+    # the columns the function needs" / §2.3 "project before the
+    # exchange"): the shuffle and the Arrow boundary then carry
+    # (user, ts, type) of funnel events only. Emission-visible effect:
+    # a user whose batch held ONLY non-step events no longer re-emits
+    # their unchanged level that batch — consumers read the update-mode
+    # stream as max-per-user (the documented contract), which is
+    # invariant to dropped duplicate re-emissions.
+    stream = stream.select(
+        F.col(user_col), F.col(ts_col), F.col(type_col)
+    ).filter(F.col(type_col).isin(list(steps)))
     if max_lateness_micros is None:
         return stream.groupBy(F.col(user_col)).applyInPandasWithState(
             fn,
