@@ -981,25 +981,15 @@ def score_against_centroids(
     quantities every SemDeDup stage reuses — centroid cosine (``_cs``)
     and the hoisted L2 norm (``_nrm``). ``pts`` carries (id_col, v);
     returns the SCORED relation (id_col, cell, v, _cs, _nrm),
-    materialized once (it feeds pair sides and outputs).
-
-    The checkpoint is fanned out to the session's core count before it
-    materializes (round 13): it is the PROBE side of every judge pair
-    join — those joins broadcast the trigger-bounded batch, so the
-    probe's own partitioning is the stage's entire parallelism, and a
-    single-file local scan would otherwise serialize the quadratic
-    cosine stage on one core. At scale the scan already carries
-    thousands of splits and fan_out is a no-op (guide §2.5)."""
-    from migrator_spark.functions.parallelism import fan_out
-
-    return fan_out(
+    materialized once (it feeds pair sides and outputs)."""
+    return (
         _assign_cells(pts, cents, id_col)
         .join(F.broadcast(cents), "cell")
         .withColumn("_cs", cosine_similarity(F.col("v"), F.col("c")))
         .withColumn("_nrm", l2_norm(F.col("v")))
-        .select(id_col, "cell", "v", "_cs", "_nrm"),
-        id_col,
-    ).localCheckpoint(eager=True)
+        .select(id_col, "cell", "v", "_cs", "_nrm")
+        .localCheckpoint(eager=True)
+    )
 
 
 def _judge_scored_batch(
@@ -1016,20 +1006,7 @@ def _judge_scored_batch(
     dropped if it duplicates any incumbent of its cell (the incumbent
     always wins) or a fellow arrival the keep-far-from-centroid rule
     prefers. One decision row per new id: (id_col, cell, n_dups_old,
-    n_dups_new, keep).
-
-    Join strategy (round 13, guide §3.1/§2.3): ``new`` is
-    trigger-bounded by contract (the stream's backpressure caps each
-    micro-batch; the fold's batches are those trigger slices), so the
-    batch side BROADCASTS into both pair stages and the kept/corpus
-    side — the one that grows with the corpus — is only ever the
-    streamed probe: it is never exchanged, never sorted, and its fat
-    vector rows never cross the network. The previous sort-merge form
-    shuffled the incumbent relation on (cell, salt) EVERY round; the
-    replicate-join salt existed solely to spread that shuffle's fat
-    cells, so with no exchange it goes too (it never changed which
-    pairs matched, only their placement — pair sets and every per-pair
-    float fold are identical, hence bit-identical results)."""
+    n_dups_new, keep)."""
 
     def _pc(va, vb, na, nb):
         # hoisted norms + unrolled dot when dim is known: bit-identical
@@ -1044,17 +1021,23 @@ def _judge_scored_batch(
         F.col("_cs").alias("_ca"),
         F.col("_nrm").alias("_na"),
     )
-    # the new-vs-new stage carries the fat vector rows only for the
-    # ia < ib half (cosine commutes bit-for-bit), re-expanding
-    # directions after the arrays are projected away — identical pair
-    # sets, identical values
+    # both pair stages get semdedup's treatment: the sk2-style salt
+    # multiplies the few-fat-cells parallelism, and the new-vs-new join
+    # carries the fat vector rows only for the ia < ib half (cosine
+    # commutes bit-for-bit), re-expanding directions after the arrays
+    # are projected away — identical pair sets, identical values
+    SALT = 8
+    a_s = a.withColumn("_sl", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
     vs_old = (
-        old.select(
-            F.col("cell"),
-            F.col("v").alias("_vb"),
-            F.col("_nrm").alias("_nb"),
+        a_s.join(
+            old.select(
+                F.col("cell"),
+                F.col("v").alias("_vb"),
+                F.col("_nrm").alias("_nb"),
+                F.pmod(F.col(id_col), F.lit(SALT)).cast("int").alias("_sl"),
+            ),
+            ["cell", "_sl"],
         )
-        .join(F.broadcast(a), "cell")
         .filter(
             _pc(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
             >= F.lit(tau)
@@ -1068,9 +1051,10 @@ def _judge_scored_batch(
         F.col("v").alias("_vb"),
         F.col("_cs").alias("_cb"),
         F.col("_nrm").alias("_nb"),
+        F.pmod(F.col(id_col), F.lit(SALT)).cast("int").alias("_sl"),
     )
     half_new = (
-        b_new.join(F.broadcast(a), "cell")
+        a_s.join(b_new, ["cell", "_sl"])
         .filter(F.col("_ia") < F.col("_ib"))
         .filter(
             _pc(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
@@ -1109,21 +1093,10 @@ def _judge_scored_batch(
             ).otherwise(0)
         ).alias("_rm"),
     )
-    # the fate aggregates are batch-bounded (one row per duplicated new
-    # id), so they re-attach to the batch as broadcasts — the left side
-    # stays wherever it already is (guide §3.1)
     return (
         new.select(id_col, "cell")
-        .join(
-            F.broadcast(vs_old.withColumnRenamed("_ia", id_col)),
-            id_col,
-            "left",
-        )
-        .join(
-            F.broadcast(vs_new.withColumnRenamed("_ia", id_col)),
-            id_col,
-            "left",
-        )
+        .join(vs_old.withColumnRenamed("_ia", id_col), id_col, "left")
+        .join(vs_new.withColumnRenamed("_ia", id_col), id_col, "left")
         .select(
             F.col(id_col),
             F.col("cell"),
@@ -1247,13 +1220,9 @@ def semdedup_fold(
             # and semi-joins over the scored checkpoint and the dec
             # checkpoints, one level deep (guide §1.2/§2.4).
             dec = dec.localCheckpoint(eager=True)
-            # the keeper id set is batch-bounded: broadcast the semi-join
-            # so the scored probe side never exchanges (guide §3.1)
             kept = kept.unionByName(
                 batch.join(
-                    F.broadcast(dec.filter(F.col("keep")).select(id_col)),
-                    id_col,
-                    "leftsemi",
+                    dec.filter(F.col("keep")).select(id_col), id_col, "leftsemi"
                 )
             )
         out = dec if out is None else out.unionByName(dec)
@@ -1444,13 +1413,7 @@ def score_against_two_level(
                 best.getField("sub").alias("sub"),
             )
         )
-    # fan_out before the checkpoint for the same reason as
-    # score_against_centroids: the scored relation is the PROBE side of
-    # the broadcast judge joins, so its partition count is the pair
-    # stage's entire parallelism; no-op at scale (guide §2.5)
-    from migrator_spark.functions.parallelism import fan_out
-
-    return fan_out(
+    return (
         asg2.join(F.broadcast(fine), ["cell", "sub"])
         .withColumn("_cs", cosine_similarity(F.col("v"), F.col("c")))
         .withColumn("_nrm", l2_norm(F.col("v")))
@@ -1460,9 +1423,9 @@ def score_against_two_level(
             "v",
             "_cs",
             "_nrm",
-        ),
-        id_col,
-    ).localCheckpoint(eager=True)
+        )
+        .localCheckpoint(eager=True)
+    )
 
 
 def kmeans_assign_two_level(
