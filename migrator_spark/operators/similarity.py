@@ -1006,7 +1006,27 @@ def _judge_scored_batch(
     dropped if it duplicates any incumbent of its cell (the incumbent
     always wins) or a fellow arrival the keep-far-from-centroid rule
     prefers. One decision row per new id: (id_col, cell, n_dups_old,
-    n_dups_new, keep)."""
+    n_dups_new, keep).
+
+    Shape (round 13, guide §2.4/§3.1): ONE pair join + ONE aggregate.
+    The probe side is the union (incumbents ∪ batch) tagged ``_new``;
+    the batch side — trigger-bounded by contract — BROADCASTS into it,
+    so the kept/corpus relation (the one that grows with the corpus)
+    is never exchanged, never sorted, and its fat vector rows never
+    cross the network. Both fates (old-dup count; new-dup count + the
+    keep-far-from-centroid removal vote) come out of the same
+    aggregate, and re-attach to the batch through a single broadcast
+    left join. The previous form ran the two pair stages as separate
+    (cell, salt) sort-merge joins — the salt existed only to spread
+    the incumbent shuffle's hot cells, so with no exchange it goes
+    too — plus an ia<ib half-join with direction re-expansion for the
+    batch-vs-batch stage. Computing each unordered batch pair in both
+    directions instead is bit-identical: the dot fold multiplies
+    per-index and sums in index order (IEEE multiply commutes), the
+    norm product commutes, so cos(a,b) == cos(b,a) bit-for-bit and the
+    surviving directed pair set — and every count/vote over it — is
+    unchanged. Verified against the unrolled DuckDB oracles at two
+    scale factors (OPTIMIZATION_r13.md)."""
 
     def _pc(va, vb, na, nb):
         # hoisted norms + unrolled dot when dim is known: bit-identical
@@ -1014,6 +1034,7 @@ def _judge_scored_batch(
         d = dot_unrolled(va, vb, dim) if dim is not None else dot(va, vb)
         return d / (na * nb)
 
+    id_type = new.schema[id_col].dataType.simpleString()
     a = new.select(
         F.col(id_col).alias("_ia"),
         "cell",
@@ -1021,90 +1042,65 @@ def _judge_scored_batch(
         F.col("_cs").alias("_ca"),
         F.col("_nrm").alias("_na"),
     )
-    # both pair stages get semdedup's treatment: the sk2-style salt
-    # multiplies the few-fat-cells parallelism, and the new-vs-new join
-    # carries the fat vector rows only for the ia < ib half (cosine
-    # commutes bit-for-bit), re-expanding directions after the arrays
-    # are projected away — identical pair sets, identical values
-    SALT = 8
-    a_s = a.withColumn("_sl", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
-    vs_old = (
-        a_s.join(
-            old.select(
-                F.col("cell"),
-                F.col("v").alias("_vb"),
-                F.col("_nrm").alias("_nb"),
-                F.pmod(F.col(id_col), F.lit(SALT)).cast("int").alias("_sl"),
-            ),
-            ["cell", "_sl"],
+    probe = old.select(
+        "cell",
+        F.col("v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        F.lit(None).cast(id_type).alias("_ib"),
+        F.lit(None).cast("double").alias("_cb"),
+        F.lit(False).alias("_new"),
+    ).unionByName(
+        new.select(
+            "cell",
+            F.col("v").alias("_vb"),
+            F.col("_nrm").alias("_nb"),
+            F.col(id_col).alias("_ib"),
+            F.col("_cs").alias("_cb"),
+            F.lit(True).alias("_new"),
         )
+    )
+    fate = (
+        probe.join(F.broadcast(a), "cell")
+        # a batch row never pairs with itself; incumbents and arrivals
+        # are disjoint id ranges so old rows need no exclusion
+        .filter(~F.col("_new") | (F.col("_ib") != F.col("_ia")))
         .filter(
             _pc(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
             >= F.lit(tau)
         )
         .groupBy("_ia")
-        .agg(F.count(F.lit(1)).alias("n_dups_old"))
-    )
-    b_new = new.select(
-        F.col(id_col).alias("_ib"),
-        "cell",
-        F.col("v").alias("_vb"),
-        F.col("_cs").alias("_cb"),
-        F.col("_nrm").alias("_nb"),
-        F.pmod(F.col(id_col), F.lit(SALT)).cast("int").alias("_sl"),
-    )
-    half_new = (
-        a_s.join(b_new, ["cell", "_sl"])
-        .filter(F.col("_ia") < F.col("_ib"))
-        .filter(
-            _pc(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
-            >= F.lit(tau)
+        .agg(
+            F.count(F.when(~F.col("_new"), 1)).alias("n_dups_old"),
+            F.count(F.when(F.col("_new"), 1)).alias("n_dups_new"),
+            F.max(
+                F.when(
+                    F.col("_new")
+                    & (
+                        (F.col("_cb") < F.col("_ca"))
+                        | (
+                            (F.col("_cb") == F.col("_ca"))
+                            & (F.col("_ib") < F.col("_ia"))
+                        )
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("_rm"),
         )
-        .select("_ia", "_ib", "_ca", "_cb")
     )
-    dirs = half_new.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("_ia").alias("_ia"),
-                    F.col("_ib").alias("_ib"),
-                    F.col("_ca").alias("_ca"),
-                    F.col("_cb").alias("_cb"),
-                ),
-                F.struct(
-                    F.col("_ib").alias("_ia"),
-                    F.col("_ia").alias("_ib"),
-                    F.col("_cb").alias("_ca"),
-                    F.col("_ca").alias("_cb"),
-                ),
-            )
-        ).alias("_p")
-    ).select("_p.*")
-    vs_new = dirs.groupBy("_ia").agg(
-        F.count(F.lit(1)).alias("n_dups_new"),
-        F.max(
-            F.when(
-                (F.col("_cb") < F.col("_ca"))
-                | (
-                    (F.col("_cb") == F.col("_ca"))
-                    & (F.col("_ib") < F.col("_ia"))
-                ),
-                1,
-            ).otherwise(0)
-        ).alias("_rm"),
-    )
+    # the fate aggregate is batch-bounded (≤ one row per new id), so it
+    # re-attaches to the batch as a broadcast — the left side stays
+    # wherever it already is (guide §3.1)
     return (
         new.select(id_col, "cell")
-        .join(vs_old.withColumnRenamed("_ia", id_col), id_col, "left")
-        .join(vs_new.withColumnRenamed("_ia", id_col), id_col, "left")
+        .join(F.broadcast(fate.withColumnRenamed("_ia", id_col)), id_col, "left")
         .select(
             F.col(id_col),
             F.col("cell"),
             F.coalesce(F.col("n_dups_old"), F.lit(0)).cast("long").alias("n_dups_old"),
             F.coalesce(F.col("n_dups_new"), F.lit(0)).cast("long").alias("n_dups_new"),
             (
-                F.col("n_dups_old").isNull()
-                & (F.col("_rm").isNull() | (F.col("_rm") == 0))
+                (F.coalesce(F.col("n_dups_old"), F.lit(0)) == 0)
+                & (F.coalesce(F.col("_rm"), F.lit(0)) == 0)
             ).alias("keep"),
         )
     )
