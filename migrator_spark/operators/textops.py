@@ -1060,7 +1060,10 @@ def bpe_apply_merges(
 
 
 def bpe_vocab(
-    train_docs: DataFrame, merges: DataFrame, text_col: str = "text"
+    train_docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    word_source: DataFrame | None = None,
 ) -> DataFrame:
     """The learned tokenizer's VOCABULARY (sym, id): the training
     corpus's base characters plus every merge output (left||right),
@@ -1069,13 +1072,26 @@ def bpe_vocab(
     outside it (a character the training corpus never saw) encodes as
     the -1 unk sentinel in ``bpe_encode``.
 
+    ``word_source`` (round 13, guide §1.2 — don't rescan what a
+    sibling pass already holds): any relation carrying the SAME
+    training corpus's words in a ``w`` column — e.g. the trainer's
+    checkpointed segmentation state via ``bpe_train_merges(...,
+    return_state=True)``, which is exactly ``words(text)`` of the
+    corpus deduplicated. The alphabet derives from it instead of
+    re-scanning ``train_docs`` (identical set: multiplicity never
+    mattered past the distinct); a publish chain like art5 then never
+    pays a second corpus pass for the vocabulary.
+
     Scale: vocabulary-sized by construction (|alphabet| + K rows); the
     single-partition id window is over that tiny set, never data."""
-    chars = (
-        train_docs.select(F.explode(words(text_col)).alias("w"))
-        .select(F.explode(F.split(F.col("w"), "(?!^)")).alias("sym"))
-        .filter(F.col("sym") != "")
+    wsrc = (
+        word_source.select("w")
+        if word_source is not None
+        else train_docs.select(F.explode(words(text_col)).alias("w"))
     )
+    chars = wsrc.select(
+        F.explode(F.split(F.col("w"), "(?!^)")).alias("sym")
+    ).filter(F.col("sym") != "")
     merged = merges.select(
         F.concat(F.col("left_sym"), F.col("right_sym")).alias("sym")
     )

@@ -2810,8 +2810,12 @@ def bpe5_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != BPE4_HOLDOUT)
     held = docs.filter(F.col("source") == BPE4_HOLDOUT)
-    merges = tx.bpe_train_merges(train, num_merges=BPE2_MERGES)
-    vocab = tx.bpe_vocab(train, merges)
+    merges, st = tx.bpe_train_merges(
+        train, num_merges=BPE2_MERGES, return_state=True
+    )
+    # alphabet from the trainer's checkpointed vocabulary state — same
+    # distinct word set as the corpus, one less corpus scan (guide §1.2)
+    vocab = tx.bpe_vocab(train, merges, word_source=st)
     return tx.bpe_encode(held, merges, vocab)
 
 
@@ -4193,9 +4197,13 @@ def art5_warm_bpe_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     held = docs.filter(F.col("source") == BPE4_HOLDOUT)
     root = tempfile.mkdtemp(prefix="art5_")
     try:
-        merges = tx.bpe_train_merges(train, num_merges=BPE2_MERGES)
+        merges, st = tx.bpe_train_merges(
+            train, num_merges=BPE2_MERGES, return_state=True
+        )
+        # vocabulary alphabet off the trainer's checkpointed state —
+        # the publish chain pays no second corpus scan (guide §1.2)
         ArtifactStore(root).write_bpe_tokenizer(
-            merges, tx.bpe_vocab(train, merges)
+            merges, tx.bpe_vocab(train, merges, word_source=st)
         )
         # fresh-deployment simulation: resolve from the commit log only
         merges2, vocab2 = ArtifactStore(root).read_bpe_tokenizer(spark)
@@ -4255,10 +4263,20 @@ def art6_tokenizer_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="art6_")
     try:
         store = ArtifactStore(root)
-        m1 = tx.bpe_train_merges(t1, num_merges=BPE2_MERGES)
-        v1 = store.write_bpe_tokenizer(m1, tx.bpe_vocab(t1, m1))
-        m2 = tx.bpe_train_merges(grown, num_merges=BPE2_MERGES)
-        v2 = store.write_bpe_tokenizer(m2, tx.bpe_vocab(grown, m2))
+        # each version's vocabulary alphabet comes off its trainer's
+        # checkpointed state — no second corpus scan per publish
+        m1, st1 = tx.bpe_train_merges(
+            t1, num_merges=BPE2_MERGES, return_state=True
+        )
+        v1 = store.write_bpe_tokenizer(
+            m1, tx.bpe_vocab(t1, m1, word_source=st1)
+        )
+        m2, st2 = tx.bpe_train_merges(
+            grown, num_merges=BPE2_MERGES, return_state=True
+        )
+        v2 = store.write_bpe_tokenizer(
+            m2, tx.bpe_vocab(grown, m2, word_source=st2)
+        )
         reports = []
         for v in (v1, v2):
             # fresh handle + version pin: the commit log alone resolves
