@@ -37,6 +37,17 @@ class ExtractResult:
     row_count: int
     new_tracking: TrackingStatus
     cleanup: Callable[[], None] | None = None
+    # STATIC upper bound on the CDC methods present in ``batch`` (every
+    # extractor lit-tags whole arms, so the bound is known without a
+    # job). The runner forwards it to the loader, which then skips its
+    # per-batch ``select(_method).distinct().collect()`` — one Spark
+    # job per cycle whose only purpose was answering "is this batch
+    # entirely INSERT?". ANY superset is safe: the loader only uses the
+    # bound to pick the append fast path (bound == {INSERT} proves the
+    # batch is pure INSERT since row_count > 0), and a too-wide bound
+    # merely routes a pure-INSERT batch through the always-correct
+    # merge path. None = unknown, loader falls back to the distinct.
+    methods: "frozenset[str] | None" = None
 
 
 def _finish(
@@ -82,7 +93,15 @@ def extract_sequential(
     new.column_name = key
     if n > 0:
         new.sequential_position = mx
-    return ExtractResult(more, cached, n, new)
+    return ExtractResult(
+        more,
+        cached,
+        n,
+        new,
+        methods=frozenset(
+            {ex.M_REPLACE if params.sequential_replace else ex.M_INSERT}
+        ),
+    )
 
 
 def _ts_extract(
@@ -114,7 +133,7 @@ def _ts_extract(
     new.column_name = ",".join(cols)
     if n > 0:
         new.timestamp_position = mx.isoformat()
-    return ExtractResult(more, cached, n, new)
+    return ExtractResult(more, cached, n, new, methods=frozenset({ex.M_REPLACE}))
 
 
 @register_extractor("timestamp")
@@ -242,5 +261,10 @@ def extract_queue(
         drained.unpersist()
 
     return ExtractResult(
-        n == params.batch_size, batch, n, TrackingStatus(**{**ts.__dict__}), cleanup
+        n == params.batch_size,
+        batch,
+        n,
+        TrackingStatus(**{**ts.__dict__}),
+        cleanup,
+        methods=frozenset({ex.M_REPLACE, ex.M_REMOVE}),
     )

@@ -48,6 +48,20 @@ _PRUNABLE_KEY_TYPES = (
 )
 
 
+def _method_bound(batch: DataFrame) -> "set[str]":
+    """The batch's CDC method set: the extractor's STATIC bound when the
+    runner forwarded one on the frame (ExtractResult.methods — every
+    extractor lit-tags whole arms, so the bound costs no job; any
+    superset is safe because it only gates the INSERT-only append fast
+    path, and the merge path is correct for every method mix), else one
+    distinct probe — a Spark job per batch, which is what bounds
+    small-batch pipeline throughput (guide §1.2)."""
+    bound = getattr(batch, "_mig_method_bound", None)
+    if bound is not None:
+        return set(bound)
+    return {r[0] for r in batch.select(ex.METHOD_COL).distinct().collect()}
+
+
 @register_loader("default")
 def load_default(
     spark: SparkSession,
@@ -73,7 +87,7 @@ def load_default(
     extra_in_batch = set(data_cols) - set(current.columns)
     missing_in_batch = set(current.columns) - set(data_cols)
     if not extra_in_batch:
-        methods = {r[0] for r in batch.select(ex.METHOD_COL).distinct().collect()}
+        methods = _method_bound(batch)
         if methods <= {ex.M_INSERT}:
             # append fast path survives a batch MISSING target columns
             # (a permanently dropped source column must not demote every
@@ -133,7 +147,7 @@ def load_jdbc(
             ld.align_schemas(current, batch, META_COLS)
             target.evolve_schema(spark, table, batch.select(*data_cols))
 
-    methods = {r[0] for r in batch.select(ex.METHOD_COL).distinct().collect()}
+    methods = _method_bound(batch)
     if methods <= {ex.M_INSERT} and target.exists(spark, table):
         # staged single-transaction append, NOT Spark's per-task-commit
         # append: a partial failure must leave the target untouched so
@@ -225,7 +239,7 @@ def load_pruned(
             data_cols = [c for c in batch.columns if c not in META_COLS]
     key = key_cols[0]
 
-    methods = {r[0] for r in batch.select(ex.METHOD_COL).distinct().collect()}
+    methods = _method_bound(batch)
     if methods <= {ex.M_INSERT} and target.exists(spark, table):
         target.write(batch.select(*data_cols), table, mode="append")
         return

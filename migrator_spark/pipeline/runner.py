@@ -349,6 +349,15 @@ class Migrator:
                 spec.source_table, spec.target_table, spec.transformer_parameters
             )
             routed = transformer(res.batch, ctx)
+            if res.methods is not None:
+                for r in routed:
+                    # forward the extractor's static method bound to the
+                    # loader — but only for frames the transformer passed
+                    # through UNTOUCHED (a user transform may rewrite
+                    # _method; a derived frame gets no hint and the
+                    # loader falls back to its distinct probe)
+                    if r.df is res.batch:
+                        r.df._mig_method_bound = res.methods
             staged_rollups = []
             if spec.rollups:
                 # write-ahead deltas: MUST stage before the loader
