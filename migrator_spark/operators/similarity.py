@@ -969,8 +969,10 @@ def semdedup_incremental(
     )
     scored = score_against_centroids(pts, cents, id_col)
 
-    new = scored.join(new_ids, id_col, "leftsemi")
-    old = scored.join(new_ids, id_col, "left_anti")
+    # new_ids is the bounded arriving-batch id set: broadcast both the
+    # semi- and anti-join so the scored relation never exchanges on id
+    new = scored.join(F.broadcast(new_ids), id_col, "leftsemi")
+    old = scored.join(F.broadcast(new_ids), id_col, "left_anti")
     return _judge_scored_batch(new, old, tau, dim, id_col)
 
 
@@ -1216,9 +1218,15 @@ def semdedup_fold(
             # and semi-joins over the scored checkpoint and the dec
             # checkpoints, one level deep (guide §1.2/§2.4).
             dec = dec.localCheckpoint(eager=True)
+            # the keeper id set is batch-bounded: broadcast the semi-join
+            # so the scored probe side never exchanges (guide §3.1 — an
+            # unhinted leftsemi here planned as a sort-merge join with
+            # BOTH sides exchanged and sorted on id, per round)
             kept = kept.unionByName(
                 batch.join(
-                    dec.filter(F.col("keep")).select(id_col), id_col, "leftsemi"
+                    F.broadcast(dec.filter(F.col("keep")).select(id_col)),
+                    id_col,
+                    "leftsemi",
                 )
             )
         out = dec if out is None else out.unionByName(dec)
