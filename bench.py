@@ -180,7 +180,20 @@ METHODOLOGY = (
     "joins the aged set, and the record carries n_suspect (+ the "
     "verbose record the per-row [timed, warm] pairs) plus r1_12q, "
     "the r1-comparable 12-query subset sum the baseline ratio reads; "
-    "r1/r2 were cold single-shot"
+    "r1/r2 were cold single-shot. Since r14 (VERDICT r13 #2 — one "
+    "transient poisoned the official r13 32-core record and the drift "
+    "pipeline consumed it anyway) each suspect row is RE-PROBED once "
+    "after the timed loop (same protocol: GC barrier + "
+    "median-of-REPEATS, plus its own calibration point into the aged "
+    "set), and the OFFICIAL wall is min(timed, reprobe) — the "
+    "REPROBE_MIN rule: both are same-session medians of the identical "
+    "deterministic plan, so the minimum strips one-sided transient "
+    "inflation and can only move a row toward its quiet-box wall; the "
+    "verbose record keeps all three walls per suspect "
+    "([timed, warm, reprobe]) so the substitution is auditable. "
+    "Scaling comparisons (the driver's cpus_main vs cpus_low ratio) "
+    "are only meaningful when BOTH captures read contended=false — a "
+    "clean/loaded pair measures the load, not the query"
 )
 
 
@@ -281,6 +294,19 @@ def suspect_row(timed: float, warm: float) -> bool:
     return timed > max(1.5 * warm, warm + 0.3)
 
 
+def official_wall(timed: float, reprobe: float) -> float:
+    """The REPROBE_MIN rule (round 14, VERDICT r13 #2): a suspect row's
+    official wall is min(timed, reprobe). Both are same-session
+    median-of-REPEATS walls of the identical deterministic plan, so on
+    a quiet box they agree; the minimum strips one-sided transient
+    inflation (the failure mode that poisoned the official r13 record)
+    and cannot manufacture speed — a row must produce the faster median
+    in a full protocol run to report it. Non-suspect rows never
+    re-probe: their timed median IS the official wall, unchanged
+    methodology."""
+    return min(timed, reprobe)
+
+
 def _gc_barrier(spark) -> None:
     """Quiesce between queries: drop Python-side plan refs, force a JVM
     GC so the ContextCleaner reclaims localCheckpoint blocks and
@@ -358,6 +384,27 @@ def main() -> None:
             # measurements (observed: a capture with 2-3x-inflated
             # small rows whose post-loop calibration read clean)
             calib.append(_calibration_wall(spark))
+
+    # RE-PROBE each suspect row once, after the loop (VERDICT r13 #2):
+    # a transient that inflated a timed median mid-loop has usually
+    # passed by now; the re-probe runs the identical protocol and its
+    # own calibration joins the aged set so a re-probe taken UNDER load
+    # still flags the capture. Official wall = REPROBE_MIN (named rule,
+    # see METHODOLOGY); the verbose record keeps [timed, warm, reprobe].
+    for name in list(suspects):
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        _gc_barrier(spark)
+        samples = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        reprobe = round(statistics.median(samples), 4)
+        suspects[name] = suspects[name] + [reprobe]
+        timings[name] = official_wall(timings[name], reprobe)
+        calib.append(_calibration_wall(spark))
 
     calib.append(_calibration_wall(spark))
     sentinel = sentinel_fields(

@@ -502,7 +502,11 @@ def _decode_scan(
 
 
 def synth_jpeg_payloads(
-    docs: DataFrame, width: int = 16, id_col: str = "doc_id", len_col: str = "n_chars"
+    docs: DataFrame,
+    width: int = 16,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    _spread: bool = True,
 ) -> DataFrame:
     """Synthesize REAL baseline JPEGs per document — grayscale images
     whose pixels are constant within each 8x8 block (value
@@ -536,7 +540,9 @@ def synth_jpeg_payloads(
                 }
             )
 
-    return fan_out(docs, id_col).mapInPandas(batches, schema=schema)
+    return (fan_out(docs, id_col) if _spread else docs).mapInPandas(
+        batches, schema=schema
+    )
 
 
 JPEG_STATS_SCHEMA = StructType(

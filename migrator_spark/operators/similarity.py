@@ -971,8 +971,9 @@ def semdedup_incremental(
 
     # new_ids is the bounded arriving-batch id set: broadcast both the
     # semi- and anti-join so the scored relation never exchanges on id
-    new = scored.join(F.broadcast(new_ids), id_col, "leftsemi")
-    old = scored.join(F.broadcast(new_ids), id_col, "left_anti")
+    # (hint conf-gated for oversized batches — VERDICT r13 #8)
+    new = scored.join(_hint_bounded(new_ids), id_col, "leftsemi")
+    old = scored.join(_hint_bounded(new_ids), id_col, "left_anti")
     return _judge_scored_batch(new, old, tau, dim, id_col)
 
 
@@ -994,12 +995,33 @@ def score_against_centroids(
     )
 
 
+# The fused judge and the incremental new/old splits hint their
+# batch-bounded sides as broadcasts. The bound is the TRIGGER CONTRACT
+# (a micro-batch, never the corpus) — but an operator who configures an
+# oversized trigger would turn the hint into an executor OOM where an
+# unhinted plan degrades to a sort-merge join. Setting this conf to
+# "false" drops every batch-side hint and leaves the strategy to the
+# planner/AQE (VERDICT r13 #8); bounded triggers keep the default and
+# their plans are unchanged.
+BATCH_BROADCAST_CONF = "spark.migrator_spark.semdedup.batchBroadcast"
+
+
+def _hint_bounded(df: DataFrame) -> DataFrame:
+    """Broadcast-hint a batch-bounded relation, unless the session
+    opted out via ``BATCH_BROADCAST_CONF`` (oversized-trigger
+    hardening: fall back to planner/AQE strategy instead of OOM)."""
+    if df.sparkSession.conf.get(BATCH_BROADCAST_CONF, "true") == "true":
+        return F.broadcast(df)
+    return df
+
+
 def _judge_scored_batch(
     new: DataFrame,
     old: DataFrame,
     tau: float,
     dim: int | None,
     id_col: str = "vec_id",
+    with_payload: bool = False,
 ) -> DataFrame:
     """The per-batch SemDeDup judgment shared by semdedup_incremental,
     semdedup_fold and the streaming intake: given SCORED relations
@@ -1028,7 +1050,17 @@ def _judge_scored_batch(
     norm product commutes, so cos(a,b) == cos(b,a) bit-for-bit and the
     surviving directed pair set — and every count/vote over it — is
     unchanged. Verified against the unrolled DuckDB oracles at two
-    scale factors (OPTIMIZATION_r13.md)."""
+    scale factors (OPTIMIZATION_r13.md).
+
+    ``with_payload`` (round 14, VERDICT r13 #3): return the DECIDED
+    BATCH — every column of ``new`` (the scored contract: id, cell, v,
+    _cs, _nrm) plus (n_dups_old, n_dups_new, keep) — instead of the
+    bare decision projection. A caller that checkpoints the decided
+    batch gets BOTH the decision rows (a projection) and the keeper
+    extension of its incumbent set (a filter + projection) from the
+    one materialization, with no per-round keeper semi-join at all;
+    the decision columns are computed by the identical expressions, so
+    the projection is bit-equal to the ``with_payload=False`` shape."""
 
     def _pc(va, vb, na, nb):
         # hoisted norms + unrolled dot when dim is known: bit-identical
@@ -1062,7 +1094,7 @@ def _judge_scored_batch(
         )
     )
     fate = (
-        probe.join(F.broadcast(a), "cell")
+        probe.join(_hint_bounded(a), "cell")
         # a batch row never pairs with itself; incumbents and arrivals
         # are disjoint id ranges so old rows need no exclusion
         .filter(~F.col("_new") | (F.col("_ib") != F.col("_ia")))
@@ -1092,12 +1124,16 @@ def _judge_scored_batch(
     # the fate aggregate is batch-bounded (≤ one row per new id), so it
     # re-attaches to the batch as a broadcast — the left side stays
     # wherever it already is (guide §3.1)
+    base = new if with_payload else new.select(id_col, "cell")
+    carried = [F.col(c) for c in base.columns]
     return (
-        new.select(id_col, "cell")
-        .join(F.broadcast(fate.withColumnRenamed("_ia", id_col)), id_col, "left")
+        base.join(
+            _hint_bounded(fate.withColumnRenamed("_ia", id_col)),
+            id_col,
+            "left",
+        )
         .select(
-            F.col(id_col),
-            F.col("cell"),
+            *carried,
             F.coalesce(F.col("n_dups_old"), F.lit(0)).cast("long").alias("n_dups_old"),
             F.coalesce(F.col("n_dups_new"), F.lit(0)).cast("long").alias("n_dups_new"),
             (
@@ -1197,6 +1233,7 @@ def semdedup_fold(
         scored = score_against_centroids(pts, cents, id_col)
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
+    scored_cols = scored.columns  # (id, cell, v, _cs, _nrm)
     kept = scored.filter(F.col(id_col) < boundaries[0])
     out = None
     for i, lo in enumerate(boundaries):
@@ -1205,29 +1242,33 @@ def semdedup_fold(
         if hi is not None:
             cond = cond & (F.col(id_col) < hi)
         batch = scored.filter(cond)
-        dec = _judge_scored_batch(batch, kept, tau, dim, id_col).withColumn(
-            "batch_id", F.lit(i).cast("long")
-        )
         if hi is not None:  # the last batch's keepers judge nobody
-            # checkpoint the DECISION, not the kept set (round 13): dec
-            # feeds both the output union and the next round's kept set,
-            # so materializing it once removes the double execution of
-            # the judge's exchange tree the old kept-side checkpoint
-            # paid (the final action re-ran every non-final round's
-            # judge); kept itself stays lazy — its lineage is filters
-            # and semi-joins over the scored checkpoint and the dec
-            # checkpoints, one level deep (guide §1.2/§2.4).
-            dec = dec.localCheckpoint(eager=True)
-            # the keeper id set is batch-bounded: broadcast the semi-join
-            # so the scored probe side never exchanges (guide §3.1 — an
-            # unhinted leftsemi here planned as a sort-merge join with
-            # BOTH sides exchanged and sorted on id, per round)
+            # checkpoint the DECIDED BATCH — the batch's scored columns
+            # plus its fate — once per round (round 14, VERDICT r13
+            # #3): both consumers come off the materialization by
+            # projection alone — the decision rows (a column subset
+            # computed by the identical expressions) and the keeper
+            # extension of the incumbent set (filter keep + project
+            # the scored columns). The round-13 form checkpointed the
+            # bare decision and re-attached keepers through a
+            # per-round broadcast semi-join against the scored
+            # relation; that join — one per round, executed inside
+            # every later round's judge — is gone, and ``kept`` is now
+            # pure filters/projections over checkpoints (guide
+            # §1.2/§2.4).
+            decided = _judge_scored_batch(
+                batch, kept, tau, dim, id_col, with_payload=True
+            ).withColumn("batch_id", F.lit(i).cast("long"))
+            decided = decided.localCheckpoint(eager=True)
+            dec = decided.select(
+                id_col, "cell", "n_dups_old", "n_dups_new", "keep", "batch_id"
+            )
             kept = kept.unionByName(
-                batch.join(
-                    F.broadcast(dec.filter(F.col("keep")).select(id_col)),
-                    id_col,
-                    "leftsemi",
-                )
+                decided.filter(F.col("keep")).select(*scored_cols)
+            )
+        else:
+            dec = _judge_scored_batch(batch, kept, tau, dim, id_col).withColumn(
+                "batch_id", F.lit(i).cast("long")
             )
         out = dec if out is None else out.unionByName(dec)
     return out

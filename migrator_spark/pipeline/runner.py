@@ -332,13 +332,21 @@ class Migrator:
         """
         spec = b.spec
         t_start = time.perf_counter()
+        # phase labels (guide §1.5): each E->T->L phase is visible in
+        # the UI / REST jobs list, so a per-cycle profile is one query
+        # of the job descriptions instead of a monkeypatch (VERDICT
+        # r13 #5). Thread-local, so concurrent runners label correctly.
+        sc = self.spark.sparkContext
         ts = self.store.get(b.source_db, spec.source_table, spec.source_key)
         extractor = resolve("extractor", spec.extractor)
+        sc.setJobDescription(f"pipeline:extract {spec.source_table}")
         try:
             res = extractor(self.spark, b.source, b.source_db, spec, ts, params)
         except Exception as e:  # noqa: BLE001
             self._error("extract", e, spec, strict)
             return False, True
+        finally:
+            sc.setJobDescription(None)
         if res.row_count == 0 or res.batch is None:
             if res.batch is not None:
                 res.batch.unpersist()
@@ -358,6 +366,7 @@ class Migrator:
                     # loader falls back to its distinct probe)
                     if r.df is res.batch:
                         r.df._mig_method_bound = res.methods
+            sc.setJobDescription(f"pipeline:stage {spec.target_table}")
             staged_rollups = []
             if spec.rollups:
                 # write-ahead deltas: MUST stage before the loader
@@ -374,19 +383,27 @@ class Migrator:
             # must respect other sequencers' claims (ADVICE r12 #2)
             self._check_routed_claims(b, routed)
             loader = resolve("loader", spec.loader)
+            sc.setJobDescription(f"pipeline:load {spec.target_table}")
             for r in routed:
                 loader(self.spark, b.target, r.target_table, r.df, spec, params)
             if staged_rollups:
+                sc.setJobDescription(f"pipeline:rollup {spec.target_table}")
                 self._apply_rollups(b, spec, staged_rollups)
         except Exception as e:  # noqa: BLE001
             self._error("load", e, spec, strict)
             # offset NOT committed -> this batch replays next cycle
             res.batch.unpersist()
             return False, True
+        finally:
+            sc.setJobDescription(None)
         # load committed: now (and only now) advance the offset
         self.store.put(res.new_tracking)
         if res.cleanup is not None:
-            res.cleanup()
+            sc.setJobDescription(f"pipeline:cleanup {spec.source_table}")
+            try:
+                res.cleanup()
+            finally:
+                sc.setJobDescription(None)
         res.batch.unpersist()
         m = BatchMetric(
             spec.source_table,

@@ -158,6 +158,38 @@ def _lock_for(path: str) -> _TableLock:
         return _locks.setdefault(key, _TableLock(lockfile))
 
 
+# Inferred-schema cache, keyed on (resolved table dir -> (n_parquet
+#_files, schema)). Every bare ``spark.read.parquet(dir)`` runs a
+# schema-inference footer job first (observed: one 1-task Spark job per
+# read — 3-4 per pipeline E->T->L cycle, r14 phase profile); version
+# dirs are IMMUTABLE once committed, so the inferred schema can be
+# replayed into ``spark.read.schema(...)`` on every later read of the
+# same dir. The append fast path adds part-files to the CURRENT version
+# dir, so the key carries the parquet file count: an append changes the
+# count and forces one re-inference (schema-preserving by the loader
+# contract, but the cache does not assume it). Bounded FIFO — soak
+# loops mint fresh fixture roots per run.
+_SCHEMA_CACHE: "dict[str, tuple[int, object]]" = {}
+_SCHEMA_CACHE_MAX = 512
+
+
+def _read_parquet_dir(spark: SparkSession, d: str) -> DataFrame:
+    """spark.read.parquet(d) without the per-read schema-inference job
+    when this process has read the same (immutable) dir before."""
+    try:
+        n = sum(1 for e in os.scandir(d) if e.name.endswith(".parquet"))
+    except OSError:
+        return spark.read.parquet(d)  # let Spark raise its own error
+    hit = _SCHEMA_CACHE.get(d)
+    if hit is not None and hit[0] == n:
+        return spark.read.schema(hit[1]).parquet(d)
+    df = spark.read.parquet(d)
+    if len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+        _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
+    _SCHEMA_CACHE[d] = (n, df.schema)
+    return df
+
+
 class ParquetSource:
     def __init__(self, root: str) -> None:
         self.root = root.rstrip("/")
@@ -252,8 +284,9 @@ class ParquetSource:
     def table(self, spark: SparkSession, name: str) -> DataFrame:
         # resolve to a pinned version dir here: a concurrent commit
         # publishes a NEW dir but never mutates the files this
-        # DataFrame will list
-        return spark.read.parquet(self._current_dir(name))
+        # DataFrame will list; the dir's immutability is also what lets
+        # the schema cache skip the per-read inference job
+        return _read_parquet_dir(spark, self._current_dir(name))
 
     # ------------------------------------------------- footer metadata
     #
@@ -354,7 +387,7 @@ class ParquetSource:
         with _lock_for(self._path(name)):
             for _ in range(max_attempts):
                 expected, _v = self.current_commit(name)
-                df = fn(spark.read.parquet(self._current_dir(name)))
+                df = fn(_read_parquet_dir(spark, self._current_dir(name)))
                 new_version = self._materialize(df, name)
                 try:
                     self._swap(name, new_version, expected=expected)
@@ -440,10 +473,14 @@ class ParquetSource:
                     else:
                         kept.append(p)
                 if touched:
-                    tdf = spark.read.parquet(*touched)
+                    # touched files all live in `current`; reuse its
+                    # cached schema so the read runs no inference job
+                    tdf = spark.read.schema(
+                        _read_parquet_dir(spark, current).schema
+                    ).parquet(*touched)
                 else:
                     tdf = spark.createDataFrame(
-                        [], spark.read.parquet(current).schema
+                        [], _read_parquet_dir(spark, current).schema
                     )
                 merged = merge_fn(tdf)
                 n_out = max(1, len(touched))
@@ -624,7 +661,7 @@ class ParquetSource:
                 f"version {version!r} of table {name!r} not retained "
                 f"(KEEP_VERSIONS={KEEP_VERSIONS})"
             )
-        return spark.read.parquet(vpath)
+        return _read_parquet_dir(spark, vpath)
 
     def diff_versions(
         self,

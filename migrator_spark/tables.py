@@ -71,6 +71,19 @@ def _nanos_cols_uncached(path: str) -> tuple[str, ...]:
     return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
 
 
+# Inferred-schema cache keyed on (path, mtime_ns) — same invalidation
+# rule as _nanos_cols_cached. Every bare ``spark.read.parquet`` first
+# runs a one-task schema-inference JOB (measured r14: ~80 ms and one
+# job per read; a schema-supplied read runs none), and load_table is on
+# the plan-construction path of every declared query, several times per
+# noop-sink execution. The cached schema was inferred under the exact
+# confs this loader pins (nanosAsLong, inferTimestampNTZ=false), so the
+# replayed read is bit-identical — same scan, same PushedFilters, one
+# fewer job.
+_SCHEMA_CACHE: "dict[tuple[str, int], object]" = {}
+_SCHEMA_CACHE_MAX = 256
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; TIMESTAMP(NANOS) columns (Spark max precision is
     micros) are read as raw nanos via the legacy nanosAsLong conf and
@@ -89,7 +102,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # TimestampType natively — zero-cost at the reader, instead of a
     # per-row cast projection over every scan of the hot tables.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(path)
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        key = None
+    sch = _SCHEMA_CACHE.get(key) if key is not None else None
+    if sch is not None:
+        df = spark.read.schema(sch).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            if len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+                _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
+            _SCHEMA_CACHE[key] = df.schema
     for c in ns_cols:
         # `div` = integer division: epoch-nanos exceed 2^53, so going
         # through double (`/`) would corrupt the low bits.

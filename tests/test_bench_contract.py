@@ -112,6 +112,30 @@ def test_suspect_row_trigger():
     assert suspect_row(1.0, float("inf")) is False  # no warm wall: never
 
 
+def test_suspect_reprobe_rule_round13_vector():
+    """VERDICT r13 #2: one mid-loop transient inflated official rows
+    and the drift pipeline consumed the capture anyway. The r14
+    protocol re-probes each suspect row once after the loop; the
+    OFFICIAL wall is min(timed, reprobe) — the REPROBE_MIN rule — and
+    the record carries all three walls per suspect. Vector: the r13
+    session's sd3 straddle (timed 18.5 s vs same-session warm 9.1 s;
+    an isolated same-box re-read gave ~9.4 s)."""
+    from bench import official_wall, suspect_row
+
+    timed, warm, reprobe = 18.5, 9.1, 9.4
+    assert suspect_row(timed, warm) is True  # flags, probes, re-probes
+    assert official_wall(timed, reprobe) == 9.4  # transient stripped
+    # the rule never manufactures speed: a re-probe SLOWER than the
+    # timed median (load arrived late) keeps the timed wall
+    assert official_wall(2.0, 3.1) == 2.0
+    # a clean row (not suspect) never re-probes — unchanged methodology
+    assert suspect_row(9.3, 9.1) is False
+    # record shape: suspects carry [timed, warm, reprobe] in the
+    # verbose record so the substitution is auditable
+    entry = [timed, warm] + [reprobe]
+    assert entry == [18.5, 9.1, 9.4]
+
+
 def test_sentinel_self_relative_rule_round12_captures():
     """VERDICT r12 #5 regression vectors: the round-12 ledger's
     recorded captures must classify identically under the r13
