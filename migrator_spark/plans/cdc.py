@@ -852,29 +852,54 @@ def st6_late_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sdir)
         )
 
-        def sink(df: DataFrame, bid: int) -> None:
-            df.write.mode("append").parquet(odir)
-
-        q = (
-            streaming_window_funnel(
-                stream, max_lateness_micros=ST6_LATENESS_US
-            )
-            .writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
+        # state partitions sized by the staged input (round 14, VERDICT
+        # r13 #4 — AQE cannot coalesce stateful exchanges, so the
+        # session's batch shuffle width ran 240 near-empty state-store
+        # tasks over 3 triggers here): size-derived via
+        # resolve_state_partitions (conf-overridable, floored at
+        # cores/2, ceilinged at the session shuffle width — measured
+        # interleaved A/B at sf0.1: stream 4.56 -> 3.18 s, identical
+        # levels). The sink re-keys each trigger's emission — one row
+        # per ACTIVE USER, orders of magnitude narrower than the event
+        # stream — into n_state/16 writers so the per-trigger file
+        # count tracks scale instead of the state width (guide §6
+        # small files; 96 -> 3 files at sf0.1).
+        from migrator_spark.streaming.streams import (
+            resolve_state_partitions,
+            state_partition_scope,
         )
-        # a partial replay graded as a hash miss would be a silent lie
-        # (ADVICE r8 #3): fail loudly if the availableNow drain stalls.
-        # Explicit check, not `assert` (ADVICE r9 #2): an assert is
-        # stripped under `python -O`, silently grading partial output;
-        # and the query must be STOPPED before the finally-block rmtree
-        # so cleanup never deletes dirs under a still-running stream.
-        if not q.awaitTermination(300):
+
+        staged_bytes = sum(
+            os.path.getsize(os.path.join(sdir, f)) for f in os.listdir(sdir)
+        )
+        n_state = resolve_state_partitions(spark, staged_bytes)
+        n_sink = max(1, n_state // 16)
+
+        def sink(df: DataFrame, bid: int) -> None:
+            df.repartition(n_sink).write.mode("append").parquet(odir)
+
+        with state_partition_scope(spark, n_state):
+            q = (
+                streaming_window_funnel(
+                    stream, max_lateness_micros=ST6_LATENESS_US
+                )
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            # a partial replay graded as a hash miss would be a silent
+            # lie (ADVICE r8 #3): fail loudly if the availableNow drain
+            # stalls. Explicit check, not `assert` (ADVICE r9 #2): an
+            # assert is stripped under `python -O`, silently grading
+            # partial output; and the query must be STOPPED before the
+            # finally-block rmtree so cleanup never deletes dirs under
+            # a still-running stream.
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("st6 stream still running at 300 s")
             q.stop()
-            raise RuntimeError("st6 stream still running at 300 s")
-        q.stop()
         out = spark.read.parquet(odir)
         result = (
             out.groupBy("user_id")

@@ -145,6 +145,79 @@ def test_parquet_source_schema_cache_append_invalidation(spark, tmp_path):
     assert src.table(spark, "t").count() == 20  # re-listed, re-read
 
 
+def test_state_partitions_restart_from_checkpoint(spark, tmp_path):
+    """VERDICT r13 #4: the state-partition count rides into the
+    checkpoint at first batch; a restart under a DIFFERENT resolved
+    value must resume cleanly (Spark replays the recorded count) and
+    fold the new data onto the old state correctly."""
+    from datetime import datetime, timedelta
+
+    from migrator_spark.streaming.streams import (
+        resolve_state_partitions,
+        state_partition_scope,
+        streaming_window_funnel,
+    )
+
+    sdir, ck, odir = (str(tmp_path / d) for d in ("in", "ck", "out"))
+    os.makedirs(sdir)
+    base = datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_type string"
+
+    def feed(fname, rows):
+        import shutil
+
+        stage = str(tmp_path / f"stage_{fname}")
+        spark.createDataFrame(
+            [(u, base + timedelta(seconds=s), e) for u, s, e in rows],
+            schema,
+        ).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(
+            os.path.join(stage, part), os.path.join(sdir, f"{fname}.parquet")
+        )
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(sdir)
+
+        def sink(df, bid):
+            df.write.mode("append").parquet(odir)
+
+        q = (
+            streaming_window_funnel(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    feed("b0", [(1, 0, "view"), (1, 1, "click"), (2, 0, "view")])
+    with state_partition_scope(spark, 4):
+        drain()  # checkpoint pins 4 state partitions
+    feed("b1", [(1, 2, "purchase"), (2, 1, "click")])
+    with state_partition_scope(spark, 8):  # different resolved value
+        drain()  # must resume from the 4-partition store
+    out = spark.read.parquet(odir)
+    levels = {
+        r["user_id"]: r["level"]
+        for r in out.groupBy("user_id").agg(F.max("level").alias("level")).collect()
+    }
+    assert levels == {1: 3, 2: 2}
+    # the resolver contract: conf wins, else size-derived clamp
+    spark.conf.set("spark.migrator_spark.streaming.statePartitions", "5")
+    try:
+        assert resolve_state_partitions(spark, 10**12) == 5
+    finally:
+        spark.conf.unset("spark.migrator_spark.streaming.statePartitions")
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cores = spark.sparkContext.defaultParallelism
+    assert resolve_state_partitions(spark, 1) == max(1, min(shuffle, cores // 2))
+    assert resolve_state_partitions(spark, 10**15) == shuffle
+    assert resolve_state_partitions(spark, None) == shuffle
+
+
 def test_queue_extractor_plan_unchanged_after_probe_revert():
     """Round 14 tried collecting the drained queue batch to a driver
     local relation (to remove the broadcast-build job) and REVERTED it
