@@ -784,6 +784,84 @@ _ROUND12_WINDOW: list[str] = [
 # r10-green stalest-first.
 # ---------------------------------------------------------------------------
 _GRADED_WINDOW: list[str] = [
+    # ======== round-14 window (stalest-first round-robin) ========
+    # Composition (VERDICT r13 #7, executed exactly as queued at the
+    # round-13 window's comment, plus the SLO's plan-changed rule):
+    #   1. dd8_incremental_lsh (displaced from r13 by art1's
+    #      plan-changed re-entry) + the 24-row r9-green remainder in
+    #      round-9 window order.
+    #   2. r10-green backfill in round-10 window order (stalest
+    #      first), topped toward 50: pipeline_e2e_drain..f5.
+    #   3. Plan-changed round 14 (SLO: re-enter immediately),
+    #      displacing the backfill tail: sd3/sd5 (the semdedup fold
+    #      now checkpoints the DECIDED batch and the flat scoring seam
+    #      fans out single-file scans), st6 (size-derived state
+    #      partitions + sink re-key). sd2 — whose incremental judge
+    #      shares both changed seams — is already in the r10-green
+    #      block above.
+    # Round 15's queue head: the displaced f6_regex_suite,
+    # sim4_incremental_topk, ta1_token_stats, then the r10-green
+    # remainder in round-10 window order (ta2_quality_score..q4),
+    # then r11-green stalest-first.
+    "dd8_incremental_lsh",
+    "sim1_cosine_topk",
+    "sim5_ivf_build",
+    "sim3_pairwise_topk",
+    "w2_window_suite",
+    "w3_rolling_frames",
+    "fts2_bm25_search",
+    "ch1_overlap_chunks",
+    "cur5_token_budget",
+    "fts3_passage_search",
+    "dr1_source_dup_report",
+    "cur6_domain_cap",
+    "sh1_train_shards",
+    "bpe1_pair_stats",
+    "dv1_ngram_diversity",
+    "dr2_cross_source_leakage",
+    "ta11_lang_confusion",
+    "vb1_vocab_coverage",
+    "sim10_ivf_pq_topk",
+    "ev9_daily_top_events",
+    "ev10_top_user_paths",
+    "ta12_doc_keywords",
+    "seg1_rfm_segments",
+    "mm6_wav_roundtrip",
+    "sm6_temporal_split",
+    # -- r10-green backfill, round-10 window order (stalest first) --
+    "pipeline_e2e_drain",
+    "ev18_growth_accounting",
+    "dq5_profile_drift",
+    "cur13_carried_split",
+    "fo7_scd2_repair",
+    "pr15_federated_quantile_merge",
+    "vb2_oov_rate",
+    "ev11_funnel",
+    "fo4_retention_cohorts",
+    "sd2_incremental_semdedup",
+    "dc2_contamination_spans",
+    "ev13_conversion_latency",
+    "ev14_last_touch",
+    "mm7_png_roundtrip",
+    "fts4_proximity_search",
+    "pr8_portable_hll",
+    "dd4_ngram_jaccard_pairs",
+    "dd12_containment_pairs",
+    "dd13_edit_distance_pairs",
+    "ta9_similar_docs",
+    "f4_string_suite",
+    "f5_array_suite",
+    # -- plan-changed round 14 (SLO re-entry; displaced f6/sim4/ta1
+    # lead round 15's queue) --
+    "sd3_stream_semdedup_batch",
+    "sd5_stream_semdedup_two_level",
+    "st6_late_funnel_stream",
+]
+
+# ---------------------------------------------------------------------------
+# Round-13 graded window (kept for history; superseded above).
+# ---------------------------------------------------------------------------
+_ROUND13_WINDOW: list[str] = [
     # -- never driver-graded (r12 post-window) --
     "mnt4_avg_from_rollup",
     # -- plan-changed round 13 (sequencer claims + avg dispatch in the
@@ -1295,6 +1373,7 @@ assert len(_ROUND9_WINDOW) == 50, len(_ROUND9_WINDOW)
 assert len(_ROUND10_WINDOW) == 50, len(_ROUND10_WINDOW)
 assert len(_ROUND11_WINDOW) == 50, len(_ROUND11_WINDOW)
 assert len(_ROUND12_WINDOW) == 50, len(_ROUND12_WINDOW)
+assert len(_ROUND13_WINDOW) == 50, len(_ROUND13_WINDOW)
 assert len(_GRADED_WINDOW) == 50, len(_GRADED_WINDOW)
 assert len(set(_GRADED_WINDOW)) == 50
 _missing = [n for n in _GRADED_WINDOW if n not in REGISTRY]

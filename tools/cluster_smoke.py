@@ -298,11 +298,22 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
-    bad = 0
-    for name in SMOKE_QUERIES:
+    # Overlap independent query checks (guide §2.6): Spark happily runs
+    # several jobs at once, and each check serializes driver-side work
+    # (planning, toPandas, the DuckDB compare) that would otherwise
+    # leave the two executors idle. 3 in flight is enough to fill the
+    # tail without starving any one query; results are order-insensitive
+    # (each line prints independently, the assertions count lines).
+    # Each worker takes its own DuckDB cursor — the connection object
+    # itself is not thread-safe. The two LIVE steps stay serial below:
+    # they mutate session state (conf scopes, catalog registrations)
+    # that must not interleave with other checks.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(name: str) -> bool:
         spec = REGISTRY[name]
         sp = spec.fn(spark, sf).toPandas()
-        dp = con.sql(spec.oracle).df()
+        dp = con.cursor().sql(spec.oracle).df()
         cols = sorted(sp.columns)
         ok = (
             sorted(dp.columns) == cols
@@ -311,7 +322,10 @@ def main() -> int:
             == sorted(map(repr, dp[cols].itertuples(index=False, name=None)))
         )
         print("OK" if ok else "MISMATCH", name, len(sp), flush=True)
-        bad += 0 if ok else 1
+        return ok
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        bad = sum(0 if ok else 1 for ok in pool.map(check, SMOKE_QUERIES))
     # the live-stream member with no stream-running registry entry
     bad += 0 if smoke_semantic_stream(spark, sf) else 1
     # the offline bucketed-artifact write/read/join under real executors
