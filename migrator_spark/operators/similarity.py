@@ -985,8 +985,19 @@ def score_against_centroids(
     and the hoisted L2 norm (``_nrm``). ``pts`` carries (id_col, v);
     returns the SCORED relation (id_col, cell, v, _cs, _nrm),
     materialized once (it feeds pair sides and outputs)."""
+    from migrator_spark.functions.parallelism import fan_out
+
+    # single-file local fixtures scan as ONE partition, serializing the
+    # assignment AND every later judge's pair stage on the scored
+    # relation's layout (guide §2.5 input skew — the r14 sd3 profile
+    # read one 2.9 s broadcast-build job on 3 tasks). Fan out ONCE
+    # before scoring; the checkpoint inherits the spread and no later
+    # stage re-exchanges (the r13-reverted experiment fanned the
+    # checkpoint per probe USE — per-round exchanges — and regressed).
+    # At any real scale the scan carries >= cores splits and this is a
+    # no-op (file-count probe).
     return (
-        _assign_cells(pts, cents, id_col)
+        _assign_cells(fan_out(pts, id_col), cents, id_col)
         .join(F.broadcast(cents), "cell")
         .withColumn("_cs", cosine_similarity(F.col("v"), F.col("c")))
         .withColumn("_nrm", l2_norm(F.col("v")))
@@ -1393,8 +1404,15 @@ def score_against_two_level(
     sd5 contract); tie-breaks are (d, cell, sub) lexicographic,
     matching _assign_cells / _assign_subcells.
     """
+    from migrator_spark.functions.parallelism import fan_out
+
     if n_probe < 1:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    # same input-skew spread as score_against_centroids: one fan-out
+    # before assignment so the scored checkpoint (the relation every
+    # judge probes) is cores-wide on single-file fixture scans and a
+    # no-op at real scan widths (guide §2.5)
+    pts = fan_out(pts, id_col)
     if n_probe == 1:
         if asg1 is None:
             asg1 = _assign_cells(pts, coarse, id_col)
