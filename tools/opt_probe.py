@@ -49,6 +49,9 @@ def normalize_plan(plan: str) -> str:
     plan = re.sub(r"#\d+", "#x", plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
     plan = re.sub(r"/tmp/\S+", "/tmp/X", plan)
+    # checkpoint/createDataFrame leaves (Scan ExistingRDD) print the
+    # session-lifetime RDD id — pure sequence noise
+    plan = re.sub(r"RDD\[\d+\]", "RDD[x]", plan)
     return plan
 
 
